@@ -1,0 +1,126 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.events
+
+/** Time-series / event-stream operators demonstrated in batch form with
+  * DuckDB oracles. The same logic runs as Structured Streaming in
+  * `graft.streaming.Streams` (watermarked windows, stateful sessionization)
+  * — streaming has no SQL oracle, so it is covered by ScalaTest instead.
+  *
+  * Timestamp parity note: parquet stores `ts` as ns; Spark truncates to µs,
+  * DuckDB keeps ns. All oracle-visible derivations AND window orderings go
+  * through epoch milliseconds (`unix_millis` / `epoch_ms`, both floor) with
+  * `event_id` as the tie-break, so the two engines sort identically.
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GapMs = 30L * 60 * 1000 // 30-minute session gap
+
+  val queries: Map[String, Q] = Map(
+    // Tumbling event-time window aggregation (batch form of the streaming
+    // windowed count — Streams.hourlyCounts).
+    "e1_hour_window" -> ((s, d) => events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("value")), 2).as("total"))
+      .orderBy(col("hour"), col("event_type"))),
+
+    // Gap-based sessionization: lag + cumulative sum over a per-user
+    // event-time window (batch twin of flatMapGroupsWithState sessions).
+    "e2_sessionize" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(ms, col("event_id"))
+      val newSession = when(
+        lag(ms, 1).over(w).isNull || (ms - lag(ms, 1).over(w)) > GapMs, 1).otherwise(0)
+      events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Analytic windows: running sum + lag delta per user in event order.
+    // Both engines accumulate the frame left-to-right, so the running
+    // double sums agree bitwise; rounded anyway.
+    "e3_running_window" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(ms, col("event_id"))
+      events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          round(sum(col("value")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4).as("running"),
+          round(col("value") - coalesce(lag(col("value"), 1).over(w), lit(0.0)), 4).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Semi-structured projection: JSON field extraction from `props`.
+    "e4_json_extract" -> ((s, d) => events(s, d)
+      .select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy(col("event_id"))),
+
+    // Date/time scalar functions (F-family at event scale).
+    "e5_date_parts" -> ((s, d) => events(s, d)
+      .groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        hour(col("ts")).cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("day"), col("hr")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "e1_hour_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e2_sessionize" ->
+      s"""WITH x AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, value, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, value,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM y)
+        |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS session_value
+        |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "e3_running_window" ->
+      """SELECT event_id, user_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+        |    ROWS UNBOUNDED PRECEDING), 4) AS running,
+        |  ROUND(value - COALESCE(LAG(value) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_ms(ts), event_id), 0.0), 4) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "e4_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "e5_date_parts" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin
+  )
+}

@@ -1,0 +1,201 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{documents, embeddings}
+import graft.text.TextFns
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.media.Multimodal
+
+/** Training-data pipeline operators (dedup / similarity / text analysis /
+  * multimodal metadata) over `documents` and `embeddings`, each with a
+  * DuckDB oracle where the computation is engine-independent. Approximate
+  * family members (MinHash-LSH, SimHash, hyperplane-LSH ANN) have no SQL
+  * oracle — they are refined to exact measures for determinism and their
+  * recall is asserted against the exact baselines in ScalaTest.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val JaccardThreshold = 0.3
+  private val CosineThreshold = 0.35
+
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+
+  val queries: Map[String, Q] = Map(
+    // ---- text analysis ----
+    "t1_token_count" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextFns.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))),
+
+    "t2_quality_score" -> ((s, d) => documents(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_tokens"),
+        round(TextFns.stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        round(TextFns.punctRatio(col("text")), 6).as("punct_ratio"))
+      .orderBy(col("doc_id"))),
+
+    "t3_lang_id" -> ((s, d) => {
+      val scoreCols = TextFns.Markers.map { case (l, p) =>
+        TextFns.langScore(col("text"), p).as(s"score_$l")
+      }
+      documents(s, d)
+        .select((col("doc_id") +: TextFns.langId(col("text")).as("pred_lang") +: scoreCols): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "t4_fingerprint" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))),
+
+    // ---- deduplication ----
+    "d1_dedup_exact" -> ((s, d) =>
+      Dedup.exact(documents(s, d), "doc_id", "text")),
+
+    "d2_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(documents(s, d), "doc_id", "text", n = 3,
+        threshold = JaccardThreshold)),
+
+    // MinHash-LSH (approximate; exact-refined output, rows-only check).
+    "d3_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
+        n = 3, bands = 16, rowsPerBand = 4, threshold = JaccardThreshold)),
+
+    // SimHash 64-bit fingerprints (rows-only check; builtins only).
+    "d4_simhash" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("simhash"))
+      .orderBy(col("doc_id"))),
+
+    // Embedding-cosine near-duplicate pairs (exact).
+    "d5_embedding_pairs" -> ((s, d) =>
+      Similarity.cosinePairs(vecs(s, d), CosineThreshold)),
+
+    // ---- similarity search ----
+    // Brute-force exact ANN: first 10 vectors are the query set.
+    "n1_ann_brute" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.annBrute(
+        v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+        v.filter(col("vec_id") >= 10).select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        k = 10)
+    }),
+
+    // Hyperplane-LSH bucketed ANN (approximate, rows-only check).
+    "n2_ann_lsh" -> ((s, d) =>
+      Similarity.annLsh(vecs(s, d), planes = 8, tables = 4, k = 5)),
+
+    // ---- multimodal ----
+    "m1_media_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS len_chars,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+        |    ELSE CAST(len(list_filter(toks,
+        |      x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) END, 6)
+        |    AS stopword_ratio,
+        |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+        |    ELSE CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) / length(text) END, 6)
+        |    AS punct_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS score_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|y|en|que)\b')) AS BIGINT) AS score_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS score_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|un)\b')) AS BIGINT) AS score_fr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN score_fr > GREATEST(score_en, score_es, score_de) THEN 'fr'
+        |    WHEN score_de > GREATEST(score_en, score_es) THEN 'de'
+        |    WHEN score_es > score_en THEN 'es'
+        |    ELSE 'en'
+        |  END AS pred_lang,
+        |  score_en, score_es, score_de, score_fr
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "d1_dedup_exact" ->
+      """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "d2_jaccard_pairs" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+        |FROM pairs
+        |JOIN cnt ca ON doc_a = ca.doc_id
+        |JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d5_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
+        |ORDER BY vec_a, vec_b""".stripMargin,
+
+    "n1_ann_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, v AS cv FROM e WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(list_cosine_similarity(qv, cv), 4) AS cosine
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_hash,
+        |  CAST(640 + n_chars % 1280 AS BIGINT) AS fake_width,
+        |  CAST(360 + (n_chars * 7) % 720 AS BIGINT) AS fake_height
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

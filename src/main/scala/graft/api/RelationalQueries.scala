@@ -1,0 +1,355 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables._
+
+/** SURVEY §2 relational operator parity, demonstrated on the TPC-H-ish
+  * testdata with a DuckDB-checkable ANSI-SQL oracle per query.
+  *
+  * Conventions (driver contract):
+  *  - every computed column is aliased identically in the Spark plan and
+  *    the oracle SQL;
+  *  - every query is fully ORDER BY'd on a unique key for determinism;
+  *  - double aggregates are ROUND()ed on both sides so partial-aggregation
+  *    summation order can't flip the last ulp;
+  *  - SUM over integers is CAST to BIGINT in the oracle (DuckDB widens to
+  *    HUGEINT, Spark keeps LongType).
+  */
+object RelationalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S1: schema'd scan + projection (column pruning reaches the parquet
+    // reader — ReadSchema shows only the four columns).
+    "s1_scan_project" -> ((s, d) => lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P1+P2: cast projection + rename. FLOOR before the integer cast: Spark
+    // truncates double→bigint, DuckDB rounds, FLOOR pins both.
+    "p1_cast_rename" -> ((s, d) => lineitem(s, d)
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_no"),
+        floor(col("l_quantity")).cast("long").as("qty_long"),
+        col("l_extendedprice").cast("string").substr(lit(1), lit(1)).as("price_head"))
+      .orderBy(col("order_id"), col("line_no"))),
+
+    // P3: seeded Bernoulli sample — not reproducible in DuckDB, driver
+    // records a rows-only check. Determinism across our own runs is tested
+    // in ScalaTest (same seed ⇒ same rows).
+    "p3_sample" -> ((s, d) => lineitem(s, d)
+      .sample(withReplacement = false, fraction = 0.1, seed = 1L)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
+    // P4: duplicate-key report (generalizes the reference's duplicate-row
+    // probe at pageRank.py:59-63).
+    "p4_dup_report" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .orderBy(col("l_orderkey"), col("l_partkey"))),
+
+    // P5/F5: literal membership filter.
+    "p5_member_filter" -> ((s, d) => customer(s, d)
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))),
+
+    // J1: equi hash join + group aggregation (edges ⋈ block assignment
+    // shape). part is the small dim — Catalyst broadcasts it.
+    "j1_join_agg" -> ((s, d) => lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("p_brand"))),
+
+    // J2: fact ⋈ evolving-dim join (the per-iteration rank-lookup shape).
+    "j2_join_dim" -> ((s, d) => orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 1).as("rev"))
+      .orderBy(col("c_mktsegment"))),
+
+    // J3: multi-way join chain (TPC-H Q5 shape) — revenue per region.
+    // Dims are broadcast; only the fact table shuffles for the final agg.
+    "j3_join_chain" -> ((s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 1).as("revenue"))
+      .orderBy(col("r_name"))),
+
+    // J4: left-semi join (EXISTS).
+    "j4_semi_join" -> ((s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))),
+
+    // J5: left-anti join (NOT EXISTS) — customers without any high-value
+    // order (the unfiltered variant is trivially empty on this data).
+    "j5_anti_join" -> ((s, d) => customer(s, d)
+      .join(orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))),
+
+    // J6: left-outer join preserving unmatched rows.
+    "j6_outer_join" -> ((s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))),
+
+    // A1/U1: distinct union of two key columns (vertex extraction shape).
+    "a1_distinct_union" -> ((s, d) => customer(s, d)
+      .select(col("c_nationkey").as("k"))
+      .union(supplier(s, d).select(col("s_nationkey").as("k")))
+      .distinct()
+      .orderBy(col("k"))),
+
+    // A2: group-by count (out-degree shape); partial+final hash agg.
+    "a2_groupby_count" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("out_degree"))
+      .orderBy(col("l_suppkey"))),
+
+    // A3/P6: group-by collect (adjacency-list shape), canonicalized with
+    // sort_array; empty groups impossible by construction (inner grouping).
+    "a3_groupby_collect" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .orderBy(col("l_orderkey"))),
+
+    // A4: keyed sum (the per-iteration contribution scatter-add shape).
+    "a4_keyed_sum" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_quantity") * (lit(1) - col("l_discount"))), 2).as("contrib"))
+      .orderBy(col("l_partkey"))),
+
+    // A5/A8: global scalar aggregates in one pass.
+    "a5_global_stats" -> ((s, d) => lineitem(s, d)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        round(sum(col("l_quantity")), 1).as("sum_qty"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"))),
+
+    // A6: broadcast-scalar renormalization (share of global total) via an
+    // unpartitioned window — the (1-s)/N fold-back shape.
+    "a6_renormalize" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice")).as("r"))
+      rev.select(
+          col("l_suppkey"),
+          round(col("r") / sum(col("r")).over(Window.partitionBy()), 6).as("share"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // A7: global L1 delta between two aligned distributions (convergence
+    // metric shape): quantity-share vs revenue-share per supplier.
+    "a7_l1_delta" -> ((s, d) => {
+      val li = lineitem(s, d)
+      val q = li.groupBy(col("l_suppkey")).agg(sum(col("l_quantity")).as("qv"))
+        .select(col("l_suppkey"), (col("qv") / sum(col("qv")).over(Window.partitionBy())).as("qs"))
+      val p = li.groupBy(col("l_suppkey")).agg(sum(col("l_extendedprice")).as("pv"))
+        .select(col("l_suppkey").as("sk"), (col("pv") / sum(col("pv")).over(Window.partitionBy())).as("ps"))
+      q.join(p, col("l_suppkey") === col("sk"))
+        .agg(round(sum(abs(col("qs") - col("ps"))), 6).as("l1"))
+    }),
+
+    // O3+O4: top-k by sort key desc — Catalyst plans TakeOrderedAndProject.
+    "o4_topk" -> ((s, d) => orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_totalprice"))),
+
+    // O6 / §2.5: ranking window — top-3 customers per segment.
+    "w1_rank_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("rnk"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    // U2: set intersection.
+    "u2_intersect" -> ((s, d) => customer(s, d).select(col("c_custkey").as("k"))
+      .intersect(orders(s, d).select(col("o_custkey").as("k")))
+      .orderBy(col("k"))),
+
+    // U3: set difference — all customers minus high-value-order customers.
+    "u3_except" -> ((s, d) => customer(s, d).select(col("c_custkey").as("k"))
+      .except(orders(s, d).filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("k")))
+      .orderBy(col("k"))),
+
+    // F3: formatted-text sink projection (the reference's `[page] [score]`
+    // line format, pageRank.py:23) — int/string concat only, so the
+    // rendering is engine-independent.
+    "f3_format_lines" -> ((s, d) => orders(s, d)
+      .orderBy(col("o_orderkey"))
+      .limit(1000)
+      .select(concat(
+        lit("["), col("o_orderkey").cast("string"),
+        lit("] ["), col("o_orderstatus"), lit("]")).as("line"))),
+
+    // F4: block assignment — floor(ordinal/step), the reference's
+    // list_to_groups (pageRank.py:76-86) as a window expression.
+    "f4_block_assign" -> ((s, d) => customer(s, d)
+      .select(
+        col("c_custkey"),
+        floor((row_number().over(Window.orderBy(col("c_custkey"))) - 1) / 100)
+          .cast("long").as("block_id"))
+      .orderBy(col("c_custkey")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "p1_cast_rename" ->
+      """SELECT l_orderkey AS order_id, l_linenumber AS line_no,
+        |  CAST(FLOOR(l_quantity) AS BIGINT) AS qty_long,
+        |  SUBSTR(CAST(l_extendedprice AS VARCHAR), 1, 1) AS price_head
+        |FROM lineitem ORDER BY order_id, line_no""".stripMargin,
+
+    "p4_dup_report" ->
+      """SELECT l_orderkey, l_partkey, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY l_orderkey, l_partkey
+        |HAVING COUNT(*) > 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+
+    "p5_member_filter" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') ORDER BY c_custkey""".stripMargin,
+
+    "j1_join_agg" ->
+      """SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 2) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j2_join_dim" ->
+      """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(o_totalprice), 1) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "j3_join_chain" ->
+      """SELECT r_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 1) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "j4_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_outer_join" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "a1_distinct_union" ->
+      """SELECT DISTINCT k FROM (
+        |  SELECT c_nationkey AS k FROM customer
+        |  UNION ALL SELECT s_nationkey AS k FROM supplier) t
+        |ORDER BY k""".stripMargin,
+
+    "a2_groupby_count" ->
+      """SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS out_degree
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
+    "a3_groupby_collect" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "a4_keyed_sum" ->
+      """SELECT l_partkey, ROUND(SUM(l_quantity * (1 - l_discount)), 2) AS contrib
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin,
+
+    "a5_global_stats" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+        |  ROUND(SUM(l_quantity), 1) AS sum_qty,
+        |  ROUND(MIN(l_extendedprice), 2) AS min_price,
+        |  ROUND(MAX(l_extendedprice), 2) AS max_price
+        |FROM lineitem""".stripMargin,
+
+    "a6_renormalize" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, SUM(l_extendedprice) AS r
+        |  FROM lineitem GROUP BY l_suppkey)
+        |SELECT l_suppkey, ROUND(r / SUM(r) OVER (), 6) AS share
+        |FROM rev ORDER BY l_suppkey""".stripMargin,
+
+    "a7_l1_delta" ->
+      """WITH q AS (
+        |  SELECT l_suppkey, SUM(l_quantity) AS qv FROM lineitem GROUP BY l_suppkey),
+        |qs AS (SELECT l_suppkey, qv / SUM(qv) OVER () AS qs FROM q),
+        |p AS (
+        |  SELECT l_suppkey, SUM(l_extendedprice) AS pv FROM lineitem GROUP BY l_suppkey),
+        |ps AS (SELECT l_suppkey AS sk, pv / SUM(pv) OVER () AS ps FROM p)
+        |SELECT ROUND(SUM(ABS(qs - ps)), 6) AS l1
+        |FROM qs JOIN ps ON l_suppkey = sk""".stripMargin,
+
+    "o4_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 100) t
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "w1_rank_window" ->
+      """SELECT c_mktsegment, c_custkey, rnk FROM (
+        |  SELECT c_mktsegment, c_custkey,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        |  FROM customer) t
+        |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "u2_intersect" ->
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  INTERSECT SELECT o_custkey AS k FROM orders) t
+        |ORDER BY k""".stripMargin,
+
+    "u3_except" ->
+      """SELECT k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000) t
+        |ORDER BY k""".stripMargin,
+
+    "f3_format_lines" ->
+      """SELECT '[' || CAST(o_orderkey AS VARCHAR) || '] [' || o_orderstatus || ']' AS line
+        |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "f4_block_assign" ->
+      """SELECT c_custkey,
+        |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) / 100) AS BIGINT) AS block_id
+        |FROM customer ORDER BY c_custkey""".stripMargin
+  )
+}

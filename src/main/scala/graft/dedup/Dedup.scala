@@ -1,0 +1,128 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.text.TextFns
+
+/** Document deduplication for training-data pipelines, scale-first:
+  *
+  *  - exact:   hash-groupBy on content digest — one shuffle, fully
+  *             map-side-combinable;
+  *  - n-gram Jaccard: exact pairwise similarity via a shingle-inverted
+  *             index (explode → equi-join on shingle → count), which only
+  *             pairs documents SHARING a shingle — never a cartesian;
+  *  - MinHash+LSH: signature → bands → bucket equi-join, the sub-quadratic
+  *             scale path, verified against exact Jaccard;
+  *  - SimHash: 64-bit near-dup fingerprint via per-bit majority vote,
+  *             composed entirely from codegen'd builtins.
+  */
+object Dedup {
+
+  /** Exact dedup report: one row per distinct content hash with the
+    * representative (minimum) id and the duplicate count.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy(col("h"))
+
+  /** Per-document distinct word-n-gram shingle relation: (id, s). */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, j ≥ threshold).
+    * jaccard = |A∩B| / (|A|+|B|−|A∩B|) — pure integer arithmetic until the
+    * final division, so results are bit-identical across engines.
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("id").as("doc_a"), col("s"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
+      .drop("id")
+      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
+      .drop("id")
+      .withColumn("j_raw",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** MinHash signature of a shingle array: numHashes seeded-xxhash64
+    * minima, all builtin (`transform` over a seed array + `array_min`),
+    * codegen'd — no UDF in the 100 TB scan path.
+    */
+  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
+    val seeds = array((0 until numHashes).map(lit): _*)
+    transform(seeds, s => array_min(transform(shingleArr, x => xxhash64(x, s))))
+  }
+
+  /** MinHash-LSH candidate pairs refined by exact Jaccard.
+    * bands·rowsPerBand = signature length. Banding: a pair lands in a
+    * bucket iff one band of the signature matches exactly; the bucket join
+    * replaces the all-pairs comparison. The exact-Jaccard refine step makes
+    * the OUTPUT deterministic (a subset of [[jaccardPairs]]); recall is
+    * asserted in ScalaTest.
+    */
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigs = docs
+      .select(col(idCol).as("id"), TextFns.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
+    // One row per (doc, band): bucket key = hash of the band's slice.
+    val bandedOk = sigs
+      .select(col("id"), col("sh"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("id"), col("sh"),
+        col("band"),
+        xxhash64(col("band"),
+          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+    val candidates = bandedOk.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sh").as("sh_a"))
+      .join(bandedOk.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+        col("id").as("doc_b"), col("sh").as("sh_b")),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    // Exact refine on the (few) candidates.
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    candidates
+      .withColumn("j_raw",
+        inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash of a token array, builtins only: per-bit majority vote
+    * over token hashes, assembled as a sum of bit columns. The 64 vote
+    * expressions all feed one aggregate-free projection — wide but fully
+    * whole-stage-codegen'd.
+    */
+  def simhash64(tokensArr: Column): Column = {
+    val bits = (0 until 64).map { j =>
+      // vote_j = Σ_tokens (bit_j(hash) ? 1 : −1) > 0
+      val vote = aggregate(
+        transform(tokensArr,
+          t => when(shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)),
+        lit(0), (acc, v) => acc + v)
+      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhashes (builtin bit_count of xor). */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

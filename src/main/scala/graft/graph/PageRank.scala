@@ -1,0 +1,207 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank over an edge-list DataFrame `(src LONG, dst LONG)`.
+  *
+  * Re-expression of the reference Block-Stripe Update pipeline
+  * (`/root/reference/pageRank.py:116-145`) as a Spark dataflow:
+  * the per-iteration "stripe pass" is a hash join of the (static) edge
+  * relation with the (evolving) rank relation followed by a shuffled
+  * partial+final sum aggregation keyed by `dst` — Spark's hash
+  * partitioning of that shuffle IS the block-stripe decomposition, with
+  * `spark.sql.shuffle.partitions` playing the role of the block count
+  * (`/root/reference/pageRank.py:96-113`).
+  *
+  * Scale design (100 TB mindset):
+  *  - the edge relation (the big side) is joined with out-degrees ONCE,
+  *    hash-partitioned by `src` and persisted, so each iteration reuses the
+  *    partitioning and only the rank table (|V| rows, small side) moves;
+  *  - no vertex list is ever collected to the driver (the reference's
+  *    `all_node` Python list at `pageRank.py:47-53` does not scale);
+  *  - lineage is truncated per iteration via `localCheckpoint`, otherwise
+  *    plan depth grows linearly with iterations and analysis dominates;
+  *  - only two scalar aggregates per iteration cross to the driver
+  *    (lost-mass sum and L1 delta — `pageRank.py:133,137-139`).
+  */
+object PageRank {
+
+  /** Reference defaults: β at `pageRank.py:8`, δ at `pageRank.py:9`. */
+  case class Params(
+      beta: Double = 0.85,
+      delta: Double = 1e-5,
+      maxIter: Int = 100)
+
+  /** S1: whitespace-separated two-column edge text (e.g. WikiData.txt),
+    * schema imposed at read — never inferred (`pageRank.py:31-35`).
+    */
+  def edgesFromText(spark: SparkSession, path: String): DataFrame = {
+    spark.read
+      .schema("src LONG, dst LONG")
+      .option("delimiter", "\t")
+      .option("comment", "#")
+      .csv(path)
+  }
+
+  /** A1: vertex extraction — distinct union of both endpoint columns. */
+  def vertices(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+
+  /** A2: out-degree per source. */
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
+
+  /** Result of a converged run. */
+  case class RankResult(ranks: DataFrame, iterations: Int, finalDelta: Double)
+
+  /** Reference-faithful fixpoint (`pageRank.py:116-145`):
+    *   pre_i  = β · Σ_{u→i} rank(u)/deg(u)
+    *   s      = Σ_i pre_i
+    *   rank'_i = pre_i + (1 − s)/N          (dead-end + spider-trap fix)
+    * until Σ|rank' − rank| < δ.
+    */
+  def run(spark: SparkSession, edges: DataFrame, params: Params = Params()): RankResult = {
+    val verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    if (n == 0) {
+      // Degenerate input: empty result, not a crash (reference divides 1/0
+      // at pageRank.py:69).
+      return RankResult(verts.withColumn("rank", lit(0.0)), 0, 0.0)
+    }
+    // Loop-invariant: edges ⋈ degrees, partitioned by src, persisted once.
+    // Each edge carries its source's out-degree so the per-iteration join
+    // against ranks is a single equi join on src.
+    val linked = edges
+      .join(outDegrees(edges), "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    linked.count() // materialize
+
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var iter = 0
+    var deltaVal = Double.MaxValue
+    while (deltaVal > params.delta && iter < params.maxIter) {
+      // J2 + F1 + A4: contributions shuffled and summed by dst.
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("c"))
+      // Keep old rank alongside the new pre-normalization mass; checkpoint
+      // eagerly so the two scalar aggregates below reuse one materialization.
+      val merged = ranks
+        .join(contribs, ranks("id") === contribs("dst"), "left")
+        .select(
+          col("id"),
+          col("rank").as("old_rank"),
+          (coalesce(col("c"), lit(0.0)) * params.beta).as("pre"))
+        .localCheckpoint(true)
+      // A5: lost mass (dead ends + teleport) folded back uniformly (A6).
+      val s = merged.agg(sum(col("pre"))).first().getDouble(0)
+      val corr = (1.0 - s) / n
+      // A7: global L1 delta drives convergence.
+      deltaVal = merged
+        .agg(sum(abs(col("pre") + lit(corr) - col("old_rank"))))
+        .first().getDouble(0)
+      val next = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
+      ranks.unpersist()
+      ranks = next.localCheckpoint(true)
+      iter += 1
+    }
+    linked.unpersist()
+    verts.unpersist()
+    RankResult(ranks, iter, deltaVal)
+  }
+
+  /** Fixed-iteration PageRank with the explicit-teleport formula
+    *   rank'_i = (1 − β)/N + β · Σ_{u→i} rank(u)/deg(u)
+    * (no renormalization). This variant is exactly expressible in ANSI SQL
+    * (chained CTEs — see [[pageRankOracleSql]]) and serves as the
+    * DuckDB-checkable surface for the iterative operator I1.
+    */
+  def fixedIterations(
+      spark: SparkSession,
+      edges: DataFrame,
+      beta: Double,
+      iterations: Int): DataFrame = {
+    val verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val linked = edges
+      .join(outDegrees(edges), "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    var i = 0
+    while (i < iterations) {
+      val contribs = linked
+        .join(ranks, linked("src") === ranks("id"))
+        .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+        .groupBy(col("dst"))
+        .agg(sum(col("w")).as("c"))
+      val next = verts
+        .join(contribs, verts("id") === contribs("dst"), "left")
+        .select(
+          verts("id"),
+          (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
+      ranks.unpersist()
+      ranks = next.localCheckpoint(true)
+      i += 1
+    }
+    linked.unpersist()
+    verts.unpersist()
+    ranks
+  }
+
+  /** O3+O4: top-k pages by score, ties broken by id — Catalyst plans this
+    * as TakeOrderedAndProject (per-partition top-k + merge, no full sort).
+    */
+  def topK(ranks: DataFrame, k: Int): DataFrame =
+    ranks.orderBy(col("rank").desc, col("id")).limit(k)
+
+  /** S3: the reference's `[page] [score]` sink format (`pageRank.py:19-24`). */
+  def formatted(top: DataFrame): DataFrame =
+    top.select(
+      concat(lit("["), col("id").cast("string"), lit("] ["),
+        col("rank").cast("string"), lit("]")).as("line"))
+
+  /** ANSI-SQL oracle for [[fixedIterations]]: unrolled iteration chain as
+    * CTEs (r0..rK) over an arbitrary `edges(src,dst)` subquery. Runs on
+    * DuckDB and Spark alike; pure integer/double arithmetic.
+    */
+  def pageRankOracleSql(
+      edgesSql: String,
+      beta: Double,
+      iterations: Int,
+      roundDigits: Int = 9): String = {
+    val sb = new StringBuilder
+    sb.append(s"WITH edges AS ($edgesSql),\n")
+    sb.append("nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),\n")
+    sb.append("deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),\n")
+    sb.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),\n")
+    sb.append("r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)")
+    for (i <- 1 to iterations) {
+      val prev = s"r${i - 1}"
+      sb.append(s""",
+r$i AS (
+  SELECT nodes.id,
+         (1.0 - $beta)/(SELECT n FROM nn)
+           + $beta * COALESCE(c.s, 0.0) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.d) AS s
+    FROM $prev r
+    JOIN edges e ON e.src = r.id
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id)""")
+    }
+    sb.append(s"\nSELECT id, ROUND(rank, $roundDigits) AS rank FROM r$iterations ORDER BY id")
+    sb.toString()
+  }
+}

@@ -1,0 +1,133 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity: exact cosine via codegen'd higher-order functions,
+  * brute-force top-k ANN as the correctness baseline, and a random-
+  * hyperplane LSH bucketed variant as the scale path (buckets shrink each
+  * candidate set from |C| to |C|/2^bits, turning the all-pairs cartesian
+  * into a per-bucket join — the 100 TB-viable shape).
+  */
+object Similarity {
+
+  /** Element-wise cast float→double so all accumulation is in doubles. */
+  def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
+
+  /** Exact cosine similarity of two double-array columns: one fused
+    * zip_with/aggregate pass, left-to-right accumulation (deterministic).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Brute-force exact top-k neighbors for each query vector.
+    * Queries are expected to be a SMALL relation (they are broadcast); the
+    * candidate side streams — so the cartesian is |Q|·|C| with |Q| tiny,
+    * scanned once, ranked per query with a per-partition top-k.
+    * Ranking uses the ROUNDED score (ties → candidate id) so results are
+    * reproducible across engines and summation orders.
+    */
+  def annBrute(
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
+      candidates: DataFrame, // (cand_id LONG, cv ARRAY<DOUBLE>)
+      k: Int): DataFrame = {
+    val scored = broadcast(queries).crossJoin(candidates)
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
+    * a fixed hash mapped into [-1, 1]. No RNG, so plans are reproducible.
+    */
+  private def planeComponent(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit("plane"), lit(p), i), lit(2000001L)).cast("double")
+      - lit(1000000.0)) / lit(1000000.0)
+
+  /** Random-hyperplane (SimHash) bucket signature of an embedding: one bit
+    * per plane = sign of the dot product with a pseudo-random hyperplane.
+    * `offset` shifts the plane index space so independent tables can be
+    * built from disjoint plane families.
+    */
+  def lshBucketOffset(vec: Column, planes: Int, offset: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      val dot = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, i) => x * planeComponent(offset + p, i)),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  def lshBucket(vec: Column, planes: Int): Column = lshBucketOffset(vec, planes, 0)
+
+  /** LSH-bucketed ANN: candidates are only compared within the same
+    * hyperplane bucket — per-bucket shuffle join instead of a cartesian.
+    * Recall is amplified with `tables` independent hash tables (standard
+    * OR-amplification): a pair is a candidate if it collides in ANY table;
+    * candidates are deduped before the exact re-rank, so output stays
+    * deterministic. Recall vs [[annBrute]] is validated in ScalaTest.
+    */
+  def annLsh(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      planes: Int,
+      tables: Int,
+      k: Int): DataFrame = {
+    // One row per (vector, table) with that table's bucket signature;
+    // plane indices are offset per table so tables are independent.
+    val tableCol = explode(sequence(lit(0), lit(tables - 1))).as("tbl")
+    val bucketed = vectors
+      .select(col("vec_id"), col("v"), tableCol)
+      .withColumn("bucket",
+        (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
+          when(col("tbl") === t, lshBucketOffset(col("v"), planes, t * planes)).otherwise(acc)
+        })
+    val a = bucketed.select(
+      col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val b = bucketed.select(
+      col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+      col("vec_id").as("cand_id"), col("v").as("cv"))
+    val scored = a.join(b,
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+          col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"), col("qv"), col("cv"))
+      .dropDuplicates("query_id", "cand_id")
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** All near-duplicate pairs by exact cosine ≥ threshold (id_a < id_b).
+    * Quadratic — correctness baseline for the LSH path.
+    */
+  def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
+    val a = vectors.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = vectors.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextFns
+
+/** Dedup / similarity semantics on small fixtures + recall of the
+  * approximate (LSH) paths against their exact baselines on sf0.001.
+  */
+class DedupSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "something else")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L) // representative = min id
+  }
+
+  test("jaccard of identical docs is 1, disjoint docs absent") {
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "x y z w v u")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.1).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("minhash-LSH recall ≥ 0.9 vs exact jaccard on sf0.001") {
+    val docs = Tables.documents(spark, Sf001)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 16, 4, 0.3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH output must be a subset (exact-refined)")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${exact.size})")
+    }
+  }
+
+  test("simhash: identical docs equal, near-dup docs close, distinct docs far") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy cat again and again"),
+      (4L, "completely unrelated words about spark catalyst optimizer internals")
+    ).toDF("doc_id", "text")
+    val m = docs
+      .select(col("doc_id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(m(a) ^ m(b))
+    assert(ham(1L, 2L) == 0)
+    assert(ham(1L, 3L) < ham(1L, 4L))
+    assert(ham(1L, 3L) <= 16)
+  }
+
+  test("cosine similarity on known vectors") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 1.0), 0.0),
+      (Array(1.0, 1.0), Array(1.0, 0.0), math.sqrt(0.5))
+    ).toDF("a", "b", "expected")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("expected"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      }
+  }
+
+  test("ANN-LSH finds plausible neighbors (overlap with brute force) on sf0.001") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    // brute-force top-5 per query for first 20 vectors
+    val brute = Similarity.annBrute(
+      v.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      v.filter(col("vec_id") >= 20).select(col("vec_id").as("cand_id"), col("v").as("cv")),
+      5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLsh(v, planes = 4, tables = 8, k = 5)
+      .filter(col("query_id") < 20).filter(col("cand_id") >= 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 8 OR-amplified tables of 16 buckets over 500 vectors: expect a solid
+    // fraction of the exact top-5 to collide in at least one table.
+    val overlap = lsh.intersect(brute).size.toDouble / brute.size
+    assert(overlap > 0.4, s"overlap=$overlap")
+  }
+
+  test("media feature extraction is deterministic and typed") {
+    val media = graft.media.Multimodal.fromDocuments(
+      spark, Tables.documents(spark, Sf001).limit(10))
+    val feats = graft.media.Multimodal.extractFeatures(media).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.feature.length == 8))
+    val again = graft.media.Multimodal.extractFeatures(media).collect()
+    assert(feats.map(_.width).toSeq == again.map(_.width).toSeq)
+  }
+}

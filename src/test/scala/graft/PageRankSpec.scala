@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.graph.PageRank
+
+/** FIXTURES.md §2 analytic graphs + the reference golden output.
+  * Invariants from SURVEY §5: Σrank = 1 after every renormalizing run,
+  * ranks > 0, convergence below δ.
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*): DataFrame =
+    pairs.toDF("src", "dst")
+
+  private def rankMap(df: DataFrame): Map[Long, Double] =
+    df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("two-cycle converges to 0.5/0.5") {
+    val res = PageRank.run(spark, edges((1L, 2L), (2L, 1L)))
+    val m = rankMap(res.ranks)
+    assert(math.abs(m(1L) - 0.5) < 1e-6)
+    assert(math.abs(m(2L) - 0.5) < 1e-6)
+    assert(res.finalDelta < 1e-5)
+  }
+
+  test("dead-end chain keeps total mass 1 and orders ranks by depth") {
+    val res = PageRank.run(spark, edges((1L, 2L), (2L, 3L)))
+    val m = rankMap(res.ranks)
+    assert(math.abs(m.values.sum - 1.0) < 1e-9, s"sum=${m.values.sum}")
+    assert(m(3L) > m(2L) && m(2L) > m(1L))
+  }
+
+  test("spider trap does not absorb all mass") {
+    val res = PageRank.run(spark, edges((1L, 2L), (2L, 3L), (3L, 2L)))
+    val m = rankMap(res.ranks)
+    assert(math.abs(m.values.sum - 1.0) < 1e-9)
+    assert(m(1L) > 0.0)
+    assert(m(2L) + m(3L) < 1.0)
+  }
+
+  test("star graph: hub ranks highest, leaves equal") {
+    val res = PageRank.run(spark, edges((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 10L)))
+    val m = rankMap(res.ranks)
+    assert(m(10L) == m.values.max)
+    val leaves = Seq(1L, 2L, 3L, 4L, 5L).map(m)
+    assert(leaves.forall(v => math.abs(v - leaves.head) < 1e-12))
+  }
+
+  test("empty graph yields empty result, no crash") {
+    val res = PageRank.run(spark, edges())
+    assert(res.ranks.count() == 0)
+  }
+
+  test("fixedIterations matches hand-computed two-node value") {
+    // 1→2 only: after 1 iter with β=0.85, N=2:
+    // r(1) = 0.15/2 = 0.075 ; r(2) = 0.075 + 0.85·0.5 = 0.5
+    val r = PageRank.fixedIterations(spark, edges((1L, 2L)), 0.85, 1)
+    val m = rankMap(r)
+    assert(math.abs(m(1L) - 0.075) < 1e-12)
+    assert(math.abs(m(2L) - 0.5) < 1e-12)
+  }
+
+  test("sample(frac, seed) is deterministic (P3)") {
+    val li = Tables.lineitem(spark, Sf001)
+    val a = li.sample(withReplacement = false, 0.1, seed = 1).count()
+    val b = li.sample(withReplacement = false, 0.1, seed = 1).count()
+    assert(a == b)
+  }
+
+  // End-to-end golden oracle: reproduce the reference's published top-100
+  // (README §8, /root/reference/README.md:320-421) from WikiData.txt at
+  // β=0.85, δ=1e-5. Ordering must match exactly; scores to 1e-9 (summation
+  // order differs from pandas — SURVEY §7.6).
+  test("WikiData golden top-100 parity") {
+    val golden = scala.io.Source.fromFile("/root/reference/README.md", "UTF-8")
+      .getLines()
+      .filter(_.matches("""\[\d+\] \[0\.\d+\]"""))
+      .map { line =>
+        val m = """\[(\d+)\] \[(0\.\d+)\]""".r.findFirstMatchIn(line).get
+        (m.group(1).toLong, m.group(2).toDouble)
+      }
+      .toList
+    assert(golden.size == 100, s"expected 100 golden lines, got ${golden.size}")
+
+    val e = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
+    val res = PageRank.run(spark, e, PageRank.Params(beta = 0.85, delta = 1e-5))
+    val top = PageRank.topK(res.ranks, 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toList
+
+    assert(res.iterations == 13, s"expected 13 iterations, got ${res.iterations}")
+    top.zip(golden).zipWithIndex.foreach { case (((gotId, gotS), (expId, expS)), i) =>
+      assert(gotId == expId, s"rank position $i: got page $gotId, expected $expId")
+      assert(math.abs(gotS - expS) < 1e-9,
+        s"page $gotId score: got $gotS, expected $expS")
+    }
+  }
+}
