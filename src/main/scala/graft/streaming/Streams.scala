@@ -1,0 +1,122 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine (SURVEY §7.5 extension path):
+  * the same event analytics the batch queries expose (`EventQueries`), as
+  * incremental streams — windowed aggregation under a watermark, and
+  * gap-based sessionization as custom state over
+  * `flatMapGroupsWithState`. Batch/stream parity is asserted in ScalaTest
+  * by feeding the same rows through `MemoryStream` and comparing to the
+  * batch twin.
+  *
+  * Scale notes: state is keyed by (window, event_type) / user_id — Spark
+  * hash-partitions state across executors; the watermark bounds state
+  * retention so a 100 TB/day stream does not accumulate unbounded windows.
+  */
+object Streams {
+
+  /** Event row as a typed stream element. */
+  case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  /** Hourly tumbling-window counts/sums with a 1-hour watermark —
+    * streaming twin of `e1_hour_window` (append mode: a window emits once
+    * its watermark passes).
+    */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("total"))
+
+  /** A closed session emitted by [[sessionize]]. */
+  case class Session(user_id: Long, session_start: Timestamp,
+      n_events: Long, session_value: Double)
+
+  /** Internal keyed state for [[sessionize]] (non-private: the encoder's
+    * generated code must be able to resolve the accessors).
+    */
+  case class SessionState(start: Long, lastTs: Long, n: Long, total: Double)
+
+  /** Gap-based sessionization as explicit keyed state: a session closes
+    * when no event arrives for `gapMs`. Streaming twin of `e2_sessionize`.
+    *
+    * `withTimeouts=true` (production) flushes idle users via
+    * processing-time timeouts; tests pass `false` so a finite
+    * `Trigger.AvailableNow` run terminates (a pending timeout keeps the
+    * micro-batch loop alive indefinitely under that trigger).
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      withTimeouts: Boolean = true): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (withTimeouts) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, timeoutConf) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              Session(userId, new Timestamp(s.start), s.n, s.total)).toIterator
+            state.remove()
+            out
+          } else {
+            // Within a micro-batch, order events by time (Spark does not
+            // guarantee iterator order).
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastTs <= gapMs =>
+                  cur = Some(s.copy(lastTs = t, n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (withTimeouts) state.setTimeoutDuration(gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Batch reference for [[sessionize]] (same semantics, same rounding) —
+    * used by tests to check stream/batch parity.
+    */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val msCol = unix_millis(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(msCol, col("event_id"))
+    events.toDF()
+      .withColumn("new_s",
+        when(lag(msCol, 1).over(w).isNull || (msCol - lag(msCol, 1).over(w)) > gapMs, 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("session_value"))
+      .select(col("user_id"), col("session_start"), col("n_events"), col("session_value"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Structured Streaming parity: the streaming operators produce the same
+  * results as their batch twins when fed the same rows.
+  */
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val fixture = Seq(
+    Event(1, ts(0), 1L, "click", 1.0),
+    Event(2, ts(5), 1L, "click", 2.0),
+    Event(3, ts(50), 1L, "view", 3.0), // >30 min gap → new session
+    Event(4, ts(10), 2L, "click", 4.0),
+    Event(5, Timestamp.valueOf("2024-01-01 11:30:00"), 2L, "view", 5.0))
+
+  test("streaming hourly window matches batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streams.hourlyCounts(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // With a 0s watermark and one batch, windows at/after the max event
+    // time may be withheld in append mode; assert the emitted subset
+    // matches the batch computation for the same windows.
+    val got = spark.table("hourly")
+      .select("hour", "event_type", "n", "total")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // batch twin: same logic without watermark semantics
+    val exp = fixture.toDS().toDF()
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.subsetOf(exp), s"got=$got exp=$exp")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming sessionization matches batch sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val gapMs = 30L * 60 * 1000
+    val q = Streams.sessionize(mem.toDS(), gapMs, withTimeouts = false)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    // Sessions still open (no timeout fired in one batch) are not emitted;
+    // emitted sessions must match the batch twin's CLOSED subset exactly.
+    val got = spark.table("sessions")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batchAll = Streams.sessionizeBatch(fixture.toDS(), gapMs)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.subsetOf(batchAll), s"streaming emitted a session batch does not have: ${got -- batchAll}")
+    // user 1 has two sessions, the first of which must have closed.
+    assert(got.exists(s => s._1 == 1L && s._3 == 2L && math.abs(s._4 - 3.0) < 1e-12))
+  }
+
+  test("batch sessionization on sf0.001 events matches e2 query") {
+    val ev = Tables.events(spark, Sf001).as[Event]
+    val viaStreamsModule = Streams.sessionizeBatch(ev, 30L * 60 * 1000)
+      .agg(count(lit(1)), sum(col("n_events"))).collect().head
+    val viaQuery = SparkEntry.queries("e2_sessionize")(spark, Sf001)
+      .agg(count(lit(1)), sum(col("n_events"))).collect().head
+    assert(viaStreamsModule.getLong(0) == viaQuery.getLong(0))
+    assert(viaStreamsModule.getLong(1) == viaQuery.getLong(1))
+  }
+}
