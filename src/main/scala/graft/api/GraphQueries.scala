@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.graph.PageRank
 
@@ -22,6 +23,24 @@ object GraphQueries {
   private def edges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
       .select(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+      .distinct()
+
+  /** Non-bipartite graph for the induced-subgraph view: nation→nation
+    * trade edges (customer's nation → supplier's nation per lineitem).
+    */
+  private val TradeEdgesSql =
+    """SELECT DISTINCT c_nationkey AS src, s_nationkey AS dst
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .distinct()
 
   /** Shared CTE header: edge relation, vertex set, out-degrees, N, r0. */
@@ -80,7 +99,7 @@ ${prefix}r$i AS (
     // Reference-faithful renormalizing fixpoint (rows-only driver check;
     // golden-tested against README §8 in PageRankSpec).
     "pr_renorm" -> ((s, d) => {
-      val res = PageRank.run(s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-8))
+      val res = PageRank.run(s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-6))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank")).orderBy(col("id"))
     }),
 
@@ -92,6 +111,59 @@ ${prefix}r$i AS (
       r.select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy(col("rank").desc, col("id"))
         .limit(20)
+    }),
+
+    // U3 at rank level — the reference's `compare_teleports` sweep diff
+    // (README.md:273-298): which top-50 positions hold the same page across
+    // all three β values.
+    "i3_sweep_diff" -> ((s, d) => {
+      val e = edges(s, d).cache()
+      val ranked = SweepBetas.map { case (_, b) =>
+        val w = Window.orderBy(round(col("rank"), 9).desc, col("id"))
+        PageRank.fixedIterations(s, e, beta = b, iterations = SweepIters)
+          .select(col("id"), round(col("rank"), 9).as("rank"))
+          .withColumn("position", row_number().over(w))
+          .filter(col("position") <= 50)
+      }
+      val Seq(a, bb, c) = ranked
+      a.select(col("position"), col("id").as("id_b80"))
+        .join(bb.select(col("position").as("p2"), col("id").as("id_b85")),
+          col("position") === col("p2"))
+        .join(c.select(col("position").as("p3"), col("id").as("id_b90")),
+          col("position") === col("p3"))
+        .select(
+          col("position"), col("id_b80"), col("id_b85"), col("id_b90"),
+          (col("id_b80") === col("id_b85") && col("id_b85") === col("id_b90")).as("all_same"))
+        .orderBy(col("position"))
+    }),
+
+    // §2.12 score-distribution stats (the UI boxplot's quartile table):
+    // exact interpolated percentiles over the converged score vector.
+    "g1_score_stats" -> ((s, d) => {
+      val r = PageRank.fixedIterations(s, edges(s, d), beta = 0.85, iterations = Iters)
+      r.agg(
+        count(lit(1)).as("n"),
+        round(min(col("rank")), 9).as("min_rank"),
+        round(expr("percentile(rank, 0.25)"), 9).as("p25"),
+        round(expr("percentile(rank, 0.5)"), 9).as("p50"),
+        round(expr("percentile(rank, 0.75)"), 9).as("p75"),
+        round(max(col("rank")), 9).as("max_rank"),
+        round(avg(col("rank")), 9).as("avg_rank"))
+    }),
+
+    // P5+O5 — the UI's top-20 induced subgraph: edges whose BOTH endpoints
+    // are in the top-20 ranked set (double left-semi join against a
+    // broadcast 20-row list), over the non-bipartite trade graph.
+    "g2_induced_subgraph" -> ((s, d) => {
+      val e = tradeEdges(s, d).cache()
+      val r = PageRank.fixedIterations(s, e, beta = 0.85, iterations = Iters)
+      val top = r.select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("rank").desc, col("id"))
+        .limit(20)
+        .select(col("id"))
+      e.join(broadcast(top), e("src") === top("id"), "left_semi")
+        .join(broadcast(top), e("dst") === top("id"), "left_semi")
+        .orderBy(col("src"), col("dst"))
     })
   )
 
@@ -111,6 +183,46 @@ ${prefix}r$i AS (
 
     "pr_topk" ->
       (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +
-        s"\nSELECT id, ROUND(rank, 9) AS rank FROM i_r$Iters ORDER BY rank DESC, id LIMIT 20")
+        s"\nSELECT id, ROUND(rank, 9) AS rank FROM i_r$Iters ORDER BY rank DESC, id LIMIT 20"),
+
+    "i3_sweep_diff" -> {
+      val chains = SweepBetas.map { case (p, b) => chainSql(p + "_", b, SweepIters) }.mkString
+      val rankedCtes = SweepBetas.map { case (p, _) =>
+        s""",
+${p}_ranked AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY ROUND(rank, 9) DESC, id) AS position
+  FROM ${p}_r$SweepIters)""" }.mkString
+      headerSql(EdgesSql) + chains + rankedCtes +
+        """
+SELECT a.position AS position, a.id AS id_b80, b.id AS id_b85, c.id AS id_b90,
+  (a.id = b.id AND b.id = c.id) AS all_same
+FROM b80_ranked a
+JOIN b85_ranked b ON a.position = b.position
+JOIN b90_ranked c ON a.position = c.position
+WHERE a.position <= 50
+ORDER BY position"""
+    },
+
+    "g1_score_stats" ->
+      (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +
+        s"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+  ROUND(MIN(rank), 9) AS min_rank,
+  ROUND(quantile_cont(rank, 0.25), 9) AS p25,
+  ROUND(quantile_cont(rank, 0.5), 9) AS p50,
+  ROUND(quantile_cont(rank, 0.75), 9) AS p75,
+  ROUND(MAX(rank), 9) AS max_rank,
+  ROUND(AVG(rank), 9) AS avg_rank
+FROM i_r$Iters"""),
+
+    "g2_induced_subgraph" ->
+      (headerSql(TradeEdgesSql) + chainSql("i_", 0.85, Iters) + s""",
+top20 AS (
+  SELECT id FROM (
+    SELECT id, ROUND(rank, 9) AS rank FROM i_r$Iters
+    ORDER BY rank DESC, id LIMIT 20) t)
+SELECT src, dst FROM edges
+WHERE src IN (SELECT id FROM top20) AND dst IN (SELECT id FROM top20)
+ORDER BY src, dst""")
   )
 }

@@ -77,28 +77,32 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sigs = docs
+    // Shingle arrays are computed once and cached; everything shuffled in
+    // the banding phase is narrow (id, band, bucket) rows — the wide
+    // arrays never ride through the ×bands explode.
+    val shingled = docs
       .select(col(idCol).as("id"), TextFns.shingles(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("id"), col("sh"), minhashSignature(col("sh"), numHashes).as("sig"))
-    // One row per (doc, band): bucket key = hash of the band's slice.
-    val bandedOk = sigs
-      .select(col("id"), col("sh"), col("sig"),
-        explode(sequence(lit(0), lit(bands - 1))).as("band"))
-      .select(col("id"), col("sh"),
-        col("band"),
+      .cache()
+    val banded = shingled
+      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
+      .select(col("id"), col("band"),
         xxhash64(col("band"),
           slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
-    val candidates = bandedOk.select(col("band"), col("bucket"), col("id").as("doc_a"), col("sh").as("sh_a"))
-      .join(bandedOk.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-        col("id").as("doc_b"), col("sh").as("sh_b")),
+    val candidates = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
+      .join(banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+        col("id").as("doc_b")),
         col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
           col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact refine on the (few) candidates.
+    // Exact refine: join the (few) candidate pairs back to the cached
+    // shingle arrays.
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     candidates
+      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("j_raw",
         inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
       .filter(col("j_raw") >= threshold)

@@ -83,6 +83,9 @@ object PageRank {
     linked.count() // materialize
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+    // The checkpoint backing the current `ranks` projection; freed once the
+    // next iteration's checkpoint is materialized.
+    var backing = ranks
     var iter = 0
     var deltaVal = Double.MaxValue
     while (deltaVal > params.delta && iter < params.maxIter) {
@@ -108,9 +111,13 @@ object PageRank {
       deltaVal = merged
         .agg(sum(abs(col("pre") + lit(corr) - col("old_rank"))))
         .first().getDouble(0)
-      val next = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
-      ranks.unpersist()
-      ranks = next.localCheckpoint(true)
+      // Next ranks are a lazy projection over the ALREADY-checkpointed
+      // merge — lineage stays one level deep without a second checkpoint
+      // job per iteration. Free the previous iteration's checkpoint now
+      // that this one is materialized.
+      backing.unpersist()
+      backing = merged
+      ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
       iter += 1
     }
     linked.unpersist()

@@ -15,10 +15,18 @@ object Similarity {
   /** Element-wise cast float→double so all accumulation is in doubles. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
-  /** Exact cosine similarity of two double-array columns: one fused
-    * zip_with/aggregate pass, left-to-right accumulation (deterministic).
+  /** Exact cosine similarity of two double-array columns — a native
+    * codegen'd Catalyst expression (single fused loop, no intermediate
+    * arrays); left-to-right double accumulation, so results are identical
+    * to [[cosineBuiltins]] and to DuckDB's `list_cosine_similarity`.
     */
-  def cosine(a: Column, b: Column): Column = {
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.CosineSimilarityExpr.cosineSim(a, b)
+
+  /** Builtin-composed equivalent (`zip_with` + `aggregate`), kept as the
+    * compositional reference implementation for tests.
+    */
+  def cosineBuiltins(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
     val na = aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
     val nb = aggregate(transform(b, x => x * x), lit(0.0), (acc, v) => acc + v)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.agg.L1Delta
+import org.apache.spark.sql.graft.CosineSimilarityExpr
+import graft.sim.Similarity
+
+/** Custom Catalyst surface: native cosine expression (interpreted + codegen
+  * + SQL registration) and the L1-delta typed aggregator.
+  */
+class ExprSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine matches builtin composition bitwise on sf0.001 embeddings") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+      .limit(100)
+    val a = v.select(col("vec_id").as("ida"), col("v").as("va"))
+    val b = v.select(col("vec_id").as("idb"), col("v").as("vb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val diffs = pairs.select(
+        Similarity.cosine(col("va"), col("vb")).as("native"),
+        Similarity.cosineBuiltins(col("va"), col("vb")).as("builtin"))
+      .filter(col("native") =!= col("builtin"))
+      .count()
+    assert(diffs == 0, s"$diffs pairs differ between native and builtin cosine")
+  }
+
+  test("native cosine known values") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
+      (Array(3.0, 4.0), Array(3.0, 4.0), 1.0),
+      (Array(1.0, 0.0), Array(0.0, 2.0), 0.0))
+      .toDF("a", "b", "expected")
+    df.select(Similarity.cosine(col("a"), col("b")).as("got"), col("expected"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
+  }
+
+  test("cosine_sim registered as SQL function") {
+    CosineSimilarityExpr.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
+      .collect().head.getDouble(0)
+    assert(math.abs(got - 1.0) < 1e-15)
+  }
+
+  test("L1Delta aggregator equals sum(abs(a-b))") {
+    val pairs = Seq((1.0, 0.5), (2.0, 2.5), (0.0, 0.25)).toDS()
+    val viaAgg = pairs.select(new L1Delta().toColumn).collect().head
+    val viaSql = pairs.toDF("a", "b")
+      .agg(sum(abs(col("a") - col("b")))).collect().head.getDouble(0)
+    assert(math.abs(viaAgg - 1.25) < 1e-15)
+    assert(math.abs(viaAgg - viaSql) < 1e-15)
+  }
+}

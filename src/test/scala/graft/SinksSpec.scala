@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+import graft.io.Sinks
+
+/** File sinks: formatted-text result lines (S3) and CSV (S2/S5). */
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("writeResultText produces reference [page] [score] line format") {
+    val top = Seq((4037L, 0.004607174503437372), (15L, 0.0036798701695717694))
+      .toDF("id", "rank")
+    val dir = Files.createTempDirectory("sink_text").toString
+    Sinks.writeResultText(top, s"$dir/out")
+    val part = Files.list(Paths.get(s"$dir/out")).iterator().asScala
+      .find(_.toString.endsWith(".txt")).get
+    val lines = Files.readAllLines(part).asScala.toList
+    assert(lines == List(
+      "[4037] [0.004607174503437372]",
+      "[15] [0.0036798701695717694]"))
+  }
+
+  test("writeCsv round-trips with header") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val dir = Files.createTempDirectory("sink_csv").toString
+    Sinks.writeCsv(df, s"$dir/out", single = true)
+    val back = spark.read.option("header", "true").csv(s"$dir/out")
+    assert(back.columns.toSeq == Seq("k", "v"))
+    assert(back.count() == 2)
+  }
+}
