@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for representative queries so the
+  * partitioning/pushdown/broadcast story can be audited by eye:
+  * `sbt "runMain graft.PlanAudit [sfDir] [query ...]"`.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("s1_scan_project", "p5_member_filter", "j3_join_chain",
+        "o4_topk", "a4_keyed_sum", "n1_ann_brute", "d3_minhash_lsh",
+        "e2_sessionize", "g2_induced_subgraph")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n=============== $n ===============")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

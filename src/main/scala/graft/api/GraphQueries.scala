@@ -103,6 +103,14 @@ ${prefix}r$i AS (
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank")).orderBy(col("id"))
     }),
 
+    // Same fixpoint on the GraphX scale path (rows-only; asserted equal to
+    // the DataFrame loop within 1e-9 L1 in GraphXSpec).
+    "pr_graphx" -> ((s, d) => {
+      val res = graft.graph.PageRankGraphX.run(
+        s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-6))
+      res.ranks.select(col("id"), round(col("rank"), 9).as("rank")).orderBy(col("id"))
+    }),
+
     // Top-k over the converged ranks (O4 at graph scale): TakeOrderedAndProject.
     // Sorted by the ROUNDED score (ties broken by id) so the ordering is
     // identical to the oracle's, immune to last-ulp summation differences.

@@ -214,7 +214,25 @@ object RelationalQueries {
         col("c_custkey"),
         floor((row_number().over(Window.orderBy(col("c_custkey"))) - 1) / 100)
           .cast("long").as("block_id"))
-      .orderBy(col("c_custkey")))
+      .orderBy(col("c_custkey"))),
+
+    // Hierarchical aggregation: ROLLUP(segment, nation) — subtotal rows
+    // carry NULLs, so ordering pins NULLS FIRST on both engines (Spark's
+    // ASC default; DuckDB defaults NULLS LAST and must be told).
+    "a9_rollup" -> ((s, d) => customer(s, d)
+      .rollup(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+      .orderBy(
+        col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)),
+
+    // Sketch aggregation (HLL++): approximate distinct parts per supplier.
+    // No engine-independent oracle (sketch internals differ) — rows-only
+    // driver check; accuracy vs exact countDistinct asserted in ScalaTest.
+    "a10_approx_distinct" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_suppkey")))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -350,6 +368,12 @@ object RelationalQueries {
     "f4_block_assign" ->
       """SELECT c_custkey,
         |  CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) / 100) AS BIGINT) AS block_id
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "a9_rollup" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(c_acctbal), 2) AS bal
+        |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
   )
 }
