@@ -232,6 +232,14 @@ object RelationalQueries {
     "a10_approx_distinct" -> ((s, d) => lineitem(s, d)
       .groupBy(col("l_suppkey"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_suppkey"))),
+
+    // Custom mergeable HLL sketch (TypedImperativeAggregate) — rows-only;
+    // accuracy spec in HllSpec, extension wiring in ExtensionsDemo.
+    "a11_hll_distinct" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_suppkey"))
+      .agg(org.apache.spark.sql.graft.HllSketchAgg
+        .hllDistinct(col("l_partkey")).as("hll_parts"))
       .orderBy(col("l_suppkey")))
   )
 
