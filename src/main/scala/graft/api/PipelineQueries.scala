@@ -70,6 +70,16 @@ object PipelineQueries {
       .select(col("doc_id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("simhash"))
       .orderBy(col("doc_id"))),
 
+    // Portable (md5-hash-family) MinHash-LSH — full SQL oracle, unlike the
+    // xxhash64 production variant above.
+    "d3b_minhash_portable" -> ((s, d) =>
+      Dedup.minhashLshPairsPortable(documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)),
+
+    // Portable 16-bit SimHash — full SQL oracle.
+    "d4b_simhash_portable" -> ((s, d) =>
+      Dedup.simhash16Portable(documents(s, d), "doc_id", "text")),
+
     // Embedding-cosine near-duplicate pairs (exact).
     "d5_embedding_pairs" -> ((s, d) =>
       Similarity.cosinePairs(vecs(s, d), CosineThreshold)),
@@ -165,6 +175,58 @@ object PipelineQueries {
         |JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d3b_minhash_portable" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
+        |matches AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(FLOOR(a.k / 4.0) AS INT) AS band, COUNT(*) AS c
+        |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM matches WHERE c = 4),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+        |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+        |FROM cand c
+        |JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        |JOIN cnt ca ON c.doc_a = ca.doc_id
+        |JOIN cnt cb ON c.doc_b = cb.doc_id
+        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
+        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+
+    "d4b_simhash_portable" -> {
+      val votes = (0 until 16)
+        .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val fp = (0 until 16)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
+        |v AS (
+        |  SELECT doc_id,
+        |    $votes
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16
+        |FROM v ORDER BY doc_id""".stripMargin
+    },
 
     "d5_embedding_pairs" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -110,6 +110,80 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Portable (engine-independent) MinHash-LSH: hash family is
+    * `int(md5(seed ':' shingle)[0:15])` — reproducible in any engine with
+    * md5 — and banding is expressed relationally: a pair is a candidate
+    * iff its per-hash minima agree on EVERY row of some band. No arrays,
+    * no engine-specific hash; the whole pipeline (including the exact-
+    * Jaccard refine) has an exact SQL oracle (see PipelineQueries).
+    * The xxhash64 variant ([[minhashLshPairs]]) stays the fast production
+    * path; this one exists to make the approximate family hash-checkable.
+    */
+  def minhashLshPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    // (id, k, m): minimum of the k-th hash over the doc's shingles.
+    val sig = sh
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"),
+        conv(substring(md5(concat(col("k").cast("string"), lit(":"), col("s"))), 1, 15),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("m"))
+    // candidate pair iff all rowsPerBand minima of some band agree.
+    val matches = sig.select(col("id").as("doc_a"), col("k"), col("m"))
+      .join(sig.select(col("id").as("doc_b"), col("k").as("k2"), col("m").as("m2")),
+        col("k") === col("k2") && col("m") === col("m2") && col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"),
+        floor(col("k") / rowsPerBand).cast("int").as("band"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === rowsPerBand)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    // exact-Jaccard refine (same arithmetic as jaccardPairs).
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("id").as("doc_a"), col("s"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    matches
+      .join(common, Seq("doc_a", "doc_b"))
+      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
+      .drop("id")
+      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
+      .drop("id")
+      .withColumn("j_raw",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Portable 16-bit SimHash over md5-derived token hashes — same
+    * engine-independence rationale as [[minhashLshPairsPortable]]; the
+    * 64-bit xxhash64 variant ([[simhash64]]) is the production path.
+    */
+  def simhash16Portable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"),
+      explode(TextFns.tokens(col(textCol))).as("t"))
+    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val votes = (0 until 16).map { j =>
+      sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"v$j")
+    }
+    val fp = (0 until 16).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id").as("doc_id"), fp.as("simhash16"))
+      .orderBy(col("doc_id"))
+  }
+
   /** 64-bit SimHash of a token array, builtins only: per-bit majority vote
     * over token hashes, assembled as a sum of bit columns. The 64 vote
     * expressions all feed one aggregate-free projection — wide but fully
