@@ -95,15 +95,17 @@ object PageRank {
         .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
         .groupBy(col("dst"))
         .agg(sum(col("w")).as("c"))
-      // Keep old rank alongside the new pre-normalization mass; checkpoint
-      // eagerly so the two scalar aggregates below reuse one materialization.
+      // Keep old rank alongside the new pre-normalization mass. LAZY local
+      // checkpoint: the lost-mass aggregate below is the first action, so
+      // one job both computes the iteration and materializes the
+      // checkpoint (2 driver jobs per iteration total).
       val merged = ranks
         .join(contribs, ranks("id") === contribs("dst"), "left")
         .select(
           col("id"),
           col("rank").as("old_rank"),
           (coalesce(col("c"), lit(0.0)) * params.beta).as("pre"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       // A5: lost mass (dead ends + teleport) folded back uniformly (A6).
       val s = merged.agg(sum(col("pre"))).first().getDouble(0)
       val corr = (1.0 - s) / n

@@ -74,6 +74,36 @@ class StreamsSpec extends SparkSpec {
     assert(got.exists(s => s._1 == 1L && s._3 == 2L && math.abs(s._4 - 3.0) < 1e-12))
   }
 
+  test("file-source streaming over events parquet matches batch hourly counts") {
+    // Real readStream file source: explicit schema (never inferred), with
+    // the NANOS timestamp read as long and converted exactly like
+    // Tables.events does for batch.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = stream
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("file_hourly")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val exp = SparkEntry.queries("e1_hour_window")(spark, Sf001)
+      .select("hour", "event_type", "n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == exp, s"stream/batch mismatch: ${(got -- exp) ++ (exp -- got)}")
+  }
+
   test("batch sessionization on sf0.001 events matches e2 query") {
     val ev = Tables.events(spark, Sf001).as[Event]
     val viaStreamsModule = Streams.sessionizeBatch(ev, 30L * 60 * 1000)
