@@ -25,4 +25,18 @@ object Sinks {
   def writeCsv(df: DataFrame, path: String, single: Boolean = false): Unit =
     (if (single) df.coalesce(1) else df)
       .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S5: the UI's base64 `data:` download href
+    * (streamlit-pagerank.py:220-229) — presentation-layer encoding of a
+    * (small, result-sized) table; collects, so never for scan-sized data.
+    */
+  def csvBase64Href(df: DataFrame, fileName: String): String = {
+    val header = df.columns.mkString(",")
+    val body = df.collect()
+      .map(_.toSeq.map(v => if (v == null) "" else v.toString).mkString(","))
+      .mkString("\n")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      (header + "\n" + body).getBytes("UTF-8"))
+    s"""<a href="data:file/csv;base64,$b64" download="$fileName">download</a>"""
+  }
 }

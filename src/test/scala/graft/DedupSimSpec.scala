@@ -101,4 +101,32 @@ class DedupSimSpec extends SparkSpec {
     val again = graft.media.Multimodal.extractFeatures(media).collect()
     assert(feats.map(_.width).toSeq == again.map(_.width).toSeq)
   }
+
+  test("multimodal pipeline composes: decode stub → features → ANN") {
+    // The media path produces embedding-shaped output that feeds the same
+    // similarity operators as the embeddings table — full pipeline shape.
+    val media = graft.media.Multimodal.fromDocuments(
+      spark, Tables.documents(spark, Sf001).limit(50))
+    val feats = graft.media.Multimodal.extractFeatures(media)
+      .select(col("media_id"),
+        graft.sim.Similarity.asDouble(col("feature")).as("v"))
+    val ann = graft.sim.Similarity.annBrute(
+      feats.filter(col("media_id") < 5)
+        .select(col("media_id").as("query_id"), col("v").as("qv")),
+      feats.filter(col("media_id") >= 5)
+        .select(col("media_id").as("cand_id"), col("v").as("cv")),
+      k = 3)
+    val rows = ann.collect()
+    assert(rows.length == 5 * 3)
+    assert(rows.forall(r => r.getDouble(3) <= 1.0001))
+  }
+
+  test("csv base64 download href encodes the table (S5)") {
+    val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
+    val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")
+    assert(href.startsWith("<a href=\"data:file/csv;base64,"))
+    val b64 = href.split("base64,")(1).split("\"")(0)
+    val decoded = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    assert(decoded.startsWith("page,score\n4037,"))
+  }
 }
