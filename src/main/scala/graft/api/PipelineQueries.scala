@@ -52,6 +52,20 @@ object PipelineQueries {
       .select(col("doc_id"), TextFns.fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))),
 
+    // Corpus vocabulary: token frequencies, top-100 (tie-break token asc).
+    "t5_vocab" -> ((s, d) => documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(100)),
+
+    // Document-length histogram (50-char buckets).
+    "t6_length_hist" -> ((s, d) => documents(s, d)
+      .groupBy(floor(col("n_chars") / 50).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bucket"))),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -97,6 +111,21 @@ object PipelineQueries {
     // Hyperplane-LSH bucketed ANN (approximate, rows-only check).
     "n2_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(vecs(s, d), planes = 8, tables = 4, k = 5)),
+
+    // L2-normalized embeddings (vector preprocessing op; exact oracle —
+    // same left-to-right double arithmetic in both engines).
+    "n3_normalize" -> ((s, d) => {
+      val v = Similarity.asDouble(col("embedding"))
+      val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
+      embeddings(s, d)
+        .select(col("vec_id"), transform(v, x => x / norm).as("unit"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // IVF ANN (MLlib KMeans coarse quantizer, search within nearest cell;
+    // approximate → rows-only check, recall spec in DedupSimSpec).
+    "n4_ann_ivf" -> ((s, d) =>
+      Similarity.annIvf(s, vecs(s, d), nCells = 8, k = 5)),
 
     // ---- multimodal ----
     "m1_media_meta" -> ((s, d) =>
@@ -149,6 +178,23 @@ object PipelineQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_vocab" ->
+      """SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+        |  SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "t6_length_hist" ->
+      """SELECT CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "n3_normalize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e)
+        |SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,

@@ -125,6 +125,43 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
+    * vector to a cell; queries search only their own cell — per-cell
+    * equi-join instead of a cartesian, the classic IVF-flat scale shape
+    * (probe count = 1 here; raise `nCells` ∝ √N at scale).
+    * Approximate: neighbors in adjacent cells are missed; recall vs
+    * [[annBrute]] is asserted in ScalaTest.
+    */
+  def annIvf(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      nCells: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withFeat = vectors.withColumn("features", array_to_vector(col("v"))).cache()
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(withFeat)
+    val assigned = model.transform(withFeat)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("cand_id"), col("v").as("cv"))
+    val scored = a.join(b,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** All near-duplicate pairs by exact cosine ≥ threshold (id_a < id_b).
     * Quadratic — correctness baseline for the LSH path.
     */

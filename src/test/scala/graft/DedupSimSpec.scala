@@ -102,6 +102,24 @@ class DedupSimSpec extends SparkSpec {
     assert(feats.map(_.width).toSeq == again.map(_.width).toSeq)
   }
 
+  test("IVF ANN overlaps brute force on sf0.001") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val brute = Similarity.annBrute(
+      v.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      v.filter(col("vec_id") >= 20).select(col("vec_id").as("cand_id"), col("v").as("cv")),
+      5).select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvf(spark, v, nCells = 4, k = 5)
+      .filter(col("query_id") < 20).filter(col("cand_id") >= 20)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = ivf.intersect(brute).size.toDouble / brute.size
+    // 4 cells over near-uniform random vectors: a single-probe IVF should
+    // still recover a meaningful share of exact neighbors.
+    assert(overlap > 0.25, s"overlap=$overlap")
+  }
+
   test("multimodal pipeline composes: decode stub → features → ANN") {
     // The media path produces embedding-shaped output that feeds the same
     // similarity operators as the embeddings table — full pipeline shape.
