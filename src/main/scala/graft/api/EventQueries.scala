@@ -78,7 +78,40 @@ object EventQueries {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         hour(col("ts")).cast("long").as("hr"))
       .agg(count(lit(1)).as("n"))
-      .orderBy(col("day"), col("hr")))
+      .orderBy(col("day"), col("hr"))),
+
+    // Funnel: users whose first signup precedes their first click which
+    // precedes their first purchase (conditional aggregation + ms-exact
+    // event-time comparison).
+    "e6_funnel" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val firsts = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", ms)).as("t_signup"),
+          min(when(col("event_type") === "click", ms)).as("t_click"),
+          min(when(col("event_type") === "purchase", ms)).as("t_purchase"))
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), lit(1))).as("n_signup_then_click"),
+        count(when(col("t_purchase") > col("t_click") && col("t_click") > col("t_signup"),
+          lit(1))).as("n_full_funnel"))
+    }),
+
+    // Day-7 retention: users with activity on both day D and day D+7.
+    "e7_retention" -> ((s, d) => {
+      val userDays = events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      userDays.as("a")
+        .join(userDays.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.day") === date_add(col("a.day"), 7))
+        .groupBy(col("a.day").cast("string").as("cohort_day"))
+        .agg(countDistinct(col("a.user_id")).as("retained_users"))
+        .orderBy(col("cohort_day"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -121,6 +154,27 @@ object EventQueries {
       """SELECT strftime(ts, '%Y-%m-%d') AS day,
         |  CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hr,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY day, hr""".stripMargin,
+
+    "e6_funnel" ->
+      """WITH firsts AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN epoch_ms(ts) END) AS t_signup,
+        |    MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+        |  CAST(COUNT(t_signup) AS BIGINT) AS n_signup,
+        |  CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT) AS n_signup_then_click,
+        |  CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS BIGINT) AS n_full_funnel
+        |FROM firsts""".stripMargin,
+
+    "e7_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(a.day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS retained_users
+        |FROM ud a JOIN ud b
+        |  ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY cohort_day""".stripMargin
   )
 }
