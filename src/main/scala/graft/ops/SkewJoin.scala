@@ -25,7 +25,7 @@ object SkewJoin {
     // Salt derived from the full row content: uniform over the hot key's
     // rows, stable across runs.
     val salted = big.withColumn("graft_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(factor.toLong)))
+      pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(factor.toLong)))
     val replicated = small.withColumn("graft_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     salted.join(replicated,

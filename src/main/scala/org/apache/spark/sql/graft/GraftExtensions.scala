@@ -15,18 +15,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("cosine_sim"),
-      new ExpressionInfo(
-        classOf[CosineSimilarityExpr].getName, null, "cosine_sim",
-        "cosine_sim(a, b) - cosine similarity of two ARRAY<DOUBLE> vectors.",
-        ""),
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, null, "cosine_sim"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarityExpr(exprs(0), exprs(1))))
     extensions.injectFunction((
       new FunctionIdentifier("hll_distinct"),
-      new ExpressionInfo(
-        classOf[HllSketchAgg].getName, null, "hll_distinct",
-        "hll_distinct(x[, p]) - approximate distinct count via a mergeable HLL sketch.",
-        ""),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, null, "hll_distinct"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         if (exprs.length > 1)
           HllSketchAgg(exprs(0),

@@ -104,6 +104,25 @@ class StreamsSpec extends SparkSpec {
     assert(got == exp, s"stream/batch mismatch: ${(got -- exp) ++ (exp -- got)}")
   }
 
+  test("incremental out-degrees update across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = Streams.incrementalOutDegrees(mem.toDF().toDF("src", "dst"))
+      .writeStream.format("memory").queryName("degrees")
+      .outputMode("complete").start()
+    mem.addData((1L, 2L), (1L, 3L), (2L, 3L))
+    q.processAllAvailable()
+    val after1 = spark.table("degrees")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after1 == Map(1L -> 2L, 2L -> 1L))
+    // second batch only adds edges; state carries over
+    mem.addData((1L, 4L), (3L, 1L))
+    q.processAllAvailable(); q.stop()
+    val after2 = spark.table("degrees")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after2 == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("batch sessionization on sf0.001 events matches e2 query") {
     val ev = Tables.events(spark, Sf001).as[Event]
     val viaStreamsModule = Streams.sessionizeBatch(ev, 30L * 60 * 1000)
