@@ -99,7 +99,7 @@ ${prefix}r$i AS (
     // Reference-faithful renormalizing fixpoint (rows-only driver check;
     // golden-tested against README §8 in PageRankSpec).
     "pr_renorm" -> ((s, d) => {
-      val res = PageRank.run(s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-6))
+      val res = PageRank.run(s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-5))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank")).orderBy(col("id"))
     }),
 
@@ -107,7 +107,7 @@ ${prefix}r$i AS (
     // the DataFrame loop within 1e-9 L1 in GraphXSpec).
     "pr_graphx" -> ((s, d) => {
       val res = graft.graph.PageRankGraphX.run(
-        s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-6))
+        s, edges(s, d), PageRank.Params(beta = 0.85, delta = 1e-5))
       res.ranks.select(col("id"), round(col("rank"), 9).as("rank")).orderBy(col("id"))
     }),
 

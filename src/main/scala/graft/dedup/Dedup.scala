@@ -27,9 +27,29 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("h"))
 
-  /** Per-document distinct word-n-gram shingle relation: (id, s). */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"), explode(TextFns.shingles(col(textCol), n)).as("s"))
+  /** Per-document distinct word-n-gram shingle relation: (id, s).
+    *
+    * Relational formulation (posexplode + window `lead`) rather than the
+    * array higher-order form: Spark's lambda functions (`transform`,
+    * `aggregate`) are CodegenFallback — interpreted per row — while
+    * posexplode, lead and concat_ws all stay inside whole-stage codegen,
+    * which matters when this runs over every document of a 100 TB corpus.
+    * Produces exactly the same shingle set as `TextFns.shingles`.
+    */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(
+      col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    toks
+      .select(col("id"), concat_ws(" ", parts: _*).as("s"),
+        lead(col("tok"), n - 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .select(col("id"), col("s"))
+      .distinct()
+  }
 
   /** Exact n-gram Jaccard near-duplicate pairs (doc_a < doc_b, j ≥ threshold).
     * jaccard = |A∩B| / (|A|+|B|−|A∩B|) — pure integer arithmetic until the
@@ -77,19 +97,21 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Shingle arrays are computed once and cached; everything shuffled in
-    // the banding phase is narrow (id, band, bucket) rows — the wide
-    // arrays never ride through the ×bands explode.
-    val shingled = docs
-      .select(col(idCol).as("id"), TextFns.shingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    val banded = shingled
-      .select(col("id"), minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("id"), explode(sequence(lit(0), lit(bands - 1))).as("band"), col("sig"))
-      .select(col("id"), col("band"),
-        xxhash64(col("band"),
-          slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))
+    // Fully relational (explode × seeds → codegen'd xxhash64 → hash-agg
+    // minima): the array higher-order formulation (transform/array_min)
+    // falls out of whole-stage codegen, this shape stays inside it.
+    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sig = sh
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"), xxhash64(col("s"), col("k")).as("h"))
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("m"))
+    // Banding: per (id, band), one bucket key hashed from the band's
+    // minima in k order (order restored via the sorted struct collect).
+    val banded = sig
+      .groupBy(col("id"), floor(col("k") / rowsPerBand).cast("int").as("band"))
+      .agg(xxhash64(sort_array(collect_list(struct(col("k"), col("m"))))).as("bucket"))
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
       .join(banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
         col("id").as("doc_b")),
@@ -97,14 +119,22 @@ object Dedup {
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact refine: join the (few) candidate pairs back to the cached
-    // shingle arrays.
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    // Exact refine over the shingle relation (inverted-index common count,
+    // restricted to candidate pairs).
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.select(col("id").as("doc_a"), col("s"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
     candidates
-      .join(shingled.select(col("id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingled.select(col("id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(common, Seq("doc_a", "doc_b"))
+      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
+      .drop("id")
+      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
+      .drop("id")
       .withColumn("j_raw",
-        inter / (size(col("sh_a")) + size(col("sh_b")) - inter))
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
       .filter(col("j_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

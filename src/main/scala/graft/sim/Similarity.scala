@@ -94,15 +94,26 @@ object Similarity {
       planes: Int,
       tables: Int,
       k: Int): DataFrame = {
-    // One row per (vector, table) with that table's bucket signature;
-    // plane indices are offset per table so tables are independent.
-    val tableCol = explode(sequence(lit(0), lit(tables - 1))).as("tbl")
-    val bucketed = vectors
-      .select(col("vec_id"), col("v"), tableCol)
-      .withColumn("bucket",
-        (0 until tables).foldLeft(lit(0L)) { (acc, t) =>
-          when(col("tbl") === t, lshBucketOffset(col("v"), planes, t * planes)).otherwise(acc)
-        })
+    // Relational bucket computation (posexplode → codegen'd hash/arith →
+    // two hash-aggregations) instead of per-row higher-order lambdas,
+    // which are CodegenFallback: one (vec, dim, plane) row per term, dot
+    // products and bit-assembly as map-side-combinable sums.
+    val el = vectors.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val terms = el
+      .select(col("vec_id"), col("i"), col("x"),
+        explode(sequence(lit(0), lit(tables * planes - 1))).as("p"))
+      .select(col("vec_id"), col("p"),
+        (col("x") *
+          ((pmod(xxhash64(lit("plane"), col("p"), col("i")), lit(2000001L)).cast("double")
+            - lit(1000000.0)) / lit(1000000.0))).as("term"))
+    val dots = terms.groupBy(col("vec_id"), col("p")).agg(sum(col("term")).as("dot"))
+    val bitValue = (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
+      when(pmod(col("p"), lit(planes)) === j, lit(1L << j)).otherwise(acc)
+    }
+    val bucketed = dots
+      .groupBy(col("vec_id"), floor(col("p") / planes).cast("int").as("tbl"))
+      .agg(sum(when(col("dot") >= 0, bitValue).otherwise(lit(0L))).as("bucket"))
+      .join(vectors, "vec_id")
     val a = bucketed.select(
       col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
     val b = bucketed.select(
