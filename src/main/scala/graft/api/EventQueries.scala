@@ -99,6 +99,16 @@ object EventQueries {
           lit(1))).as("n_full_funnel"))
     }),
 
+    // Pivot: event-type counts as columns per day (explicit value list so
+    // the output schema is static — required at scale; an unlisted pivot
+    // forces an extra distinct-values job).
+    "e8_pivot" -> ((s, d) => events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -168,6 +178,15 @@ object EventQueries {
         |  CAST(COUNT(CASE WHEN t_click > t_signup THEN 1 END) AS BIGINT) AS n_signup_then_click,
         |  CAST(COUNT(CASE WHEN t_purchase > t_click AND t_click > t_signup THEN 1 END) AS BIGINT) AS n_full_funnel
         |FROM firsts""".stripMargin,
+
+    "e8_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
 
     "e7_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)

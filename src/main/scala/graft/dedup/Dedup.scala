@@ -77,15 +77,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  /** MinHash signature of a shingle array: numHashes seeded-xxhash64
-    * minima, all builtin (`transform` over a seed array + `array_min`),
-    * codegen'd — no UDF in the 100 TB scan path.
-    */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column = {
-    val seeds = array((0 until numHashes).map(lit): _*)
-    transform(seeds, s => array_min(transform(shingleArr, x => xxhash64(x, s))))
-  }
-
   /** MinHash-LSH candidate pairs refined by exact Jaccard.
     * bands·rowsPerBand = signature length. Banding: a pair lands in a
     * bucket iff one band of the signature matches exactly; the bucket join

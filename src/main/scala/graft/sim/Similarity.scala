@@ -57,31 +57,6 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane p, dim i):
-    * a fixed hash mapped into [-1, 1]. No RNG, so plans are reproducible.
-    */
-  private def planeComponent(p: Int, i: Column): Column =
-    (pmod(xxhash64(lit("plane"), lit(p), i), lit(2000001L)).cast("double")
-      - lit(1000000.0)) / lit(1000000.0)
-
-  /** Random-hyperplane (SimHash) bucket signature of an embedding: one bit
-    * per plane = sign of the dot product with a pseudo-random hyperplane.
-    * `offset` shifts the plane index space so independent tables can be
-    * built from disjoint plane families.
-    */
-  def lshBucketOffset(vec: Column, planes: Int, offset: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x * planeComponent(offset + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  def lshBucket(vec: Column, planes: Int): Column = lshBucketOffset(vec, planes, 0)
-
   /** LSH-bucketed ANN: candidates are only compared within the same
     * hyperplane bucket — per-bucket shuffle join instead of a cartesian.
     * Recall is amplified with `tables` independent hash tables (standard
