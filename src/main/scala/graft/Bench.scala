@@ -55,7 +55,9 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = Headline.map { name =>
-      name -> time(SparkEntry.queries(name)(spark, sfDir).count())
+      val t = time(SparkEntry.queries(name)(spark, sfDir).count())
+      spark.catalog.clearCache() // no cross-query cache carry-over
+      name -> t
     } :+ ("pagerank_wikidata" -> time {
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
       val res = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))

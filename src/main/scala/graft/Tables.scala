@@ -23,16 +23,19 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    * outright. Read nanos as long (legacy conf) and truncate to µs —
-    * identical to the floor semantics DuckDB applies at ms granularity.
-    * Integer `div` keeps the arithmetic exact (a double round-trip would
-    * lose low bits above 2^53).
+    * outright. Read nanos as long (legacy conf) and FLOOR to µs — matching
+    * DuckDB's conversion for negative (pre-1970) timestamps too, where
+    * plain `div` would truncate toward zero and diverge by 1 µs. Integer
+    * arithmetic throughout (a double round-trip would lose low bits above
+    * 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      raw.withColumn("ts", expr(
+        "timestamp_micros(CASE WHEN ts >= 0 OR ts % 1000 = 0 " +
+          "THEN ts div 1000 ELSE ts div 1000 - 1 END)"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

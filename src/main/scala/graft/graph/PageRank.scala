@@ -115,9 +115,10 @@ object PageRank {
         .first().getDouble(0)
       // Next ranks are a lazy projection over the ALREADY-checkpointed
       // merge — lineage stays one level deep without a second checkpoint
-      // job per iteration. Free the previous iteration's checkpoint now
-      // that this one is materialized.
-      backing.unpersist()
+      // job per iteration. Free the previous iteration's checkpoint blocks
+      // now that this one is materialized (Dataset.unpersist is a no-op
+      // for local checkpoints — it only clears CacheManager entries).
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(backing)
       backing = merged
       ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
       iter += 1
@@ -130,8 +131,8 @@ object PageRank {
   /** Fixed-iteration PageRank with the explicit-teleport formula
     *   rank'_i = (1 − β)/N + β · Σ_{u→i} rank(u)/deg(u)
     * (no renormalization). This variant is exactly expressible in ANSI SQL
-    * (chained CTEs — see [[pageRankOracleSql]]) and serves as the
-    * DuckDB-checkable surface for the iterative operator I1.
+    * (unrolled CTE chains — generated by `api.GraphQueries`) and serves as
+    * the DuckDB-checkable surface for the iterative operator I1.
     */
   def fixedIterations(
       spark: SparkSession,
@@ -158,8 +159,9 @@ object PageRank {
         .select(
           verts("id"),
           (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
-      ranks.unpersist()
+      val prev = ranks
       ranks = next.localCheckpoint(true)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
       i += 1
     }
     linked.unpersist()
@@ -173,44 +175,4 @@ object PageRank {
   def topK(ranks: DataFrame, k: Int): DataFrame =
     ranks.orderBy(col("rank").desc, col("id")).limit(k)
 
-  /** S3: the reference's `[page] [score]` sink format (`pageRank.py:19-24`). */
-  def formatted(top: DataFrame): DataFrame =
-    top.select(
-      concat(lit("["), col("id").cast("string"), lit("] ["),
-        col("rank").cast("string"), lit("]")).as("line"))
-
-  /** ANSI-SQL oracle for [[fixedIterations]]: unrolled iteration chain as
-    * CTEs (r0..rK) over an arbitrary `edges(src,dst)` subquery. Runs on
-    * DuckDB and Spark alike; pure integer/double arithmetic.
-    */
-  def pageRankOracleSql(
-      edgesSql: String,
-      beta: Double,
-      iterations: Int,
-      roundDigits: Int = 9): String = {
-    val sb = new StringBuilder
-    sb.append(s"WITH edges AS ($edgesSql),\n")
-    sb.append("nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),\n")
-    sb.append("deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),\n")
-    sb.append("nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),\n")
-    sb.append("r0 AS (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)")
-    for (i <- 1 to iterations) {
-      val prev = s"r${i - 1}"
-      sb.append(s""",
-r$i AS (
-  SELECT nodes.id,
-         (1.0 - $beta)/(SELECT n FROM nn)
-           + $beta * COALESCE(c.s, 0.0) AS rank
-  FROM nodes
-  LEFT JOIN (
-    SELECT e.dst AS id, SUM(r.rank / d.d) AS s
-    FROM $prev r
-    JOIN edges e ON e.src = r.id
-    JOIN deg d ON d.src = e.src
-    GROUP BY e.dst
-  ) c ON nodes.id = c.id)""")
-    }
-    sb.append(s"\nSELECT id, ROUND(rank, $roundDigits) AS rank FROM r$iterations ORDER BY id")
-    sb.toString()
-  }
 }

@@ -31,9 +31,15 @@ object Sinks {
     * (small, result-sized) table; collects, so never for scan-sized data.
     */
   def csvBase64Href(df: DataFrame, fileName: String): String = {
-    val header = df.columns.mkString(",")
+    def cell(v: Any): String = {
+      val s = if (v == null) "" else v.toString
+      if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+    val header = df.columns.map(cell).mkString(",")
     val body = df.collect()
-      .map(_.toSeq.map(v => if (v == null) "" else v.toString).mkString(","))
+      .map(_.toSeq.map(cell).mkString(","))
       .mkString("\n")
     val b64 = java.util.Base64.getEncoder.encodeToString(
       (header + "\n" + body).getBytes("UTF-8"))

@@ -36,7 +36,11 @@ object StreamDemo {
         concat(lit("type"), col("value") % 2).as("event_type"),
         (col("value") % 10).cast("double").as("value"))
 
-    val hourly = Streams.hourlyCounts(events, watermark = "0 seconds")
+    // seconds-scale windows so append-mode emission actually happens
+    // within the 12 s run (a 1-hour window would only close if the run
+    // straddled an hour boundary).
+    val hourly = Streams.hourlyCounts(events, watermark = "0 seconds",
+        windowLength = "5 seconds")
       .writeStream.format("memory").queryName("demo_hourly")
       .outputMode("append").trigger(Trigger.ProcessingTime("1 second")).start()
 

@@ -24,17 +24,21 @@ object Streams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
-  /** Hourly tumbling-window counts/sums with a 1-hour watermark —
-    * streaming twin of `e1_hour_window` (append mode: a window emits once
-    * its watermark passes).
+  /** Tumbling-window counts/sums under a watermark — streaming twin of
+    * `e1_hour_window` (append mode: a window emits once its watermark
+    * passes). `windowLength` is configurable so short-lived runs (demos,
+    * tests) can use seconds-scale windows that actually close.
     */
-  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+  def hourlyCounts(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      windowLength: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .select(
-        date_format(col("w.start"), "yyyy-MM-dd HH").as("hour"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n"), col("total"))
 
   /** A closed session emitted by [[sessionize]]. */

@@ -57,18 +57,28 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: the expression may be inlined more than once into one
+      // codegen stage (e.g. filter predicate + projection after alias
+      // substitution); fixed local names would collide.
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
       s"""
-         |double graft_dot = 0.0, graft_nx = 0.0, graft_ny = 0.0;
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  double graft_xv = $a.getDouble(graft_i);
-         |  double graft_yv = $b.getDouble(graft_i);
-         |  graft_dot += graft_xv * graft_yv;
-         |  graft_nx += graft_xv * graft_xv;
-         |  graft_ny += graft_yv * graft_yv;
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  double $yv = $b.getDouble($i);
+         |  $dot += $xv * $yv;
+         |  $nx += $xv * $xv;
+         |  $ny += $yv * $yv;
          |}
-         |${ev.value} = graft_dot /
-         |  (java.lang.Math.sqrt(graft_nx) * java.lang.Math.sqrt(graft_ny));
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 

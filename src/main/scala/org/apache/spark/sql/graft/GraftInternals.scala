@@ -1,0 +1,23 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Internal helpers that need `private[sql]` access. */
+object GraftInternals {
+
+  /** Release the executor blocks behind a `localCheckpoint()`ed DataFrame.
+    *
+    * `Dataset.unpersist` only clears CacheManager entries; a local
+    * checkpoint persists the underlying RDD directly (it never registers
+    * with CacheManager), so the public API silently leaks one |V|-sized
+    * RDD per PageRank iteration. This reaches through the `LogicalRDD`
+    * leaf the checkpoint produces and unpersists the actual RDD.
+    * No-op for non-checkpointed plans.
+    */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+}

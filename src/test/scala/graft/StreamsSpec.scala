@@ -42,7 +42,7 @@ class StreamsSpec extends SparkSpec {
       .toSet
     // batch twin: same logic without watermark semantics
     val exp = fixture.toDS().toDF()
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
