@@ -29,13 +29,18 @@ object Tables {
     * arithmetic throughout (a double round-trip would lose low bits above
     * 2^53).
     */
+  /** Floor-division nanos→µs timestamp conversion for a long column named
+    * `col` (exposed for tests; floor ≠ `div` for negative values).
+    */
+  def nanosToMicrosSql(col: String): String =
+    s"timestamp_micros(CASE WHEN $col >= 0 OR $col % 1000 = 0 " +
+      s"THEN $col div 1000 ELSE $col div 1000 - 1 END)"
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr(
-        "timestamp_micros(CASE WHEN ts >= 0 OR ts % 1000 = 0 " +
-          "THEN ts div 1000 ELSE ts div 1000 - 1 END)"))
+      raw.withColumn("ts", expr(nanosToMicrosSql("ts")))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")

@@ -112,6 +112,19 @@ object Streams {
   def incrementalOutDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
 
+  /** Stream-static enrichment join: each micro-batch of events is joined
+    * against a static dimension table (re-read per batch if backed by a
+    * mutable source). Catalyst broadcasts the static side when small —
+    * the standard shape for decorating a 100 TB/day stream with dimension
+    * attributes without shuffling the stream.
+    */
+  def enrich(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
+
   /** Batch reference for [[sessionize]] (same semantics, same rounding) —
     * used by tests to check stream/batch parity.
     */

@@ -123,6 +123,31 @@ class StreamsSpec extends SparkSpec {
     assert(after2 == Map(1L -> 3L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("nanos→micros conversion floors for negative timestamps") {
+    val micros = spark.sql(
+      s"""SELECT unix_micros(${Tables.nanosToMicrosSql("ts")}) AS u FROM VALUES
+         |  (CAST(1500 AS LONG)), (CAST(-1500 AS LONG)),
+         |  (CAST(-1000 AS LONG)), (CAST(0 AS LONG)) AS v(ts)""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(micros == Seq(1L, -2L, -1L, 0L), s"got $micros")
+  }
+
+  test("stream-static enrichment join decorates events with customer dims") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY")).toDF("k", "segment")
+    val q = Streams.enrich(
+        mem.toDF().toDF("user_id", "value"), dim, "user_id", "k")
+      .select(col("user_id"), col("value"), col("segment"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    mem.addData((1L, 10.0), (2L, 20.0), (99L, 5.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(got == Set((1L, Some("BUILDING")), (2L, Some("MACHINERY")), (99L, None)))
+  }
+
   test("batch sessionization on sf0.001 events matches e2 query") {
     val ev = Tables.events(spark, Sf001).as[Event]
     val viaStreamsModule = Streams.sessionizeBatch(ev, 30L * 60 * 1000)
