@@ -3,6 +3,7 @@ package graft.api
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.Tables
 import graft.Tables.events
 
 /** Time-series / event-stream operators demonstrated in batch form with
@@ -109,6 +110,23 @@ object EventQueries {
       .na.fill(0L)
       .orderBy(col("day"))),
 
+    // As-of join: each event decorated with the user's latest order at or
+    // before the event time (union + window merge — see ops.AsOfJoin).
+    "e9_asof_join" -> ((s, d) => {
+      val left = events(s, d).select(
+        col("user_id").as("k"), unix_millis(col("ts")).as("t"), col("event_id").as("id"))
+      // o_orderdate reads as TIMESTAMP_NTZ; cast to TIMESTAMP (session tz
+      // is UTC, so the wall clock is preserved) for unix_millis.
+      val right = Tables.orders(s, d).select(
+        col("o_custkey").as("k"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey").as("v"))
+      graft.ops.AsOfJoin.asOf(left, right)
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("asof_v").as("asof_order"))
+        .orderBy(col("event_id"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -187,6 +205,25 @@ object EventQueries {
         |  CAST(COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "e9_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id AS k, epoch_ms(ts) AS t, 0 AS is_r,
+        |    CAST(NULL AS BIGINT) AS v, event_id AS id
+        |  FROM events),
+        |r AS (
+        |  SELECT o_custkey AS k, epoch_ms(o_orderdate) AS t, 1 AS is_r,
+        |    o_orderkey AS v, CAST(NULL AS BIGINT) AS id
+        |  FROM orders),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |w AS (
+        |  SELECT id, k, is_r,
+        |    last_value(v IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY t, is_r DESC, v
+        |      ROWS UNBOUNDED PRECEDING) AS asof_order
+        |  FROM u)
+        |SELECT id AS event_id, k AS user_id, asof_order
+        |FROM w WHERE is_r = 0 ORDER BY event_id""".stripMargin,
 
     "e7_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
