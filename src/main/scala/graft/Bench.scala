@@ -22,6 +22,7 @@ object Bench {
     "o4_topk",
     "w1_rank_window",
     "e2_sessionize",
+    "e9_asof_join",
     "t2_quality_score",
     "d1_dedup_exact",
     "d2_jaccard_pairs",
