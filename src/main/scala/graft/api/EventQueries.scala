@@ -159,8 +159,8 @@ object EventQueries {
         |  FROM x),
         |z AS (
         |  SELECT user_id, value,
-        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM y)
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  ROUND(SUM(value), 2) AS session_value

@@ -127,11 +127,16 @@ ${prefix}r$i AS (
     "i3_sweep_diff" -> ((s, d) => {
       val e = edges(s, d).cache()
       val ranked = SweepBetas.map { case (_, b) =>
+        // Top-50 first via orderBy+limit (TakeOrderedAndProject: per-partition
+        // top-k + driver merge — no single-task global sort), THEN positions
+        // over the 50-row result; the unpartitioned window never sees more
+        // than 50 rows regardless of graph size.
         val w = Window.orderBy(round(col("rank"), 9).desc, col("id"))
         PageRank.fixedIterations(s, e, beta = b, iterations = SweepIters)
           .select(col("id"), round(col("rank"), 9).as("rank"))
+          .orderBy(round(col("rank"), 9).desc, col("id"))
+          .limit(50)
           .withColumn("position", row_number().over(w))
-          .filter(col("position") <= 50)
       }
       val Seq(a, bb, c) = ranked
       a.select(col("position"), col("id").as("id_b80"))

@@ -113,13 +113,17 @@ object PipelineQueries {
       Similarity.annLsh(vecs(s, d), planes = 8, tables = 4, k = 5)),
 
     // L2-normalized embeddings (vector preprocessing op; exact oracle —
-    // same left-to-right double arithmetic in both engines).
+    // same left-to-right double arithmetic in both engines). Emitted as
+    // per-element rows keyed by (vec_id, i): the driver's comparer cannot
+    // sort array-typed columns, and double→string serialization differs
+    // between engines, so scalars are the only hash-stable encoding.
     "n3_normalize" -> ((s, d) => {
       val v = Similarity.asDouble(col("embedding"))
       val norm = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (a, x) => a + x))
       embeddings(s, d)
-        .select(col("vec_id"), transform(v, x => x / norm).as("unit"))
-        .orderBy(col("vec_id"))
+        .select(col("vec_id"), posexplode(transform(v, x => x / norm)).as(Seq("i", "u")))
+        .select(col("vec_id"), col("i").cast("long").as("i"), round(col("u"), 6).as("u"))
+        .orderBy(col("vec_id"), col("i"))
     }),
 
     // IVF ANN (MLlib KMeans coarse quantizer, search within nearest cell;
@@ -193,8 +197,9 @@ object PipelineQueries {
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |n AS (SELECT vec_id, v, sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm FROM e)
-        |SELECT vec_id, list_transform(v, x -> x / nrm) AS unit
-        |FROM n ORDER BY vec_id""".stripMargin,
+        |SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+        |  ROUND(unnest(v) / nrm, 6) AS u
+        |FROM n ORDER BY vec_id, i""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,

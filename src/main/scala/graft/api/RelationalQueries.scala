@@ -125,9 +125,12 @@ object RelationalQueries {
 
     // A3/P6: group-by collect (adjacency-list shape), canonicalized with
     // sort_array; empty groups impossible by construction (inner grouping).
+    // Serialized to a csv string so the driver's comparer (which cannot
+    // sort array-typed columns) sees a scalar.
     "a3_groupby_collect" -> ((s, d) => lineitem(s, d)
       .groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_list(col("l_linenumber"))).as("lines"))
+      .agg(concat_ws(",",
+        sort_array(collect_list(col("l_linenumber"))).cast("array<string>")).as("lines"))
       .orderBy(col("l_orderkey"))),
 
     // A4: keyed sum (the per-iteration contribution scatter-add shape).
@@ -311,7 +314,8 @@ object RelationalQueries {
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
 
     "a3_groupby_collect" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS lines
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS lines
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
     "a4_keyed_sum" ->

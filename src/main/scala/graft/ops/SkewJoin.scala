@@ -28,8 +28,11 @@ object SkewJoin {
       pmod(xxhash64(struct(big.columns.toIndexedSeq.map(col): _*)), lit(factor.toLong)))
     val replicated = small.withColumn("graft_salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    // Drop the replicated side's copy of the join key along with the salts
+    // so the result has a plain join's schema (col(key) stays unambiguous).
     salted.join(replicated,
         salted(key) === replicated(key) && salted("graft_salt") === replicated("graft_salt"))
+      .drop(replicated(key))
       .drop("graft_salt")
   }
 }
