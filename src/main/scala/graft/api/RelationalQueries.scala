@@ -45,6 +45,20 @@ object RelationalQueries {
       .select(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // P3b: portable deterministic ~10% sample — keep rows whose md5-derived
+    // uniform hash of the primary key lands in bucket 0 of 10. Unlike the
+    // seeded Bernoulli sample this is engine-independent (exact DuckDB
+    // oracle) and, at scale, repeatable across re-runs and retried tasks
+    // regardless of partitioning.
+    "p3b_sample_portable" -> ((s, d) => lineitem(s, d)
+      .filter(
+        conv(substring(md5(concat(
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 15), 16, 10)
+          .cast("long") % 10 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // P4: duplicate-key report (generalizes the reference's duplicate-row
     // probe at pageRank.py:59-63).
     "p4_dup_report" -> ((s, d) => lineitem(s, d)
@@ -188,6 +202,33 @@ object RelationalQueries {
         .select(col("c_mktsegment"), col("c_custkey"), col("rnk"))
         .orderBy(col("c_mktsegment"), col("rnk"))
     }),
+
+    // W2: analytic-window breadth — dense_rank / lag / ntile in one pass
+    // over a single partition-by-customer window spec (one shuffle on
+    // o_custkey serves all three functions).
+    "w2_analytics_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).as("seq"),
+          round(coalesce(lag(col("o_totalprice"), 1).over(w), lit(0.0)), 2).as("prev_price"),
+          ntile(4).over(w).as("quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // A12: exact interpolated quantiles per group (the UI boxplot shape at
+    // relational scale; percentile() is Spark's exact linear-interpolation
+    // aggregate, matching DuckDB's quantile_cont).
+    "a12_quantiles" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy(col("l_returnflag"))),
 
     // U2: set intersection.
     "u2_intersect" -> ((s, d) => customer(s, d).select(col("c_custkey").as("k"))
@@ -360,6 +401,30 @@ object RelationalQueries {
         |      ORDER BY c_acctbal DESC, c_custkey) AS rnk
         |  FROM customer) t
         |WHERE rnk <= 3 ORDER BY c_mktsegment, rnk""".stripMargin,
+
+    "w2_analytics_window" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(DENSE_RANK() OVER w AS INT) AS seq,
+        |  ROUND(COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 2) AS prev_price,
+        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "a12_quantiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        |  ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "p3b_sample_portable" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE CAST('0x' || substr(md5(
+        |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)),
+        |  1, 15) AS BIGINT) % 10 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "u2_intersect" ->
       """SELECT k FROM (
