@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.Tables.events
+import graft.ops.RangeJoin
 
 /** Time-series / event-stream operators demonstrated in batch form with
   * DuckDB oracles. The same logic runs as Structured Streaming in
@@ -49,6 +50,22 @@ object EventQueries {
           count(lit(1)).as("n_events"),
           round(sum(col("value")), 2).as("session_value"))
         .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // Banded interval self-join via ops.RangeJoin (bin-bucketed equi join,
+    // NOT a nested loop): per event, how many same-user events follow
+    // within one minute.
+    "e10_range_join" -> ((s, d) => {
+      val ev = events(s, d)
+        .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      val pairs = RangeJoin.bandPairs(
+        ev.select(col("user_id"), col("event_id").as("event_a"), col("ms").as("ms_a")),
+        ev.select(col("user_id"), col("event_id").as("event_b"), col("ms").as("ms_b")),
+        key = "user_id", lOrd = "ms_a", rOrd = "ms_b", band = 60000L)
+      val counts = pairs.groupBy(col("event_a")).agg(count(lit(1)).as("n_follow"))
+      ev.join(counts, ev("event_id") === counts("event_a"), "left")
+        .select(col("event_id"), coalesce(col("n_follow"), lit(0L)).as("n_follow"))
+        .orderBy(col("event_id"))
     }),
 
     // Analytic windows: running sum + lag delta per user in event order.
@@ -165,6 +182,14 @@ object EventQueries {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  ROUND(SUM(value), 2) AS session_value
         |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "e10_range_join" ->
+      """SELECT a.event_id AS event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_follow
+        |FROM events a LEFT JOIN events b
+        |  ON b.user_id = a.user_id
+        | AND epoch_ms(b.ts) > epoch_ms(a.ts)
+        | AND epoch_ms(b.ts) <= epoch_ms(a.ts) + 60000
+        |GROUP BY a.event_id ORDER BY event_id""".stripMargin,
 
     "e3_running_window" ->
       """SELECT event_id, user_id,
