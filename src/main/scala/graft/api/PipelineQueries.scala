@@ -66,6 +66,23 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bucket"))),
 
+    // BPE-style sub-word token count next to the whitespace word count
+    // (ratio ≈ sub-words per word — a fertility-style quality signal).
+    "t7_bpe_tokens" -> ((s, d) => documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFns.bpeTokenCount(col("text")).as("n_bpe"),
+        TextFns.tokenCount(col("text")).cast("long").as("n_words"))
+      .withColumn("fertility",
+        when(col("n_words") === 0, lit(0.0))
+          .otherwise(round(col("n_bpe").cast("double") / col("n_words"), 4)))
+      .orderBy(col("doc_id"))),
+
+    // Corpus text cleanup (lowercase, strip non-alnum, collapse spaces).
+    "t8_clean" -> ((s, d) => documents(s, d)
+      .select(col("doc_id"), TextFns.cleanText(col("text")).as("clean"))
+      .orderBy(col("doc_id"))),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -193,6 +210,24 @@ object PipelineQueries {
       """SELECT CAST(FLOOR(n_chars / 50.0) AS BIGINT) AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "t7_bpe_tokens" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_bpe,
+        |    CASE WHEN len(trim(text)) = 0 THEN 0
+        |      ELSE CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) END AS n_words
+        |  FROM documents)
+        |SELECT doc_id, n_bpe, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |    ELSE ROUND(CAST(n_bpe AS DOUBLE) / n_words, 4) END AS fertility
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "t8_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |    ' +', ' ', 'g')) AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

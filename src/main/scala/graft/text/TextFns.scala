@@ -66,6 +66,23 @@ object TextFns {
     when(length(text) === 0, lit(0.0))
       .otherwise(regexp_count(text, lit("[.,!?;:]")).cast("double") / length(text))
 
+  /** BPE-style pre-tokenization (GPT-2-family shape, ASCII approximation):
+    * letter runs, digit runs, and punctuation runs are separate tokens, so
+    * "don't stop!!" → [don, ', t, stop, !!]. Engine-portable RE2/Java
+    * class-run pattern; counts sub-word-ish units rather than whitespace
+    * words.
+    */
+  val BpePattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("long")
+
+  /** Training-corpus text cleanup: lowercase, strip non-alphanumerics,
+    * collapse runs of whitespace, trim.
+    */
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", ""), " +", " "))
+
   /** Whitespace-normalized lowercase form. */
   def normText(text: Column): Column =
     lower(trim(regexp_replace(text, "\\s+", " ")))
