@@ -23,6 +23,7 @@ object Bench {
     "w1_rank_window",
     "e2_sessionize",
     "e9_asof_join",
+    "e10_range_join",
     "t2_quality_score",
     "d1_dedup_exact",
     "d2_jaccard_pairs",
