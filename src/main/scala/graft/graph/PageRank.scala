@@ -83,22 +83,30 @@ object PageRank {
     * until Σ|rank' − rank| < δ.
     */
   def run(spark: SparkSession, edges: DataFrame, params: Params = Params()): RankResult = {
-    val verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    // The caller's edge pipeline (often a scan + distinct) feeds three
+    // consumers below (vertices, out-degrees, the linked join) — persist it
+    // once instead of recomputing the upstream per consumer. A caller's own
+    // persist is respected (and left in place for their reuse).
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
     if (n == 0) {
       // Degenerate input: empty result, not a crash (reference divides 1/0
       // at pageRank.py:69).
+      if (!callerCached) e.unpersist()
       return RankResult(verts.withColumn("rank", lit(0.0)), 0, 0.0)
     }
     // Loop-invariant: edges ⋈ degrees, partitioned by src, persisted once.
     // Each edge carries its source's out-degree so the per-iteration join
     // against ranks is a single equi join on src.
-    val linked = edges
-      .join(outDegrees(edges), "src")
+    val linked = e
+      .join(outDegrees(e), "src")
       .select(col("src"), col("dst"), col("out_degree"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     linked.count() // materialize
+    if (!callerCached) e.unpersist() // all consumers materialized
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     // The checkpoint backing the current `ranks` projection; freed once the
@@ -158,13 +166,17 @@ object PageRank {
       edges: DataFrame,
       beta: Double,
       iterations: Int): DataFrame = {
-    val verts = vertices(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
     val n = verts.count()
-    val linked = edges
-      .join(outDegrees(edges), "src")
+    val linked = e
+      .join(outDegrees(e), "src")
       .select(col("src"), col("dst"), col("out_degree"))
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    linked.count() // materialize while e is cached
+    if (!callerCached) e.unpersist()
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
     while (i < iterations) {
