@@ -31,7 +31,8 @@ object Bench {
     "n1_ann_brute",
     "n2_ann_lsh",
     "i1_pagerank_fixed",
-    "pr_renorm")
+    "pr_renorm",
+    "pr_graphx")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

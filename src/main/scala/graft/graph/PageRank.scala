@@ -38,10 +38,14 @@ object PageRank {
     * schema imposed at read — never inferred (`pageRank.py:31-35`).
     */
   def edgesFromText(spark: SparkSession, path: String): DataFrame = {
+    // FAILFAST: a ragged/non-numeric row is a data error, not a null edge
+    // (SURVEY §7.6 — the reference's np.loadtxt likewise throws; permissive
+    // mode would silently feed null vertex ids into every downstream agg).
     spark.read
       .schema("src LONG, dst LONG")
       .option("delimiter", "\t")
       .option("comment", "#")
+      .option("mode", "FAILFAST")
       .csv(path)
   }
 

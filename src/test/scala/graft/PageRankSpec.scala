@@ -53,6 +53,24 @@ class PageRankSpec extends SparkSpec {
     assert(res.ranks.count() == 0)
   }
 
+  test("malformed edge row errors under FAILFAST (SURVEY §7.6)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-badedges")
+    val f = dir.resolve("edges.txt")
+    java.nio.file.Files.writeString(f, "1\t2\n3\tnot_a_number\n4\t5\n")
+    val thrown = intercept[org.apache.spark.SparkException] {
+      PageRank.edgesFromText(spark, f.toString).collect()
+    }
+    assert(thrown.getMessage.toLowerCase.contains("malformed")
+      || Option(thrown.getCause).exists(_.getMessage.toLowerCase.contains("malformed")))
+  }
+
+  test("empty edge file yields empty frame, comments skipped") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyedges")
+    val f = dir.resolve("edges.txt")
+    java.nio.file.Files.writeString(f, "# header comment only\n")
+    assert(PageRank.edgesFromText(spark, f.toString).count() == 0)
+  }
+
   test("fixedIterations matches hand-computed two-node value") {
     // 1→2 only: after 1 iter with β=0.85, N=2:
     // r(1) = 0.15/2 = 0.075 ; r(2) = 0.075 + 0.85·0.5 = 0.5
