@@ -241,6 +241,36 @@ object RelationalQueries {
         .select(col("o_custkey").as("k")))
       .orderBy(col("k"))),
 
+    // U2/U3 multiset forms: bag semantics keep duplicate cardinality —
+    // the distinction matters for dedup bookkeeping (how many copies
+    // survive), not just membership.
+    "u4_intersect_all" -> ((s, d) => lineitem(s, d).select(col("l_suppkey").as("k"))
+      .intersectAll(lineitem(s, d).filter(col("l_quantity") > 25)
+        .select(col("l_suppkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))),
+
+    "u5_except_all" -> ((s, d) => lineitem(s, d).select(col("l_suppkey").as("k"))
+      .exceptAll(lineitem(s, d).filter(col("l_quantity") > 25)
+        .select(col("l_suppkey").as("k")))
+      .groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))),
+
+    // Unpivot (wide → long): melt per-nation balance stats back into
+    // (nation, metric, value) rows — inverse of e8_pivot's shape.
+    "u6_unpivot" -> ((s, d) => {
+      val wide = customer(s, d).groupBy(col("c_nationkey"))
+        .agg(
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          round(avg(col("c_acctbal")), 2).as("avg_bal"),
+          round(max(col("c_acctbal")), 2).as("max_bal"))
+      wide.unpivot(
+        Array(col("c_nationkey")),
+        Array(col("min_bal"), col("avg_bal"), col("max_bal")),
+        "metric", "value")
+        .orderBy(col("c_nationkey"), col("metric"))
+    }),
+
     // F3: formatted-text sink projection (the reference's `[page] [score]`
     // line format, pageRank.py:23) — int/string concat only, so the
     // rendering is engine-independent.
@@ -441,6 +471,33 @@ object RelationalQueries {
     "f3_format_lines" ->
       """SELECT '[' || CAST(o_orderkey AS VARCHAR) || '] [' || o_orderstatus || ']' AS line
         |FROM orders ORDER BY o_orderkey LIMIT 1000""".stripMargin,
+
+    "u4_intersect_all" ->
+      """SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem
+        |  INTERSECT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25) t
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "u5_except_all" ->
+      """SELECT k, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |  SELECT l_suppkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25) t
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    "u6_unpivot" ->
+      """WITH wide AS (
+        |  SELECT c_nationkey,
+        |    ROUND(MIN(c_acctbal), 2) AS min_bal,
+        |    ROUND(AVG(c_acctbal), 2) AS avg_bal,
+        |    ROUND(MAX(c_acctbal), 2) AS max_bal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, metric, value FROM (
+        |  SELECT c_nationkey, 'min_bal' AS metric, min_bal AS value FROM wide
+        |  UNION ALL SELECT c_nationkey, 'avg_bal', avg_bal FROM wide
+        |  UNION ALL SELECT c_nationkey, 'max_bal', max_bal FROM wide) t
+        |ORDER BY c_nationkey, metric""".stripMargin,
 
     "f4_block_assign" ->
       """SELECT c_custkey,

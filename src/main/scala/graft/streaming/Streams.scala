@@ -112,6 +112,21 @@ object Streams {
   def incrementalOutDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
 
+  /** Streaming exact dedup — the training-pipeline `d1_dedup_exact` as an
+    * incremental stream: first arrival per key wins, later duplicates are
+    * dropped. `dropDuplicatesWithinWatermark` keeps per-key state only
+    * until the watermark passes, so state is bounded by (dup horizon ×
+    * arrival rate) instead of growing with the full corpus — the property
+    * that makes streaming dedup viable on a 100 TB/day ingest.
+    */
+  def dedupByKey(
+      stream: DataFrame,
+      keys: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Stream-static enrichment join: each micro-batch of events is joined
     * against a static dimension table (re-read per batch if backed by a
     * mutable source). Catalyst broadcasts the static side when small —

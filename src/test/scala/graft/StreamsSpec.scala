@@ -104,6 +104,35 @@ class StreamsSpec extends SparkSpec {
     assert(got == exp, s"stream/batch mismatch: ${(got -- exp) ++ (exp -- got)}")
   }
 
+  test("streaming dedup drops later duplicates, keeps first arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // event_id 1 appears three times (twice in batch 1, once in batch 2);
+    // event_id 2 twice; 3 once.
+    mem.addData(
+      Event(1, ts(0), 1L, "click", 1.0),
+      Event(1, ts(1), 1L, "click", 99.0),
+      Event(2, ts(2), 2L, "view", 2.0))
+    // Default trigger (not AvailableNow): the query must stay live to
+    // consume the second batch added below.
+    val q = Streams.dedupByKey(mem.toDF(), Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(
+      Event(1, ts(3), 1L, "click", 98.0),
+      Event(2, ts(4), 2L, "view", 97.0),
+      Event(3, ts(5), 3L, "view", 3.0))
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("dedup")
+      .select("event_id", "value").as[(Long, Double)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === 1.0) // the FIRST arrival survived
+    assert(got(2L) === 2.0)
+    assert(got(3L) === 3.0)
+  }
+
   test("incremental out-degrees update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
