@@ -85,14 +85,16 @@ ${prefix}r$i AS (
         .select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy(col("id"))),
 
-    // I2: teleport-parameter sweep (README.md:273-283 surface) — the edge /
-    // degree invariants are computed once and reused across all β.
+    // I2: teleport-parameter sweep (README.md:273-283 surface) — the
+    // vertex/degree/linked invariants are prepared ONCE and shared across
+    // all β (the reference reloads + re-stripes per β).
     "i2_beta_sweep" -> ((s, d) => {
-      val e = edges(s, d).cache()
+      val g = PageRank.prepare(edges(s, d))
       val parts = SweepBetas.map { case (_, b) =>
-        PageRank.fixedIterations(s, e, beta = b, iterations = SweepIters)
+        PageRank.fixedIterationsOn(s, g, beta = b, iterations = SweepIters)
           .select(lit(b).as("beta"), col("id"), round(col("rank"), 9).as("rank"))
       }
+      g.unpersist() // per-β results are checkpointed — independent of g
       parts.reduce(_.union(_)).orderBy(col("beta"), col("id"))
     }),
 
@@ -125,19 +127,20 @@ ${prefix}r$i AS (
     // (README.md:273-298): which top-50 positions hold the same page across
     // all three β values.
     "i3_sweep_diff" -> ((s, d) => {
-      val e = edges(s, d).cache()
+      val g = PageRank.prepare(edges(s, d))
       val ranked = SweepBetas.map { case (_, b) =>
         // Top-50 first via orderBy+limit (TakeOrderedAndProject: per-partition
         // top-k + driver merge — no single-task global sort), THEN positions
         // over the 50-row result; the unpartitioned window never sees more
         // than 50 rows regardless of graph size.
         val w = Window.orderBy(round(col("rank"), 9).desc, col("id"))
-        PageRank.fixedIterations(s, e, beta = b, iterations = SweepIters)
+        PageRank.fixedIterationsOn(s, g, beta = b, iterations = SweepIters)
           .select(col("id"), round(col("rank"), 9).as("rank"))
           .orderBy(round(col("rank"), 9).desc, col("id"))
           .limit(50)
           .withColumn("position", row_number().over(w))
       }
+      g.unpersist()
       val Seq(a, bb, c) = ranked
       a.select(col("position"), col("id").as("id_b80"))
         .join(bb.select(col("position").as("p2"), col("id").as("id_b85")),

@@ -62,6 +62,37 @@ object PageRank {
   /** Result of a converged run. */
   case class RankResult(ranks: DataFrame, iterations: Int, finalDelta: Double)
 
+  /** Loop-invariant relations, persisted once and shared across runs —
+    * the optimization SURVEY §2.9/I2 notes the reference misses (it
+    * reloads + re-stripes per β, README.md:273-283). `linked` carries each
+    * edge with its source's out-degree, hash-partitioned by `src`, so
+    * every iteration of every sweep member is a single equi join + keyed
+    * sum over already-placed data.
+    */
+  final case class PreparedGraph(verts: DataFrame, linked: DataFrame, n: Long) {
+    def unpersist(): Unit = { linked.unpersist(); verts.unpersist(); () }
+  }
+
+  /** Build and materialize the loop invariants. The caller's edge pipeline
+    * (often scan + distinct) feeds three consumers — it is cached for the
+    * duration of the build (a caller-owned persist is respected and left
+    * in place).
+    */
+  def prepare(edges: DataFrame): PreparedGraph = {
+    val callerCached = edges.storageLevel != StorageLevel.NONE
+    val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
+    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = verts.count()
+    val linked = e
+      .join(outDegrees(e), "src")
+      .select(col("src"), col("dst"), col("out_degree"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    if (n > 0) linked.count() // materialize while e is cached
+    if (!callerCached) e.unpersist()
+    PreparedGraph(verts, linked, n)
+  }
+
   /** Join strategy for the per-iteration vertex-sized side (ranks /
     * contribs). Broadcasting it LOOKS attractive, but measured A/B on the
     * WikiData flagship says otherwise: each iteration's broadcast must be
@@ -87,30 +118,19 @@ object PageRank {
     * until Σ|rank' − rank| < δ.
     */
   def run(spark: SparkSession, edges: DataFrame, params: Params = Params()): RankResult = {
-    // The caller's edge pipeline (often a scan + distinct) feeds three
-    // consumers below (vertices, out-degrees, the linked join) — persist it
-    // once instead of recomputing the upstream per consumer. A caller's own
-    // persist is respected (and left in place for their reuse).
-    val callerCached = edges.storageLevel != StorageLevel.NONE
-    val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
+    val g = prepare(edges)
+    try runOn(spark, g, params)
+    finally g.unpersist() // results are checkpointed — independent of g
+  }
+
+  /** [[run]] over pre-built invariants (sweep callers prepare once). */
+  def runOn(spark: SparkSession, g: PreparedGraph, params: Params = Params()): RankResult = {
+    val PreparedGraph(verts, linked, n) = g
     if (n == 0) {
       // Degenerate input: empty result, not a crash (reference divides 1/0
       // at pageRank.py:69).
-      if (!callerCached) e.unpersist()
       return RankResult(verts.withColumn("rank", lit(0.0)), 0, 0.0)
     }
-    // Loop-invariant: edges ⋈ degrees, partitioned by src, persisted once.
-    // Each edge carries its source's out-degree so the per-iteration join
-    // against ranks is a single equi join on src.
-    val linked = e
-      .join(outDegrees(e), "src")
-      .select(col("src"), col("dst"), col("out_degree"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    linked.count() // materialize
-    if (!callerCached) e.unpersist() // all consumers materialized
 
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     // The checkpoint backing the current `ranks` projection; freed once the
@@ -154,8 +174,6 @@ object PageRank {
       ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
       iter += 1
     }
-    linked.unpersist()
-    verts.unpersist()
     RankResult(ranks, iter, deltaVal)
   }
 
@@ -170,17 +188,21 @@ object PageRank {
       edges: DataFrame,
       beta: Double,
       iterations: Int): DataFrame = {
-    val callerCached = edges.storageLevel != StorageLevel.NONE
-    val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val linked = e
-      .join(outDegrees(e), "src")
-      .select(col("src"), col("dst"), col("out_degree"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    linked.count() // materialize while e is cached
-    if (!callerCached) e.unpersist()
+    val g = prepare(edges)
+    try fixedIterationsOn(spark, g, beta, iterations)
+    finally g.unpersist() // result is checkpointed — independent of g
+  }
+
+  /** [[fixedIterations]] over pre-built invariants (sweep callers prepare
+    * once and amortize the vertex/degree/linked build across all β).
+    */
+  def fixedIterationsOn(
+      spark: SparkSession,
+      g: PreparedGraph,
+      beta: Double,
+      iterations: Int): DataFrame = {
+    val PreparedGraph(verts, linked, n) = g
+    if (n == 0) return verts.withColumn("rank", lit(0.0))
     var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
     var i = 0
     while (i < iterations) {
@@ -199,8 +221,6 @@ object PageRank {
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
       i += 1
     }
-    linked.unpersist()
-    verts.unpersist()
     ranks
   }
 
