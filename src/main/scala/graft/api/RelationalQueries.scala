@@ -300,6 +300,19 @@ object RelationalQueries {
         col("c_mktsegment").asc_nulls_first,
         col("c_nationkey").asc_nulls_first)),
 
+    // A9 companion: full cube with grouping_id disambiguating which axes
+    // are aggregated away (a NULL key value vs a subtotal row).
+    "a13_cube" -> ((s, d) => lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 1).as("qty"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(
+        col("gid"),
+        col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)),
+
     // Sketch aggregation (HLL++): approximate distinct parts per supplier.
     // No engine-independent oracle (sketch internals differ) — rows-only
     // driver check; accuracy vs exact countDistinct asserted in ScalaTest.
@@ -508,6 +521,13 @@ object RelationalQueries {
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
         |  ROUND(SUM(c_acctbal), 2) AS bal
         |FROM customer GROUP BY ROLLUP(c_mktsegment, c_nationkey)
-        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin
+        |ORDER BY c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "a13_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(l_quantity), 1) AS qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
   )
 }

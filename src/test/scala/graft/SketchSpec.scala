@@ -16,4 +16,30 @@ class SketchSpec extends SparkSpec {
       .count()
     assert(bad == 0, s"$bad suppliers outside 5% relative error")
   }
+
+  test("count-min sketch: heavy-hitter token estimates bound exact counts") {
+    import graft.text.TextFns
+    // One constant-size mergeable sketch summarizes the whole token stream
+    // (the 100 TB path for frequency stats); estimates never undercount
+    // and overcount by at most eps·N with the configured confidence.
+    val toks = Tables.documents(spark, Sf001)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .filter(length(col("token")) > 0)
+    val total = toks.count()
+    val sketchBytes = toks
+      .agg(count_min_sketch(col("token"), lit(0.001), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+
+    val top = toks.groupBy("token").count()
+      .orderBy(col("count").desc, col("token")).limit(20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    top.foreach { case (tok, exact) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= exact, s"CMS undercounted '$tok': $est < $exact")
+      assert(est <= exact + (0.001 * total).toLong + 1,
+        s"CMS overcount for '$tok' beyond eps*N: $est vs $exact (N=$total)")
+    }
+  }
 }
