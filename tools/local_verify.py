@@ -80,6 +80,18 @@ def main():
             print(f"FAIL  {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        # Round-1 lesson: the driver's pandas-based comparer crashes when
+        # sorting list/struct-typed columns (a3/n3 regressions) even though
+        # this tool's tuple compare handles them — treat nested output
+        # types in an oracled query as a failure so it never ships.
+        import pyarrow.types as pat
+        nested = [f.name for f in spark_tbl.schema
+                  if pat.is_nested(f.type)]
+        if nested:
+            print(f"FAIL  {name}: nested-typed columns {nested} would crash "
+                  f"the driver's comparer — serialize to scalars")
+            n_fail += 1
+            continue
         spark_cols = spark_tbl.column_names
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL  {name}: columns spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
