@@ -110,16 +110,17 @@ object Dedup {
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact refine over the shingle relation (inverted-index common count,
-    // restricted to candidate pairs).
+    // Exact refine restricted to CANDIDATE pairs from the start: expand
+    // each candidate by doc_a's shingles, then probe doc_b's shingle set —
+    // work is Σ_cand |shingles(doc_a)|, not the all-co-shingled-pairs join
+    // (which would re-do the O(pairs) work LSH exists to avoid).
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("id").as("doc_a"), col("s"))
-      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
-      .filter(col("doc_a") < col("doc_b"))
+    val common = candidates
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    candidates
-      .join(common, Seq("doc_a", "doc_b"))
+    common
       .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
       .drop("id")
       .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
@@ -164,15 +165,15 @@ object Dedup {
       .filter(col("c") === rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // exact-Jaccard refine (same arithmetic as jaccardPairs).
+    // exact-Jaccard refine (same arithmetic as jaccardPairs), restricted
+    // to the candidate pairs from the start — see [[minhashLshPairs]].
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.select(col("id").as("doc_a"), col("s"))
-      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
-      .filter(col("doc_a") < col("doc_b"))
+    val common = matches
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    matches
-      .join(common, Seq("doc_a", "doc_b"))
+    common
       .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
       .drop("id")
       .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
