@@ -127,6 +127,31 @@ object Streams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream banded interval join — streaming twin of the batch
+    * `ops.RangeJoin` (e10): pairs of same-key events where the right event
+    * falls in (left.ts, left.ts + band]. The event-time range condition is
+    * what lets Spark BOUND the join state: each side keeps rows only until
+    * the other side's watermark passes the band, so state is (band +
+    * watermark) × arrival-rate sized, not unbounded.
+    */
+  def bandJoinStream(
+      left: DataFrame, // (event_id, ts, user_id, ...)
+      right: DataFrame,
+      bandSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = left.select(
+      col("user_id").as("l_user"), col("event_id").as("l_id"), col("ts").as("l_ts"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(
+      col("user_id").as("r_user"), col("event_id").as("r_id"), col("ts").as("r_ts"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") > col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
+      .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events is joined
     * against a static dimension table (re-read per batch if backed by a
     * mutable source). Catalyst broadcasts the static side when small —

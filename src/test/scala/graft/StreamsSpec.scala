@@ -133,6 +133,37 @@ class StreamsSpec extends SparkSpec {
     assert(got(3L) === 3.0)
   }
 
+  test("stream-stream band join matches batch RangeJoin pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    // Covers: tie (1,2 same ts — strictly-after excludes), in-band pairs,
+    // out-of-band gap (3→4 is 15 min > 10-min band), per-key isolation.
+    val rows = Seq(
+      Event(1, ts(0), 1L, "click", 1.0),
+      Event(2, ts(0), 1L, "click", 1.0),
+      Event(3, ts(5), 1L, "view", 1.0),
+      Event(4, ts(20), 1L, "view", 1.0),
+      Event(5, ts(8), 2L, "view", 1.0),
+      Event(6, ts(12), 2L, "view", 1.0))
+    val memL = MemoryStream[Event]; val memR = MemoryStream[Event]
+    memL.addData(rows: _*); memR.addData(rows: _*)
+    val q = Streams.bandJoinStream(memL.toDF(), memR.toDF(), bandSeconds = 600)
+      .writeStream.format("memory").queryName("bandjoin")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("bandjoin")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    val ev = rows.toDS().toDF()
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+    val want = graft.ops.RangeJoin.bandPairs(
+        ev.select(col("user_id"), col("event_id").as("l_id"), col("ms").as("l_ms")),
+        ev.select(col("user_id"), col("event_id").as("r_id"), col("ms").as("r_ms")),
+        key = "user_id", lOrd = "l_ms", rOrd = "r_ms", band = 600000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want === Set((1L, 3L), (2L, 3L), (5L, 6L)))
+  }
+
   test("incremental out-degrees update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
