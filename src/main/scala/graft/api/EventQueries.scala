@@ -144,6 +144,23 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of with tolerance: each event's NEXT order within 30
+    // days (merge_asof direction='forward' surface).
+    "e9b_asof_forward" -> ((s, d) => {
+      val left = events(s, d).select(
+        col("user_id").as("k"), unix_millis(col("ts")).as("t"), col("event_id").as("id"))
+      val right = Tables.orders(s, d).select(
+        col("o_custkey").as("k"),
+        unix_millis(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderkey").as("v"))
+      graft.ops.AsOfJoin.asOf(left, right,
+          direction = graft.ops.AsOfJoin.Forward,
+          tolerance = Some(30L * 24 * 3600 * 1000))
+        .select(col("id").as("event_id"), col("k").as("user_id"),
+          col("asof_v").as("next_order"))
+        .orderBy(col("event_id"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -249,6 +266,16 @@ object EventQueries {
         |  FROM u)
         |SELECT id AS event_id, k AS user_id, asof_order
         |FROM w WHERE is_r = 0 ORDER BY event_id""".stripMargin,
+
+    "e9b_asof_forward" ->
+      """SELECT e.event_id AS event_id, e.user_id AS user_id,
+        |  (SELECT o.o_orderkey FROM orders o
+        |   WHERE o.o_custkey = e.user_id
+        |     AND epoch_ms(o.o_orderdate) >= epoch_ms(e.ts)
+        |     AND epoch_ms(o.o_orderdate) - epoch_ms(e.ts) <= 2592000000
+        |   ORDER BY epoch_ms(o.o_orderdate) ASC, o.o_orderkey DESC
+        |   LIMIT 1) AS next_order
+        |FROM events e ORDER BY event_id""".stripMargin,
 
     "e7_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
