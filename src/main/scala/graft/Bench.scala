@@ -78,6 +78,13 @@ object Bench {
       val res = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
       val n = PageRank.topK(res.ranks, 100).count()
       require(n == 100)
+    }) :+ ("pagerank_wikidata_graphx" -> time {
+      // Scale-path twin of the flagship: identical semantics/iterations
+      // (GraphXSpec asserts 1e-9 L1 parity), Pregel-style execution.
+      val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
+      val res = graft.graph.PageRankGraphX.run(
+        spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
+      require(PageRank.topK(res.ranks, 100).count() == 100)
     })
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

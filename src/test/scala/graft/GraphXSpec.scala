@@ -21,6 +21,18 @@ class GraphXSpec extends SparkSpec {
     assert(l1 < 1e-9, s"L1 divergence $l1")
   }
 
+  test("GraphX matches DataFrame loop on WikiData (same iterations, L1 < 1e-9)") {
+    val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
+    val df = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
+    val gx = PageRankGraphX.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
+    assert(df.iterations == gx.iterations)
+    val l1 = df.ranks.withColumnRenamed("rank", "r1")
+      .join(gx.ranks.withColumnRenamed("rank", "r2"), "id")
+      .selectExpr("sum(abs(r1 - r2)) AS l1")
+      .collect().head.getDouble(0)
+    assert(l1 < 1e-9, s"L1 divergence $l1")
+  }
+
   test("GraphX PageRank on two-cycle") {
     val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
     val res = PageRankGraphX.run(spark, edges)
