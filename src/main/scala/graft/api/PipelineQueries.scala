@@ -111,6 +111,14 @@ object PipelineQueries {
     "d4b_simhash_portable" -> ((s, d) =>
       Dedup.simhash16Portable(documents(s, d), "doc_id", "text")),
 
+    // SimHash radius search: near-dup pairs within Hamming distance 1 of
+    // the portable 16-bit fingerprint, banded-nibble blocking (complete
+    // for r ≤ 3 by pigeonhole) + popcount refine. r=1 because 16 bits is
+    // coarse — r=3 matches ~20% of all pairs on this corpus; a production
+    // 64-bit fingerprint would use the customary r=3.
+    "d4c_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairsPortable(documents(s, d), "doc_id", "text", radius = 1)),
+
     // Embedding-cosine near-duplicate pairs (exact).
     "d5_embedding_pairs" -> ((s, d) =>
       Similarity.cosinePairs(vecs(s, d), CosineThreshold)),
@@ -312,6 +320,35 @@ object PipelineQueries {
         |  FROM h GROUP BY doc_id)
         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash16
         |FROM v ORDER BY doc_id""".stripMargin
+    },
+
+    "d4c_simhash_pairs" -> {
+      val votes = (0 until 16)
+        .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val fp = (0 until 16)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
+        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM v),
+        |b AS (
+        |  SELECT doc_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM f, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id)
+        |SELECT c.doc_a, c.doc_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |FROM c
+        |JOIN f fa ON fa.doc_id = c.doc_a
+        |JOIN f fb ON fb.doc_id = c.doc_b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 1
+        |ORDER BY doc_a, doc_b""".stripMargin
     },
 
     "d5_embedding_pairs" ->

@@ -211,6 +211,39 @@ object Dedup {
     * expressions all feed one aggregate-free projection — wide but fully
     * whole-stage-codegen'd.
     */
+  /** SimHash near-duplicate PAIRS within Hamming radius `r` — production
+    * simhash dedup shape: band the 16-bit portable fingerprint into 4
+    * nibbles; by pigeonhole any pair with ≤3 differing bits agrees exactly
+    * on at least one nibble, so the band equi-join candidate set is
+    * COMPLETE for r ≤ 3 (never a cartesian — same blocking idea as
+    * MinHash-LSH banding but with a completeness guarantee); refine is
+    * popcount(xor) ≤ r. Fully oracle-checkable (see d4c).
+    */
+  def simhashPairsPortable(
+      docs: DataFrame, idCol: String, textCol: String, radius: Int = 3): DataFrame = {
+    require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
+    val fps = simhash16Portable(docs, idCol, textCol)
+      .select(col("doc_id"), col("simhash16").as("fp"))
+    val banded = fps
+      .select(col("doc_id"), col("fp"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr("shiftright(fp, band * 4) & 15"))
+    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
+          col("doc_id").as("doc_b")),
+        col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
+      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .withColumn("hamming", expr("cast(bit_count(fp_a ^ fp_b) as bigint)"))
+      .filter(col("hamming") <= radius)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   def simhash64(tokensArr: Column): Column = {
     val bits = (0 until 64).map { j =>
       // vote_j = Σ_tokens (bit_j(hash) ? 1 : −1) > 0

@@ -60,6 +60,23 @@ class DedupSimSpec extends SparkSpec {
     assert(ham(1L, 3L) <= 16)
   }
 
+  test("simhash radius pairs: banded blocking is complete for r <= 3") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf001)
+    val got = graft.dedup.Dedup
+      .simhashPairsPortable(docs, "doc_id", "text", radius = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    // Brute-force ground truth over all fingerprint pairs.
+    val fps = graft.dedup.Dedup.simhash16Portable(docs, "doc_id", "text")
+      .select(col("doc_id"), col("simhash16"))
+      .as[(Long, Long)].collect()
+    val want = (for {
+      (ida, fa) <- fps; (idb, fb) <- fps
+      if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= 3
+    } yield (ida, idb)).toSet
+    assert(got === want) // complete AND exact — no false negatives from banding
+  }
+
   test("cosine similarity on known vectors") {
     val df = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),
