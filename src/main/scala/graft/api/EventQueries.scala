@@ -161,6 +161,28 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Time-series resample + gap-fill: per user, an hourly grid spanning
+    // their active range (sequence+explode — grid size bounded per key,
+    // never a global cross join), empty hours carry the last observed
+    // hourly value forward (LOCF window).
+    "e11_resample_locf" -> ((s, d) => {
+      val ev = events(s, d).select(
+        col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"), col("value"))
+      val hourly = ev.groupBy(col("user_id"), col("hr"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("hr_val"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("user_id", "hr"), "left")
+        .select(
+          col("user_id"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          round(last(col("hr_val"), ignoreNulls = true).over(w), 2).as("locf"))
+        .orderBy(col("user_id"), col("hr"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -276,6 +298,23 @@ object EventQueries {
         |   ORDER BY epoch_ms(o.o_orderdate) ASC, o.o_orderkey DESC
         |   LIMIT 1) AS next_order
         |FROM events e ORDER BY event_id""".stripMargin,
+
+    "e11_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ms(ts) // 3600000 AS hr, value FROM events),
+        |hourly AS (
+        |  SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n,
+        |    ROUND(SUM(value), 2) AS hr_val
+        |  FROM ev GROUP BY 1, 2),
+        |bounds AS (SELECT user_id, MIN(hr) AS mn, MAX(hr) AS mx FROM hourly GROUP BY 1),
+        |grid AS (SELECT user_id, UNNEST(generate_series(mn, mx)) AS hr FROM bounds),
+        |j AS (
+        |  SELECT g.user_id, g.hr, COALESCE(h.n, 0) AS n,
+        |    last_value(h.hr_val IGNORE NULLS) OVER (
+        |      PARTITION BY g.user_id ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS lv
+        |  FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.hr = g.hr)
+        |SELECT user_id, hr, n, ROUND(lv, 2) AS locf FROM j
+        |ORDER BY user_id, hr""".stripMargin,
 
     "e7_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
