@@ -22,6 +22,22 @@ class SinksSpec extends SparkSpec {
       "[15] [0.0036798701695717694]"))
   }
 
+  test("json-lines sink/source round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("sink_jsonl").toString
+    val docs = Tables.documents(spark, Sf001)
+      .select($"doc_id", $"text", $"n_chars")
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    // Schema imposed at read — never inferred (same rule as the csv scan:
+    // inference is a second full pass at 100 TB and can drift types).
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, n_chars LONG")
+      .json(s"$dir/docs")
+    assert(back.count() === docs.count())
+    val a = docs.orderBy("doc_id").collect()
+    val b = back.orderBy("doc_id").collect()
+    assert(a.sameElements(b))
+  }
+
   test("writeCsv round-trips with header") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dir = Files.createTempDirectory("sink_csv").toString
