@@ -83,6 +83,22 @@ object PipelineQueries {
       .select(col("doc_id"), TextFns.cleanText(col("text")).as("clean"))
       .orderBy(col("doc_id"))),
 
+    // Stratified deterministic sample — per-stratum quotas (the corpus
+    // language-balancing op): keep 50% of detected-English docs, 20% of
+    // everything else, keyed by an md5-derived uniform hash of doc_id so
+    // the draw is engine-independent, task-retry-stable, and exactly
+    // reproducible (cf. seeded sampleBy, which is none of those across
+    // engines).
+    "p6_stratified_portable" -> ((s, d) => {
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+      documents(s, d)
+        .withColumn("lang", TextFns.langId(col("text")))
+        .filter(when(col("lang") === "en", u < 50).otherwise(u < 20))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -207,6 +223,31 @@ object PipelineQueries {
     "t4_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p6_stratified_portable" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS BIGINT) AS score_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|las|de|y|en|que)\b')) AS BIGINT) AS score_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS BIGINT) AS score_de,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(le|la|les|et|des|est|un)\b')) AS BIGINT) AS score_fr
+        |  FROM documents),
+        |l AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN score_fr > GREATEST(score_en, score_es, score_de) THEN 'fr'
+        |      WHEN score_de > GREATEST(score_en, score_es) THEN 'de'
+        |      WHEN score_es > score_en THEN 'es'
+        |      ELSE 'en'
+        |    END AS lang
+        |  FROM s),
+        |u AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS u
+        |  FROM l)
+        |SELECT doc_id, lang FROM u
+        |WHERE (lang = 'en' AND u < 50) OR (lang <> 'en' AND u < 20)
+        |ORDER BY doc_id""".stripMargin,
 
     "t5_vocab" ->
       """SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM (
