@@ -166,8 +166,12 @@ object EventQueries {
     // never a global cross join), empty hours carry the last observed
     // hourly value forward (LOCF window).
     "e11_resample_locf" -> ((s, d) => {
+      // floor(), not `div`: Spark's `div` truncates toward zero while the
+      // DuckDB oracle's `//` floors — they diverge on pre-1970 timestamps.
       val ev = events(s, d).select(
-        col("user_id"), expr("unix_millis(ts) div 3600000").as("hr"), col("value"))
+        col("user_id"),
+        floor(unix_millis(col("ts")) / 3600000).cast("long").as("hr"),
+        col("value"))
       val hourly = ev.groupBy(col("user_id"), col("hr"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("hr_val"))
       val grid = hourly.groupBy(col("user_id"))

@@ -112,10 +112,10 @@ object PipelineQueries {
       Dedup.minhashLshPairs(documents(s, d), "doc_id", "text",
         n = 3, bands = 16, rowsPerBand = 4, threshold = JaccardThreshold)),
 
-    // SimHash 64-bit fingerprints (rows-only check; builtins only).
-    "d4_simhash" -> ((s, d) => documents(s, d)
-      .select(col("doc_id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("simhash"))
-      .orderBy(col("doc_id"))),
+    // SimHash 64-bit fingerprints (rows-only check; relational codegen
+    // shape — explode → hash → 64 combinable vote sums, no lambdas).
+    "d4_simhash" -> ((s, d) =>
+      Dedup.simhash64(documents(s, d), "doc_id", "text")),
 
     // Portable (md5-hash-family) MinHash-LSH — full SQL oracle, unlike the
     // xxhash64 production variant above.
@@ -135,9 +135,13 @@ object PipelineQueries {
     "d4c_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsPortable(documents(s, d), "doc_id", "text", radius = 1)),
 
-    // Embedding-cosine near-duplicate pairs (exact).
+    // Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
+    // (portable md5 plane family — reproduced verbatim in the oracle) with
+    // exact-cosine refine on candidates only. The all-pairs crossJoin
+    // baseline is test-only (DedupSimSpec recall spec) — it cannot finish
+    // at corpus scale.
     "d5_embedding_pairs" -> ((s, d) =>
-      Similarity.cosinePairs(vecs(s, d), CosineThreshold)),
+      Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)),
 
     // ---- similarity search ----
     // Brute-force exact ANN: first 10 vectors are the query set.
@@ -392,12 +396,42 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
+    // Mirrors cosinePairsLsh exactly: same md5 plane coefficients, same
+    // bucket assembly, same candidate join, same exact-cosine refine —
+    // the oracle recomputes the identical LSH candidate set, so the
+    // compare is hash-exact despite the approximate blocking.
     "d5_embedding_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= $CosineThreshold
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+        |    UNNEST(v) AS x
+        |  FROM e),
+        |idx AS (SELECT DISTINCT i FROM el),
+        |pl AS (SELECT UNNEST(generate_series(0, 47)) AS p),
+        |coefs AS (
+        |  SELECT i, p,
+        |    ((CAST('0x' || substr(md5('plane:' || p || ':' || i), 1, 15) AS BIGINT)
+        |      % 2000001) - 1000000) / 1000000.0 AS c
+        |  FROM idx CROSS JOIN pl),
+        |dots AS (
+        |  SELECT el.vec_id, coefs.p, SUM(el.x * coefs.c) AS dot
+        |  FROM el JOIN coefs ON el.i = coefs.i
+        |  GROUP BY 1, 2),
+        |buckets AS (
+        |  SELECT vec_id, CAST(p // 6 AS INT) AS tbl,
+        |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT))
+        |      ELSE CAST(0 AS BIGINT) END) AS bucket
+        |  FROM dots GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM buckets a JOIN buckets b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
+        |  ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        |FROM cand c
+        |JOIN e ea ON ea.vec_id = c.vec_a
+        |JOIN e eb ON eb.vec_id = c.vec_b
+        |WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
 
     "n1_ann_brute" ->

@@ -206,11 +206,36 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** 64-bit SimHash of a token array, builtins only: per-bit majority vote
-    * over token hashes, assembled as a sum of bit columns. The 64 vote
-    * expressions all feed one aggregate-free projection — wide but fully
-    * whole-stage-codegen'd.
+  /** Production 64-bit SimHash per document, relational codegen shape
+    * (same discipline as [[simhash16Portable]]): explode tokens →
+    * codegen'd xxhash64 → 64 conditional ±1 vote sums in ONE hash
+    * aggregation → bit assembly. The earlier array higher-order
+    * formulation (`transform`/`aggregate` lambdas) was CodegenFallback —
+    * interpreted per row per bit; this shape stays inside whole-stage
+    * codegen and its 64 sums are map-side combinable. Token multiplicity
+    * is preserved (explode, no distinct), so fingerprints are identical
+    * to the lambda form's; a document with a null token array keeps its
+    * row (explode_outer) with the all-zero-vote fingerprint 0.
     */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode_outer(TextFns.tokens(col(textCol))).as("t"))
+    val h = xxhash64(col("t"))
+    val votes = (0 until 64).map { j =>
+      sum(when(col("t").isNull, 0)
+        .when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val fp = (0 until 64).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    toks.groupBy(col("doc_id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash near-duplicate PAIRS within Hamming radius `r` — production
     * simhash dedup shape: band the 16-bit portable fingerprint into 4
     * nibbles; by pigeonhole any pair with ≤3 differing bits agrees exactly
@@ -242,18 +267,6 @@ object Dedup {
       .filter(col("hamming") <= radius)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
-
-  def simhash64(tokensArr: Column): Column = {
-    val bits = (0 until 64).map { j =>
-      // vote_j = Σ_tokens (bit_j(hash) ? 1 : −1) > 0
-      val vote = aggregate(
-        transform(tokensArr,
-          t => when(shiftright(xxhash64(t), j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)),
-        lit(0), (acc, v) => acc + v)
-      when(vote > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
   }
 
   /** Hamming distance between two simhashes (builtin bit_count of xor). */

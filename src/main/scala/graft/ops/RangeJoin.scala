@@ -30,11 +30,18 @@ object RangeJoin {
       rOrd: String,
       band: Long): DataFrame = {
     require(band > 0)
+    // Exact integer floor division: long `/` in Spark SQL divides as
+    // DOUBLE, which mis-bins ordinals beyond 2^53 (epoch NANOS, say) so
+    // probe and build bins can disagree while the residual band predicate
+    // holds — silently dropping matching pairs. decimal(38,0) division
+    // keeps full precision; floor then handles negatives correctly.
+    def bin(c: org.apache.spark.sql.Column) =
+      floor(c.cast("decimal(38,0)") / band).cast("long")
     // A right row in (t, t+band] lives in the probe row's own bin or the
     // next one; replicating the LEFT side keeps the build side unskewed.
     val probe = left.withColumn("graft_bin",
-      explode(array(floor(col(lOrd) / band), floor(col(lOrd) / band) + 1)))
-    val build = right.withColumn("graft_bin", floor(col(rOrd) / band))
+      explode(array(bin(col(lOrd)), bin(col(lOrd)) + 1)))
+    val build = right.withColumn("graft_bin", bin(col(rOrd)))
     probe.join(build,
         probe("graft_bin") === build("graft_bin") &&
           probe(key) === build(key) &&

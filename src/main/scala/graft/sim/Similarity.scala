@@ -57,6 +57,60 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Pseudo-random hyperplane coefficient in [−1, 1] for (plane `p`,
+    * element index `i`) — xxhash64-derived: fast, codegen'd, the
+    * production hash family.
+    */
+  private def xxCoef(p: Int, i: Column): Column =
+    (pmod(xxhash64(lit("plane"), lit(p), i), lit(2000001L)).cast("double")
+      - lit(1000000.0)) / lit(1000000.0)
+
+  /** Portable twin of [[xxCoef]]: md5-derived, reproducible in any engine
+    * with md5 (same trick as the portable MinHash family) — this is what
+    * lets the LSH-blocked near-dup pair op carry a full DuckDB oracle.
+    * Formula: int(md5("plane:p:i")[0:15]) % 2000001 → uniform in
+    * [0, 2000000] → affine to [−1, 1].
+    */
+  private def mdCoef(p: Int, i: Column): Column =
+    ((conv(substring(md5(concat_ws(":", lit("plane"), lit(p.toString), i.cast("string"))),
+      1, 15), 16, 10).cast("long") % 2000001L).cast("double")
+      - 1000000.0) / 1000000.0
+
+  /** Hyperplane-LSH bucket assignment: (vec_id, tbl, bucket) with one row
+    * per (vector, table). Single-pass relational shape: element rows join
+    * a BROADCAST per-index coefficient array (planes·tables values per
+    * dimension — built lazily from the distinct element indices, so no
+    * driver action and no assumption about dim), then ONE hash aggregation
+    * computes all planes·tables dot products as map-side-combinable sums.
+    * This replaces the earlier ×(planes·tables) row explosion — same
+    * buckets (identical coefficient formula), 1/32nd of the shuffled rows.
+    */
+  private def hyperplaneBuckets(
+      vectors: DataFrame,
+      planes: Int,
+      tables: Int,
+      coef: (Int, Column) => Column): DataFrame = {
+    val tp = tables * planes
+    val el = vectors.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val coefs = el.select(col("i")).distinct()
+      .select(col("i"), array((0 until tp).map(p => coef(p, col("i"))): _*).as("carr"))
+    val dotCols = (0 until tp).map(p =>
+      sum(col("x") * element_at(col("carr"), p + 1)).as(s"dot$p"))
+    val dots = el.join(broadcast(coefs), "i")
+      .groupBy(col("vec_id"))
+      .agg(dotCols.head, dotCols.tail: _*)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until planes).map { j =>
+        when(col(s"dot${t * planes + j}") >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$t")
+    }
+    dots.select((col("vec_id") +: bucketCols): _*)
+      .select(col("vec_id"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"), col(s"b$t").as("bucket"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.tbl").as("tbl"), col("e.bucket").as("bucket"))
+  }
+
   /** LSH-bucketed ANN: candidates are only compared within the same
     * hyperplane bucket — per-bucket shuffle join instead of a cartesian.
     * Recall is amplified with `tables` independent hash tables (standard
@@ -69,25 +123,7 @@ object Similarity {
       planes: Int,
       tables: Int,
       k: Int): DataFrame = {
-    // Relational bucket computation (posexplode → codegen'd hash/arith →
-    // two hash-aggregations) instead of per-row higher-order lambdas,
-    // which are CodegenFallback: one (vec, dim, plane) row per term, dot
-    // products and bit-assembly as map-side-combinable sums.
-    val el = vectors.select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
-    val terms = el
-      .select(col("vec_id"), col("i"), col("x"),
-        explode(sequence(lit(0), lit(tables * planes - 1))).as("p"))
-      .select(col("vec_id"), col("p"),
-        (col("x") *
-          ((pmod(xxhash64(lit("plane"), col("p"), col("i")), lit(2000001L)).cast("double")
-            - lit(1000000.0)) / lit(1000000.0))).as("term"))
-    val dots = terms.groupBy(col("vec_id"), col("p")).agg(sum(col("term")).as("dot"))
-    val bitValue = (0 until planes).foldLeft(lit(0L)) { (acc, j) =>
-      when(pmod(col("p"), lit(planes)) === j, lit(1L << j)).otherwise(acc)
-    }
-    val bucketed = dots
-      .groupBy(col("vec_id"), floor(col("p") / planes).cast("int").as("tbl"))
-      .agg(sum(when(col("dot") >= 0, bitValue).otherwise(lit(0L))).as("bucket"))
+    val bucketed = hyperplaneBuckets(vectors, planes, tables, xxCoef)
       .join(vectors, "vec_id")
     val a = bucketed.select(
       col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
@@ -148,8 +184,44 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Production embedding near-duplicate pairs: hyperplane-LSH blocking
+    * (portable md5 hash family) + exact-cosine refine on candidates only.
+    * A pair is compared iff it collides in ≥1 of `tables` hash tables —
+    * per-(table, bucket) equi-join, never a cartesian; work scales with
+    * Σ_buckets |bucket|², tunable via `planes` (≈ log₂ N keeps buckets
+    * constant-sized as the corpus grows). Output is the LSH-candidate
+    * subset of [[cosinePairs]] with exact (rounded) cosines: deterministic,
+    * and — because the hash family is md5-portable — reproducible verbatim
+    * in DuckDB, so the query carries a full hash-checked oracle. Recall on
+    * true near-dups (cos ≥ 0.9) is asserted in ScalaTest against the
+    * all-pairs baseline.
+    */
+  def cosinePairsLsh(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      threshold: Double,
+      planes: Int,
+      tables: Int): DataFrame = {
+    val tb = hyperplaneBuckets(vectors, planes, tables, mdCoef)
+    val candidates = tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
+      .join(tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
+          col("vec_id").as("vec_b")),
+        col("tbl") === col("tbl_b") && col("bucket") === col("bucket_b") &&
+          col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    candidates
+      .join(vectors.select(col("vec_id").as("vec_a"), col("v").as("va")), "vec_a")
+      .join(vectors.select(col("vec_id").as("vec_b"), col("v").as("vb")), "vec_b")
+      .withColumn("cos_raw", cosine(col("va"), col("vb")))
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cosine"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** All near-duplicate pairs by exact cosine ≥ threshold (id_a < id_b).
-    * Quadratic — correctness baseline for the LSH path.
+    * Quadratic all-pairs crossJoin — TEST-ONLY ground truth for
+    * [[cosinePairsLsh]]'s recall spec; never ship this shape as a
+    * production operator (it cannot finish at corpus scale).
     */
   def cosinePairs(vectors: DataFrame, threshold: Double): DataFrame = {
     val a = vectors.select(col("vec_id").as("vec_a"), col("v").as("va"))

@@ -122,9 +122,10 @@ object Streams {
   def dedupByKey(
       stream: DataFrame,
       keys: Seq[String],
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour",
+      tsCol: String = "ts"): DataFrame =
     stream
-      .withWatermark("ts", watermark)
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
   /** Stream-stream banded interval join — streaming twin of the batch

@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.sim.Similarity
-import graft.text.TextFns
 
 /** Dedup / similarity semantics on small fixtures + recall of the
   * approximate (LSH) paths against their exact baselines on sf0.001.
@@ -51,8 +50,7 @@ class DedupSimSpec extends SparkSpec {
       (3L, "the quick brown fox jumps over the lazy cat again and again"),
       (4L, "completely unrelated words about spark catalyst optimizer internals")
     ).toDF("doc_id", "text")
-    val m = docs
-      .select(col("doc_id"), Dedup.simhash64(TextFns.tokens(col("text"))).as("h"))
+    val m = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(m(a) ^ m(b))
     assert(ham(1L, 2L) == 0)
@@ -107,6 +105,28 @@ class DedupSimSpec extends SparkSpec {
     // fraction of the exact top-5 to collide in at least one table.
     val overlap = lsh.intersect(brute).size.toDouble / brute.size
     assert(overlap > 0.4, s"overlap=$overlap")
+  }
+
+  test("embedding near-dup LSH: exact subset + recall ≥ 0.9 on true near-dups") {
+    // Synthetic corpus with PLANTED near-duplicates (perturbed copies,
+    // cos ≈ 0.999) — the population a production near-dup op must find.
+    // The all-pairs crossJoin baseline is the test-only ground truth.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(16)(rnd.nextGaussian())
+    val bases = (0L until 100L).map(i => (i, vec()))
+    val dups = bases.take(40).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.05 * rnd.nextGaussian()))
+    }
+    val df = (bases ++ dups).toDF("vec_id", "v")
+    val exact = Similarity.cosinePairs(df, 0.9).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val lsh = Similarity.cosinePairsLsh(df, 0.9, planes = 6, tables = 8).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(lsh.keySet.subsetOf(exact.keySet), "LSH output must be exact-refined subset")
+    lsh.foreach { case (k, c) => assert(math.abs(c - exact(k)) < 1e-12) }
+    assert(exact.size >= 40, s"planted dups missing from ground truth: ${exact.size}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${lsh.size}/${exact.size})")
   }
 
   test("media feature extraction is deterministic and typed") {
