@@ -24,7 +24,12 @@ import org.apache.spark.storage.StorageLevel
   *  - lineage is truncated per iteration via `localCheckpoint`, otherwise
   *    plan depth grows linearly with iterations and analysis dominates;
   *  - only two scalar aggregates per iteration cross to the driver
-  *    (lost-mass sum and L1 delta — `pageRank.py:133,137-139`).
+  *    (lost-mass sum and L1 delta — `pageRank.py:133,137-139`);
+  *  - loop shuffles are sized to the GRAPH, not the session: on toy
+  *    graphs the session-wide partition count schedules thousands of
+  *    mostly-empty tasks across the iterations, and per-iteration driver
+  *    latency — not compute — becomes the whole cost (see
+  *    [[loopPartitions]] / [[withLoopConf]]).
   */
 object PageRank {
 
@@ -65,12 +70,53 @@ object PageRank {
   /** Loop-invariant relations, persisted once and shared across runs —
     * the optimization SURVEY §2.9/I2 notes the reference misses (it
     * reloads + re-stripes per β, README.md:273-283). `linked` carries each
-    * edge with its source's out-degree, hash-partitioned by `src`, so
-    * every iteration of every sweep member is a single equi join + keyed
-    * sum over already-placed data.
+    * edge with its source's out-degree, hash-partitioned by `src` into
+    * `parts` partitions, so every iteration of every sweep member is a
+    * single equi join + keyed sum over already-placed data. `parts` is
+    * sized to the EDGE count (see [[loopPartitions]]) and recorded here so
+    * the iteration loops can pin `spark.sql.shuffle.partitions` to the
+    * same value — the persisted partitioning then satisfies every
+    * per-iteration join's required distribution with zero re-exchange.
     */
-  final case class PreparedGraph(verts: DataFrame, linked: DataFrame, n: Long) {
+  final case class PreparedGraph(verts: DataFrame, linked: DataFrame, n: Long, parts: Int) {
     def unpersist(): Unit = { linked.unpersist(); verts.unpersist(); () }
+  }
+
+  /** Shuffle-partition count for the iteration loop: ~one partition per
+    * `EdgesPerPartition` edges, capped at the session's configured
+    * `spark.sql.shuffle.partitions`. On a toy graph (WikiData: ~103k
+    * edges; the sf0.1 lineitem graph: ~240k) the session default means
+    * every per-iteration shuffle schedules 32+ mostly-empty tasks × ~4
+    * stages × 2 jobs × 13 iterations — thousands of no-op tasks whose
+    * scheduling latency dominates the loop at small |E|. At cluster scale
+    * |E|/EdgesPerPartition exceeds the session cap and this is a no-op.
+    */
+  private val EdgesPerPartition = 250000L
+
+  private def loopPartitions(spark: SparkSession, edgeCount: Long): Int = {
+    val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(1L, math.min(session.toLong,
+      (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
+  }
+
+  /** Run `body` with the loop's shuffle sizing: `parts` shuffle partitions
+    * and AQE OFF. AQE's per-stage materialize-and-replan round trips add
+    * driver latency to every one of the loop's ~26 jobs, and its shuffle
+    * coalescing can move a stage away from the persisted `linked`
+    * partitioning (forcing a re-exchange); the loop's shapes are fully
+    * known up front, so adaptive planning buys nothing here. Confs are
+    * restored even on failure.
+    */
+  private def withLoopConf[T](spark: SparkSession, parts: Int)(body: => T): T = {
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try body
+    finally {
+      spark.conf.set("spark.sql.shuffle.partitions", oldParts)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
   }
 
   /** Build and materialize the loop invariants. The caller's edge pipeline
@@ -79,18 +125,23 @@ object PageRank {
     * in place).
     */
   def prepare(edges: DataFrame): PreparedGraph = {
+    val spark = edges.sparkSession
     val callerCached = edges.storageLevel != StorageLevel.NONE
     val e = if (callerCached) edges else edges.persist(StorageLevel.MEMORY_AND_DISK)
-    val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = verts.count()
-    val linked = e
-      .join(outDegrees(e), "src")
-      .select(col("src"), col("dst"), col("out_degree"))
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (n > 0) linked.count() // materialize while e is cached
-    if (!callerCached) e.unpersist()
-    PreparedGraph(verts, linked, n)
+    val m = e.count() // materializes the cache; sizes the loop shuffles
+    val parts = loopPartitions(spark, m)
+    withLoopConf(spark, parts) {
+      val verts = vertices(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = verts.count()
+      val linked = e
+        .join(outDegrees(e), "src")
+        .select(col("src"), col("dst"), col("out_degree"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (n > 0) linked.count() // materialize while e is cached
+      if (!callerCached) e.unpersist()
+      PreparedGraph(verts, linked, n, parts)
+    }
   }
 
   /** Join strategy for the per-iteration vertex-sized side (ranks /
@@ -125,56 +176,59 @@ object PageRank {
 
   /** [[run]] over pre-built invariants (sweep callers prepare once). */
   def runOn(spark: SparkSession, g: PreparedGraph, params: Params = Params()): RankResult = {
-    val PreparedGraph(verts, linked, n) = g
+    val PreparedGraph(verts, linked, n, parts) = g
     if (n == 0) {
       // Degenerate input: empty result, not a crash (reference divides 1/0
       // at pageRank.py:69).
       return RankResult(verts.withColumn("rank", lit(0.0)), 0, 0.0)
     }
 
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    // The checkpoint backing the current `ranks` projection; freed once the
-    // next iteration's checkpoint is materialized.
-    var backing = ranks
-    var iter = 0
-    var deltaVal = Double.MaxValue
-    while (deltaVal > params.delta && iter < params.maxIter) {
-      // J2 + F1 + A4: contributions summed by dst (rank side broadcast
-      // when |V| permits — the edge relation never moves).
-      val contribs = linked
-        .join(vertexSide(ranks, n), linked("src") === ranks("id"))
-        .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w")).as("c"))
-      // Keep old rank alongside the new pre-normalization mass. LAZY local
-      // checkpoint: the lost-mass aggregate below is the first action, so
-      // one job both computes the iteration and materializes the
-      // checkpoint (2 driver jobs per iteration total).
-      val merged = ranks
-        .join(vertexSide(contribs, n), ranks("id") === contribs("dst"), "left")
-        .select(
-          col("id"),
-          col("rank").as("old_rank"),
-          (coalesce(col("c"), lit(0.0)) * params.beta).as("pre"))
-        .localCheckpoint(false)
-      // A5: lost mass (dead ends + teleport) folded back uniformly (A6).
-      val s = merged.agg(sum(col("pre"))).first().getDouble(0)
-      val corr = (1.0 - s) / n
-      // A7: global L1 delta drives convergence.
-      deltaVal = merged
-        .agg(sum(abs(col("pre") + lit(corr) - col("old_rank"))))
-        .first().getDouble(0)
-      // Next ranks are a lazy projection over the ALREADY-checkpointed
-      // merge — lineage stays one level deep without a second checkpoint
-      // job per iteration. Free the previous iteration's checkpoint blocks
-      // now that this one is materialized (Dataset.unpersist is a no-op
-      // for local checkpoints — it only clears CacheManager entries).
-      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(backing)
-      backing = merged
-      ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
-      iter += 1
+    withLoopConf(spark, parts) {
+      var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      // The checkpoint backing the current `ranks` projection; freed once
+      // the next iteration's checkpoint is materialized.
+      var backing = ranks
+      var iter = 0
+      var deltaVal = Double.MaxValue
+      while (deltaVal > params.delta && iter < params.maxIter) {
+        // J2 + F1 + A4: contributions summed by dst (rank side broadcast
+        // when |V| permits — the edge relation never moves).
+        val contribs = linked
+          .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+          .groupBy(col("dst"))
+          .agg(sum(col("w")).as("c"))
+        // Keep old rank alongside the new pre-normalization mass. LAZY
+        // local checkpoint: the lost-mass aggregate below is the first
+        // action, so one job both computes the iteration and materializes
+        // the checkpoint (2 driver jobs per iteration total).
+        val merged = ranks
+          .join(vertexSide(contribs, n), ranks("id") === contribs("dst"), "left")
+          .select(
+            col("id"),
+            col("rank").as("old_rank"),
+            (coalesce(col("c"), lit(0.0)) * params.beta).as("pre"))
+          .localCheckpoint(false)
+        // A5: lost mass (dead ends + teleport) folded back uniformly (A6).
+        val s = merged.agg(sum(col("pre"))).first().getDouble(0)
+        val corr = (1.0 - s) / n
+        // A7: global L1 delta drives convergence.
+        deltaVal = merged
+          .agg(sum(abs(col("pre") + lit(corr) - col("old_rank"))))
+          .first().getDouble(0)
+        // Next ranks are a lazy projection over the ALREADY-checkpointed
+        // merge — lineage stays one level deep without a second checkpoint
+        // job per iteration. Free the previous iteration's checkpoint
+        // blocks now that this one is materialized (Dataset.unpersist is a
+        // no-op for local checkpoints — it only clears CacheManager
+        // entries).
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(backing)
+        backing = merged
+        ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
+        iter += 1
+      }
+      RankResult(ranks, iter, deltaVal)
     }
-    RankResult(ranks, iter, deltaVal)
   }
 
   /** Fixed-iteration PageRank with the explicit-teleport formula
@@ -201,27 +255,29 @@ object PageRank {
       g: PreparedGraph,
       beta: Double,
       iterations: Int): DataFrame = {
-    val PreparedGraph(verts, linked, n) = g
+    val PreparedGraph(verts, linked, n, parts) = g
     if (n == 0) return verts.withColumn("rank", lit(0.0))
-    var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-    var i = 0
-    while (i < iterations) {
-      val contribs = linked
-        .join(vertexSide(ranks, n), linked("src") === ranks("id"))
-        .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
-        .groupBy(col("dst"))
-        .agg(sum(col("w")).as("c"))
-      val next = verts
-        .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
-        .select(
-          verts("id"),
-          (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
-      val prev = ranks
-      ranks = next.localCheckpoint(true)
-      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
-      i += 1
+    withLoopConf(spark, parts) {
+      var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+      var i = 0
+      while (i < iterations) {
+        val contribs = linked
+          .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+          .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+          .groupBy(col("dst"))
+          .agg(sum(col("w")).as("c"))
+        val next = verts
+          .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
+          .select(
+            verts("id"),
+            (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
+        val prev = ranks
+        ranks = next.localCheckpoint(true)
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
+        i += 1
+      }
+      ranks
     }
-    ranks
   }
 
   /** O3+O4: top-k pages by score, ties broken by id — Catalyst plans this

@@ -133,6 +133,44 @@ class StreamsSpec extends SparkSpec {
     assert(got(3L) === 3.0)
   }
 
+  test("streaming exact dedup over sf0.01 documents matches batch d1 (scale parity)") {
+    // File-source stream over the real documents table, staged TWICE into
+    // the source directory so every content hash arrives (at least) twice
+    // — the streaming twin of d1_dedup_exact at data scale, not a toy
+    // fixture. Event time is synthesized from doc_id (the table has no
+    // timestamp column), offset 1h past epoch: a ts exactly AT the
+    // initial watermark (epoch 0) is classed late and silently dropped.
+    // All rows sit inside one watermark horizon, so the op must emit
+    // exactly one representative per distinct content hash.
+    val dir = java.nio.file.Files.createTempDirectory("docs_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf01/documents.parquet"),
+      dir.resolve("documents_a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf01/documents.parquet"),
+      dir.resolve("documents_b.parquet"))
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .parquet(dir.toString)
+      .withColumn("h", md5(col("text")))
+      .withColumn("ts", expr("timestamp_micros(doc_id + 3600000000)"))
+    val q = Streams.dedupByKey(stream, Seq("h"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("docs_dedup")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("docs_dedup")
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val batch = graft.dedup.Dedup.exact(
+        Tables.documents(spark, Sf01), "doc_id", "text")
+      .as[(String, Long, Long)].collect()
+    // one surviving row per distinct hash (every hash arrived >= twice),
+    // hash set identical to the batch dedup's
+    assert(got.values.forall(_ == 1L), "streaming dedup emitted a duplicate")
+    assert(got.keySet === batch.map(_._1).toSet)
+  }
+
   test("stream-stream band join matches batch RangeJoin pairs") {
     implicit val sqlCtx = spark.sqlContext
     // Covers: tie (1,2 same ts — strictly-after excludes), in-band pairs,
