@@ -99,9 +99,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition/quality filters (distinct-token fraction,
+    // top-token fraction, mean word length, duplicate-bigram fraction).
+    "t9_quality_gopher" -> ((s, d) =>
+      TextFns.gopherQuality(documents(s, d), "doc_id", "text")),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
+
+    // Benchmark decontamination: training docs (doc_id % 25 != 0) sharing
+    // a word 4-gram with the held-out benchmark subset (doc_id % 25 == 0).
+    // Benchmark shingles broadcast — the corpus side never shuffles.
+    "d6_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contamination(
+        docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+        "doc_id", "text", n = 4)
+    }),
 
     "d2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text", n = 3,
@@ -288,6 +304,56 @@ object PipelineQueries {
         |SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
         |  ROUND(unnest(v) / nrm, 6) AS u
         |FROM n ORDER BY vec_id, i""".stripMargin,
+
+    "t9_quality_gopher" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, arr[i] AS t
+        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+        |bi AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+        |  FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2),
+        |a1 AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd,
+        |    SUM(length(t)) AS sl
+        |  FROM tok GROUP BY 1),
+        |tc AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |a2 AS (
+        |  SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nbd
+        |  FROM bi GROUP BY 1)
+        |SELECT a1.doc_id AS doc_id,
+        |  CAST(a1.n AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(a1.nd AS DOUBLE) / a1.n, 6) AS distinct_frac,
+        |  ROUND(CAST(tc.top_c AS DOUBLE) / a1.n, 6) AS top_tok_frac,
+        |  ROUND(CAST(a1.sl AS DOUBLE) / a1.n, 4) AS mean_word_len,
+        |  CASE WHEN a2.nb IS NULL THEN 0.0
+        |    ELSE ROUND(1.0 - CAST(a2.nbd AS DOUBLE) / a2.nb, 6) END
+        |    AS dup_bigram_frac
+        |FROM a1
+        |JOIN tc ON a1.doc_id = tc.doc_id
+        |LEFT JOIN a2 ON a1.doc_id = a2.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "d6_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 25 = 0),
+        |train AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM train JOIN bench USING (s)
+        |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin,
 
     "d1_dedup_exact" ->
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,

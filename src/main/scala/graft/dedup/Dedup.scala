@@ -269,6 +269,31 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Benchmark-decontamination report: which training documents share at
+    * least one word n-gram with a held-out benchmark document (the
+    * standard test-set-leakage check run before LLM training). Output:
+    * (train_id, bench_id, n_shared) for every contaminated pair.
+    *
+    * Scale shape: the BENCHMARK side is tiny relative to a 100 TB corpus
+    * (a benchmark suite is ~10⁶ shingles), so its shingle index is
+    * broadcast — the corpus streams through a broadcast hash join with
+    * ZERO shuffle of training data; work ∝ co-occurring shingles, never
+    * |train|×|bench|.
+    */
+  def contamination(
+      train: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, n: Int): DataFrame = {
+    val trainSh = shingleIndex(train, idCol, textCol, n)
+      .select(col("id").as("train_id"), col("s"))
+    val benchSh = shingleIndex(bench, idCol, textCol, n)
+      .select(col("id").as("bench_id"), col("s"))
+    trainSh
+      .join(broadcast(benchSh), "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("train_id"), col("bench_id"))
+  }
+
   /** Hamming distance between two simhashes (builtin bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

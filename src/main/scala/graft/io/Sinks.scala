@@ -26,6 +26,31 @@ object Sinks {
     (if (single) df.coalesce(1) else df)
       .write.mode("overwrite").option("header", "true").csv(path)
 
+  /** Hive-layout partitioned parquet sink: one directory per distinct
+    * value combination of `partitionCols` (`lang=en/part-*.parquet`).
+    * THE layout for a 100 TB corpus carved by a low-cardinality column
+    * (language, source, date): a reader filtering on a partition column
+    * prunes whole directories at planning time — the scan never opens
+    * non-matching files (see `readPruned` / SinksSpec's plan assertion).
+    * Keep partition columns low-cardinality: one dir (and ≥1 file) per
+    * value; partitioning by a high-cardinality key produces the classic
+    * small-files failure mode.
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
+  /** Read back a partitioned layout with a partition-column predicate.
+    * The filter lands in the scan's `PartitionFilters` (not just
+    * `PushedFilters`): pruning happens against the directory listing
+    * before any file is opened.
+    */
+  def readPruned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      partitionCol: String,
+      value: String): DataFrame =
+    spark.read.parquet(path).filter(col(partitionCol) === value)
+
   /** S5: the UI's base64 `data:` download href
     * (streamlit-pagerank.py:220-229) — presentation-layer encoding of a
     * (small, result-sized) table; collects, so never for scan-sized data.

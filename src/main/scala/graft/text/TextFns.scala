@@ -1,7 +1,8 @@
 package graft.text
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Column-level text analysis building blocks for large-scale training-data
   * pipelines: tokenization, quality signals, language-ID heuristics,
@@ -89,4 +90,50 @@ object TextFns {
 
   /** Content fingerprint: md5 of the normalized text. */
   def fingerprint(text: Column): Column = md5(normText(text))
+
+  /** Gopher-style repetition/quality signals per document (the filter
+    * family from the Gopher/MassiveText data pipeline, adapted to
+    * token-level text): distinct-token fraction, most-common-token
+    * fraction, mean word length, duplicate-bigram fraction. Low
+    * distinct_frac / high top_tok_frac / high dup_bigram_frac mark the
+    * degenerate repetitive documents those pipelines drop.
+    *
+    * Relational codegen shape: one explode, two hash aggregations and a
+    * per-key window — all map-side-combinable or key-local; no lambdas,
+    * no per-row interpretation, scans once at corpus scale.
+    */
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val base = toks.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("n_distinct"),
+      sum(length(col("t"))).as("sum_len"))
+    val topTok = toks.groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_c"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bigrams = toks
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), lead(col("t"), 1).over(w)).as("bg"),
+        lead(col("t"), 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("n_bi"),
+        countDistinct(col("bg")).as("n_bi_distinct"))
+    base
+      .join(topTok, "doc_id")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_frac"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6).as("top_tok_frac"),
+        round(col("sum_len").cast("double") / col("n_tokens"), 4).as("mean_word_len"),
+        when(col("n_bi").isNull, lit(0.0)) // single-token doc: no bigrams
+          .otherwise(round(lit(1.0) - col("n_bi_distinct").cast("double") / col("n_bi"), 6))
+          .as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -75,6 +75,43 @@ class DedupSimSpec extends SparkSpec {
     assert(got === want) // complete AND exact — no false negatives from banding
   }
 
+  test("gopher quality metrics on crafted repetition fixtures") {
+    val docs = Seq(
+      (1L, "a a a a"), // fully repetitive
+      (2L, "x y z"), // fully distinct
+      (3L, "q") // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val m = graft.text.TextFns.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(m(1L) == ((4L, 0.25, 1.0, 1.0, 0.666667))) // 3 bigrams, 1 distinct
+    assert(m(2L) == ((3L, 1.0, 0.333333, 1.0, 0.0)))
+    assert(m(3L) == ((1L, 1.0, 1.0, 1.0, 0.0)))
+  }
+
+  test("contamination flags only train docs sharing an n-gram with bench") {
+    val bench = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "something about the quick brown fox appearing"), // shares 4-gram
+      (2L, "entirely unrelated training content here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, bench, "doc_id", "text", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 100L, 1L))) // exactly "the quick brown fox"
+  }
+
+  test("contamination plans a broadcast of the benchmark side") {
+    val docs = Tables.documents(spark, Sf001)
+    val df = Dedup.contamination(
+      docs.filter(pmod(col("doc_id"), lit(25)) =!= 0),
+      docs.filter(pmod(col("doc_id"), lit(25)) === 0),
+      "doc_id", "text", n = 4)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"benchmark shingles must broadcast — corpus side never shuffles:\n$plan")
+  }
+
   test("cosine similarity on known vectors") {
     val df = Seq(
       (Array(1.0, 0.0), Array(1.0, 0.0), 1.0),

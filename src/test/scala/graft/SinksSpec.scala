@@ -38,6 +38,41 @@ class SinksSpec extends SparkSpec {
     assert(a.sameElements(b))
   }
 
+  test("partitioned parquet sink prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("sink_part").toString
+    val docs = Tables.documents(spark, Sf01)
+      .select($"doc_id", $"text", $"lang")
+    Sinks.writePartitioned(docs, s"$dir/docs", "lang")
+    // Hive layout on disk: one directory per language.
+    val subdirs = Files.list(Paths.get(s"$dir/docs")).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("lang=")).toSet
+    val langs = docs.select("lang").distinct().as[String].collect().toSet
+    assert(subdirs == langs.map(l => s"lang=$l"))
+
+    val pruned = Sinks.readPruned(spark, s"$dir/docs", "lang", "en")
+    // Correctness: identical rows to the filtered original.
+    assert(pruned.count() === docs.filter($"lang" === "en").count())
+    // Plan: the predicate must appear as a PartitionFilter (directory-level
+    // pruning before any file opens), not merely a pushed data filter.
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s", "").contains("PartitionFilters:[isnotnull(lang"),
+      s"partition filter missing from plan:\n$plan")
+  }
+
+  test("orc sink/source round-trips with explicit schema") {
+    val dir = Files.createTempDirectory("sink_orc").toString
+    val docs = Tables.documents(spark, Sf001)
+      .select($"doc_id", $"text", $"n_chars")
+    docs.write.mode("overwrite").orc(s"$dir/docs")
+    val back = spark.read
+      .schema("doc_id LONG, text STRING, n_chars LONG")
+      .orc(s"$dir/docs")
+    assert(back.count() === docs.count())
+    assert(back.orderBy("doc_id").collect()
+      .sameElements(docs.orderBy("doc_id").collect()))
+  }
+
   test("writeCsv round-trips with header") {
     val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val dir = Files.createTempDirectory("sink_csv").toString
