@@ -38,7 +38,9 @@ object Bench {
     "e10_range_join",
     "e11_resample_locf",
     "t2_quality_score",
+    "t9_quality_gopher",
     "d1_dedup_exact",
+    "d6_decontaminate",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
     "d4_simhash",

@@ -13,7 +13,8 @@ object PlanAudit {
       else Seq("s1_scan_project", "p5_member_filter", "j3_join_chain",
         "o4_topk", "a4_keyed_sum", "n1_ann_brute", "d3_minhash_lsh",
         "e2_sessionize", "g2_induced_subgraph", "e10_range_join",
-        "w2_analytics_window", "a12_quantiles")
+        "w2_analytics_window", "a12_quantiles", "d5_embedding_pairs",
+        "d6_decontaminate", "t9_quality_gopher")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
