@@ -32,6 +32,18 @@ class PageRankSpec extends SparkSpec {
     assert(m(3L) > m(2L) && m(2L) > m(1L))
   }
 
+  test("loop conf (shuffle partitions, AQE) is restored after a run") {
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    PageRank.run(spark, edges((1L, 2L), (2L, 1L)))
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == beforeParts)
+    assert(spark.conf.get("spark.sql.adaptive.enabled") == beforeAqe)
+    // the tiny graph must have run with graph-sized (1-partition) shuffles
+    val g = PageRank.prepare(edges((1L, 2L), (2L, 1L)))
+    try assert(g.parts == 1)
+    finally g.unpersist()
+  }
+
   test("spider trap does not absorb all mass") {
     val res = PageRank.run(spark, edges((1L, 2L), (2L, 3L), (3L, 2L)))
     val m = rankMap(res.ranks)
