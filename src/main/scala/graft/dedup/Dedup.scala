@@ -88,21 +88,27 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    // Fully relational (explode × seeds → codegen'd xxhash64 → hash-agg
-    // minima): the array higher-order formulation (transform/array_min)
-    // falls out of whole-stage codegen, this shape stays inside it.
+    // Fully relational AND single-pass: ONE hash aggregation computes all
+    // `numHashes` signature minima as combinable agg columns — no
+    // ×numHashes row explosion, no second shuffle, no collect_list (the
+    // same shape as Similarity's hyperplane buckets; the array
+    // higher-order formulation would be CodegenFallback, the exploded one
+    // multiplies shuffled rows by the signature length).
     val sh = shingleIndex(docs, idCol, textCol, n).cache()
-    val sig = sh
-      .select(col("id"), col("s"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
-      .select(col("id"), col("k"), xxhash64(col("s"), col("k")).as("h"))
-      .groupBy(col("id"), col("k"))
-      .agg(min(col("h")).as("m"))
-    // Banding: per (id, band), one bucket key hashed from the band's
-    // minima in k order (order restored via the sorted struct collect).
-    val banded = sig
-      .groupBy(col("id"), floor(col("k") / rowsPerBand).cast("int").as("band"))
-      .agg(xxhash64(sort_array(collect_list(struct(col("k"), col("m"))))).as("bucket"))
+    val minCols = (0 until numHashes).map(k =>
+      min(xxhash64(col("s"), lit(k))).as(s"m$k"))
+    val sig = sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
+    // Per-band bucket key: hash of the band's minima in k order — a pure
+    // projection over the one-row-per-doc signature.
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"m$k")): _*).as(s"b$b")
+    }
+    val banded = sig.select((col("id") +: bandCols): _*)
+      .select(col("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
+      .select(col("id"), col("e.band").as("band"), col("e.bucket").as("bucket"))
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
       .join(banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
         col("id").as("doc_b")),

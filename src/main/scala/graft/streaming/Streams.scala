@@ -153,6 +153,35 @@ object Streams {
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
   }
 
+  /** Streaming benchmark decontamination — the stream-static twin of
+    * `Dedup.contamination`: documents arrive as a stream, the (small,
+    * static) benchmark shingle index is broadcast, and each micro-batch
+    * emits its contaminated (train_id, bench_id, n_shared) pairs (update
+    * mode). The corpus stream never shuffles for the join itself
+    * (broadcast hash join per micro-batch), and the running aggregation
+    * keeps state only for pairs that actually share a shingle — the
+    * contamination hits, a vanishing fraction of the corpus — so a
+    * 100 TB/day ingest pipeline's leakage check stays incremental.
+    */
+  def decontaminateStream(
+      docs: DataFrame, // streaming (doc_id LONG, text STRING, ...)
+      benchShingles: DataFrame, // static (bench_id LONG, s STRING)
+      idCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    // explode+window shingling needs a per-key sort that streaming
+    // disallows; the array-slice form computes the same distinct shingle
+    // set row-locally (per document), which is exactly what a stream can
+    // do without state.
+    val trainSh = docs.select(
+      col(idCol).as("train_id"),
+      explode(graft.text.TextFns.shingles(col(textCol), n)).as("s"))
+    trainSh
+      .join(broadcast(benchShingles), "s")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Stream-static enrichment join: each micro-batch of events is joined
     * against a static dimension table (re-read per batch if backed by a
     * mutable source). Catalyst broadcasts the static side when small —

@@ -230,6 +230,34 @@ class StreamsSpec extends SparkSpec {
     assert(micros == Seq(1L, -2L, -1L, 0L), s"got $micros")
   }
 
+  test("streaming decontamination matches batch contamination pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchDocs = Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text")
+    val trainRows = Seq(
+      (1L, "something about the quick brown fox appearing"),
+      (2L, "entirely unrelated training content here"),
+      (3L, "again the quick brown fox jumps elsewhere"))
+    val benchSh = graft.dedup.Dedup
+      .shingleIndex(benchDocs, "doc_id", "text", n = 4)
+      .select(col("id").as("bench_id"), col("s"))
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(trainRows: _*)
+    val q = Streams.decontaminateStream(
+        mem.toDF().toDF("doc_id", "text"), benchSh, "doc_id", "text", n = 4)
+      .writeStream.format("memory").queryName("decon")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("decon")
+      .select("train_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.dedup.Dedup.contamination(
+        trainRows.toDF("doc_id", "text"), benchDocs, "doc_id", "text", n = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want.map(_._1) === Set(1L, 3L)) // doc 2 is clean
+  }
+
   test("stream-static enrichment join decorates events with customer dims") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
