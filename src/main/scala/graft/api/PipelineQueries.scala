@@ -159,6 +159,15 @@ object PipelineQueries {
     "d5_embedding_pairs" -> ((s, d) =>
       Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)),
 
+    // Near-dup CLUSTERS over the d5 pair graph: GraphX connected
+    // components, each member labeled with its component's min id — the
+    // keep/drop decision step of embedding dedup. Oracled via a DuckDB
+    // recursive CTE (min reachable id) over the same portable pair set.
+    "d7_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(
+        Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
+          .select(col("vec_a"), col("vec_b")))),
+
     // ---- similarity search ----
     // Brute-force exact ANN: first 10 vectors are the query set.
     "n1_ann_brute" -> ((s, d) => {
@@ -196,6 +205,38 @@ object PipelineQueries {
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
   )
+
+  /** Shared CTE chain for the d5/d7 oracles: mirrors cosinePairsLsh
+    * exactly — same md5 plane coefficients, same bucket assembly, same
+    * candidate join — ending at `cand(vec_a, vec_b)` with `e(vec_id, v)`
+    * still in scope for the exact-cosine refine.
+    */
+  private val D5Ctes: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+      |    UNNEST(v) AS x
+      |  FROM e),
+      |idx AS (SELECT DISTINCT i FROM el),
+      |pl AS (SELECT UNNEST(generate_series(0, 47)) AS p),
+      |coefs AS (
+      |  SELECT i, p,
+      |    ((CAST('0x' || substr(md5('plane:' || p || ':' || i), 1, 15) AS BIGINT)
+      |      % 2000001) - 1000000) / 1000000.0 AS c
+      |  FROM idx CROSS JOIN pl),
+      |dots AS (
+      |  SELECT el.vec_id, coefs.p, SUM(el.x * coefs.c) AS dot
+      |  FROM el JOIN coefs ON el.i = coefs.i
+      |  GROUP BY 1, 2),
+      |buckets AS (
+      |  SELECT vec_id, CAST(p // 6 AS INT) AS tbl,
+      |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT))
+      |      ELSE CAST(0 AS BIGINT) END) AS bucket
+      |  FROM dots GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM buckets a JOIN buckets b
+      |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
@@ -462,36 +503,10 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin
     },
 
-    // Mirrors cosinePairsLsh exactly: same md5 plane coefficients, same
-    // bucket assembly, same candidate join, same exact-cosine refine —
-    // the oracle recomputes the identical LSH candidate set, so the
-    // compare is hash-exact despite the approximate blocking.
+    // The oracle recomputes the identical LSH candidate set (see D5Ctes),
+    // so the compare is hash-exact despite the approximate blocking.
     "d5_embedding_pairs" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |el AS (
-        |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
-        |    UNNEST(v) AS x
-        |  FROM e),
-        |idx AS (SELECT DISTINCT i FROM el),
-        |pl AS (SELECT UNNEST(generate_series(0, 47)) AS p),
-        |coefs AS (
-        |  SELECT i, p,
-        |    ((CAST('0x' || substr(md5('plane:' || p || ':' || i), 1, 15) AS BIGINT)
-        |      % 2000001) - 1000000) / 1000000.0 AS c
-        |  FROM idx CROSS JOIN pl),
-        |dots AS (
-        |  SELECT el.vec_id, coefs.p, SUM(el.x * coefs.c) AS dot
-        |  FROM el JOIN coefs ON el.i = coefs.i
-        |  GROUP BY 1, 2),
-        |buckets AS (
-        |  SELECT vec_id, CAST(p // 6 AS INT) AS tbl,
-        |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT))
-        |      ELSE CAST(0 AS BIGINT) END) AS bucket
-        |  FROM dots GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM buckets a JOIN buckets b
-        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      s"""WITH $D5Ctes
         |SELECT c.vec_a AS vec_a, c.vec_b AS vec_b,
         |  ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
         |FROM cand c
@@ -499,6 +514,24 @@ object PipelineQueries {
         |JOIN e eb ON eb.vec_id = c.vec_b
         |WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
+
+    // Connected components as a recursive CTE: min id reachable over the
+    // undirected refined pair graph = GraphX's component label.
+    "d7_dedup_clusters" ->
+      s"""WITH RECURSIVE $D5Ctes,
+        |pairs AS (
+        |  SELECT c.vec_a AS a, c.vec_b AS b
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.vec_a
+        |  JOIN e eb ON eb.vec_id = c.vec_b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold),
+        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v)
+        |SELECT v AS member_id, CAST(MIN(r) AS BIGINT) AS rep_id
+        |FROM reach GROUP BY v ORDER BY member_id""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -300,6 +300,31 @@ object Dedup {
       .orderBy(col("train_id"), col("bench_id"))
   }
 
+  /** Near-duplicate CLUSTERS from a pair relation — the step that turns
+    * "these documents are similar" into "keep this one, drop those":
+    * connected components over the undirected pair graph, each member
+    * labeled with its component's minimum id (the canonical
+    * representative). Runs on GraphX Pregel (`connectedComponents`), the
+    * same scale path as the PageRank flagship — label propagation in
+    * O(diameter) supersteps over partitioned edges, no driver-side
+    * union-find (which would need the whole pair set in one heap).
+    * Deterministic: GraphX's component label IS the minimum vertex id.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val c = pairs.columns
+    val edgeRdd = pairs
+      .select(col(c(0)).cast("long"), col(c(1)).cast("long"))
+      .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
+      .connectedComponents()
+      .vertices
+      .map { case (id, cc) => (id, cc) }
+      .toDF("member_id", "rep_id")
+      .orderBy(col("member_id"))
+  }
+
   /** Hamming distance between two simhashes (builtin bit_count of xor). */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 }

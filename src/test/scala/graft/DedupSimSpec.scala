@@ -100,6 +100,13 @@ class DedupSimSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L, 1L))) // exactly "the quick brown fox"
   }
 
+  test("clusters labels each member with its component minimum id") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
+  }
+
   test("contamination plans a broadcast of the benchmark side") {
     val docs = Tables.documents(spark, Sf001)
     val df = Dedup.contamination(
