@@ -168,6 +168,20 @@ object PipelineQueries {
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
           .select(col("vec_a"), col("vec_b")))),
 
+    // Apply the dedup decision: the surviving corpus — every vector except
+    // non-representative cluster members (left_anti against the drop
+    // list; at 100 TB the drop list is the small side and broadcasts).
+    "d8_dedup_apply" -> ((s, d) => {
+      val cl = Dedup.clusters(
+        Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
+          .select(col("vec_a"), col("vec_b")))
+      vecs(s, d)
+        .join(broadcast(cl.filter(col("member_id") =!= col("rep_id"))),
+          col("vec_id") === col("member_id"), "left_anti")
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- similarity search ----
     // Brute-force exact ANN: first 10 vectors are the query set.
     "n1_ann_brute" -> ((s, d) => {
@@ -532,6 +546,24 @@ object PipelineQueries {
         |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v)
         |SELECT v AS member_id, CAST(MIN(r) AS BIGINT) AS rep_id
         |FROM reach GROUP BY v ORDER BY member_id""".stripMargin,
+
+    "d8_dedup_apply" ->
+      s"""WITH RECURSIVE $D5Ctes,
+        |pairs AS (
+        |  SELECT c.vec_a AS a, c.vec_b AS b
+        |  FROM cand c
+        |  JOIN e ea ON ea.vec_id = c.vec_a
+        |  JOIN e eb ON eb.vec_id = c.vec_b
+        |  WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold),
+        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |drops AS (SELECT v FROM reach GROUP BY v HAVING MIN(r) <> v)
+        |SELECT vec_id FROM e
+        |WHERE vec_id NOT IN (SELECT v FROM drops)
+        |ORDER BY vec_id""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

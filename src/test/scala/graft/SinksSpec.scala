@@ -60,6 +60,23 @@ class SinksSpec extends SparkSpec {
       s"partition filter missing from plan:\n$plan")
   }
 
+  test("schema evolution: mergeSchema unions batches with differing columns") {
+    // Corpus batches gain columns over time (a new quality score, a new
+    // provenance field); mergeSchema reads old+new together with nulls
+    // where the column predates the batch — the layout-evolution story a
+    // long-lived 100 TB corpus needs.
+    val dir = Files.createTempDirectory("sink_evolve").toString
+    Seq((1L, "alpha")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs/batch=1")
+    Seq((2L, "beta", 0.9)).toDF("doc_id", "text", "quality")
+      .write.parquet(s"$dir/docs/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/docs")
+    assert(merged.columns.toSet == Set("doc_id", "text", "quality", "batch"))
+    val rows = merged.orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), Option(r.get(r.fieldIndex("quality")))))
+    assert(rows.toSeq == Seq((1L, None), (2L, Some(0.9))))
+  }
+
   test("orc sink/source round-trips with explicit schema") {
     val dir = Files.createTempDirectory("sink_orc").toString
     val docs = Tables.documents(spark, Sf001)
