@@ -36,8 +36,17 @@ object Tables {
     s"timestamp_micros(CASE WHEN $col >= 0 OR $col % 1000 = 0 " +
       s"THEN $col div 1000 ELSE $col div 1000 - 1 END)"
 
+  /** NOTE on conf scope: `nanosAsLong` must be on at SCAN time (schema
+    * resolution happens lazily, at plan/execute — a set-then-restore window
+    * around this call would race the actual read), so the flag is
+    * necessarily session-wide while events queries run. To keep the side
+    * effect minimal it is set only when not already `true`, never toggled
+    * back and forth per call; any caller that needs nanos-as-timestamp
+    * semantics elsewhere must read in a separate session.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    if (!s.conf.getOption(key).contains("true")) s.conf.set(key, "true")
     val raw = t(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", expr(nanosToMicrosSql("ts")))

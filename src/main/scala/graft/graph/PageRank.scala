@@ -64,8 +64,24 @@ object PageRank {
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src")).agg(count(lit(1)).as("out_degree"))
 
-  /** Result of a converged run. */
-  case class RankResult(ranks: DataFrame, iterations: Int, finalDelta: Double)
+  /** Result of a converged run. `ranks` is backed by a local checkpoint
+    * (independent of the input graph, which is already freed); call
+    * [[release]] once the ranks are consumed so repeated runs in one
+    * session keep the persistent-RDD count flat.
+    */
+  case class RankResult(ranks: DataFrame, iterations: Int, finalDelta: Double) {
+    /** Free the checkpoint blocks backing `ranks`. The DataFrame must not
+      * be used afterwards (its leaf RDD is gone).
+      */
+    def release(): Unit = PageRank.release(ranks)
+  }
+
+  /** Free the localCheckpoint backing of an iterative result (covers
+    * [[fixedIterations]] outputs, which return a bare DataFrame). No-op for
+    * non-checkpointed plans.
+    */
+  def release(ranks: DataFrame): Unit =
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(ranks)
 
   /** Loop-invariant relations, persisted once and shared across runs —
     * the optimization SURVEY §2.9/I2 notes the reference misses (it

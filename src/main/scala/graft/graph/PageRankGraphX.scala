@@ -34,6 +34,8 @@ object PageRankGraphX {
     val n = graph.numVertices
     if (n == 0) {
       import spark.implicits._
+      graph.unpersist(blocking = false)
+      base.unpersist(blocking = false)
       return PageRank.RankResult(Seq.empty[(Long, Double)].toDF("id", "rank"), 0, 0.0)
     }
 
@@ -61,7 +63,17 @@ object PageRankGraphX {
       iter += 1
     }
     import spark.implicits._
-    val df = ranked.vertices.map { case (id, (_, r)) => (id, r) }.toDF("id", "rank")
+    // Materialize the result OFF the GraphX lineage (eager localCheckpoint),
+    // then free every graph this run cached: `Dataset.unpersist` and
+    // `catalog.clearCache` never touch raw RDD caches, so without this each
+    // run would leak |V|+|E| MEMORY_AND_DISK blocks for the session's
+    // lifetime. The checkpoint backing itself is the caller's to free via
+    // `RankResult.release()` once the ranks are consumed.
+    val df = ranked.vertices.map { case (id, (_, r)) => (id, r) }
+      .toDF("id", "rank").localCheckpoint(true)
+    ranked.unpersist(blocking = false)
+    graph.unpersist(blocking = false)
+    base.unpersist(blocking = false)
     PageRank.RankResult(df, iter, delta)
   }
 }

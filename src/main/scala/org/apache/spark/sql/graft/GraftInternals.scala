@@ -20,4 +20,11 @@ object GraftInternals {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _ =>
     }
+
+  /** RDD ids backing the `LogicalRDD` leaves (localCheckpoints) of `df`'s
+    * plan — the blocks a persistent-RDD sweep must NOT free because they
+    * ARE the result.
+    */
+  def checkpointRddIds(df: DataFrame): Set[Int] =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
 }

@@ -107,6 +107,20 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("clusters leaks no persistent RDDs beyond its own result backing") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val pairs = Seq((2L, 5L), (5L, 9L), (11L, 12L)).toDF("a", "b")
+    val got = Dedup.clusters(pairs)
+    assert(got.count() == 5)
+    val during = sc.getPersistentRDDs.keySet -- before
+    val backing = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(got)
+    assert(during.subsetOf(backing),
+      s"connectedComponents internals left cached: ${during -- backing}")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(got)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+  }
+
   test("contamination plans a broadcast of the benchmark side") {
     val docs = Tables.documents(spark, Sf001)
     val df = Dedup.contamination(

@@ -39,4 +39,22 @@ class GraphXSpec extends SparkSpec {
     val m = res.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(math.abs(m(1L) - 0.5) < 1e-6 && math.abs(m(2L) - 0.5) < 1e-6)
   }
+
+  test("GraphX run leaks no persistent RDDs once the result is released") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Tables.lineitem(spark, Sf001)
+      .select($"l_partkey".as("src"), $"l_suppkey".as("dst"))
+      .distinct()
+    val res = PageRankGraphX.run(spark, edges, PageRank.Params(delta = 1e-4))
+    assert(res.ranks.count() > 0)
+    // the result's own checkpoint backing is the only allowed new block set
+    val during = sc.getPersistentRDDs.keySet -- before
+    val backing = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(res.ranks)
+    assert(during.subsetOf(backing),
+      s"graphs left cached beyond the result backing: ${during -- backing}")
+    res.release()
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "release() must free the checkpoint backing")
+  }
 }

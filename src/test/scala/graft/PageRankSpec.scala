@@ -44,6 +44,22 @@ class PageRankSpec extends SparkSpec {
     finally g.unpersist()
   }
 
+  test("repeated run + release keeps the persistent-RDD count flat") {
+    val sc = spark.sparkContext
+    val e = edges((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val before = sc.getPersistentRDDs.keySet
+    (1 to 3).foreach { _ =>
+      val res = PageRank.run(spark, e)
+      assert(res.ranks.count() == 3)
+      res.release()
+    }
+    val fixed = PageRank.fixedIterations(spark, e, beta = 0.85, iterations = 3)
+    assert(fixed.count() == 3)
+    PageRank.release(fixed)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty,
+      "each run must free its checkpoint backing on release()")
+  }
+
   test("spider trap does not absorb all mass") {
     val res = PageRank.run(spark, edges((1L, 2L), (2L, 3L), (3L, 2L)))
     val m = rankMap(res.ranks)
