@@ -22,9 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Query helpers cache intermediates (shingle indexes, edge sets);
-      // release them between queries so 50+ runs in one session don't
-      // accumulate dead cached partitions.
+      // release them between queries so 80+ runs in one session don't
+      // accumulate dead cached partitions. clearCache only reaches
+      // CacheManager entries — raw persistent RDDs (GraphX graphs,
+      // checkpoint backings of iterative results) need the explicit sweep.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

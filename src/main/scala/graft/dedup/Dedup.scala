@@ -317,24 +317,25 @@ object Dedup {
     val edgeRdd = pairs
       .select(col(c(0)).cast("long"), col(c(1)).cast("long"))
       .rdd.map(r => org.apache.spark.graphx.Edge(r.getLong(0), r.getLong(1), ()))
+    val persistedBefore = graft.RddScope.persisted(spark)
     val g = org.apache.spark.graphx.Graph.fromEdges(edgeRdd, ())
     val cc = g.connectedComponents()
-    // Materialize the labels OFF the GraphX lineage, then free the graphs:
-    // `connectedComponents` returns a Pregel-cached graph (and `fromEdges`
-    // caches the input) that no Dataset-level cache API can reach — without
-    // the explicit unpersist each call leaks the pair graph for the
-    // session's lifetime. The component relation is cluster-count-sized
-    // (≪ corpus), so the eager checkpoint is cheap at any scale; callers
-    // that want the blocks back free them via `GraftInternals
-    // .freeLocalCheckpoint` (the Verify/Bench drivers sweep between
-    // queries).
+    // Materialize the labels OFF the GraphX lineage, then sweep every RDD
+    // the call cached: `connectedComponents` returns a Pregel-cached graph
+    // (and `fromEdges` caches the input) that no Dataset-level cache API
+    // can reach, and Pregel's internal per-superstep view RDDs have no
+    // public handle at all (see [[graft.RddScope]]) — without the sweep
+    // each call leaks the pair graph for the session's lifetime. The
+    // component relation is cluster-count-sized (≪ corpus), so the eager
+    // checkpoint is cheap at any scale; callers that want the blocks back
+    // free them via `GraftInternals.freeLocalCheckpoint` (the Verify/Bench
+    // drivers sweep between queries).
     val out = cc.vertices
       .map { case (id, comp) => (id, comp) }
       .toDF("member_id", "rep_id")
       .orderBy(col("member_id"))
       .localCheckpoint(true)
-    cc.unpersist(blocking = false)
-    g.unpersist(blocking = false)
+    graft.RddScope.sweepExcept(spark, persistedBefore, out)
     out
   }
 

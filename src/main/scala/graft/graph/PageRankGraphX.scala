@@ -23,6 +23,7 @@ object PageRankGraphX {
       edges: DataFrame, // (src LONG, dst LONG)
       params: PageRank.Params = PageRank.Params()): PageRank.RankResult = {
     val sc = spark.sparkContext
+    val persistedBefore = graft.RddScope.persisted(spark)
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
     val base = Graph.fromEdges(edgeRdd, defaultValue = (),
@@ -34,9 +35,9 @@ object PageRankGraphX {
     val n = graph.numVertices
     if (n == 0) {
       import spark.implicits._
-      graph.unpersist(blocking = false)
-      base.unpersist(blocking = false)
-      return PageRank.RankResult(Seq.empty[(Long, Double)].toDF("id", "rank"), 0, 0.0)
+      val empty = Seq.empty[(Long, Double)].toDF("id", "rank")
+      graft.RddScope.sweepExcept(spark, persistedBefore, empty)
+      return PageRank.RankResult(empty, 0, 0.0)
     }
 
     // vertex attr: (outDegree, rank)
@@ -64,16 +65,15 @@ object PageRankGraphX {
     }
     import spark.implicits._
     // Materialize the result OFF the GraphX lineage (eager localCheckpoint),
-    // then free every graph this run cached: `Dataset.unpersist` and
-    // `catalog.clearCache` never touch raw RDD caches, so without this each
-    // run would leak |V|+|E| MEMORY_AND_DISK blocks for the session's
-    // lifetime. The checkpoint backing itself is the caller's to free via
-    // `RankResult.release()` once the ranks are consumed.
+    // then sweep every RDD this run cached: `Dataset.unpersist` and
+    // `catalog.clearCache` never touch raw RDD caches, and unpersisting the
+    // graphs we hold is NOT enough — GraphX caches one replicated-view
+    // EdgeRDD per aggregateMessages round that no public handle reaches
+    // (see [[graft.RddScope]]). The checkpoint backing itself is the
+    // caller's to free via `RankResult.release()` once consumed.
     val df = ranked.vertices.map { case (id, (_, r)) => (id, r) }
       .toDF("id", "rank").localCheckpoint(true)
-    ranked.unpersist(blocking = false)
-    graph.unpersist(blocking = false)
-    base.unpersist(blocking = false)
+    graft.RddScope.sweepExcept(spark, persistedBefore, df)
     PageRank.RankResult(df, iter, delta)
   }
 }

@@ -27,4 +27,12 @@ object GraftInternals {
     */
   def checkpointRddIds(df: DataFrame): Set[Int] =
     df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }.toSet
+
+  /** Drain the listener bus so per-query metric accumulation (Bench's
+    * executor CPU-time listener) observes every stage of the job that just
+    * finished — listener delivery is asynchronous, so without this a
+    * query's last stages would be attributed to the NEXT query.
+    */
+  def drainListenerBus(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -43,10 +43,11 @@ class GraphXSpec extends SparkSpec {
   test("GraphX run leaks no persistent RDDs once the result is released") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
-    val edges = Tables.lineitem(spark, Sf001)
-      .select($"l_partkey".as("src"), $"l_suppkey".as("dst"))
-      .distinct()
-    val res = PageRankGraphX.run(spark, edges, PageRank.Params(delta = 1e-4))
+    // WikiData's 13 iterations matter: each aggregateMessages round caches
+    // a replicated-view EdgeRDD with no public handle (a shallow 1-2
+    // iteration graph never exposes the per-iteration leak).
+    val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
+    val res = PageRankGraphX.run(spark, edges, PageRank.Params(delta = 1e-5))
     assert(res.ranks.count() > 0)
     // the result's own checkpoint backing is the only allowed new block set
     val during = sc.getPersistentRDDs.keySet -- before
