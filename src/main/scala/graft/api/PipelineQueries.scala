@@ -196,6 +196,12 @@ object PipelineQueries {
     "n2_ann_lsh" -> ((s, d) =>
       Similarity.annLsh(vecs(s, d), planes = 8, tables = 4, k = 5)),
 
+    // Portable twin of n2: identical LSH shape with the md5 plane family,
+    // so the bucket assignment — and the whole top-k — reproduces verbatim
+    // in DuckDB (full hash-checked oracle for the approximate ANN path).
+    "n2b_ann_lsh_portable" -> ((s, d) =>
+      Similarity.annLshPortable(vecs(s, d), planes = 8, tables = 4, k = 5)),
+
     // L2-normalized embeddings (vector preprocessing op; exact oracle —
     // same left-to-right double arithmetic in both engines). Emitted as
     // per-element rows keyed by (vec_id, i): the driver's comparer cannot
@@ -220,19 +226,20 @@ object PipelineQueries {
       Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
   )
 
-  /** Shared CTE chain for the d5/d7 oracles: mirrors cosinePairsLsh
-    * exactly — same md5 plane coefficients, same bucket assembly, same
-    * candidate join — ending at `cand(vec_a, vec_b)` with `e(vec_id, v)`
-    * still in scope for the exact-cosine refine.
+  /** CTE chain mirroring `hyperplaneBuckets` with the md5 plane family:
+    * same coefficients, same dot products, same bucket assembly — ending
+    * at `buckets(vec_id, tbl, bucket)` with `e(vec_id, v)` still in scope
+    * for downstream exact-cosine refines. Parameterized so the d5 pair
+    * family (6 planes × 8 tables) and the n2b ANN twin (8 × 4) share it.
     */
-  private val D5Ctes: String =
-    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  private def lshCtes(planes: Int, tables: Int): String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |el AS (
       |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
       |    UNNEST(v) AS x
       |  FROM e),
       |idx AS (SELECT DISTINCT i FROM el),
-      |pl AS (SELECT UNNEST(generate_series(0, 47)) AS p),
+      |pl AS (SELECT UNNEST(generate_series(0, ${planes * tables - 1})) AS p),
       |coefs AS (
       |  SELECT i, p,
       |    ((CAST('0x' || substr(md5('plane:' || p || ':' || i), 1, 15) AS BIGINT)
@@ -243,10 +250,16 @@ object PipelineQueries {
       |  FROM el JOIN coefs ON el.i = coefs.i
       |  GROUP BY 1, 2),
       |buckets AS (
-      |  SELECT vec_id, CAST(p // 6 AS INT) AS tbl,
-      |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % 6 AS INT))
+      |  SELECT vec_id, CAST(p // $planes AS INT) AS tbl,
+      |    SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << CAST(p % $planes AS INT))
       |      ELSE CAST(0 AS BIGINT) END) AS bucket
-      |  FROM dots GROUP BY 1, 2),
+      |  FROM dots GROUP BY 1, 2)""".stripMargin
+
+  /** d5/d7/d8 chain: [[lshCtes]] (6 planes × 8 tables, matching
+    * `cosinePairsLsh`'s parameters) plus the undirected candidate join.
+    */
+  private val D5Ctes: String =
+    s"""${lshCtes(planes = 6, tables = 8)},
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM buckets a JOIN buckets b
@@ -564,6 +577,28 @@ object PipelineQueries {
         |SELECT vec_id FROM e
         |WHERE vec_id NOT IN (SELECT v FROM drops)
         |ORDER BY vec_id""".stripMargin,
+
+    // Directed candidate join (query ≠ cand, both directions) + top-k
+    // window — mirrors annLshPortable exactly, bucket-for-bucket.
+    "n2b_ann_lsh_portable" ->
+      s"""WITH ${lshCtes(planes = 8, tables = 4)},
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS cand_id
+        |  FROM buckets a JOIN buckets b
+        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        |  FROM cand
+        |  JOIN e ea ON ea.vec_id = query_id
+        |  JOIN e eb ON eb.vec_id = cand_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -122,8 +122,28 @@ object Similarity {
       vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
       planes: Int,
       tables: Int,
-      k: Int): DataFrame = {
-    val bucketed = hyperplaneBuckets(vectors, planes, tables, xxCoef)
+      k: Int): DataFrame = annLshWith(vectors, planes, tables, k, xxCoef)
+
+  /** [[annLsh]] with the md5-portable plane family ([[mdCoef]]): identical
+    * shape and recall behavior, but the bucket assignment — and therefore
+    * the whole output — is reproducible verbatim in any engine with md5,
+    * so this twin carries a full DuckDB oracle (the same trick that made
+    * d5's approximate blocking hash-checkable). xxhash64 stays the
+    * production family (faster); this is the hash-checkable surface.
+    */
+  def annLshPortable(
+      vectors: DataFrame,
+      planes: Int,
+      tables: Int,
+      k: Int): DataFrame = annLshWith(vectors, planes, tables, k, mdCoef)
+
+  private def annLshWith(
+      vectors: DataFrame,
+      planes: Int,
+      tables: Int,
+      k: Int,
+      coef: (Int, Column) => Column): DataFrame = {
+    val bucketed = hyperplaneBuckets(vectors, planes, tables, coef)
       .join(vectors, "vec_id")
     val a = bucketed.select(
       col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
