@@ -107,6 +107,16 @@ class DedupSimSpec extends SparkSpec {
     assert(got == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 12L -> 11L))
   }
 
+  test("window and array shingle-index forms produce identical relations") {
+    val docs = Tables.documents(spark, Sf001)
+    Seq(2, 3, 4).foreach { n =>
+      val w = Dedup.shingleIndexWindow(docs, "doc_id", "text", n)
+      val a = Dedup.shingleIndexArray(docs, "doc_id", "text", n)
+      assert(w.exceptAll(a).isEmpty && a.exceptAll(w).isEmpty,
+        s"shingle forms diverge at n=$n")
+    }
+  }
+
   test("clusters leaks no persistent RDDs beyond its own result backing") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
