@@ -114,6 +114,60 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Exact-Jaccard refine over a candidate pair relation `(doc_a, doc_b)`:
+    * expand each candidate by doc_a's shingles, probe doc_b's shingle set,
+    * keep pairs with j ≥ threshold. Work is Σ_cand |shingles(doc_a)| —
+    * candidates only, never the all-co-shingled-pairs join. Shared by every
+    * blocked dedup path (MinHash bands, portable bands, DF-capped index).
+    */
+  private def refineJaccard(
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val common = candidates
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
+      .drop("id")
+      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
+      .drop("id")
+      .withColumn("j_raw",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[jaccardPairs]] with a document-frequency cap on the inverted index:
+    * shingles occurring in more than `maxDf` documents are dropped before
+    * candidate generation (the exact-Jaccard refine still uses FULL
+    * shingle sets, so surviving pairs carry their true jaccard). This is
+    * the standard defense that keeps the inverted-index join sub-quadratic
+    * at corpus scale: a boilerplate shingle shared by k documents alone
+    * generates k(k−1)/2 candidates — one viral template line in 10⁶ docs
+    * would produce 5·10¹¹ pairs — while the cap bounds per-shingle work at
+    * maxDf². Pairs whose ONLY shared shingles are boilerplate are missed
+    * by design (boilerplate sharing is not near-duplication). Fully
+    * deterministic → fully oracled, unlike the probabilistic blockers.
+    */
+  def jaccardPairsCapped(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, maxDf: Int): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+      .filter(col("df_s") <= maxDf)
+      .select(col("s"))
+    val capped = sh.join(rare, "s")
+    val candidates = capped.select(col("id").as("doc_a"), col("s"))
+      .join(capped.select(col("id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    refineJaccard(candidates, sh, threshold)
+  }
+
   /** MinHash-LSH candidate pairs refined by exact Jaccard.
     * bands·rowsPerBand = signature length. Banding: a pair lands in a
     * bucket iff one band of the signature matches exactly; the bucket join
@@ -153,26 +207,9 @@ object Dedup {
           col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact refine restricted to CANDIDATE pairs from the start: expand
-    // each candidate by doc_a's shingles, then probe doc_b's shingle set —
-    // work is Σ_cand |shingles(doc_a)|, not the all-co-shingled-pairs join
-    // (which would re-do the O(pairs) work LSH exists to avoid).
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = candidates
-      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
-      .drop("id")
-      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
-      .drop("id")
-      .withColumn("j_raw",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("j_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // Exact refine restricted to CANDIDATE pairs from the start (see
+    // [[refineJaccard]]) — never re-doing the O(pairs) work LSH avoids.
+    refineJaccard(candidates, sh, threshold)
   }
 
   /** Portable (engine-independent) MinHash-LSH: hash family is
@@ -208,24 +245,8 @@ object Dedup {
       .filter(col("c") === rowsPerBand)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // exact-Jaccard refine (same arithmetic as jaccardPairs), restricted
-    // to the candidate pairs from the start — see [[minhashLshPairs]].
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val common = matches
-      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
-      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(counts.select(col("id"), col("n_sh").as("na")), col("doc_a") === col("id"))
-      .drop("id")
-      .join(counts.select(col("id"), col("n_sh").as("nb")), col("doc_b") === col("id"))
-      .drop("id")
-      .withColumn("j_raw",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")))
-      .filter(col("j_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("j_raw"), 6).as("jaccard"))
-      .orderBy(col("doc_a"), col("doc_b"))
+    // exact-Jaccard refine restricted to candidates ([[refineJaccard]]).
+    refineJaccard(matches, sh, threshold)
   }
 
   /** Portable 16-bit SimHash over md5-derived token hashes — same

@@ -136,4 +136,34 @@ object TextFns {
           .as("dup_bigram_frac"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document top-k TF-IDF terms — the classic term-salience signal
+    * (keyword extraction / topic labeling over a training corpus):
+    * tfidf(d, t) = tf(d, t) · ln(N / df(t)), ranked per document by the
+    * ROUNDED score (ties → term asc) so results are engine-portable.
+    *
+    * Scale shape: two combinable hash aggregations over the exploded token
+    * relation (per-doc tf, corpus df) + a broadcast 1-row N; the final
+    * rank is a per-doc window over ≤|vocab(d)| rows. The token relation is
+    * cached across its two consumers for the duration of the call. No
+    * driver-side state — N rides a broadcast cross join like a6's
+    * renormalization scalar.
+    */
+  def tfIdfTop(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("t"))
+    val tf = toks.groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("t")).agg(countDistinct(col("doc_id")).as("df_t"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("t").as("term"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6).as("tfidf"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
 }
