@@ -43,6 +43,11 @@ import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
   *    are checkpoint-backed by design; their backing counts here and is
   *    freed by the sweep.
   *  - top-level `cores`, `load1_start`/`load1_end`: session-wide context.
+  *
+  * Output contract: the FINAL stdout line is the compact driver-parsed JSON
+  * (min-wall per query only — it must fit the driver's 2000-char stdout
+  * tail); the full diagnosis payload is printed earlier as `BENCH_DIAG {...}`
+  * and written to `bench_diag.json` for the round snapshot.
   */
 object Bench {
 
@@ -194,7 +199,7 @@ object Bench {
       res.release()
     })
 
-    def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.4f"
+    def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     val qs = results.map { case (k, (s, _)) => "\"" + k + "\":" + fmt(s.wall) }
       .mkString("{", ",", "}")
     val qsMean = results.map { case (k, (_, avg)) => "\"" + k + "\":" + fmt(avg) }
@@ -205,7 +210,28 @@ object Bench {
         ",\"leaked_rdds\":" + s.leaked + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2._1.wall).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_mean":$qsMean,"diag":$diag,"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(load1())},"sf":"$sfDir"}""")
+    // The driver captures only the LAST ~2000 chars of stdout and parses the
+    // JSON line found there (r04's line, grown by the diag/mean maps, started
+    // before that window — the round lost its perf record). So: the final
+    // line carries ONLY the driver-compared minimum-wall map and must stay
+    // well under the window net of sbt's trailing "[success]" line; the full
+    // self-diagnosis payload goes to bench_diag.json (committed with the
+    // round snapshot) and to an EARLIER stdout line for log readers.
+    val diagJson =
+      s"""{"queries_mean":$qsMean,"diag":$diag,"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(load1())},"sf":"$sfDir"}"""
+    println(s"BENCH_DIAG $diagJson")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_diag.json"),
+        diagJson.getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // diag file is best-effort
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .filter(s => scala.util.Try(s.toDouble).isSuccess)
+      .getOrElse("\"" + sfDir + "\"")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+    require(line.length <= 1800, s"bench line ${line.length} chars overflows the driver's 2000-char tail")
+    println(line)
     spark.stop()
   }
 }
