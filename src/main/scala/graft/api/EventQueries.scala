@@ -187,6 +187,26 @@ object EventQueries {
         .orderBy(col("user_id"), col("hr"))
     }),
 
+    // CDC-style compaction: each user's LATEST event as the current-state
+    // snapshot. One map-side-combinable max(struct(...)) aggregate — the
+    // shape that compacts a 100 TB changelog in a single shuffle (a
+    // per-key window would sort every partition instead; epoch-ms + unique
+    // event_id keys make the pick deterministic, see the ts parity note).
+    "e12_latest_snapshot" -> ((s, d) => events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(
+        unix_millis(col("ts")).as("ms"),
+        col("event_id"),
+        col("event_type"),
+        col("value"))).as("m"))
+      .select(
+        col("user_id"),
+        col("m.event_id").as("last_event"),
+        col("m.event_type").as("last_type"),
+        col("m.ms").as("last_ms"),
+        round(col("m.value"), 4).as("last_value"))
+      .orderBy(col("user_id"))),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -203,6 +223,14 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e12_latest_snapshot" ->
+      """SELECT user_id, event_id AS last_event, event_type AS last_type,
+        |  epoch_ms(ts) AS last_ms, ROUND(value, 4) AS last_value
+        |FROM events
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY user_id ORDER BY epoch_ms(ts) DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
     "e1_hour_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total

@@ -167,6 +167,33 @@ ${prefix}r$i AS (
         round(avg(col("rank")), 9).as("avg_rank"))
     }),
 
+    // Triangle census with degree-ordered orientation (O(√m) oriented
+    // out-degree even on power-law hubs) over the co-supply network —
+    // suppliers linked by a shared part. Global clustering in one row.
+    "g3_triangles" -> ((s, d) => {
+      val ps = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"))
+      graft.graph.Motifs.triangleStats(
+        graft.graph.Motifs.coSupply(ps, "l_partkey", "l_suppkey"))
+    }),
+
+    // Bounded-hop reachability (frontier BFS, k=3) over the undirected
+    // part↔supplier supply network ('p'/'s'-prefixed ids keep the two key
+    // namespaces apart): the supply-chain blast radius of seed parts 1-5,
+    // each reached vertex labeled with its minimum hop count.
+    "g4_khop" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") <= 5)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      graft.graph.Motifs.kHopMinHops(e, seeds, k = 3)
+        .orderBy(col("hops"), col("id"))
+    }),
+
     // P5+O5 — the UI's top-20 induced subgraph: edges whose BOTH endpoints
     // are in the top-20 ranked set (double left-semi join against a
     // broadcast 20-row list), over the non-bipartite trade graph.
@@ -230,6 +257,47 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
   ROUND(MAX(rank), 9) AS max_rank,
   ROUND(AVG(rank), 9) AS avg_rank
 FROM i_r$Iters"""),
+
+    "g3_triangles" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+        |und AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |deg AS (SELECT v, COUNT(*) AS d
+        |        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t GROUP BY v),
+        |o AS (
+        |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+        |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+        |w AS (SELECT x.v AS v1, x.dv AS d1, y.v AS v2 FROM o x JOIN o y
+        |      ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v),
+        |stats AS (SELECT COUNT(*) AS n_vertices, CAST(SUM(d*(d-1)//2) AS BIGINT) AS n_wedges FROM deg),
+        |ecnt AS (SELECT COUNT(*) AS n_edges FROM und)
+        |SELECT n_vertices, n_edges, n_triangles, n_wedges,
+        |  ROUND(CASE WHEN n_wedges = 0 THEN 0.0
+        |             ELSE 3.0 * n_triangles / n_wedges END, 9) AS transitivity
+        |FROM stats, ecnt, tri""".stripMargin,
+
+    "g4_khop" ->
+      """WITH p2s AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                             's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+        |edges AS (SELECT src, dst FROM p2s UNION SELECT dst, src FROM p2s),
+        |h0 AS (SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS id FROM part WHERE p_partkey <= 5),
+        |h1 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN h0 ON e.src = h0.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0)),
+        |h2 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN h1 ON e.src = h1.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0)
+        |         AND e.dst NOT IN (SELECT id FROM h1)),
+        |h3 AS (SELECT DISTINCT e.dst AS id FROM edges e JOIN h2 ON e.src = h2.id
+        |       WHERE e.dst NOT IN (SELECT id FROM h0)
+        |         AND e.dst NOT IN (SELECT id FROM h1)
+        |         AND e.dst NOT IN (SELECT id FROM h2))
+        |SELECT id, hops FROM (
+        |  SELECT id, 0 AS hops FROM h0
+        |  UNION ALL SELECT id, 1 FROM h1
+        |  UNION ALL SELECT id, 2 FROM h2
+        |  UNION ALL SELECT id, 3 FROM h3) u
+        |ORDER BY hops, id""".stripMargin,
 
     "g2_induced_subgraph" ->
       (headerSql(TradeEdgesSql) + chainSql("i_", 0.85, Iters) + s""",

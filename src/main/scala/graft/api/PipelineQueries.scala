@@ -151,6 +151,14 @@ object PipelineQueries {
     "d4c_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsPortable(documents(s, d), "doc_id", "text", radius = 1)),
 
+    // Edit-distance near-dup pairs on lowercase 40-char prefixes:
+    // lossless length-band blocking (|Δlen| ≤ k invariant) + threshold-
+    // bounded levenshtein refine. Complements the token-level passes with
+    // a character-level screen.
+    "d9_editdist_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
+        prefixLen = 40, maxDist = 5)),
+
     // Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     // (portable md5 plane family — reproduced verbatim in the oracle) with
     // exact-cosine refine on candidates only. The all-pairs crossJoin
@@ -447,6 +455,15 @@ object PipelineQueries {
         |JOIN cnt ca ON doc_a = ca.doc_id
         |JOIN cnt cb ON doc_b = cb.doc_id
         |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "d9_editdist_pairs" ->
+      """WITH p AS (SELECT doc_id, substr(lower(text), 1, 40) AS s FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM p a JOIN p b
+        |  ON a.doc_id < b.doc_id AND abs(length(a.s) - length(b.s)) <= 5
+        |WHERE levenshtein(a.s, b.s) <= 5
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d3b_minhash_portable" ->

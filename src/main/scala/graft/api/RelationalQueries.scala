@@ -313,6 +313,35 @@ object RelationalQueries {
         col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)),
 
+    // Explicit GROUPING SETS (the general form rollup/cube specialize):
+    // per-segment and per-nation subtotals plus the grand total, WITHOUT
+    // the cross product a cube would add.
+    "a14_grouping_sets" -> ((s, d) => customer(s, d)
+      .groupingSets(
+        Seq(Seq(col("c_mktsegment")), Seq(col("c_nationkey")), Seq.empty[org.apache.spark.sql.Column]),
+        col("c_mktsegment"), col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(col("c_acctbal")), 2).as("bal"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(
+        col("gid"),
+        col("c_mktsegment").asc_nulls_first,
+        col("c_nationkey").asc_nulls_first)),
+
+    // Per-group argmax as a single map-side-combinable aggregate:
+    // max(struct(price, key)) picks each customer's highest-priced order
+    // with the unique key as deterministic tie-break — one shuffle, no
+    // window, no join-back.
+    "a15_argmax" -> ((s, d) => orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(struct(col("o_totalprice"), col("o_orderkey"))).as("m"))
+      .select(
+        col("o_custkey"),
+        col("m.o_orderkey").as("top_order"),
+        round(col("m.o_totalprice"), 2).as("top_price"))
+      .orderBy(col("o_custkey"))),
+
     // Sketch aggregation (HLL++): approximate distinct parts per supplier.
     // No engine-independent oracle (sketch internals differ) — rows-only
     // driver check; accuracy vs exact countDistinct asserted in ScalaTest.
@@ -528,6 +557,21 @@ object RelationalQueries {
         |  ROUND(SUM(l_quantity), 1) AS qty,
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
-        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a14_grouping_sets" ->
+      """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(c_acctbal), 2) AS bal,
+        |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+        |FROM customer
+        |GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        |ORDER BY gid, c_mktsegment NULLS FIRST, c_nationkey NULLS FIRST""".stripMargin,
+
+    "a15_argmax" ->
+      """SELECT o_custkey, o_orderkey AS top_order, ROUND(o_totalprice, 2) AS top_price
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
+        |ORDER BY o_custkey""".stripMargin
   )
 }

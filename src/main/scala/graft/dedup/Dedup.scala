@@ -27,6 +27,47 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .orderBy(col("h"))
 
+  /** Edit-distance near-dup pairs: documents whose lowercase `prefixLen`-
+    * char prefixes are within Levenshtein distance `maxDist`.
+    *
+    * Blocking is LOSSLESS length banding: |len(a) − len(b)| ≤ maxDist is a
+    * hard invariant of edit distance, so bucketing prefixes by
+    * `len div (maxDist+1)` and replicating the left side to its bucket ±1
+    * reaches every qualifying pair exactly once — no candidate is missed,
+    * and nothing resembling a cartesian is built (each doc meets only the
+    * docs in three adjacent length bands). The refine uses the
+    * threshold-bounded `levenshtein(a, b, k)` builtin (banded O(k·n)
+    * instead of O(n²) per pair, early-exit above k).
+    *
+    * Distance is computed on prefixes — the standard cheap screen for
+    * long-document corpora where full-text O(k·n) per pair is still too
+    * hot; pair it with a shingle/minhash pass for whole-document claims.
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int = 40,
+      maxDist: Int = 5): DataFrame = {
+    val band = maxDist + 1
+    val base = docs.select(
+      col(idCol).as("id"),
+      substring(lower(col(textCol)), 1, prefixLen).as("s"))
+      .withColumn("ln", length(col("s")))
+      .withColumn("bkt", expr(s"ln div $band"))
+    val left = base
+      .withColumn("jb", explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)))
+      .select(col("id").as("id_a"), col("s").as("s_a"), col("ln").as("ln_a"), col("jb"))
+    val right = base
+      .select(col("id").as("id_b"), col("s").as("s_b"), col("ln").as("ln_b"), col("bkt"))
+    left.join(right, col("jb") === col("bkt") && col("id_a") < col("id_b"))
+      .filter(abs(col("ln_a") - col("ln_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Per-document distinct word-n-gram shingle relation: (id, s).
     * Two interchangeable formulations (A/B'd at sf0.1, window-`lead` form
     * ships — see [[UseWindowShingles]] for the measurements); both produce

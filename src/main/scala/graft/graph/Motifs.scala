@@ -1,0 +1,129 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph-motif operators beyond the reference's PageRank surface: triangle
+  * counting (global clustering) and bounded-hop reachability. Both are pure
+  * DataFrame compositions — no GraphX, no driver-side adjacency — so they
+  * inherit Catalyst planning (broadcast the small side, AQE skew handling)
+  * and scale by partitioning alone.
+  */
+object Motifs {
+
+  /** Global triangle census of an UNDIRECTED graph given as (a, b) pairs
+    * (direction and duplicates ignored; self-loops dropped).
+    *
+    * Algorithm: degree-ordered orientation. Every undirected edge is
+    * oriented from its lower-(degree, id) endpoint to the higher one, which
+    * turns the graph into a DAG whose max out-degree is O(√m) REGARDLESS of
+    * hub skew — the classic bound that keeps the wedge join from exploding
+    * on power-law graphs (a hub of degree d would otherwise contribute
+    * C(d,2) wedges; oriented, its out-degree is only the number of
+    * HIGHER-degree neighbors, ≤ √(2m)). Wedges (u→v, u→w) are then closed
+    * by an equi-join against the oriented edge (v, w): each triangle is
+    * counted exactly once, at its lowest-ordered vertex.
+    *
+    * Returns one row: n_vertices, n_edges (undirected, deduped),
+    * n_triangles, n_wedges (open+closed, orientation-invariant
+    * Σ_v C(deg v, 2)) and transitivity = 3·triangles / wedges, rounded to
+    * 9 places (0.0 when the graph has no wedges).
+    *
+    * Scale shape: two shuffles build the oriented edge list (dedup +
+    * degree join), the wedge self-join and closing join are plain equi
+    * hash joins on vertex ids — all AQE-replannable; nothing is collected.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(
+        least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+    // Orient by the (degree, id) total order; keep the head's (degree, id)
+    // so the wedge join can order pair endpoints by the SAME total order
+    // (the closing edge is oriented by it, not by raw id).
+    val aLower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val wedges = x.join(y,
+      x("u") === y("u") && (struct(col("d1"), col("v1")) < struct(col("d2"), col("v2"))))
+      .select(col("v1"), col("v2"))
+    // Inner join, not semi: distinct wedges (u,v1,v2) sharing the same
+    // (v1,v2) close into DIFFERENT triangles and must each count once; the
+    // oriented edge list is distinct, so the join multiplies by exactly 1.
+    val triangles = wedges.join(
+      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+
+    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val degAgg = deg.agg(
+      count(lit(1)).as("n_vertices"),
+      expr("sum((d * (d - 1)) div 2)").as("n_wedges"))
+    val nEdge = und.agg(count(lit(1)).as("n_edges"))
+    degAgg.crossJoin(nEdge).crossJoin(nTri)
+      .select(
+        col("n_vertices"), col("n_edges"), col("n_triangles"), col("n_wedges"),
+        round(
+          when(col("n_wedges") === 0, 0.0)
+            .otherwise(lit(3.0) * col("n_triangles") / col("n_wedges")), 9)
+          .as("transitivity"))
+  }
+
+  /** Minimum-hop reachability: every vertex within `k` directed hops of
+    * `seeds`, with its hop distance. `edges` is (src, dst); `seeds` is a
+    * single-column id relation (hop 0 even if absent from the graph).
+    *
+    * Frontier BFS as k rounds of joins: each round expands ONLY the newest
+    * frontier against the edge relation (equi join on src), then anti-joins
+    * the visited set so a vertex is emitted at its first (minimum) level.
+    * The edge relation is the only large input and is never re-shaped; the
+    * frontier/visited sides stay proportional to the reached set — at
+    * cluster scale the frontier join shuffles |frontier|+|edges| per round
+    * and the visited anti-join is broadcastable while the reached set is
+    * small. k is a bounded constant (driver-side loop of k plan nodes, no
+    * convergence test, no collect).
+    */
+  def kHopMinHops(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
+    require(k >= 0 && k <= 12, s"k-hop unrolls k plan levels; got k=$k")
+    val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+    val s0 = seeds.select(col(seeds.columns(0)).as("id")).distinct()
+    var visited = s0.withColumn("hops", lit(0))
+    var frontier = s0
+    for (h <- 1 to k) {
+      val next = e.join(frontier, e("src") === frontier("id"), "left_semi")
+        .select(col("dst").as("id"))
+        .distinct()
+        .join(visited, Seq("id"), "left_anti")
+      visited = visited.unionAll(next.withColumn("hops", lit(h)))
+      frontier = next
+    }
+    visited
+  }
+
+  /** Co-supply network: undirected supplier–supplier edges (a, b), a < b,
+    * linking suppliers that ship at least one common part — the natural
+    * triangle-bearing graph of the TPC-H-ish schema (part→supplier is
+    * bipartite and hence triangle-free). `ps` is a (part, supplier)
+    * relation, deduped here.
+    */
+  def coSupply(ps: DataFrame, part: String, supp: String): DataFrame = {
+    val base = ps.select(col(part).as("p"), col(supp).as("s")).distinct()
+    val l = base.select(col("p"), col("s").as("a"))
+    val r = base.select(col("p").as("p2"), col("s").as("b"))
+    l.join(r, l("p") === r("p2") && (col("a") < col("b")))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+}
