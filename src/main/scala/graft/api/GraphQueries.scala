@@ -77,6 +77,77 @@ ${prefix}r$i AS (
   private val Iters = 5
   private val SweepIters = 3
   private val SweepBetas = Seq("b80" -> 0.80, "b85" -> 0.85, "b90" -> 0.90)
+  private val HitsIters = 4
+  private val SeedMax = 5 // personalized-PR teleport set: vertex ids < 5
+
+  /** Personalized-PageRank CTE chain: seeds / seed count, teleport-vector
+    * r0, then K iterations of
+    *   rank' = (1−β)·[id ∈ S]/|S| + β·Σ_{u→v} rank(u)/deg(u).
+    * Appended after [[headerSql]].
+    */
+  private def personalizedChainSql(beta: Double, iterations: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s""",
+seeds AS MATERIALIZED (SELECT id FROM nodes WHERE id < $SeedMax),
+scount AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM seeds),
+p_r0 AS (
+  SELECT id, CASE WHEN id IN (SELECT id FROM seeds)
+                  THEN 1.0/(SELECT c FROM scount) ELSE 0.0 END AS rank
+  FROM nodes)""")
+    for (i <- 1 to iterations) {
+      val prev = if (i == 1) "p_r0" else s"p_r${i - 1}"
+      sb.append(s""",
+p_r$i AS (
+  SELECT nodes.id,
+         CASE WHEN nodes.id IN (SELECT id FROM seeds)
+              THEN (1.0 - $beta)/(SELECT c FROM scount) ELSE 0.0 END
+           + $beta * COALESCE(c.s, 0.0) AS rank
+  FROM nodes
+  LEFT JOIN (
+    SELECT e.dst AS id, SUM(r.rank / d.d) AS s
+    FROM $prev r
+    JOIN edges e ON e.src = r.id
+    JOIN deg d ON d.src = e.src
+    GROUP BY e.dst
+  ) c ON nodes.id = c.id)""")
+    }
+    sb.toString()
+  }
+
+  /** HITS CTE chain: h0 = 1/N, then per iteration an authority half-step
+    * (sum of hub scores over in-edges, L1-normalized) and a hub half-step
+    * (sum of authority scores over out-edges, L1-normalized). Appended
+    * after [[headerSql]].
+    *
+    * Every per-iteration CTE is `AS MATERIALIZED`: each normalization
+    * references its input twice (row source + the Σ scalar subquery), and
+    * DuckDB's default CTE INLINING would re-evaluate the entire lower
+    * chain per reference — 2^(2K) expansions of the base-edge join (the
+    * un-hinted form ran for 20+ minutes at sf0.01; materialized it is
+    * instant). The hint is valid DuckDB SQL and changes no semantics.
+    */
+  private def hitsChainSql(iterations: Int): String = {
+    val sb = new StringBuilder
+    sb.append(""",
+h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS score FROM nodes)""")
+    for (i <- 1 to iterations) {
+      val ph = if (i == 1) "h0" else s"h${i - 1}"
+      sb.append(s""",
+a${i}u AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(r.s, 0.0) AS score FROM nodes
+  LEFT JOIN (SELECT e.dst AS id, SUM(h.score) AS s
+             FROM $ph h JOIN edges e ON e.src = h.id GROUP BY e.dst) r
+    ON nodes.id = r.id),
+a$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM a${i}u) AS score FROM a${i}u),
+h${i}u AS MATERIALIZED (
+  SELECT nodes.id, COALESCE(r.s, 0.0) AS score FROM nodes
+  LEFT JOIN (SELECT e.src AS id, SUM(a.score) AS s
+             FROM a$i a JOIN edges e ON e.dst = a.id GROUP BY e.src) r
+    ON nodes.id = r.id),
+h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score FROM h${i}u)""")
+    }
+    sb.toString()
+  }
 
   val queries: Map[String, Q] = Map(
     // I1: fixed-iteration PageRank with explicit teleport term.
@@ -166,6 +237,30 @@ ${prefix}r$i AS (
         round(max(col("rank")), 9).as("max_rank"),
         round(avg(col("rank")), 9).as("avg_rank"))
     }),
+
+    // Personalized PageRank: teleport mass concentrated on seed nations
+    // < 5 over the trade graph — the recommendation-style "rank relative
+    // to these entities" variant; same loop/shuffle shape as i1.
+    "i4_personalized" -> ((s, d) => {
+      val te = tradeEdges(s, d).cache()
+      val seeds = te.select(col("src").as("id"))
+        .union(te.select(col("dst").as("id")))
+        .where(col("id") < SeedMax).distinct()
+      PageRank.personalizedFixedIterations(s, te, seeds, beta = 0.85, iterations = Iters)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("id"))
+    }),
+
+    // HITS hubs & authorities (L1-normalized half-steps, fixed
+    // iterations) on the trade graph: the second classic iterative
+    // eigenvector operator next to PageRank, with a fully unrolled oracle.
+    "i5_hits" -> ((s, d) =>
+      graft.graph.Hits.fixedIterations(s, tradeEdges(s, d), HitsIters)
+        .select(
+          col("id"),
+          round(col("authority"), 9).as("authority"),
+          round(col("hub"), 9).as("hub"))
+        .orderBy(col("id"))),
 
     // Triangle census with degree-ordered orientation (O(√m) oriented
     // out-degree even on power-law hubs) over the co-supply network —
@@ -257,6 +352,16 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n,
   ROUND(MAX(rank), 9) AS max_rank,
   ROUND(AVG(rank), 9) AS avg_rank
 FROM i_r$Iters"""),
+
+    "i4_personalized" ->
+      (headerSql(TradeEdgesSql) + personalizedChainSql(0.85, Iters) +
+        s"\nSELECT id, ROUND(rank, 9) AS rank FROM p_r$Iters ORDER BY id"),
+
+    "i5_hits" ->
+      (headerSql(TradeEdgesSql) + hitsChainSql(HitsIters) +
+        s"""
+SELECT a.id AS id, ROUND(a.score, 9) AS authority, ROUND(h.score, 9) AS hub
+FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
 
     "g3_triangles" ->
       """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),

@@ -109,7 +109,7 @@ object PageRank {
     */
   private val EdgesPerPartition = 250000L
 
-  private def loopPartitions(spark: SparkSession, edgeCount: Long): Int = {
+  private[graph] def loopPartitions(spark: SparkSession, edgeCount: Long): Int = {
     val session = spark.conf.get("spark.sql.shuffle.partitions").toInt
     math.max(1L, math.min(session.toLong,
       (edgeCount + EdgesPerPartition - 1) / EdgesPerPartition)).toInt
@@ -123,7 +123,7 @@ object PageRank {
     * known up front, so adaptive planning buys nothing here. Confs are
     * restored even on failure.
     */
-  private def withLoopConf[T](spark: SparkSession, parts: Int)(body: => T): T = {
+  private[graph] def withLoopConf[T](spark: SparkSession, parts: Int)(body: => T): T = {
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
@@ -294,6 +294,59 @@ object PageRank {
       }
       ranks
     }
+  }
+
+  /** Personalized PageRank, fixed iterations: the teleport mass lands on
+    * the `seeds` ∩ V set instead of uniformly —
+    *   rank'_i = (1 − β)·[i ∈ S]/|S| + β · Σ_{u→i} rank(u)/deg(u),
+    * r0 = the teleport vector. Same loop shape as [[fixedIterationsOn]]
+    * (edges⋈degrees persisted and hash-partitioned once; only |V| rank
+    * rows move per iteration), same exact ANSI-SQL unrollability — the
+    * oracle chain is generated by `api.GraphQueries`.
+    */
+  def personalizedFixedIterations(
+      spark: SparkSession,
+      edges: DataFrame,
+      seeds: DataFrame,
+      beta: Double,
+      iterations: Int): DataFrame = {
+    val g = prepare(edges)
+    try {
+      val PreparedGraph(verts, linked, n, parts) = g
+      if (n == 0) return verts.withColumn("rank", lit(0.0))
+      withLoopConf(spark, parts) {
+        val s = seeds.select(col(seeds.columns(0)).as("id")).distinct()
+        val vt = verts
+          .join(s.withColumn("one", lit(1)), Seq("id"), "left")
+          .select(col("id"), (coalesce(col("one"), lit(0)) === 1).as("is_seed"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val sCount = vt.filter(col("is_seed")).count()
+        require(sCount > 0, "personalized PageRank: no seed vertex is in the graph")
+        val teleport = when(col("is_seed"), lit(1.0 / sCount)).otherwise(lit(0.0))
+        try {
+          var ranks = vt.select(col("id"), teleport.as("rank")).localCheckpoint(true)
+          var i = 0
+          while (i < iterations) {
+            val contribs = linked
+              .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+              .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+              .groupBy(col("dst"))
+              .agg(sum(col("w")).as("c"))
+            val next = vt
+              .join(vertexSide(contribs, n), vt("id") === contribs("dst"), "left")
+              .select(
+                vt("id"),
+                (lit(1.0 - beta) * teleport + lit(beta) * coalesce(col("c"), lit(0.0)))
+                  .as("rank"))
+            val prev = ranks
+            ranks = next.localCheckpoint(true)
+            org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
+            i += 1
+          }
+          ranks
+        } finally vt.unpersist()
+      }
+    } finally g.unpersist()
   }
 
   /** O3+O4: top-k pages by score, ties broken by id — Catalyst plans this

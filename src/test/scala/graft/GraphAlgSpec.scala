@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.graph.{Hits, PageRank}
+
+/** Semantics of the round-5 iterative operators: personalized PageRank
+  * (teleport concentrated on a seed set) and HITS (hubs/authorities).
+  */
+class GraphAlgSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("personalized PR with S = V equals uniform fixed-iteration PR") {
+    val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
+    val allIds = Seq(1, 2, 3, 4).toDF("id")
+    val uniform = PageRank.fixedIterations(spark, edges, 0.85, 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val personal = PageRank.personalizedFixedIterations(spark, edges, allIds, 0.85, 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(uniform.keySet == personal.keySet)
+    uniform.foreach { case (id, r) => assert(math.abs(r - personal(id)) < 1e-12) }
+  }
+
+  test("personalized PR concentrates mass around the seed") {
+    // Two disconnected 2-cycles; seeding only {1} must leave {3,4} at 0.
+    val edges = Seq((1, 2), (2, 1), (3, 4), (4, 3)).toDF("src", "dst")
+    val ranks = PageRank.personalizedFixedIterations(
+      spark, edges, Seq(1).toDF("id"), 0.85, 6)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ranks(1) > ranks(2) && ranks(2) > 0.25)
+    assert(ranks(3) == 0.0 && ranks(4) == 0.0)
+    // Mass conservation: this formula loses nothing on a dangling-free graph.
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+  }
+
+  test("personalized PR requires a seed inside the graph") {
+    val edges = Seq((1, 2)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      PageRank.personalizedFixedIterations(spark, edges, Seq(99).toDF("id"), 0.85, 2)
+    }
+  }
+
+  test("HITS: two hubs, one authority") {
+    // 1→3 and 2→3: vertex 3 is the sole authority, 1 and 2 split hub
+    // mass evenly; 3 has no out-edges so its hub score is 0.
+    val edges = Seq((1, 3), (2, 3)).toDF("src", "dst")
+    val out = Hits.fixedIterations(spark, edges, 3)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(math.abs(out(3)._1 - 1.0) < 1e-12) // authority(3) = 1
+    assert(out(3)._2 == 0.0)
+    assert(math.abs(out(1)._2 - 0.5) < 1e-12 && math.abs(out(2)._2 - 0.5) < 1e-12)
+    assert(out(1)._1 == 0.0 && out(2)._1 == 0.0)
+  }
+
+  test("HITS scores are L1-normalized each iteration") {
+    val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (2, 1)).toDF("src", "dst")
+    val out = Hits.fixedIterations(spark, edges, 4).collect()
+    val aSum = out.map(_.getDouble(1)).sum
+    val hSum = out.map(_.getDouble(2)).sum
+    assert(math.abs(aSum - 1.0) < 1e-9 && math.abs(hSum - 1.0) < 1e-9)
+  }
+
+  test("iterative helpers leave only their result backings persisted") {
+    // Shared test session: clear residue from earlier tests' checkpointed
+    // results first, so the count below attributes blocks to THESE calls.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val edges = Seq((1, 2), (2, 3), (3, 1)).toDF("src", "dst")
+    val h = Hits.fixedIterations(spark, edges, 2)
+    val p = PageRank.personalizedFixedIterations(spark, edges, Seq(1).toDF("id"), 0.85, 2)
+    h.count(); p.count()
+    // The returned frames are checkpoint-backed by design (one block
+    // each); every intermediate (edge copies, vertex relations, per-
+    // iteration checkpoints) must already be freed.
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet
+    assert(leaked.size <= 2, s"leaked persistent RDDs: $leaked")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+  }
+}
