@@ -68,12 +68,17 @@ object Bench {
     "t9_quality_gopher",
     "d1_dedup_exact",
     "d6_decontaminate",
+    "d9_editdist_pairs",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_pairs",
     "n1_ann_brute",
     "n2_ann_lsh",
+    "g3_triangles",
+    "g4_khop",
+    "i4_personalized",
+    "i5_hits",
     "i1_pagerank_fixed",
     "pr_renorm",
     "pr_graphx")

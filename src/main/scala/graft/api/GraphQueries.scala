@@ -263,13 +263,17 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
         .orderBy(col("id"))),
 
     // Triangle census with degree-ordered orientation (O(√m) oriented
-    // out-degree even on power-law hubs) over the co-supply network —
-    // suppliers linked by a shared part. Global clustering in one row.
+    // out-degree even on power-law hubs) over the part co-order network —
+    // parts linked by appearing in the same order. (The supplier co-supply
+    // graph is degenerate here: at sf0.1 every supplier shares a part with
+    // every other, giving the complete K1000 whose ~1.7e8 triangles are a
+    // stress test, not a motif; the co-order graph is sparse — avg degree
+    // ~120 — with real clustering structure.) Global clustering, one row.
     "g3_triangles" -> ((s, d) => {
-      val ps = Tables.lineitem(s, d)
-        .select(col("l_partkey"), col("l_suppkey"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
       graft.graph.Motifs.triangleStats(
-        graft.graph.Motifs.coSupply(ps, "l_partkey", "l_suppkey"))
+        graft.graph.Motifs.coOccurrence(li, "l_orderkey", "l_partkey"))
     }),
 
     // Bounded-hop reachability (frontier BFS, k=3) over the undirected
@@ -364,7 +368,7 @@ SELECT a.id AS id, ROUND(a.score, 9) AS authority, ROUND(h.score, 9) AS hub
 FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
 
     "g3_triangles" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem),
         |und AS (SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
         |deg AS (SELECT v, COUNT(*) AS d
         |        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t GROUP BY v),

@@ -28,22 +28,104 @@ object Dedup {
       .orderBy(col("h"))
 
   /** Edit-distance near-dup pairs: documents whose lowercase `prefixLen`-
-    * char prefixes are within Levenshtein distance `maxDist`.
+    * char prefixes are within Levenshtein distance `maxDist` (k).
     *
-    * Blocking is LOSSLESS length banding: |len(a) − len(b)| ≤ maxDist is a
-    * hard invariant of edit distance, so bucketing prefixes by
-    * `len div (maxDist+1)` and replicating the left side to its bucket ±1
-    * reaches every qualifying pair exactly once — no candidate is missed,
-    * and nothing resembling a cartesian is built (each doc meets only the
-    * docs in three adjacent length bands). The refine uses the
-    * threshold-bounded `levenshtein(a, b, k)` builtin (banded O(k·n)
-    * instead of O(n²) per pair, early-exit above k).
+    * Candidate generation is PassJoin-style SEGMENT blocking (Li, Deng,
+    * Feng — EDBT'11; public algorithm): each indexed prefix of length
+    * n ≥ k+1 is split into k+1 contiguous segments; k edits can touch at
+    * most k of them, so any string within distance k contains at least one
+    * segment VERBATIM, position-shifted by at most k. The probe side
+    * therefore emits, for every candidate partner length l ∈ [m−k, m+k]
+    * and segment index, the substrings at the ±k shift window, and
+    * candidates fall out of an equi-join on (length, segment index,
+    * content) — complete by pigeonhole, never a cartesian. Both-short
+    * strings (length ≤ k, where empty segments void the pigeonhole) go
+    * through a tiny residual all-pairs bucket. The refine is the
+    * threshold-bounded `levenshtein(a, b, k)` builtin (banded O(k·n),
+    * early-exit above k).
     *
-    * Distance is computed on prefixes — the standard cheap screen for
-    * long-document corpora where full-text O(k·n) per pair is still too
-    * hot; pair it with a shingle/minhash pass for whole-document claims.
+    * Why not plain length banding (|Δlen| ≤ k is also lossless): real
+    * corpora pile up at len == prefixLen, collapsing length bands into one
+    * O(n²) bucket — measured 29.7 s at sf0.1 vs ~2 s for this form (the
+    * banded twin is kept package-private as the equivalence baseline).
+    * Distance on prefixes is the standard cheap screen for long-document
+    * corpora; pair it with a shingle/minhash pass for whole-document
+    * claims.
     */
   def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefixLen: Int = 40,
+      maxDist: Int = 5): DataFrame = {
+    val k = maxDist
+    val segs = k + 1
+    val base = docs.select(
+      col(idCol).as("id"),
+      substring(lower(col(textCol)), 1, prefixLen).as("s"))
+      .withColumn("ln", length(col("s")))
+
+    // Index: k+1 segments per doc of length ≥ k+1. With n = b·segs + r,
+    // the first r segments get b+1 chars — start_i = i·b + min(i, r).
+    val idx = base.filter(col("ln") >= segs)
+      .select(col("id").as("rid"), col("s"), col("ln").as("n"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("b", expr(s"n div $segs"))
+      .withColumn("r", col("n") % segs)
+      .withColumn("len", col("b") + when(col("i") < col("r"), 1).otherwise(0))
+      .withColumn("st", col("i") * col("b") + least(col("i"), col("r")))
+      .select(col("rid"), col("n"), col("i"),
+        expr("substring(s, st + 1, len)").as("seg"))
+
+    // Probe: for each partner length l and segment i, the content at every
+    // admissible shift. ≤ (2k+1)·(k+1)·(2k+1) emissions per doc — constant
+    // in corpus size. (The tighter multi-match shift windows would shave a
+    // constant factor; the loose ±k window keeps completeness obvious.)
+    val probe = base
+      .select(col("id").as("sid"), col("s"), col("ln").as("m"),
+        explode(sequence(col("ln") - k, col("ln") + k)).as("l"))
+      .filter(col("l") >= segs)
+      .select(col("sid"), col("s"), col("m"), col("l"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("b", expr(s"l div $segs"))
+      .withColumn("r", col("l") % segs)
+      .withColumn("len", col("b") + when(col("i") < col("r"), 1).otherwise(0))
+      .withColumn("st", col("i") * col("b") + least(col("i"), col("r")))
+      .select(col("sid"), col("s"), col("m"), col("l"), col("i"), col("len"),
+        explode(sequence(col("st") - k, col("st") + k)).as("p"))
+      .filter(col("p") >= 0 && col("p") <= col("m") - col("len"))
+      .select(col("sid"), col("l"), col("i"),
+        expr("substring(s, p + 1, len)").as("seg"))
+
+    val blocked = probe.join(idx,
+      probe("l") === idx("n") && probe("i") === idx("i") &&
+        probe("seg") === idx("seg") && probe("sid") =!= idx("rid"))
+      .select(
+        least(col("sid"), col("rid")).as("id_a"),
+        greatest(col("sid"), col("rid")).as("id_b"))
+
+    // Residual: both strings ≤ k chars — any of their pairs may evade the
+    // segment pigeonhole; the bucket is tiny by construction.
+    val short = base.filter(col("ln") <= k)
+    val shortPairs = short.select(col("id").as("id_a"))
+      .join(short.select(col("id").as("id_b")), col("id_a") < col("id_b"))
+
+    val cands = blocked.unionAll(shortPairs).distinct()
+    cands
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), k))
+      .filter(col("dist") >= 0)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Length-banded twin of [[editDistancePairs]] — same output by
+    * construction (|Δlen| ≤ k banding is also lossless), O(band²) work:
+    * kept as the equivalence/test baseline the PassJoin form is asserted
+    * against.
+    */
+  private[graft] def editDistancePairsBanded(
       docs: DataFrame,
       idCol: String,
       textCol: String,

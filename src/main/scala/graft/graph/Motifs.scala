@@ -112,14 +112,16 @@ object Motifs {
     visited
   }
 
-  /** Co-supply network: undirected supplier–supplier edges (a, b), a < b,
-    * linking suppliers that ship at least one common part — the natural
-    * triangle-bearing graph of the TPC-H-ish schema (part→supplier is
-    * bipartite and hence triangle-free). `ps` is a (part, supplier)
-    * relation, deduped here.
+  /** Co-occurrence network: undirected item–item edges (a, b), a < b,
+    * linking items that share at least one group — e.g. parts appearing in
+    * the same order (a bipartite item↔group relation itself is
+    * triangle-free; its one-mode projection is where motifs live). `rel`
+    * is a (group, item) relation, deduped here. Per-group fan-out is
+    * C(group size, 2) — bounded when group sizes are (order lines: ≤7);
+    * for heavy-tailed group sizes cap or sample groups first.
     */
-  def coSupply(ps: DataFrame, part: String, supp: String): DataFrame = {
-    val base = ps.select(col(part).as("p"), col(supp).as("s")).distinct()
+  def coOccurrence(rel: DataFrame, group: String, item: String): DataFrame = {
+    val base = rel.select(col(group).as("p"), col(item).as("s")).distinct()
     val l = base.select(col("p"), col("s").as("a"))
     val r = base.select(col("p").as("p2"), col("s").as("b"))
     l.join(r, l("p") === r("p2") && (col("a") < col("b")))

@@ -99,6 +99,24 @@ class MotifsSpec extends SparkSpec {
     assert(rows == 6L)
   }
 
+  test("edit-distance pairs: PassJoin blocking ≡ banded baseline on the corpus") {
+    val docs = Tables.documents(spark, Sf001)
+    val pass = Dedup.editDistancePairs(docs, "doc_id", "text", 40, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val band = Dedup.editDistancePairsBanded(docs, "doc_id", "text", 40, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pass == band,
+      s"missed=${(band -- pass).take(5)} extra=${(pass -- band).take(5)}")
+    assert(pass.nonEmpty) // the corpus carries near-dups by construction
+  }
+
+  test("edit-distance pairs: short strings (≤ k) still pair via the residual bucket") {
+    val docs = Seq((1L, "ab"), (2L, "ba"), (3L, "abcdefgh")).toDF("doc_id", "text")
+    val out = Dedup.editDistancePairs(docs, "doc_id", "text", 40, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out.contains((1L, 2L))) // dist 2, both below the segment minimum
+  }
+
   test("edit-distance pairs: length-band invariant excludes |Δlen| > k") {
     val docs = Seq(
       (1L, "aaaa"),
