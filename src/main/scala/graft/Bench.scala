@@ -52,6 +52,9 @@ import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
 object Bench {
 
   private val Headline: Seq[String] = Seq(
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "s1_scan_project",
     "j3_join_chain",
     "a4_keyed_sum",

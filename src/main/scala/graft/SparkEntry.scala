@@ -28,11 +28,13 @@ object SparkEntry {
     api.RelationalQueries.queries ++
       api.GraphQueries.queries ++
       api.EventQueries.queries ++
-      api.PipelineQueries.queries
+      api.PipelineQueries.queries ++
+      api.BenchmarkQueries.queries
 
   def oracleSql: Map[String, String] =
     api.RelationalQueries.oracleSql ++
       api.GraphQueries.oracleSql ++
       api.EventQueries.oracleSql ++
-      api.PipelineQueries.oracleSql
+      api.PipelineQueries.oracleSql ++
+      api.BenchmarkQueries.oracleSql
 }

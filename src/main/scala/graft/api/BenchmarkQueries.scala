@@ -1,0 +1,109 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables._
+
+/** Classic decision-support shapes (TPC-H Q1/Q3/Q6 analogues on the
+  * TPC-H-ish testdata) — the standard relational benchmark surface a
+  * drop-in analytics engine is expected to run, and the canonical
+  * plan-shape demonstrations:
+  *
+  *  - q1: full-scan groupBy with 8 simultaneous aggregates — partial
+  *    (map-side) aggregation does almost all the work; the shuffle carries
+  *    4 groups.
+  *  - q3: selective dim filter → fact join → agg → rounded top-10
+  *    (TakeOrderedAndProject); the filtered customer side broadcasts.
+  *  - q6: pure scan-filter-sum — predicate pushdown + column pruning means
+  *    the scan reads 4 of 11 columns and skips row groups by shipdate.
+  *
+  * Dates are TIMESTAMP in the parquet; literals are cast UTC timestamps on
+  * both sides, and q3's date output goes through `date_format` (string) to
+  * stay engine-portable.
+  */
+object BenchmarkQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val queries: Map[String, Q] = Map(
+    "q1_pricing_summary" -> ((s, d) => lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q3_shipping_priority" -> ((s, d) => {
+      val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = orders(s, d).filter(col("o_orderdate") < ts("1996-03-15"))
+      val li = lineitem(s, d).filter(col("l_shipdate") > ts("1996-03-15"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(
+          col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("order_date"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q6_forecast_revenue" -> ((s, d) => lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= ts("1996-01-01") &&
+          col("l_shipdate") < ts("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+        |  ROUND(AVG(l_discount), 4) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  o_orderpriority,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, order_date, o_orderpriority
+        |ORDER BY revenue DESC, order_date, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin
+  )
+}

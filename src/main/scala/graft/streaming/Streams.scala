@@ -128,6 +128,33 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Current-state row maintained by [[latestSnapshot]]. */
+  case class Latest(user_id: Long, last_event: Long, last_type: String,
+      last_ms: Long, last_value: Double)
+
+  /** CDC changelog compaction as a live materialized view — streaming twin
+    * of `e12_latest_snapshot`: per key, the latest event (epoch-ms order,
+    * event_id tie-break) is kept as state and re-emitted whenever it
+    * changes (update mode). State is one row per key — |keys|-sized and
+    * hash-partitioned, the streaming analogue of the batch max(struct)
+    * aggregate; out-of-order arrivals older than the held row are ignored
+    * rather than regressing the snapshot.
+    */
+  def latestSnapshot(events: Dataset[Event]): Dataset[Latest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Latest, Latest](GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[Latest]) =>
+          val incoming = rows.map(e =>
+            Latest(userId, e.event_id, e.event_type, e.ts.getTime, e.value))
+          val best = (incoming ++ state.getOption.iterator)
+            .maxBy(l => (l.last_ms, l.last_event))
+          state.update(best)
+          best
+      }
+  }
+
   /** Stream-stream banded interval join — streaming twin of the batch
     * `ops.RangeJoin` (e10): pairs of same-key events where the right event
     * falls in (left.ts, left.ts + band]. The event-time range condition is

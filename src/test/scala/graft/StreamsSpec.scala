@@ -171,6 +171,37 @@ class StreamsSpec extends SparkSpec {
     assert(got.keySet === batch.map(_._1).toSet)
   }
 
+  test("streaming latest-snapshot matches batch e12 over sf0.001 events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rows = Tables.events(spark, Sf001)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect()
+    val mem = MemoryStream[Streams.Event]
+    // Two micro-batches split mid-corpus: the snapshot must survive state
+    // handoff between batches, not just a single-batch reduction.
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    val q = Streams.latestSnapshot(mem.toDS())
+      .writeStream.format("memory").queryName("snap")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+
+    // Update mode re-emits a key on every change — the LAST emission per
+    // key is the live snapshot value.
+    val streamed = spark.table("snap")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("last_ms"), col("last_event"), col("last_type"), col("last_value"))).as("m"))
+      .select(col("user_id"), col("m.last_event"), col("m.last_type"),
+        col("m.last_ms"), round(col("m.last_value"), 4).as("last_value"))
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("e12_latest_snapshot")(spark, Sf001)
+      .as[(Long, Long, String, Long, Double)].collect().toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream band join matches batch RangeJoin pairs") {
     implicit val sqlCtx = spark.sqlContext
     // Covers: tie (1,2 same ts — strictly-after excludes), in-band pairs,
