@@ -98,18 +98,29 @@ object Motifs {
   def kHopMinHops(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 0 && k <= 12, s"k-hop unrolls k plan levels; got k=$k")
     val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-    val s0 = seeds.select(col(seeds.columns(0)).as("id")).distinct()
-    var visited = s0.withColumn("hops", lit(0))
-    var frontier = s0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Each level is materialized (eager localCheckpoint): the edge scan and
+    // every frontier run ONCE — a fully lazy k-level plan would re-derive
+    // the edge relation and all previous frontiers at every hop (measured
+    // ~2× on the sf0.1 supply graph) and its exponential lineage would not
+    // survive large k. The returned union references the per-level
+    // checkpoints; callers sweep them with the usual persistent-RDD sweep.
+    var frontier = seeds.select(col(seeds.columns(0)).as("id")).distinct()
+      .localCheckpoint(true)
+    var levels = List(frontier.withColumn("hops", lit(0)))
+    var visited = frontier // lazy union over checkpointed levels — no rework
     for (h <- 1 to k) {
       val next = e.join(frontier, e("src") === frontier("id"), "left_semi")
         .select(col("dst").as("id"))
         .distinct()
         .join(visited, Seq("id"), "left_anti")
-      visited = visited.unionAll(next.withColumn("hops", lit(h)))
+        .localCheckpoint(true)
+      levels ::= next.withColumn("hops", lit(h))
+      visited = visited.unionAll(next)
       frontier = next
     }
-    visited
+    e.unpersist()
+    levels.reverse.reduce(_.unionAll(_))
   }
 
   /** Co-occurrence network: undirected item–item edges (a, b), a < b,
