@@ -71,6 +71,7 @@ object Bench {
     "t9_quality_gopher",
     "d1_dedup_exact",
     "d6_decontaminate",
+    "p7_curate",
     "d9_editdist_pairs",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",

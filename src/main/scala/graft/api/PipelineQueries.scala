@@ -229,6 +229,46 @@ object PipelineQueries {
     "n4_ann_ivf" -> ((s, d) =>
       Similarity.annIvf(s, vecs(s, d), nCells = 8, k = 5)),
 
+    // Portable IVF twin: sign-pattern static quantizer (2^3 cells) in
+    // place of trained KMeans centroids — same per-cell-equi-join shape,
+    // fully reproducible in DuckDB (full hash-checked oracle for the IVF
+    // path, like n2b for LSH).
+    "n4b_ann_ivf_portable" -> ((s, d) =>
+      Similarity.annIvfStatic(vecs(s, d), dims = 3, k = 5)),
+
+    // The composed corpus-curation pipeline — what this library exists
+    // for, end to end in ONE lazy plan: Gopher-style quality gate → exact
+    // dedup (min-id representative per content hash) → benchmark
+    // decontamination (4-gram overlap with the held-out doc_id%25==0
+    // slice) → surviving corpus. Every stage reuses the oracled
+    // single-stage operator (t9 / d1 / d6); Catalyst fuses the whole
+    // chain, and the only large-data shuffles are the token aggregations
+    // and the content-hash groupBy — the benchmark side broadcasts.
+    "p7_curate" -> ((s, d) => {
+      val docs = documents(s, d).cache()
+      val pass = TextFns.gopherQuality(docs, "doc_id", "text")
+        .filter(
+          col("n_tokens") >= 15 &&
+            col("distinct_frac") >= 0.35 &&
+            col("top_tok_frac") <= 0.12 &&
+            col("dup_bigram_frac") <= 0.2)
+        .select(col("doc_id"))
+      val passed = docs.join(pass, "doc_id")
+      val keep = passed
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = passed.join(keep, "doc_id")
+      val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      val train = deduped.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      val contaminated = Dedup
+        .contamination(train, bench, "doc_id", "text", n = 4)
+        .select(col("train_id").as("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- multimodal ----
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
@@ -609,6 +649,73 @@ object PipelineQueries {
         |  FROM cand
         |  JOIN e ea ON ea.vec_id = query_id
         |  JOIN e eb ON eb.vec_id = cand_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "p7_curate" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS MATERIALIZED (
+        |  SELECT doc_id, arr[i] AS t
+        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+        |bi AS (
+        |  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+        |  FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS u(i)
+        |  WHERE len(arr) >= 2),
+        |a1 AS (
+        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd FROM tok GROUP BY 1),
+        |tc AS (
+        |  SELECT doc_id, MAX(c) AS top_c FROM (
+        |    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+        |a2 AS (
+        |  SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nbd FROM bi GROUP BY 1),
+        |pass AS MATERIALIZED (
+        |  SELECT a1.doc_id FROM a1 JOIN tc USING (doc_id) LEFT JOIN a2 USING (doc_id)
+        |  WHERE a1.n >= 15
+        |    AND ROUND(CAST(a1.nd AS DOUBLE) / a1.n, 6) >= 0.35
+        |    AND ROUND(CAST(tc.top_c AS DOUBLE) / a1.n, 6) <= 0.12
+        |    AND (CASE WHEN a2.nb IS NULL THEN 0.0
+        |         ELSE ROUND(1.0 - CAST(a2.nbd AS DOUBLE) / a2.nb, 6) END) <= 0.2),
+        |keep AS MATERIALIZED (
+        |  SELECT MIN(doc_id) AS doc_id FROM documents
+        |  WHERE doc_id IN (SELECT doc_id FROM pass)
+        |  GROUP BY md5(text)),
+        |sh AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id,
+        |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(arr) - 3)) AS u(i)
+        |  WHERE len(arr) >= 4),
+        |contaminated AS MATERIALIZED (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM sh t JOIN sh b USING (s)
+        |  WHERE b.doc_id % 25 = 0 AND t.doc_id % 25 <> 0
+        |    AND t.doc_id IN (SELECT doc_id FROM keep))
+        |SELECT d.doc_id, d.lang, d.n_chars
+        |FROM documents d
+        |WHERE d.doc_id IN (SELECT doc_id FROM keep)
+        |  AND d.doc_id % 25 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "n4b_ann_ivf_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS cell
+        |  FROM e),
+        |scored AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
         |ranked AS (
         |  SELECT query_id, cand_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

@@ -204,6 +204,42 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** IVF with a DATA-INDEPENDENT quantizer: cells are the sign pattern of
+    * the first `dims` coordinates (2^dims cells) instead of trained
+    * k-means centroids. Same physical shape as [[annIvf]] — cell
+    * assignment is a projection, search is a per-cell equi-join + top-k
+    * window — but fully deterministic and engine-portable, so this twin
+    * carries a complete DuckDB oracle where the KMeans variant (whose
+    * trained centroids are engine-specific) is rows-only. The production
+    * tradeoff is the usual one: static cells don't adapt to the data
+    * distribution (skewed cells), which is what the trained quantizer
+    * buys.
+    */
+  def annIvfStatic(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      dims: Int,
+      k: Int): DataFrame = {
+    require(dims >= 1 && dims <= 16)
+    val cell = (0 until dims).map { j =>
+      when(element_at(col("v"), j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    val assigned = vectors.select(col("vec_id"), col("v"), cell.as("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("query_id"), col("v").as("qv"))
+    val b = assigned.select(col("cell").as("cell_b"), col("vec_id").as("cand_id"), col("v").as("cv"))
+    val scored = a.join(b,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Production embedding near-duplicate pairs: hyperplane-LSH blocking
     * (portable md5 hash family) + exact-cosine refine on candidates only.
     * A pair is compared iff it collides in ≥1 of `tables` hash tables —
