@@ -270,6 +270,21 @@ object PipelineQueries {
     }),
 
     // ---- multimodal ----
+    // Batched feature extraction through the imperative mapPartitions
+    // path (per-partition decoder init), md5-portable values → full
+    // oracle even for the non-relational execution route.
+    "m2_media_features" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, documents(s, d))
+      Multimodal.extractFeaturesPortable(media, dims = 8).toDF()
+        .select(col("media_id"), col("j"), round(col("feat"), 6).as("feat"))
+        .orderBy(col("media_id"), col("j"))
+    }),
+
+    // Frame-sampling plumbing: uniform-stride frame indices per media row
+    // (≤ 8 frames regardless of clip length), ready to feed a decoder.
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(documents(s, d), "doc_id", "n_chars", maxFrames = 8)),
+
     "m1_media_meta" -> ((s, d) =>
       Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
   )
@@ -739,6 +754,23 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "m2_media_features" ->
+      """SELECT doc_id AS media_id, CAST(j AS BIGINT) AS j,
+        |  ROUND(CAST('0x' || substr(md5(text), CAST(2*j+1 AS INT), 2) AS BIGINT)
+        |        / 255.0 - 0.5, 6) AS feat
+        |FROM documents, UNNEST(generate_series(0, 7)) AS u(j)
+        |ORDER BY media_id, j""".stripMargin,
+
+    "m3_frame_sample" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 991 + 10 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx
+        |FROM f, UNNEST(generate_series(0, n_frames - 1,
+        |  CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT))) AS u(frame_idx)
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

@@ -65,6 +65,53 @@ object Multimodal {
       (lit(360L) + (col(nCharsCol) * 7) % 720).cast("long").as("fake_height"))
       .orderBy(col(idCol))
 
+  /** One feature-vector element, exploded for engine-portable comparison
+    * (array columns don't hash-compare across engines).
+    */
+  case class MediaFeatureRow(media_id: Long, j: Long, feat: Double)
+
+  /** Distributed feature extraction with a PORTABLE stub: the per-
+    * partition decode loop is real (mapPartitions, codec/model init
+    * amortizable per partition — `init` stands where a real decoder
+    * context would load), while the "features" are derived from the
+    * payload's md5 so the exact values reproduce in DuckDB and the whole
+    * mapPartitions path carries a hash-checked oracle — the same
+    * portability trick as the `n2b`/`n4b`/`p3b` twins, applied to the
+    * imperative (non-relational) execution path.
+    */
+  def extractFeaturesPortable(media: Dataset[MediaRecord], dims: Int = 8): Dataset[MediaFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // ===== per-partition init: a real codec/model would load HERE =====
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        digest.reset()
+        val hex = digest.digest(r.bytes).map("%02x".format(_)).mkString
+        (0 until dims).iterator.map { j =>
+          val b = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16)
+          MediaFeatureRow(r.media_id, j.toLong, b / 255.0 - 0.5)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling plumbing: per media row, the deterministic frame
+    * indices a video decoder would be asked for — uniform stride so that
+    * ≤ `maxFrames` frames are taken regardless of clip length (the
+    * standard "sample k frames" pre-processing for video training data).
+    * Pure builtins (sequence + explode); the fake frame count derives from
+    * metadata exactly like [[mediaMeta]]'s stub dimensions.
+    */
+  def frameSample(df: DataFrame, idCol: String, nCharsCol: String, maxFrames: Int): DataFrame = {
+    val nFrames = (col(nCharsCol) % 991 + 10).cast("long") // stub: 10..1000 frames
+    val stride = ceil(nFrames.cast("double") / maxFrames).cast("long")
+    df.select(
+        col(idCol).as("media_id"),
+        nFrames.as("n_frames"),
+        explode(sequence(lit(0L), nFrames - 1, stride)).as("frame_idx"))
+      .orderBy(col("media_id"), col("frame_idx"))
+  }
+
   /** Build a typed media dataset from the documents table (payload = the
     * UTF-8 bytes of `text`) — exercises the binary plumbing end to end.
     */
