@@ -209,6 +209,45 @@ object Streams {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Streaming corpus curation — the batch `p7_curate` pipeline as a live
+    * ingest, each stage the streaming analogue of its batch twin:
+    *
+    *  1. content dedup: `dropDuplicatesWithinWatermark` on the md5 digest
+    *     (first ARRIVAL is the representative — the streaming counterpart
+    *     of batch min-id; state bounded by the dup horizon);
+    *  2. quality gate: stateless per-row screen (token count, punctuation
+    *     and stopword ratios — `TextFns` builtins, no state at all);
+    *  3. decontamination: stateless per-row `arrays_overlap` of the doc's
+    *     shingle set against the benchmark shingle array, which ships as a
+    *     literal in the plan (the benchmark side is tiny by definition —
+    *     the same assumption the batch d6 broadcast makes; a stream-stream
+    *     anti-join is not expressible in append mode, and a per-doc
+    *     stateful aggregation would hold unbounded state).
+    *
+    * Emits the surviving (doc_id, text) rows in append mode. At 100 TB/day
+    * the only state is the dedup digests inside the watermark; everything
+    * else is per-row.
+    */
+  def curateStream(
+      docs: DataFrame, // streaming (doc_id LONG, text STRING, ts TIMESTAMP)
+      benchShingles: Array[String],
+      n: Int,
+      minTokens: Int = 15,
+      maxPunctRatio: Double = 0.2,
+      maxStopwordRatio: Double = 0.6,
+      watermark: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .withColumn("h", md5(col("text")))
+      .dropDuplicatesWithinWatermark("h")
+      .filter(
+        graft.text.TextFns.tokenCount(col("text")) >= minTokens &&
+          graft.text.TextFns.punctRatio(col("text")) <= maxPunctRatio &&
+          graft.text.TextFns.stopwordRatio(col("text")) <= maxStopwordRatio &&
+          !arrays_overlap(
+            graft.text.TextFns.shingles(col("text"), n), lit(benchShingles)))
+      .select(col("doc_id"), col("text"))
+
   /** Stream-static enrichment join: each micro-batch of events is joined
     * against a static dimension table (re-read per batch if backed by a
     * mutable source). Catalyst broadcasts the static side when small —

@@ -202,6 +202,45 @@ class StreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming curation matches the batch stage composition on sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.text.TextFns
+    val docs = Tables.documents(spark, Sf001)
+    val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
+      .select(explode(TextFns.shingles(col("text"), 4)).as("s"))
+      .distinct().as[String].collect()
+    val corpus = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().sortBy(_._1) // arrival in id order → first arrival = min id
+
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val (b1, b2) = corpus.map { case (id, t) => (id, t, ts(0)) }.splitAt(corpus.length / 2)
+    mem.addData(b1.toIndexedSeq)
+    val q = Streams.curateStream(
+      mem.toDF().toDF("doc_id", "text", "ts"), bench, n = 4)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    mem.addData(b2.toIndexedSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("curated").select("doc_id").as[Long].collect().toSet
+
+    // Batch twin, stage for stage (min-id representative per content hash).
+    val keep = docs.filter(pmod(col("doc_id"), lit(25)) =!= 0)
+      .groupBy(md5(col("text")).as("h")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val batch = docs.join(keep, "doc_id")
+      .filter(
+        TextFns.tokenCount(col("text")) >= 15 &&
+          TextFns.punctRatio(col("text")) <= 0.2 &&
+          TextFns.stopwordRatio(col("text")) <= 0.6 &&
+          !arrays_overlap(TextFns.shingles(col("text"), 4), lit(bench)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-stream band join matches batch RangeJoin pairs") {
     implicit val sqlCtx = spark.sqlContext
     // Covers: tie (1,2 same ts — strictly-after excludes), in-band pairs,
