@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.Tables.events
-import graft.ops.RangeJoin
+import graft.ops.{IntervalJoin, RangeJoin}
 
 /** Time-series / event-stream operators demonstrated in batch form with
   * DuckDB oracles. The same logic runs as Structured Streaming in
@@ -207,6 +207,39 @@ object EventQueries {
         round(col("m.value"), 4).as("last_value"))
       .orderBy(col("user_id"))),
 
+    // Interval-OVERLAP self-join (ops.IntervalJoin — both sides are
+    // intervals, the companion of e10's point-in-band): cross-user pairs
+    // of CONCURRENT sessions, with the shared duration. Sessions derive
+    // exactly as in e2; the op bins time (1 h ≥ typical session length),
+    // attributes each pair to its overlap-start bin, and never plans a
+    // nested loop.
+    "e13_overlap_sessions" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(ms, col("event_id"))
+      val newSession = when(
+        lag(ms, 1).over(w).isNull || (ms - lag(ms, 1).over(w)) > GapMs, 1).otherwise(0)
+      val sess = events(s, d)
+        .withColumn("new_s", newSession)
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(ms).as("s_start"), (max(ms) + 1).as("s_end"))
+      val a = sess.select(
+        col("user_id").as("user_a"), col("session_id").as("sess_a"),
+        col("s_start").as("a_start"), col("s_end").as("a_end"))
+      val b = sess.select(
+        col("user_id").as("user_b"), col("session_id").as("sess_b"),
+        col("s_start").as("b_start"), col("s_end").as("b_end"))
+      IntervalJoin.overlapPairs(a, b, "a_start", "a_end", "b_start", "b_end",
+          width = 3600000L)
+        .filter(col("user_a") < col("user_b"))
+        .select(
+          col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+          (least(col("a_end"), col("b_end"))
+            - greatest(col("a_start"), col("b_start"))).as("overlap_ms"))
+        .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -253,6 +286,30 @@ object EventQueries {
         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         |  ROUND(SUM(value), 2) AS session_value
         |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+
+    "e13_overlap_sessions" ->
+      s"""WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, ms,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y),
+        |sess AS MATERIALIZED (
+        |  SELECT user_id, session_id, MIN(ms) AS s_start, MAX(ms) + 1 AS s_end
+        |  FROM z GROUP BY user_id, session_id)
+        |SELECT a.user_id AS user_a, a.session_id AS sess_a,
+        |  b.user_id AS user_b, b.session_id AS sess_b,
+        |  CAST(LEAST(a.s_end, b.s_end) - GREATEST(a.s_start, b.s_start) AS BIGINT) AS overlap_ms
+        |FROM sess a JOIN sess b
+        |  ON a.user_id < b.user_id AND a.s_start < b.s_end AND b.s_start < a.s_end
+        |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
 
     "e10_range_join" ->
       """SELECT a.event_id AS event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_follow

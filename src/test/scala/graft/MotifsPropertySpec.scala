@@ -57,6 +57,35 @@ object MotifsProperties extends Properties("Motifs") {
       Prop(got == want) :| s"k=$k missed=${(want -- got).take(3)} extra=${(got -- want).take(3)}"
     }
 
+  /** Random half-open intervals (ids unique), some empty, lengths often
+    * exceeding the bin width so multi-bin replication is exercised.
+    */
+  private val genIntervals: Gen[List[(Long, Long, Long)]] = for {
+    m <- Gen.choose(0, 25)
+    rows <- Gen.listOfN(m, for {
+      s <- Gen.choose(-50L, 100L)
+      len <- Gen.choose(0L, 40L)
+    } yield (s, s + len))
+  } yield rows.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) }
+
+  property("IntervalJoin.overlapPairs == naive overlap predicate, exactly once") =
+    forAll(genIntervals, genIntervals, Gen.choose(1L, 15L)) { (ls, rs, width) =>
+      import spark.implicits._
+      val l = ls.toDF("ida", "a_start", "a_end")
+      val r = rs.toDF("idb", "b_start", "b_end")
+      val got = graft.ops.IntervalJoin
+        .overlapPairs(l, r, "a_start", "a_end", "b_start", "b_end", width)
+        .select("ida", "idb").as[(Long, Long)].collect().toList
+      val want = for {
+        (ida, as_, ae) <- ls
+        (idb, bs, be) <- rs
+        if as_ < be && bs < ae && ae > as_ && be > bs
+      } yield (ida, idb)
+      // set equality AND multiplicity 1 (the bin-attribution dedup)
+      Prop(got.sorted == want.sorted) :|
+        s"width=$width got=${got.size} want=${want.size}"
+    }
+
   private val genEdges: Gen[List[(Int, Int)]] = for {
     n <- Gen.choose(2, 14)
     m <- Gen.choose(0, 40)
