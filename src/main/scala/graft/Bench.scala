@@ -66,6 +66,7 @@ object Bench {
     "e2_sessionize",
     "e9_asof_join",
     "e10_range_join",
+    "e13_overlap_sessions",
     "e11_resample_locf",
     "t2_quality_score",
     "t9_quality_gopher",
