@@ -342,6 +342,21 @@ object RelationalQueries {
         round(col("m.o_totalprice"), 2).as("top_price"))
       .orderBy(col("o_custkey"))),
 
+    // Co-moment statistics (corr / covariance / stddev): single-pass
+    // mergeable aggregates (Welford-style partial merge) — the numeric-
+    // analytics surface next to the plain sums. corr is scale-free so
+    // round-6 absorbs engine summation-order ulps; covar is rounded
+    // coarser because its magnitude is ~1e4 here.
+    "a16_stats_corr" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"),
+        round(stddev_pop(col("l_quantity")), 6).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"))
+      .orderBy(col("l_returnflag"))),
+
     // Sketch aggregation (HLL++): approximate distinct parts per supplier.
     // No engine-independent oracle (sketch internals differ) — rows-only
     // driver check; accuracy vs exact countDistinct asserted in ScalaTest.
@@ -558,6 +573,14 @@ object RelationalQueries {
         |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "a16_stats_corr" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  ROUND(covar_pop(l_quantity, l_extendedprice), 2) AS covar_qp,
+        |  ROUND(stddev_pop(l_quantity), 6) AS sd_qty,
+        |  ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "a14_grouping_sets" ->
       """SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
