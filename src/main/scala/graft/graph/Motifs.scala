@@ -70,7 +70,9 @@ object Motifs {
     val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
     val degAgg = deg.agg(
       count(lit(1)).as("n_vertices"),
-      expr("sum((d * (d - 1)) div 2)").as("n_wedges"))
+      // coalesce: SUM over zero rows is NULL — an empty graph must report
+      // 0 wedges (and 0.0 transitivity), not nulls.
+      coalesce(expr("sum((d * (d - 1)) div 2)"), lit(0L)).as("n_wedges"))
     val nEdge = und.agg(count(lit(1)).as("n_edges"))
     degAgg.crossJoin(nEdge).crossJoin(nTri)
       .select(

@@ -28,6 +28,16 @@ class MotifsSpec extends SparkSpec {
     assert(math.abs(row.getAs[Double]("transitivity") - 0.8) < 1e-9)
   }
 
+  test("triangle census: empty and self-loop-only graphs report zeros, not nulls") {
+    val selfOnly = Seq((7, 7)).toDF("src", "dst")
+    val row = Motifs.triangleStats(selfOnly).collect().head
+    assert(row.getAs[Long]("n_vertices") == 0L)
+    assert(row.getAs[Long]("n_edges") == 0L)
+    assert(row.getAs[Long]("n_triangles") == 0L)
+    assert(row.getAs[Long]("n_wedges") == 0L)
+    assert(row.getAs[Double]("transitivity") == 0.0)
+  }
+
   test("triangle census: triangle-free graphs report zero") {
     val star = Seq((0, 1), (0, 2), (0, 3), (0, 4)).toDF("a", "b")
     val row = Motifs.triangleStats(star).collect().head
