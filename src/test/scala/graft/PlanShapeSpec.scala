@@ -70,6 +70,37 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("runtime bloom filter: a selective fact-fact join row-filters the big scan") {
+    // The 100 TB shape: when neither side broadcasts, Spark can still
+    // build a bloom filter from the SELECTIVE side at runtime and inject
+    // a might_contain() predicate into the big side's scan — rows that
+    // cannot join die at the scan instead of riding the shuffle. Pin that
+    // the engine config surface delivers this (thresholds lowered because
+    // test-scale scans are below the 10 GB default application side).
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join shape
+      val ord = Tables.orders(spark, Sf01)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val li = Tables.lineitem(spark, Sf01)
+      val j = li.join(ord,
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      val plan = planOf(j)
+      assert(plan.contains("might_contain"), plan.take(2000))
+      assert(plan.contains("bloom_filter_agg"), plan.take(2000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("d6 decontamination: the benchmark side broadcasts, corpus never shuffles") {
     val plan = planOf(SparkEntry.queries("d6_decontaminate")(spark, Sf01))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
