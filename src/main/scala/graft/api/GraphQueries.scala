@@ -114,6 +114,33 @@ p_r$i AS (
     sb.toString()
   }
 
+  /** Weighted-PageRank CTE chain over a (src, dst, w) edge relation named
+    * `wedges` (with `wnodes`/`wn`/`wsw` support CTEs): K iterations of
+    *   rank' = (1−β)/N + β·Σ_{u→v} rank(u)·w(u,v)/W(u).
+    */
+  private def weightedChainSql(beta: Double, iterations: Int): String = {
+    val sb = new StringBuilder
+    sb.append(""",
+wsw AS MATERIALIZED (SELECT src, SUM(w) AS tw FROM wedges GROUP BY src),
+wfrac AS MATERIALIZED (
+  SELECT e.src, e.dst, e.w / s.tw AS frac FROM wedges e JOIN wsw s ON e.src = s.src),
+w_r0 AS (SELECT id, 1.0/(SELECT n FROM wn) AS rank FROM wnodes)""")
+    for (i <- 1 to iterations) {
+      val prev = if (i == 1) "w_r0" else s"w_r${i - 1}"
+      sb.append(s""",
+w_r$i AS (
+  SELECT wnodes.id,
+         (1.0 - $beta)/(SELECT n FROM wn) + $beta * COALESCE(c.s, 0.0) AS rank
+  FROM wnodes
+  LEFT JOIN (
+    SELECT f.dst AS id, SUM(r.rank * f.frac) AS s
+    FROM $prev r JOIN wfrac f ON f.src = r.id
+    GROUP BY f.dst
+  ) c ON wnodes.id = c.id)""")
+    }
+    sb.toString()
+  }
+
   /** HITS CTE chain: h0 = 1/N, then per iteration an authority half-step
     * (sum of hub scores over in-edges, L1-normalized) and a hub half-step
     * (sum of authority scores over out-edges, L1-normalized). Appended
@@ -251,6 +278,18 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
         .orderBy(col("id"))
     }),
 
+    // Weighted PageRank: the part→supplier graph with shipment
+    // multiplicity as edge weight — rank flows proportionally to traffic,
+    // the production norm (the unweighted i1 is the w≡1 special case).
+    "i6_weighted_pagerank" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("src"), col("l_suppkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      PageRank.weightedFixedIterations(s, e, beta = 0.85, iterations = Iters)
+        .select(col("id"), round(col("rank"), 9).as("rank"))
+        .orderBy(col("id"))
+    }),
+
     // HITS hubs & authorities (L1-normalized half-steps, fixed
     // iterations) on the trade graph: the second classic iterative
     // eigenvector operator next to PageRank, with a fully unrolled oracle.
@@ -360,6 +399,16 @@ FROM i_r$Iters"""),
     "i4_personalized" ->
       (headerSql(TradeEdgesSql) + personalizedChainSql(0.85, Iters) +
         s"\nSELECT id, ROUND(rank, 9) AS rank FROM p_r$Iters ORDER BY id"),
+
+    "i6_weighted_pagerank" ->
+      ("""WITH wedges AS MATERIALIZED (
+        |  SELECT l_partkey AS src, l_suppkey AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |wnodes AS MATERIALIZED (
+        |  SELECT src AS id FROM wedges UNION SELECT dst AS id FROM wedges),
+        |wn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM wnodes)""".stripMargin +
+        weightedChainSql(0.85, Iters) +
+        s"\nSELECT id, ROUND(rank, 9) AS rank FROM w_r$Iters ORDER BY id"),
 
     "i5_hits" ->
       (headerSql(TradeEdgesSql) + hitsChainSql(HitsIters) +

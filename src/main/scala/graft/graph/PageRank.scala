@@ -349,6 +349,65 @@ object PageRank {
     } finally g.unpersist()
   }
 
+  /** WEIGHTED fixed-iteration PageRank: edges carry a positive weight and
+    * each vertex distributes rank proportionally —
+    *   rank'_i = (1 − β)/N + β · Σ_{u→i} rank(u) · w(u,i)/W(u),  W(u) = Σ_j w(u,j).
+    * The unweighted [[fixedIterations]] is the w ≡ 1 special case. Same
+    * loop shape: the edge relation joins its per-source weight sum ONCE,
+    * is hash-partitioned by src and persisted with the normalized fraction
+    * precomputed; per-iteration traffic is |V| rank rows. Exactly
+    * SQL-unrollable (oracle chain in `api.GraphQueries`).
+    */
+  def weightedFixedIterations(
+      spark: SparkSession,
+      edges: DataFrame, // (src, dst, w > 0); parallel edges summed
+      beta: Double,
+      iterations: Int): DataFrame = {
+    val c = edges.columns
+    val e = edges
+      .select(col(c(0)).as("src"), col(c(1)).as("dst"), col(c(2)).cast("double").as("w"))
+      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val m = e.count()
+    val parts = loopPartitions(spark, m)
+    withLoopConf(spark, parts) {
+      val verts = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = verts.count()
+      if (n == 0) { verts.unpersist(); e.unpersist(); return verts.withColumn("rank", lit(0.0)) }
+      val sw = e.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      val linked = e.join(sw, "src")
+        .select(col("src"), col("dst"), (col("w") / col("tw")).as("frac"))
+        .repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      linked.count()
+      e.unpersist()
+      try {
+        var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+        var i = 0
+        while (i < iterations) {
+          val contribs = linked
+            .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+            .select(col("dst"), (col("rank") * col("frac")).as("c0"))
+            .groupBy(col("dst"))
+            .agg(sum(col("c0")).as("c"))
+          val next = verts
+            .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
+            .select(
+              verts("id"),
+              (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
+          val prev = ranks
+          ranks = next.localCheckpoint(true)
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
+          i += 1
+        }
+        ranks
+      } finally { linked.unpersist(); verts.unpersist() }
+    }
+  }
+
   /** O3+O4: top-k pages by score, ties broken by id — Catalyst plans this
     * as TakeOrderedAndProject (per-partition top-k + merge, no full sort).
     */

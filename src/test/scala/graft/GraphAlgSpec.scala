@@ -39,6 +39,29 @@ class GraphAlgSpec extends SparkSpec {
     }
   }
 
+  test("weighted PR with uniform weights equals unweighted fixed-iteration PR") {
+    val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
+    val weighted = edges.withColumn("w", lit(7.0)) // any constant: fracs = 1/deg
+    val uniform = PageRank.fixedIterations(spark, edges, 0.85, 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val got = PageRank.weightedFixedIterations(spark, weighted, 0.85, 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(uniform.keySet == got.keySet)
+    uniform.foreach { case (id, r) => assert(math.abs(r - got(id)) < 1e-12) }
+  }
+
+  test("weighted PR routes rank along the heavy edge") {
+    // 1 splits 9:1 between 2 and 3; 2 and 3 cycle back. Vertex 2 must
+    // end strictly above vertex 3.
+    val edges = Seq(
+      (1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)
+    ).toDF("src", "dst", "w")
+    val got = PageRank.weightedFixedIterations(spark, edges, 0.85, 8)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(got(2) > got(3) * 2)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9) // dangling-free: mass conserved
+  }
+
   test("HITS: two hubs, one authority") {
     // 1→3 and 2→3: vertex 3 is the sole authority, 1 and 2 split hub
     // mass evenly; 3 has no out-edges so its hub score is 0.
