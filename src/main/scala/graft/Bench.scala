@@ -85,6 +85,7 @@ object Bench {
     "i4_personalized",
     "i5_hits",
     "i1_pagerank_fixed",
+    "i6_weighted_pagerank",
     "pr_renorm",
     "pr_graphx")
 
