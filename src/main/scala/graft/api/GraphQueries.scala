@@ -315,6 +315,15 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
         graft.graph.Motifs.coOccurrence(li, "l_orderkey", "l_partkey"))
     }),
 
+    // Per-vertex local clustering coefficient over the co-order graph —
+    // the node-level graph feature next to g3's global census.
+    "g5_local_clustering" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+      graft.graph.Motifs.localClustering(
+        graft.graph.Motifs.coOccurrence(li, "l_orderkey", "l_partkey"))
+    }),
+
     // Bounded-hop reachability (frontier BFS, k=3) over the undirected
     // part↔supplier supply network ('p'/'s'-prefixed ids keep the two key
     // namespaces apart): the supply-chain blast radius of seed parts 1-5,
@@ -435,6 +444,34 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |  ROUND(CASE WHEN n_wedges = 0 THEN 0.0
         |             ELSE 3.0 * n_triangles / n_wedges END, 9) AS transitivity
         |FROM stats, ecnt, tri""".stripMargin,
+
+    "g5_local_clustering" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |deg AS MATERIALIZED (
+        |  SELECT v, COUNT(*) AS d
+        |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) t GROUP BY v),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS u,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS v,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dv
+        |  FROM und u JOIN deg da ON da.v = u.a JOIN deg db ON db.v = u.b),
+        |w AS (SELECT x.u AS u, x.v AS v1, y.v AS v2 FROM o x JOIN o y
+        |      ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+        |tri AS MATERIALIZED (
+        |  SELECT w.u, w.v1, w.v2 FROM w JOIN o ON w.v1 = o.u AND w.v2 = o.v),
+        |pv AS (
+        |  SELECT v, COUNT(*) AS n_tri FROM (
+        |    SELECT u AS v FROM tri
+        |    UNION ALL SELECT v1 FROM tri
+        |    UNION ALL SELECT v2 FROM tri) t GROUP BY v)
+        |SELECT deg.v AS id, deg.d AS degree,
+        |  CAST(COALESCE(pv.n_tri, 0) AS BIGINT) AS n_tri,
+        |  ROUND(CASE WHEN deg.d <= 1 THEN 0.0
+        |    ELSE 2.0 * COALESCE(pv.n_tri, 0) / (deg.d * (deg.d - 1)) END, 9) AS coef
+        |FROM deg LEFT JOIN pv ON deg.v = pv.v
+        |ORDER BY id""".stripMargin,
 
     "g4_khop" ->
       """WITH p2s AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,

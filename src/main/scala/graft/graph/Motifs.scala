@@ -83,6 +83,54 @@ object Motifs {
           .as("transitivity"))
   }
 
+  /** Per-vertex LOCAL clustering coefficient — the node-level companion of
+    * [[triangleStats]]'s global census, the standard graph feature for
+    * ML-on-graphs / community detection:
+    *   c(v) = 2·T(v) / (d(v)·(d(v)−1)),   T(v) = triangles containing v
+    * (0.0 for degree ≤ 1). Same degree-ordered oriented enumeration; each
+    * closed wedge (u, v1, v2) then credits ALL THREE corners (one explode,
+    * one combinable count), and a left join writes zeros for triangle-free
+    * vertices. Returns (id, degree, n_tri, coef) — coef rounded to 9.
+    */
+  def localClustering(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(
+        least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+    val aLower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val closed = x.join(y,
+      x("u") === y("u") && (struct(col("d1"), col("v1")) < struct(col("d2"), col("v2"))))
+      .select(x("u").as("u"), col("v1"), col("v2"))
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+    val perVertex = closed
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
+    deg.join(perVertex, Seq("v"), "left")
+      .select(
+        col("v").as("id"),
+        col("d").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        round(
+          when(col("d") <= 1, 0.0)
+            .otherwise(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+              / (col("d") * (col("d") - 1))), 9).as("coef"))
+      .orderBy(col("id"))
+  }
+
   /** Minimum-hop reachability: every vertex within `k` directed hops of
     * `seeds`, with its hop distance. `edges` is (src, dst); `seeds` is a
     * single-column id relation (hop 0 even if absent from the graph).

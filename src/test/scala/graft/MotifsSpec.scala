@@ -63,6 +63,23 @@ class MotifsSpec extends SparkSpec {
     g.unpersist(); und.unpersist()
   }
 
+  test("local clustering: K4 + pendant closed-form coefficients") {
+    // K4 {1,2,3,4} + pendant 5-1: vertex 1 sits in 3 triangles with
+    // degree 4 → c = 6/12 = 0.5; vertices 2,3,4 in 3 triangles at degree
+    // 3 → c = 1.0; pendant 5 has degree 1 → c = 0.
+    val edges = Seq(
+      (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 1)
+    ).toDF("src", "dst")
+    val got = Motifs.localClustering(edges).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1) == ((4L, 3L, 0.5)))
+    assert(got(2) == ((3L, 3L, 1.0)) && got(3) == ((3L, 3L, 1.0)) && got(4) == ((3L, 3L, 1.0)))
+    assert(got(5) == ((1L, 0L, 0.0)))
+    // Consistency with the global census: Σ n_tri = 3 × triangles.
+    val global = Motifs.triangleStats(edges).collect().head.getAs[Long]("n_triangles")
+    assert(got.values.map(_._2).sum == 3 * global)
+  }
+
   test("k-hop BFS labels minimum hop counts on a path, unreached absent") {
     val edges = Seq((1, 2), (2, 3), (3, 4), (4, 5)).toDF("src", "dst")
     val seeds = Seq(1).toDF("id")
