@@ -1,0 +1,57 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.GraftInternals
+
+/** Isolated per-query A/B microbench: runs the named `SparkEntry.queries`
+  * entries on a FRESH JVM (one `runMain` per invocation) with the same
+  * session config and cpu-time listener as [[Bench]], so a single query's
+  * wall/cpu can be compared across commits without the 40-query session's
+  * JIT/cache history in the way.
+  *
+  *   sbt "runMain graft.QBench g3_triangles n2_ann_lsh"   # 3 runs each
+  */
+object QBench {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: QBench <queryName>...")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    val sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
+    val cpuNs = new AtomicLong(0L)
+    sc.addSparkListener(new SparkListener {
+      override def onStageCompleted(done: SparkListenerStageCompleted): Unit = {
+        val m = done.stageInfo.taskMetrics
+        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+      }
+    })
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
+    args.foreach { name =>
+      val samples = (1 to 3).map { _ =>
+        cpuNs.set(0L)
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        GraftInternals.drainListenerBus(spark)
+        val cpu = cpuNs.get() / 1e9
+        spark.catalog.clearCache()
+        sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        (wall, cpu)
+      }
+      val line = samples.map { case (w, c) => f"wall=$w%.2f cpu=$c%.2f" }
+        .mkString(s"QBENCH $name: ", " | ", "")
+      println(line)
+    }
+    spark.stop()
+  }
+}

@@ -11,6 +11,84 @@ import org.apache.spark.sql.functions._
   */
 object Motifs {
 
+  /** Shared build for both triangle censuses: undirected normalization →
+    * degree → degree-ordered orientation, each stage MATERIALIZED once
+    * (eager localCheckpoint). Why not leave it lazy: `oriented` feeds three
+    * consumers in one census plan (wedge left, wedge right, closing join)
+    * and `deg` two more, while the input edge relation is often itself
+    * expensive (the g3/g5 co-occurrence self-join is 1.2M edges at sf0.1).
+    * Catalyst's ReuseExchange only dedupes identically-partitioned
+    * subtrees, so a lazy plan re-derives the whole build per consumer —
+    * measured 124.8 executor-CPU-s for g3 before materialization. The
+    * undirected relation is freed as soon as `oriented` exists; `deg` and
+    * `oriented` back the returned census, and callers release them with
+    * the usual persistent-RDD sweep (`RddScope` /
+    * `GraftInternals.freeLocalCheckpoint`) once the result is consumed —
+    * the same contract as [[kHopMinHops]]'s per-level checkpoints.
+    */
+  private def orientedGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+    val und = edges
+      .select(
+        least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
+        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
+      .where(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // the expensive input relation runs ONCE
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    // Orient by the (degree, id) total order; keep the head's (degree, id)
+    // so the wedge join can order pair endpoints by the SAME total order
+    // (the closing edge is oriented by it, not by raw id). Spelled as
+    // primitive comparisons, not struct(..) < struct(..): struct ordering
+    // drops out of whole-stage codegen into interpreted comparators, which
+    // dominated the census at 82M+ evaluations (see [[closedWedges]]).
+    val aLower = col("da") < col("db") || (col("da") === col("db") && col("a") < col("b"))
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(aLower, col("a")).otherwise(col("b")).as("u"),
+        when(aLower, col("b")).otherwise(col("a")).as("v"),
+        when(aLower, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(und)
+    (deg, oriented)
+  }
+
+  /** Closed wedges (u, v1, v2) of the oriented edge list: wedges (u→v1,
+    * u→v2) with v1 below v2 in the (degree, id) order, closed by the
+    * oriented edge (v1, v2). Each triangle appears exactly once, at its
+    * lowest-ordered corner. Inner join, not semi: distinct wedges sharing
+    * the same (v1, v2) close into DIFFERENT triangles and must each count
+    * once; the oriented edge list is distinct, so the join multiplies by
+    * exactly 1.
+    */
+  private def closedWedges(oriented: DataFrame): DataFrame = {
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    // (d1, v1) < (d2, v2) lexicographically, spelled with primitive
+    // comparisons: the equivalent struct(..) < struct(..) predicate is
+    // evaluated by an interpreted ordering (no codegen) and at sf0.1 this
+    // condition runs 82M+ times inside the wedge self-join — the struct
+    // form measured ~17× slower for the whole census.
+    val below = col("d1") < col("d2") || (col("d1") === col("d2") && col("v1") < col("v2"))
+    // SHUFFLE_HASH on the closing side: the wedge relation is ~34× the
+    // edge relation (41M wedges vs 1.2M edges at sf0.1) and Spark's
+    // default SortMergeJoin sorts the WEDGE side — the single most
+    // expensive stage of the census (measured ~140 executor-CPU-s).
+    // Hashing the small edge side instead leaves the wedge stream
+    // sort-free; the edge side exceeds the broadcast threshold and grows
+    // with |E|, so a shuffled hash (per-partition build ~|E|/parts) is the
+    // scale-safe strategy, not a broadcast.
+    x.join(y, x("u") === y("u") && below)
+      .select(x("u").as("u"), col("v1"), col("v2"))
+      .join(
+        oriented.select(col("u").as("v1"), col("v").as("v2")).hint("SHUFFLE_HASH"),
+        Seq("v1", "v2"))
+  }
+
   /** Global triangle census of an UNDIRECTED graph given as (a, b) pairs
     * (direction and duplicates ignored; self-loops dropped).
     *
@@ -34,47 +112,23 @@ object Motifs {
     * hash joins on vertex ids — all AQE-replannable; nothing is collected.
     */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(
-        least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
-        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-
-    // Orient by the (degree, id) total order; keep the head's (degree, id)
-    // so the wedge join can order pair endpoints by the SAME total order
-    // (the closing edge is oriented by it, not by raw id).
-    val aLower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-      .select(
-        when(aLower, col("a")).otherwise(col("b")).as("u"),
-        when(aLower, col("b")).otherwise(col("a")).as("v"),
-        when(aLower, col("db")).otherwise(col("da")).as("dv"))
-
-    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
-    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
-    val wedges = x.join(y,
-      x("u") === y("u") && (struct(col("d1"), col("v1")) < struct(col("d2"), col("v2"))))
-      .select(col("v1"), col("v2"))
-    // Inner join, not semi: distinct wedges (u,v1,v2) sharing the same
-    // (v1,v2) close into DIFFERENT triangles and must each count once; the
-    // oriented edge list is distinct, so the join multiplies by exactly 1.
-    val triangles = wedges.join(
-      oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-
-    val nTri = triangles.agg(count(lit(1)).as("n_triangles"))
+    val (deg, oriented) = orientedGraph(edges)
+    val nTri = closedWedges(oriented).agg(count(lit(1)).as("n_triangles"))
     val degAgg = deg.agg(
       count(lit(1)).as("n_vertices"),
       // coalesce: SUM over zero rows is NULL — an empty graph must report
       // 0 wedges (and 0.0 transitivity), not nulls.
       coalesce(expr("sum((d * (d - 1)) div 2)"), lit(0L)).as("n_wedges"))
-    val nEdge = und.agg(count(lit(1)).as("n_edges"))
-    degAgg.crossJoin(nEdge).crossJoin(nTri)
+    // Orientation is a bijection on the deduped undirected edge set, so the
+    // oriented count IS the undirected edge count.
+    val nEdge = oriented.agg(count(lit(1)).as("n_edges"))
+    // nTri is the LEFT (streamed) side of the scalar cross-joins, NOT a
+    // broadcast build side: a BroadcastExchange child is planned statically
+    // (checkpoint leaves report unknown size → SortMergeJoin), so putting
+    // the wedge-close subtree under it froze a 41M-row sort that AQE
+    // re-plans into a broadcast hash join when the subtree stays in the
+    // main adaptive plan (measured 115 → ~8 executor-CPU-s at sf0.1).
+    nTri.crossJoin(degAgg).crossJoin(nEdge)
       .select(
         col("n_vertices"), col("n_edges"), col("n_triangles"), col("n_wedges"),
         round(
@@ -93,30 +147,8 @@ object Motifs {
     * vertices. Returns (id, degree, n_tri, coef) — coef rounded to 9.
     */
   def localClustering(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(
-        least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
-        greatest(col(edges.columns(0)), col(edges.columns(1))).as("b"))
-      .where(col("a") =!= col("b"))
-      .distinct()
-    val deg = und.select(col("a").as("v"))
-      .unionAll(und.select(col("b").as("v")))
-      .groupBy(col("v")).agg(count(lit(1)).as("d"))
-    val aLower = struct(col("da"), col("a")) < struct(col("db"), col("b"))
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
-      .select(
-        when(aLower, col("a")).otherwise(col("b")).as("u"),
-        when(aLower, col("b")).otherwise(col("a")).as("v"),
-        when(aLower, col("db")).otherwise(col("da")).as("dv"))
-    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
-    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
-    val closed = x.join(y,
-      x("u") === y("u") && (struct(col("d1"), col("v1")) < struct(col("d2"), col("v2"))))
-      .select(x("u").as("u"), col("v1"), col("v2"))
-      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-    val perVertex = closed
+    val (deg, oriented) = orientedGraph(edges)
+    val perVertex = closedWedges(oriented)
       .select(explode(array(col("u"), col("v1"), col("v2"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("n_tri"))
     deg.join(perVertex, Seq("v"), "left")
