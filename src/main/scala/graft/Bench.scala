@@ -228,8 +228,19 @@ object Bench {
     // well under the window net of sbt's trailing "[success]" line; the full
     // self-diagnosis payload goes to bench_diag.json (committed with the
     // round snapshot) and to an EARLIER stdout line for log readers.
+    // Pinned finding (round 5→6): `n2_ann_lsh` cpu_s moved 5.4→12.6 with
+    // wall FLAT. Isolated fresh-JVM A/B (QBench) reproduces the r4 number
+    // (~4-6 cpu_s steady state, ~13 first run): the query's generated code
+    // is JIT-warm-up dominated, and in a 40-query session the min-WALL run
+    // can land while its codegen classes are still being profiled —
+    // inflating cpu_s without touching wall. Not a plan regression;
+    // PlanShapeSpec pins the single-aggregation bucket shape.
+    val notes =
+      "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\""
+    // The sidecar carries the FULL wall history (min + mean + cpu) so a
+    // truncated stdout tail can never lose a round's perf record again.
     val diagJson =
-      s"""{"queries_mean":$qsMean,"diag":$diag,"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(load1())},"sf":"$sfDir"}"""
+      s"""{"queries_min":$qs,"queries_mean":$qsMean,"diag":$diag,"notes":[$notes],"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(load1())},"sf":"$sfDir"}"""
     println(s"BENCH_DIAG $diagJson")
     try {
       java.nio.file.Files.write(
@@ -241,8 +252,17 @@ object Bench {
       .getOrElse("\"" + sfDir + "\"")
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
-    require(line.length <= 1800, s"bench line ${line.length} chars overflows the driver's 2000-char tail")
-    println(line)
+    // Never throw after the run: an overflowing line would put the JSON's
+    // start outside the driver's 2000-char stdout tail (that cost round 4
+    // its wall record), but failing here would discard EVERYTHING. Emit a
+    // total-only fallback instead — the full per-query map is already safe
+    // in bench_diag.json either way.
+    if (line.length <= 1800) println(line)
+    else {
+      System.err.println(
+        s"bench line ${line.length} chars overflows the driver's 2000-char tail; emitting total-only fallback")
+      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{},"sf":$sfNum}""")
+    }
     spark.stop()
   }
 }

@@ -85,7 +85,7 @@ object Similarity {
     * This replaces the earlier ×(planes·tables) row explosion — same
     * buckets (identical coefficient formula), 1/32nd of the shuffled rows.
     */
-  private def hyperplaneBuckets(
+  private[graft] def hyperplaneBuckets(
       vectors: DataFrame,
       planes: Int,
       tables: Int,

@@ -105,4 +105,30 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("d6_decontaminate")(spark, Sf01))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("n2 bucket assignment: ONE aggregation computes all planes×tables dots") {
+    // hyperplaneBuckets' contract is a single map-side-combinable hash
+    // aggregation over the element rows (broadcast coefficient join, one
+    // groupBy vec_id) — not the earlier ×(planes·tables) row explosion.
+    // Shape: exactly one shuffle (the vec_id agg; AQE may append one more
+    // for the table explode), partial sums below it, and no shuffle of
+    // the element relation multiplied by the plane count.
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, Sf01)
+      .select(col("vec_id"), sim.Similarity.asDouble(col("embedding")).as("v"))
+    val df = sim.Similarity.hyperplaneBuckets(vecs, 8, 4, (p, i) =>
+      ((conv(substring(md5(concat_ws(":", lit("plane"), lit(p.toString),
+        i.cast("string"))), 1, 15), 16, 10).cast("long") % 2000001L)
+        .cast("double") - 1000000.0) / 1000000.0)
+    // The un-executed AQE wrapper hides its children from collect();
+    // assert on the plan text: exactly ONE exchange keyed by vec_id (the
+    // all-dots agg), partial sums below it, coefs joined by broadcast.
+    // The only other permitted exchange is the dim-sized distinct(i) that
+    // builds the coefficient array.
+    val plan = planOf(df)
+    assert("Exchange hashpartitioning\\(vec_id".r.findAllIn(plan).size == 1, plan.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(2000))
+    assert(plan.contains("partial_sum"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
+  }
 }
