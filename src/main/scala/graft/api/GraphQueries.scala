@@ -269,13 +269,21 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
     // < 5 over the trade graph — the recommendation-style "rank relative
     // to these entities" variant; same loop/shuffle shape as i1.
     "i4_personalized" -> ((s, d) => {
-      val te = tradeEdges(s, d).cache()
-      val seeds = te.select(col("src").as("id"))
-        .union(te.select(col("dst").as("id")))
-        .where(col("id") < SeedMax).distinct()
-      PageRank.personalizedFixedIterations(s, te, seeds, beta = 0.85, iterations = Iters)
-        .select(col("id"), round(col("rank"), 9).as("rank"))
-        .orderBy(col("id"))
+      // The edge build feeds the seed derivation and the rank loop, both
+      // consumed EAGERLY inside personalizedFixedIterations (the result is
+      // checkpoint-backed, independent of te) — so a scoped persist with
+      // an unconditional release is leak-neutral here, where g2 (whose
+      // result plan references its edges lazily) needs a checkpoint.
+      val te = tradeEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val seeds = te.select(col("src").as("id"))
+          .union(te.select(col("dst").as("id")))
+          .where(col("id") < SeedMax).distinct()
+        PageRank.personalizedFixedIterations(s, te, seeds, beta = 0.85, iterations = Iters)
+          .select(col("id"), round(col("rank"), 9).as("rank"))
+          .orderBy(col("id"))
+      } finally { te.unpersist(); () }
     }),
 
     // Weighted PageRank: the part→supplier graph with shipment
@@ -345,7 +353,13 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
     // are in the top-20 ranked set (double left-semi join against a
     // broadcast 20-row list), over the non-bipartite trade graph.
     "g2_induced_subgraph" -> ((s, d) => {
-      val e = tradeEdges(s, d).cache()
+      // Eager localCheckpoint, not cache(): the edge build feeds both the
+      // rank loop (consumed eagerly inside fixedIterations) and the final
+      // induced-subgraph joins, and a cache() here had no unpersist — any
+      // caller composing this query leaked it. The checkpoint backing is
+      // part of the returned plan, so the standard post-consumption sweep
+      // frees it (QueriesSpec pins this).
+      val e = tradeEdges(s, d).localCheckpoint(true)
       val r = PageRank.fixedIterations(s, e, beta = 0.85, iterations = Iters)
       val top = r.select(col("id"), round(col("rank"), 9).as("rank"))
         .orderBy(col("rank").desc, col("id"))

@@ -152,9 +152,9 @@ object PipelineQueries {
       Dedup.simhashPairsPortable(documents(s, d), "doc_id", "text", radius = 1)),
 
     // Edit-distance near-dup pairs on lowercase 40-char prefixes:
-    // lossless length-band blocking (|Δlen| ≤ k invariant) + threshold-
-    // bounded levenshtein refine. Complements the token-level passes with
-    // a character-level screen.
+    // PassJoin segment blocking (complete by pigeonhole — k edits can't
+    // touch all k+1 segments) + threshold-bounded levenshtein refine.
+    // Complements the token-level passes with a character-level screen.
     "d9_editdist_pairs" -> ((s, d) =>
       Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
         prefixLen = 40, maxDist = 5)),
@@ -245,27 +245,44 @@ object PipelineQueries {
     // chain, and the only large-data shuffles are the token aggregations
     // and the content-hash groupBy — the benchmark side broadcasts.
     "p7_curate" -> ((s, d) => {
-      val docs = documents(s, d).cache()
-      val pass = TextFns.gopherQuality(docs, "doc_id", "text")
+      val docs = documents(s, d)
+      // Tokenize ONCE for the whole pipeline (eager localCheckpoint): the
+      // quality gate reads the token relation three times (base counts,
+      // top-token, bigram window) and the contamination shingles a fourth
+      // — each previously re-exploded the corpus. The checkpoint backs
+      // the returned plan; Verify/Bench sweep it once the result is
+      // consumed (leak-neutrality pinned in QueriesSpec). Besides the
+      // token build, `text` is scanned exactly twice more: the md5
+      // content hash and the (4%-slice, broadcast-side) benchmark
+      // shingles; every other stage moves ids only.
+      val toks = docs
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+        .localCheckpoint(true)
+      val pass = TextFns.gopherQualityFromTokens(toks)
         .filter(
           col("n_tokens") >= 15 &&
             col("distinct_frac") >= 0.35 &&
             col("top_tok_frac") <= 0.12 &&
             col("dup_bigram_frac") <= 0.2)
         .select(col("doc_id"))
-      val passed = docs.join(pass, "doc_id")
-      val keep = passed
-        .groupBy(md5(col("text")).as("h"))
+      val repIds = docs.select(col("doc_id"), md5(col("text")).as("h"))
+        .join(pass, "doc_id")
+        .groupBy(col("h"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      val deduped = passed.join(keep, "doc_id")
+      val trainIds = repIds.filter(pmod(col("doc_id"), lit(25)) =!= 0)
       val bench = docs.filter(pmod(col("doc_id"), lit(25)) === 0)
-      val train = deduped.filter(pmod(col("doc_id"), lit(25)) =!= 0)
-      val contaminated = Dedup
-        .contamination(train, bench, "doc_id", "text", n = 4)
+      val trainSh = Dedup.shingleIndexFromTokens(
+        toks.join(trainIds, "doc_id")
+          .select(col("doc_id").as("id"), col("pos"), col("t").as("tok")),
+        n = 4).select(col("id").as("train_id"), col("s"))
+      val benchSh = Dedup.shingleIndex(bench, "doc_id", "text", n = 4)
+        .select(col("id").as("bench_id"), col("s"))
+      val contaminated = Dedup.contaminationOnShingles(trainSh, benchSh)
         .select(col("train_id").as("doc_id")).distinct()
-      train.join(contaminated, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+      docs.select(col("doc_id"), col("lang"), col("n_chars"))
+        .join(trainIds, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
     }),
 

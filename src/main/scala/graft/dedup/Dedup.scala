@@ -181,11 +181,20 @@ object Dedup {
     * relation.
     */
   private[graft] def shingleIndexWindow(
-      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    shingleIndexFromTokens(
+      docs.select(
+        col(idCol).as("id"),
+        posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok"))),
+      n)
+
+  /** Window-`lead` shingle assembly over a PRE-BUILT token relation
+    * (id, pos, tok) — lets a pipeline that already tokenized for another
+    * consumer (p7's quality gate) reuse that relation instead of
+    * re-exploding the corpus.
+    */
+  private[graft] def shingleIndexFromTokens(toks: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docs.select(
-      col(idCol).as("id"),
-      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val parts = (0 until n).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
     toks
@@ -218,7 +227,7 @@ object Dedup {
   def jaccardPairs(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.select(col("id").as("doc_a"), col("s"))
       .join(sh.select(col("id").as("doc_b"), col("s")), "s")
@@ -278,7 +287,7 @@ object Dedup {
   def jaccardPairsCapped(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxDf: Int): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     val rare = sh.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
       .filter(col("df_s") <= maxDf)
       .select(col("s"))
@@ -308,7 +317,7 @@ object Dedup {
     // same shape as Similarity's hyperplane buckets; the array
     // higher-order formulation would be CodegenFallback, the exploded one
     // multiplies shuffled rows by the signature length).
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     val minCols = (0 until numHashes).map(k =>
       min(xxhash64(col("s"), lit(k))).as(s"m$k"))
     val sig = sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
@@ -348,7 +357,7 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sh = shingleIndex(docs, idCol, textCol, n).cache()
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     // (id, k, m): minimum of the k-th hash over the doc's shingles.
     val sig = sh
       .select(col("id"), col("s"),
@@ -469,17 +478,22 @@ object Dedup {
     */
   def contamination(
       train: DataFrame, bench: DataFrame,
-      idCol: String, textCol: String, n: Int): DataFrame = {
-    val trainSh = shingleIndex(train, idCol, textCol, n)
-      .select(col("id").as("train_id"), col("s"))
-    val benchSh = shingleIndex(bench, idCol, textCol, n)
-      .select(col("id").as("bench_id"), col("s"))
+      idCol: String, textCol: String, n: Int): DataFrame =
+    contaminationOnShingles(
+      shingleIndex(train, idCol, textCol, n).select(col("id").as("train_id"), col("s")),
+      shingleIndex(bench, idCol, textCol, n).select(col("id").as("bench_id"), col("s")))
+
+  /** [[contamination]]'s join core over pre-built shingle relations
+    * (train_id, s) / (bench_id, s) — entry point for pipelines that share
+    * a token relation across stages (p7). The bench side is still
+    * broadcast: the corpus never shuffles.
+    */
+  def contaminationOnShingles(trainSh: DataFrame, benchSh: DataFrame): DataFrame =
     trainSh
       .join(broadcast(benchSh), "s")
       .groupBy(col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("train_id"), col("bench_id"))
-  }
 
   /** Near-duplicate CLUSTERS from a pair relation — the step that turns
     * "these documents are similar" into "keep this one, drop those":

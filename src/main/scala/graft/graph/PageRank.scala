@@ -366,6 +366,11 @@ object PageRank {
     val c = edges.columns
     val e = edges
       .select(col(c(0)).as("src"), col(c(1)).as("dst"), col(c(2)).cast("double").as("w"))
+      // Enforce the documented w > 0 contract instead of silently skewing:
+      // a null/zero/negative weight would make W(u) ≤ 0 or null, the frac
+      // division NULL (non-ANSI divide), and that edge's contribution
+      // would vanish from the ranks with no signal to the caller.
+      .filter(col("w").isNotNull && col("w") > 0)
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()

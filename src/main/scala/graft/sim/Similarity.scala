@@ -181,7 +181,13 @@ object Similarity {
       k: Int): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val withFeat = vectors.withColumn("features", array_to_vector(col("v"))).cache()
+    // Eager localCheckpoint, not cache(): the featurized relation feeds
+    // the (eager) KMeans fit AND the lazy cell-assignment in the returned
+    // plan, and a cache() here had no unpersist. The checkpoint backing is
+    // reachable from the result, so the standard post-consumption sweep
+    // frees it (QueriesSpec pins this).
+    val withFeat = vectors.withColumn("features", array_to_vector(col("v")))
+      .localCheckpoint(true)
     val model = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features")

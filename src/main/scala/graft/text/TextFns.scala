@@ -102,10 +102,19 @@ object TextFns {
     * per-key window — all map-side-combinable or key-local; no lambdas,
     * no per-row interpretation, scans once at corpus scale.
     */
-  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(
+  def gopherQuality(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    gopherQualityFromTokens(docs.select(
       col(idCol).as("doc_id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t"))))
+
+  /** [[gopherQuality]] over a pre-built token relation (doc_id, pos, t) —
+    * the fusion point for pipelines that tokenize once and feed several
+    * consumers (quality gate + contamination shingles in p7): the metrics
+    * below read `toks` three times (base counts, top-token, bigrams), so a
+    * caller that materializes the relation pays tokenization once for all
+    * of them.
+    */
+  def gopherQualityFromTokens(toks: DataFrame): DataFrame = {
     val base = toks.groupBy(col("doc_id")).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("t")).as("n_distinct"),

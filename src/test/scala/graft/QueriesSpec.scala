@@ -16,9 +16,21 @@ class QueriesSpec extends SparkSpec {
   }
 
   SparkEntry.queries.foreach { case (name, fn) =>
-    test(s"query $name runs on sf0.001") {
+    test(s"query $name runs leak-neutral on sf0.001") {
+      val before = RddScope.persisted(spark)
       val df = fn(spark, Sf001)
       assert(df.count() >= 0)
+      // Leak-neutrality contract: after a query is consumed, the ONLY
+      // persisted RDDs it may leave are the localCheckpoint backings
+      // reachable from its own result plan (which the caller frees via
+      // the standard sweep — done below so the suite itself stays clean).
+      // A query-scoped cache()/persist() without unpersist fails here.
+      val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(df)
+      val leaked = RddScope.persisted(spark) -- before -- keep
+      assert(
+        leaked.isEmpty,
+        s"$name left persisted RDDs $leaked that are not checkpoint backings of its result")
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
     }
   }
 }
