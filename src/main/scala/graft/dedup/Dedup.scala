@@ -78,9 +78,16 @@ object Dedup {
         expr("substring(s, st + 1, len)").as("seg"))
 
     // Probe: for each partner length l and segment i, the content at every
-    // admissible shift. ≤ (2k+1)·(k+1)·(2k+1) emissions per doc — constant
-    // in corpus size. (The tighter multi-match shift windows would shave a
-    // constant factor; the loose ±k window keeps completeness obvious.)
+    // admissible shift, using PassJoin's multi-match-aware substring
+    // selection (EDBT'11, Lemma on substring bounds): with Δ = m − l and
+    // 0-based segment i, a match of the FIRST/LAST matching segment under
+    // an optimal ≤k-edit alignment must start in
+    //   [max(0, st − i, st + Δ − (k − i)), min(m − len, st + i, st + Δ + (k − i))]
+    // — the left budget is i (segments before it each consume an edit),
+    // the right budget k − i. Window width ≤ min(2i, 2(k−i)) + 1 + |Δ|
+    // correction, vs the loose ±k shift's constant 2k+1: ~3× fewer probe
+    // rows at k=5. Completeness is re-asserted against the naive
+    // length-banded baseline in OpsPropertySpec.
     val probe = base
       .select(col("id").as("sid"), col("s"), col("ln").as("m"),
         explode(sequence(col("ln") - k, col("ln") + k)).as("l"))
@@ -91,9 +98,16 @@ object Dedup {
       .withColumn("r", col("l") % segs)
       .withColumn("len", col("b") + when(col("i") < col("r"), 1).otherwise(0))
       .withColumn("st", col("i") * col("b") + least(col("i"), col("r")))
+      .withColumn("delta", col("m") - col("l"))
+      .withColumn("plo",
+        greatest(lit(0L), col("st") - col("i"), col("st") + col("delta") - (lit(k) - col("i"))))
+      .withColumn("phi",
+        least(col("m") - col("len"), col("st") + col("i"),
+          col("st") + col("delta") + (lit(k) - col("i"))))
+      // sequence(lo, hi) DESCENDS when lo > hi — emit nothing instead.
+      .filter(col("plo") <= col("phi"))
       .select(col("sid"), col("s"), col("m"), col("l"), col("i"), col("len"),
-        explode(sequence(col("st") - k, col("st") + k)).as("p"))
-      .filter(col("p") >= 0 && col("p") <= col("m") - col("len"))
+        explode(sequence(col("plo"), col("phi"))).as("p"))
       .select(col("sid"), col("l"), col("i"),
         expr("substring(s, p + 1, len)").as("seg"))
 
