@@ -74,6 +74,7 @@ object Bench {
     "d6_decontaminate",
     "p7_curate",
     "d9_editdist_pairs",
+    "d10_span_dedup",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
     "d4_simhash",

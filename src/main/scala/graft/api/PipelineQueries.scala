@@ -159,6 +159,12 @@ object PipelineQueries {
       Dedup.editDistancePairs(documents(s, d), "doc_id", "text",
         prefixLen = 40, maxDist = 5)),
 
+    // Exact repeated-span report (Lee et al. 2022 ExactSubstr, relational
+    // form): maximal cross-document token spans of length ≥ 6, via
+    // anchor-gram equi-join + per-diagonal gaps-and-islands merge.
+    "d10_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(documents(s, d), "doc_id", "text", minTokens = 6)),
+
     // Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     // (portable md5 plane family — reproduced verbatim in the oracle) with
     // exact-cosine refine on candidates only. The all-pairs crossJoin
@@ -507,6 +513,31 @@ object PipelineQueries {
       """SELECT md5(text) AS h, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
         |  CAST(COUNT(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
+
+    "d10_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
+        |  WHERE len(t) >= 6),
+        |seeds AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+        |      AS island
+        |  FROM seeds)
+        |SELECT doc_a, doc_b,
+        |  CAST(MIN(pa) AS BIGINT) AS start_a,
+        |  CAST(MIN(pb) AS BIGINT) AS start_b,
+        |  CAST(MAX(pa) - MIN(pa) + 6 AS BIGINT) AS span_len
+        |FROM isl GROUP BY doc_a, doc_b, diag, island
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "d2_jaccard_pairs" ->
       s"""WITH toks AS (

@@ -509,6 +509,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("train_id"), col("bench_id"))
 
+  /** Exact repeated-SPAN report: maximal cross-document token spans of
+    * length ≥ `minTokens` — the ExactSubstr primitive of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" (public),
+    * re-expressed relationally instead of via their suffix array:
+    *
+    *  1. anchor grams: every `minTokens`-token window of every document
+    *     (position-keyed, NOT deduped — window-`lead` assembly, the same
+    *     codegen shape as the shingle index);
+    *  2. seeds: equi-join on gram content, doc_a < doc_b — a repeated
+    *     span of length s contains s − L + 1 consecutive anchor matches
+    *     on ONE diagonal (pa − pb constant);
+    *  3. merge: gaps-and-islands per (pair, diagonal) — island id =
+    *     pa − row_number() — then min/max per island reconstructs each
+    *     maximal span exactly once.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, span_len), 0-based token
+    * offsets, span_len ≥ minTokens, ordered. Fully deterministic → fully
+    * oracle-checkable.
+    *
+    * Scale shape: the anchor join is inverted-index (only documents
+    * sharing a gram ever pair — never a cartesian); the merge window
+    * partitions by (pair, diagonal), which is seed-count-sized. The skew
+    * risk is a boilerplate gram shared by many documents (quadratic in
+    * its df) — same profile as the shingle index; at corpus scale cap or
+    * drop stop-grams by document frequency first (the jaccardPairsCapped
+    * rare-gram pattern) and let AQE skew-split the residue.
+    */
+  def spanDedup(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = minTokens
+    require(L >= 2, s"span anchors need at least 2 tokens; got $L")
+    val toks = docs.select(
+      col(idCol).as("id"),
+      posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val parts = (0 until L).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
+    val grams = toks
+      .select(col("id"), col("pos"), concat_ws(" ", parts: _*).as("g"),
+        lead(col("tok"), L - 1).over(w).isNotNull.as("complete"))
+      .filter(col("complete"))
+    val seeds = grams.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
+      .join(grams.select(col("id").as("doc_b"), col("pos").as("pb"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val wd = Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
+      .orderBy(col("pa"))
+    seeds
+      .withColumn("isl", col("pa") - row_number().over(wd))
+      .groupBy(col("doc_a"), col("doc_b"),
+        (col("pa") - col("pb")).as("diag"), col("isl"))
+      .agg(
+        min(col("pa")).as("sa"),
+        min(col("pb")).as("sb"),
+        (max(col("pa")) - min(col("pa")) + L).as("sl"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        col("sa").cast("long").as("start_a"),
+        col("sb").cast("long").as("start_b"),
+        col("sl").cast("long").as("span_len"))
+      .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
+  }
+
   /** Near-duplicate CLUSTERS from a pair relation — the step that turns
     * "these documents are similar" into "keep this one, drop those":
     * connected components over the undirected pair graph, each member

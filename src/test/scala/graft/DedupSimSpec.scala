@@ -10,6 +10,39 @@ import graft.sim.Similarity
 class DedupSimSpec extends SparkSpec {
   import spark.implicits._
 
+  test("span dedup merges consecutive anchors into maximal spans") {
+    // doc 1 and doc 2 share "a b c d" (4 tokens, one maximal span) and,
+    // disjointly, "x y z w" — two islands on different diagonals. doc 3
+    // shares nothing of length ≥ 3.
+    val docs = Seq(
+      (1L, "a b c d q q x y z w"),
+      (2L, "p a b c d p p p x y z w"),
+      (3L, "a b q c d x q y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSet == Set(
+      (1L, 2L, 0L, 1L, 4L), // "a b c d": doc1 pos 0, doc2 pos 1
+      (1L, 2L, 6L, 8L, 4L)  // "x y z w": doc1 pos 6, doc2 pos 8
+    ), out.mkString(", "))
+  }
+
+  test("span dedup: repeated gram inside one diagonal stays one span") {
+    // Both docs are the same 6-token text with an internal repeat
+    // ("a b a b"): every anchor matches on the main diagonal (one
+    // full-length span) and the internal repeat adds off-diagonal
+    // matches that must surface as their own shorter spans, not extend
+    // the main one.
+    val docs = Seq(
+      (1L, "a b a b c d"),
+      (2L, "a b a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedup(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(out.contains((0L, 0L, 6L)), out.mkString(", ")) // the full span
+    assert(out.forall { case (_, _, len) => len >= 3 })
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq(
       (1L, "hello world"), (2L, "hello world"), (3L, "something else")
