@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -178,6 +178,60 @@ object Streams {
         col("r_ts") > col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $bandSeconds SECONDS"))
       .select(col("l_user").as("user_id"), col("l_id"), col("r_id"))
+  }
+
+  /** Stream-stream INTERVAL-overlap join — the streaming twin of
+    * `ops.IntervalJoin.overlapPairs` (both sides are intervals, not
+    * points). Inputs are interval streams (id, start TIMESTAMP,
+    * end TIMESTAMP), half-open [start, end), with every interval no
+    * longer than `maxLenSeconds` (longer or empty intervals are filtered
+    * out — state cannot be bounded for them; pick maxLen ≥ the domain's
+    * interval-length cap).
+    *
+    * Shape: the batch operator's bin-replication becomes the join's
+    * REQUIRED equality key (Spark rejects stream-stream joins without
+    * one). Bin width = maxLen, so a length-bounded interval touches at
+    * most 2 bins (replication ≤ 2); a pair is attributed to exactly one
+    * bin — the one containing the overlap start — and the exact overlap
+    * predicate rides as the residual, so the output matches the batch
+    * operator row for row on the same (length-bounded) inputs. State
+    * reclamation comes from the band predicate on the two WATERMARKED
+    * start columns: bounded length pins a true overlap's r.start inside
+    * (l.start − maxLen, l.start + maxLen), so each side's state is
+    * watermark + maxLen bounded. Epochs must be nonnegative (bin uses
+    * double floor-division, exact below 2^53 ms).
+    */
+  def overlapStream(
+      left: DataFrame, // streaming (id, start TIMESTAMP, end TIMESTAMP)
+      right: DataFrame,
+      maxLenSeconds: Long,
+      watermark: String = "1 hour"): DataFrame = {
+    val len = expr(s"INTERVAL $maxLenSeconds SECONDS")
+    val wMs = maxLenSeconds * 1000L
+    def bin(c: Column): Column = floor(unix_millis(c) / wMs).cast("long")
+    val l = left.select(
+      col(left.columns(0)).as("l_id"),
+      col(left.columns(1)).as("l_start"), col(left.columns(2)).as("l_end"))
+      .filter(col("l_end") > col("l_start") && col("l_end") <= col("l_start") + len)
+      .withWatermark("l_start", watermark)
+      .withColumn("l_bin", explode(sequence(
+        bin(col("l_start")),
+        floor((unix_millis(col("l_end")) - 1) / wMs).cast("long"))))
+    val r = right.select(
+      col(right.columns(0)).as("r_id"),
+      col(right.columns(1)).as("r_start"), col(right.columns(2)).as("r_end"))
+      .filter(col("r_end") > col("r_start") && col("r_end") <= col("r_start") + len)
+      .withWatermark("r_start", watermark)
+      .withColumn("r_bin", explode(sequence(
+        bin(col("r_start")),
+        floor((unix_millis(col("r_end")) - 1) / wMs).cast("long"))))
+    l.join(r,
+      col("l_bin") === col("r_bin") &&
+        col("r_start") >= col("l_start") - len &&
+        col("r_start") <= col("l_start") + len &&
+        col("l_start") < col("r_end") && col("r_start") < col("l_end") &&
+        bin(greatest(col("l_start"), col("r_start"))) === col("l_bin"))
+      .select(col("l_id"), col("r_id"))
   }
 
   /** Streaming benchmark decontamination — the stream-static twin of

@@ -272,6 +272,44 @@ class StreamsSpec extends SparkSpec {
     assert(want === Set((1L, 3L), (2L, 3L), (5L, 6L)))
   }
 
+  test("stream-stream interval overlap matches batch overlapPairs") {
+    implicit val sqlCtx = spark.sqlContext
+    // Covers: containment (20 ⊃ 21), partial overlap (20/22), touching
+    // endpoints (half-open: 20 ends 10:10 exactly when 23 starts — no
+    // overlap), disjoint (24), and an over-long interval (25, > maxLen)
+    // that the stream drops on both sides.
+    def iv(id: Long, fromMin: Int, toMin: Int): (Long, Timestamp, Timestamp) =
+      (id, ts(fromMin), ts(toMin))
+    val lRows = Seq(iv(20, 0, 10), iv(24, 40, 45), iv(25, 0, 59))
+    val rRows = Seq(iv(21, 2, 8), iv(22, 5, 15), iv(23, 10, 20))
+    val memL = MemoryStream[(Long, Timestamp, Timestamp)]
+    val memR = MemoryStream[(Long, Timestamp, Timestamp)]
+    memL.addData(lRows: _*); memR.addData(rRows: _*)
+    val q = Streams.overlapStream(
+        memL.toDF().toDF("id", "start", "end"),
+        memR.toDF().toDF("id", "start", "end"),
+        maxLenSeconds = 1200)
+      .writeStream.format("memory").queryName("overlapstream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("overlapstream")
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+
+    // Batch twin on the SAME (length-bounded) rows, epoch-ms ordinals.
+    def ms(rows: Seq[(Long, Timestamp, Timestamp)], p: String) =
+      rows.toDF("id", "start", "end")
+        .filter(unix_millis(col("end")) - unix_millis(col("start")) <= 1200000L)
+        .select(col("id").as(s"${p}_id"),
+          unix_millis(col("start")).as(s"${p}_start"),
+          unix_millis(col("end")).as(s"${p}_end"))
+    val want = graft.ops.IntervalJoin.overlapPairs(
+        ms(lRows, "l"), ms(rRows, "r"),
+        "l_start", "l_end", "r_start", "r_end", width = 600000L)
+      .select("l_id", "r_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    assert(want === Set((20L, 21L), (20L, 22L)))
+  }
+
   test("incremental out-degrees update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
