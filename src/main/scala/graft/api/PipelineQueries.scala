@@ -165,6 +165,12 @@ object PipelineQueries {
     "d10_span_dedup" -> ((s, d) =>
       Dedup.spanDedup(documents(s, d), "doc_id", "text", minTokens = 6)),
 
+    // Per-document repeated-span coverage: fraction of tokens inside some
+    // cross-document span ≥ 6 tokens (d10 + relational interval union) —
+    // the Lee et al. corpus-duplication diagnostic.
+    "d11_span_coverage" -> ((s, d) =>
+      Dedup.spanCoverage(documents(s, d), "doc_id", "text", minTokens = 6)),
+
     // Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     // (portable md5 plane family — reproduced verbatim in the oracle) with
     // exact-cosine refine on candidates only. The all-pairs crossJoin
@@ -538,6 +544,57 @@ object PipelineQueries {
         |  CAST(MAX(pa) - MIN(pa) + 6 AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_a, doc_b, diag, island
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "d11_span_coverage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+        |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
+        |  WHERE len(t) >= 6),
+        |seeds AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+        |isl AS (
+        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+        |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+        |      AS island
+        |  FROM seeds),
+        |spans AS (
+        |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+        |    MAX(pa) - MIN(pa) + 6 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, island),
+        |ranges AS (
+        |  SELECT doc_a AS id, start_a AS s, start_a + span_len AS e FROM spans
+        |  UNION ALL
+        |  SELECT doc_b, start_b, start_b + span_len FROM spans),
+        |brk AS (
+        |  SELECT id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+        |  FROM ranges),
+        |isl2 AS (
+        |  SELECT id, s, e, SUM(b) OVER (PARTITION BY id ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM brk),
+        |merged AS (
+        |  SELECT id, grp, MIN(s) AS i_s, MAX(e) AS i_e FROM isl2 GROUP BY id, grp),
+        |cov AS (
+        |  SELECT id, CAST(SUM(i_e - i_s) AS BIGINT) AS covered FROM merged GROUP BY id),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT nt.doc_id, n_tokens, COALESCE(covered, 0) AS covered,
+        |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens END, 6) AS coverage
+        |FROM nt LEFT JOIN cov ON nt.doc_id = cov.id
+        |ORDER BY doc_id""".stripMargin,
 
     "d2_jaccard_pairs" ->
       s"""WITH toks AS (

@@ -573,6 +573,61 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"))
   }
 
+  /** Per-document repeated-span COVERAGE: the fraction of each document's
+    * tokens lying inside some cross-document repeated span of length ≥
+    * `minTokens` — the corpus-duplication diagnostic of Lee et al. 2022
+    * (how much of the corpus is boilerplate/copied text), composed from
+    * [[spanDedup]]'s span report:
+    *
+    *  1. project each span onto BOTH endpoint documents as a token range
+    *     [start, start + len);
+    *  2. merge overlapping/adjacent ranges per document — relational
+    *     interval union via the running-max-of-end islands trick (a new
+    *     island starts where a range begins past everything seen before);
+    *  3. covered = Σ island lengths; coverage = covered / n_tokens.
+    *
+    * Output: (doc_id, n_tokens, covered, coverage) for every document
+    * (0.0 when nothing repeats), coverage rounded to 6. Scale shape: the
+    * span report dominates (see [[spanDedup]]); the merge is two windows
+    * over span-count-sized data, partitioned by document.
+    */
+  def spanCoverage(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanDedup(docs, idCol, textCol, minTokens)
+    val ranges = spans
+      .select(col("doc_a").as("id"), col("start_a").as("s"),
+        (col("start_a") + col("span_len")).as("e"))
+      .unionAll(spans.select(col("doc_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e")))
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    // Running max of `e` over STRICTLY PRECEDING ranges; a range whose
+    // start clears it opens a new island. unboundedPreceding..(-1) makes
+    // the first range of each doc see NULL (→ new island).
+    val prevMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val islanded = ranges
+      .withColumn("brk", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(wOrd))
+    val covered = islanded
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("is"), max(col("e")).as("ie"))
+      .groupBy(col("id"))
+      .agg(sum(col("ie") - col("is")).as("covered"))
+    val nTok = docs.select(
+      col(idCol).as("id"),
+      TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    nTok.join(covered, Seq("id"), "left")
+      .select(
+        col("id").as("doc_id"),
+        col("n_tokens"),
+        coalesce(col("covered"), lit(0L)).as("covered"),
+        round(
+          when(col("n_tokens") === 0, 0.0)
+            .otherwise(coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens")),
+          6).as("coverage"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate CLUSTERS from a pair relation — the step that turns
     * "these documents are similar" into "keep this one, drop those":
     * connected components over the undirected pair graph, each member

@@ -43,6 +43,24 @@ class DedupSimSpec extends SparkSpec {
     assert(out.forall { case (_, _, len) => len >= 3 })
   }
 
+  test("span coverage merges overlapping ranges before measuring") {
+    // doc1 shares [0,4) with doc2 (diag-0 run "a b c d") and [2,6) with
+    // doc3 ("c d e f") — overlapping ranges must union to [0,6), NOT sum
+    // to 8. doc4 repeats nothing.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x y"),
+      (3L, "z c d e f w"),
+      (4L, "q r s")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanCoverage(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((6L, 6L, 1.0)), out)
+    assert(out(2L) == ((6L, 4L, 0.666667)), out)
+    assert(out(3L) == ((6L, 4L, 0.666667)), out)
+    assert(out(4L) == ((3L, 0L, 0.0)), out)
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq(
       (1L, "hello world"), (2L, "hello world"), (3L, "something else")
