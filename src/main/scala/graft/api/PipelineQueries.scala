@@ -89,6 +89,12 @@ object PipelineQueries {
     // the draw is engine-independent, task-retry-stable, and exactly
     // reproducible (cf. seeded sampleBy, which is none of those across
     // engines).
+    // Concat-and-chunk packing into 512-token context windows, 8 shards
+    // (per-shard prefix sums — no global single-partition window).
+    "p8_pack_chunks" -> ((s, d) =>
+      TextFns.packChunks(documents(s, d), "doc_id", "text",
+        budget = 512L, shards = 8)),
+
     "p6_stratified_portable" -> ((s, d) => {
       val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 100
@@ -544,6 +550,27 @@ object PipelineQueries {
         |  CAST(MAX(pa) - MIN(pa) + 6 AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_a, doc_b, diag, island
         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "p8_pack_chunks" ->
+      """WITH nt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM nt WHERE n_tokens > 0),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+        |  FROM base)
+        |SELECT shard, c AS chunk, doc_id,
+        |  CAST(GREATEST(0, c * 512 - off) AS BIGINT) AS tok_from,
+        |  CAST(LEAST(n_tokens, (c + 1) * 512 - off)
+        |    - GREATEST(0, c * 512 - off) AS BIGINT) AS tok_len
+        |FROM o, UNNEST(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS u(c)
+        |ORDER BY shard, chunk, doc_id""".stripMargin,
 
     "d11_span_coverage" ->
       """WITH toks AS (

@@ -146,6 +146,48 @@ object TextFns {
       .orderBy(col("doc_id"))
   }
 
+  /** Concat-and-chunk context-window packing — the standard pretraining
+    * sharding step: documents are concatenated in a deterministic order
+    * and the token stream is cut into fixed `budget`-token chunks
+    * (documents straddle chunk boundaries, exactly like GPT-style
+    * "concat and chunk"; no padding waste, no bin-packing heuristic).
+    *
+    * Scale shape: a GLOBAL prefix sum is a one-partition window — a
+    * scale-killer — so packing is done per SHARD (`doc_id % shards`,
+    * the way production pipelines pack per output file): each shard's
+    * running offset is an independent window partition, embarrassingly
+    * parallel, and the chunk explode is the bin-replication idiom
+    * (⌈n/budget⌉ + 1 rows per document). Fully deterministic →
+    * oracle-checkable.
+    *
+    * Output: one row per (document × chunk it occupies):
+    * (shard, chunk, doc_id, tok_from, tok_len) — `tok_from` is the
+    * 0-based offset INSIDE the document, Σ tok_len over a (shard, chunk)
+    * = budget except each shard's tail chunk. Empty documents are
+    * dropped (they occupy no tokens).
+    */
+  def packChunks(
+      docs: DataFrame, idCol: String, textCol: String,
+      budget: Long, shards: Int): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val base = docs
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("shard", pmod(col("doc_id"), lit(shards.toLong)))
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+    base
+      .withColumn("off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("chunk", explode(sequence(
+        expr(s"off div ${budget}L"),
+        expr(s"(off + n_tokens - 1) div ${budget}L"))))
+      .select(
+        col("shard"), col("chunk"), col("doc_id"),
+        greatest(lit(0L), col("chunk") * budget - col("off")).as("tok_from"),
+        (least(col("n_tokens"), (col("chunk") + 1) * budget - col("off"))
+          - greatest(lit(0L), col("chunk") * budget - col("off"))).as("tok_len"))
+      .orderBy(col("shard"), col("chunk"), col("doc_id"))
+  }
+
   /** Per-document top-k TF-IDF terms — the classic term-salience signal
     * (keyword extraction / topic labeling over a training corpus):
     * tfidf(d, t) = tf(d, t) · ln(N / df(t)), ranked per document by the

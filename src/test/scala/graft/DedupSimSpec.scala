@@ -43,6 +43,29 @@ class DedupSimSpec extends SparkSpec {
     assert(out.forall { case (_, _, len) => len >= 3 })
   }
 
+  test("chunk packing: chunks are exactly budget-sized except the tail, docs cut at boundaries") {
+    // One shard (shards=1), budget 4. Token counts: 3, 3, 2, 5 →
+    // offsets 0, 3, 6, 8; stream is 13 tokens → chunks [0,4) [4,8)
+    // [8,12) [12,13).
+    val docs = Seq(
+      (0L, "a a a"), (1L, "b b b"), (2L, "c c"), (3L, "d d d d d"),
+      (4L, "")) // empty doc occupies nothing
+    .toDF("doc_id", "text")
+    val out = graft.text.TextFns.packChunks(docs, "doc_id", "text", budget = 4L, shards = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 3L), // doc0 fully in chunk 0
+      (0L, 1L, 0L, 1L), // doc1 tokens [0,1) complete chunk 0
+      (1L, 1L, 1L, 2L), // doc1 tokens [1,3) open chunk 1
+      (1L, 2L, 0L, 2L), // doc2 fully in chunk 1
+      (2L, 3L, 0L, 4L), // doc3 tokens [0,4) fill chunk 2
+      (3L, 3L, 4L, 1L)  // doc3 token [4,5) = the tail chunk
+    ), out.mkString(", "))
+    // every non-tail chunk holds exactly `budget` tokens
+    val perChunk = out.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perChunk == Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 1L))
+  }
+
   test("span coverage merges overlapping ranges before measuring") {
     // doc1 shares [0,4) with doc2 (diag-0 run "a b c d") and [2,6) with
     // doc3 ("c d e f") — overlapping ranges must union to [0,6), NOT sum
