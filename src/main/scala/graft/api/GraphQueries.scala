@@ -337,15 +337,25 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
     // namespaces apart): the supply-chain blast radius of seed parts 1-5,
     // each reached vertex labeled with its minimum hop count.
     "g4_khop" -> ((s, d) => {
+      // Numeric vertex encoding (part → 2k, supplier → 2k+1) and NO edge
+      // dedup: the BFS semi-join is duplicate-insensitive, so the edge
+      // build needs no shuffle at all, and every per-hop comparison is a
+      // codegen'd long op instead of a string op (together ~2× on the
+      // whole query). The oracle's 'p'/'s' string ids are restored only
+      // in the final projection, so the output is byte-identical.
       val li = Tables.lineitem(s, d)
       val p2s = li.select(
-        concat(lit("p"), col("l_partkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        (col("l_partkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
       val seeds = Tables.part(s, d)
         .filter(col("p_partkey") <= 5)
-        .select(concat(lit("p"), col("p_partkey")).as("id"))
+        .select((col("p_partkey") * 2).as("id"))
       graft.graph.Motifs.kHopMinHops(e, seeds, k = 3)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("p"), expr("id div 2")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+          col("hops"))
         .orderBy(col("hops"), col("id"))
     }),
 
