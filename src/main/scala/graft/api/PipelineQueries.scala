@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.{documents, embeddings}
 import graft.text.TextFns
 import graft.dedup.Dedup
+import graft.graph.ConnectedComponents
 import graft.sim.Similarity
 import graft.media.Multimodal
 
@@ -20,6 +21,7 @@ object PipelineQueries {
 
   private val JaccardThreshold = 0.3
   private val CosineThreshold = 0.35
+  private val MixtureTarget = 100.0
 
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
@@ -105,10 +107,67 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Source-mixture sampling at temperature α = 0.5 (the multilingual-LM
+    // rebalancing scheme: sample source s with weight n_s^α / Σ n_t^α, so
+    // small sources are up-weighted relative to their share). Acceptance
+    // probability p_s = min(1, T·w_s / n_s) for a T-doc target, drawn by
+    // the same md5-uniform doc key as p6 — engine-independent,
+    // retry-stable, exactly reproducible. The per-source table is tiny at
+    // any corpus scale → broadcast; the corpus never shuffles.
+    "p9_mixture_sample" -> ((s, d) => {
+      val docs = documents(s, d)
+      val bySrc = docs.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val z = bySrc.agg(sum(sqrt(col("ns"))).as("z"))
+      val probs = bySrc.crossJoin(broadcast(z))
+        .select(col("source"),
+          least(lit(1.0),
+            lit(MixtureTarget) * sqrt(col("ns")) / col("z") / col("ns")).as("p"))
+      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 1000000
+      docs.join(broadcast(probs), "source")
+        .filter(u.cast("double") < col("p") * lit(1000000.0))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition/quality filters (distinct-token fraction,
     // top-token fraction, mean word length, duplicate-bigram fraction).
     "t9_quality_gopher" -> ((s, d) =>
       TextFns.gopherQuality(documents(s, d), "doc_id", "text")),
+
+    // PII scrub: per-doc email/phone/IPv4 counts + the redacted text.
+    // This corpus is digit-free (counts 0, text unchanged — the oracle
+    // still runs the identical regex chain in RE2); the matching behavior
+    // itself is pinned on adversarial inline docs in TextSpec.
+    "t10_pii_redact" -> ((s, d) => documents(s, d)
+      .select(
+        col("doc_id"),
+        TextFns.piiCount(col("text"), TextFns.EmailPattern).as("n_emails"),
+        TextFns.piiCount(col("text"), TextFns.PhonePattern).as("n_phones"),
+        TextFns.piiCount(col("text"), TextFns.Ipv4Pattern).as("n_ips"),
+        TextFns.redactPii(col("text")).as("redacted"))
+      .orderBy(col("doc_id"))),
+
+    // Per-doc top-3 TF-IDF terms (keyword extraction).
+    "t11_tfidf" -> ((s, d) =>
+      TextFns.tfIdfTop(documents(s, d), "doc_id", "text", k = 3)),
+
+    // Corpus-unigram-LM surprisal: mean -ln p(token) per document under
+    // the corpus's own unigram distribution — the cheap LM-quality signal
+    // (low = repetitive/common-word text, high = rare-token text). Two
+    // combinable aggs over one exploded token relation + a broadcast
+    // 1-row total; no driver state.
+    "t12_surprisal" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+      val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val tot = toks.agg(count(lit(1)).as("n_total"))
+      toks.join(freq, "t").crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("n_total").cast("double") / col("f"))), 6)
+          .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
@@ -191,6 +250,15 @@ object PipelineQueries {
     // recursive CTE (min reachable id) over the same portable pair set.
     "d7_dedup_clusters" -> ((s, d) =>
       Dedup.clusters(
+        Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
+          .select(col("vec_a"), col("vec_b")))),
+
+    // Same clusters, pure-DataFrame engine: min-label propagation with
+    // pointer jumping (PEGASUS HCC + shortcut), no GraphX/RDD drop-down.
+    // Same (member_id, rep_id=component min) contract → same recursive-CTE
+    // oracle as d7, and a direct cross-engine check of the two CC paths.
+    "d7b_clusters_df" -> ((s, d) =>
+      ConnectedComponents.run(
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
           .select(col("vec_a"), col("vec_b")))),
 
@@ -356,6 +424,25 @@ object PipelineQueries {
   /** d5/d7/d8 chain: [[lshCtes]] (6 planes × 8 tables, matching
     * `cosinePairsLsh`'s parameters) plus the undirected candidate join.
     */
+  /** Shared oracle for d7 (GraphX CC) and d7b (DataFrame CC): min
+    * reachable id over the exact d5 pair graph via recursive CTE.
+    */
+  private lazy val CcClustersOracle: String =
+    s"""WITH RECURSIVE $D5Ctes,
+      |pairs AS (
+      |  SELECT c.vec_a AS a, c.vec_b AS b
+      |  FROM cand c
+      |  JOIN e ea ON ea.vec_id = c.vec_a
+      |  JOIN e eb ON eb.vec_id = c.vec_b
+      |  WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold),
+      |und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+      |reach(v, r) AS (
+      |  SELECT DISTINCT a, a FROM und
+      |  UNION
+      |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v)
+      |SELECT v AS member_id, CAST(MIN(r) AS BIGINT) AS rep_id
+      |FROM reach GROUP BY v ORDER BY member_id""".stripMargin
+
   private val D5Ctes: String =
     s"""${lshCtes(planes = 6, tables = 8)},
       |cand AS (
@@ -463,6 +550,60 @@ object PipelineQueries {
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
         |    ' +', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t10_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t11_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT t, COUNT(DISTINCT doc_id) AS df_t FROM tok GROUP BY 1),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |sc AS (
+        |  SELECT f.doc_id, f.t AS term,
+        |    ROUND(f.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df_t), 6) AS tfidf
+        |  FROM tf f JOIN df ON f.t = df.t CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, term, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "t12_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok)
+        |SELECT tok.doc_id,
+        |  ROUND(AVG(ln(CAST(tot.n_total AS DOUBLE) / freq.f)), 6) AS mean_surprisal
+        |FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
+        |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "p9_mixture_sample" ->
+      """WITH ns AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY source),
+        |z AS (SELECT SUM(sqrt(CAST(ns AS DOUBLE))) AS z FROM ns),
+        |p AS (
+        |  SELECT source, LEAST(1.0, 100.0 * sqrt(CAST(ns AS DOUBLE)) / z.z / ns) AS p
+        |  FROM ns CROSS JOIN z)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN p USING (source)
+        |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+        |  < p.p * 1000000.0
+        |ORDER BY d.doc_id""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -748,21 +889,12 @@ object PipelineQueries {
 
     // Connected components as a recursive CTE: min id reachable over the
     // undirected refined pair graph = GraphX's component label.
-    "d7_dedup_clusters" ->
-      s"""WITH RECURSIVE $D5Ctes,
-        |pairs AS (
-        |  SELECT c.vec_a AS a, c.vec_b AS b
-        |  FROM cand c
-        |  JOIN e ea ON ea.vec_id = c.vec_a
-        |  JOIN e eb ON eb.vec_id = c.vec_b
-        |  WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold),
-        |und AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
-        |reach(v, r) AS (
-        |  SELECT DISTINCT a, a FROM und
-        |  UNION
-        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v)
-        |SELECT v AS member_id, CAST(MIN(r) AS BIGINT) AS rep_id
-        |FROM reach GROUP BY v ORDER BY member_id""".stripMargin,
+    "d7_dedup_clusters" -> CcClustersOracle,
+
+    // d7b runs the same component contract (member → component min id) on
+    // the pure-DataFrame HCC+shortcut engine — identical oracle, so the
+    // GraphX path, the DF path, and the recursive CTE must all agree.
+    "d7b_clusters_df" -> CcClustersOracle,
 
     "d8_dedup_apply" ->
       s"""WITH RECURSIVE $D5Ctes,

@@ -212,9 +212,33 @@ object TextFns {
         round(col("tf") * log(col("n_docs").cast("double") / col("df_t")), 6).as("tfidf"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))
     scored
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
       .select(col("doc_id"), col("rnk"), col("term"), col("tfidf"))
       .orderBy(col("doc_id"), col("rnk"))
   }
+
+  /** PII patterns — public, widely-used formats (email local@domain.tld,
+    * NANP-style 3-3-4 phone with `-`/`.` separators, dotted-quad IPv4).
+    * Both regex dialects in play (Java for Spark, RE2 for the DuckDB
+    * oracle) support every construct used: classes, bounded repeats, \b.
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Occurrences of one PII pattern. */
+  def piiCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
+
+  /** Redacted text: emails first (their dotted domains would otherwise
+    * feed the IP pattern), then phones (3-3-4 with dots overlaps dotted
+    * digit runs), then IPv4 — codegen'd regexp_replace chain, no UDFs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern, "<IP>")
 }

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.TextFns
+
+/** Matching behavior of the PII scrub (t10) and TF-IDF ranking (t11) on
+  * adversarial inline documents — the synthetic corpus is digit-free, so
+  * the oracle only pins the no-op path; the positive cases live here.
+  */
+class TextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("text").select(TextFns.redactPii(col("text"))).head.getString(0)
+
+  test("emails are redacted, including subdomains and plus-tags") {
+    assert(redact("mail bob.smith+tag@sub.example.co.uk now") == "mail <EMAIL> now")
+    assert(redact("a@b.io,c@d.org") == "<EMAIL>,<EMAIL>")
+  }
+
+  test("email runs before IP so dotted domains don't half-match") {
+    // A numeric-ish domain: the email pattern must consume it whole.
+    assert(redact("x 1a@127.0.0.1x.net y") == "x <EMAIL> y")
+  }
+
+  test("phones: 3-3-4 with dash or dot, word-bounded") {
+    assert(redact("call 555-867-5309 or 555.867.5309") == "call <PHONE> or <PHONE>")
+    assert(redact("id 1555-867-53090 stays") == "id 1555-867-53090 stays")
+  }
+
+  test("ipv4 dotted quads") {
+    assert(redact("srv 10.0.0.1 and 192.168.1.255") == "srv <IP> and <IP>")
+    // A 3-3-4 dotted number is a phone, not an IP (phone pass runs first).
+    assert(redact("n 123.456.7890") == "n <PHONE>")
+  }
+
+  test("counts match the redaction passes") {
+    val row = Seq("a@b.io x 555-867-5309 y 10.0.0.1 z c@d.org").toDF("text")
+      .select(
+        TextFns.piiCount(col("text"), TextFns.EmailPattern).as("e"),
+        TextFns.piiCount(col("text"), TextFns.PhonePattern).as("p"),
+        TextFns.piiCount(col("text"), TextFns.Ipv4Pattern).as("i"))
+      .head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("tfidf ranks corpus-rare terms above ubiquitous ones") {
+    val docs = Seq(
+      (1L, "common rare common unique"),
+      (2L, "common other common"),
+      (3L, "common other third")).toDF("doc_id", "text")
+    val top = TextFns.tfIdfTop(docs, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // doc 1: 'rare'/'unique' (df=1) outrank 'common' (df=3, idf=0);
+    // tie between the two df=1 terms breaks alphabetically.
+    assert(top.filter(_._1 == 1L).map(_._3).toSeq == Seq("rare", "unique"))
+    // 'common' appears in every doc → idf 0 → never in anyone's top-2
+    // unless nothing else is there.
+    assert(!top.filter(_._1 == 1L).map(_._3).contains("common"))
+  }
+}
