@@ -75,10 +75,14 @@ object Bench {
     "p7_curate",
     "d9_editdist_pairs",
     "d10_span_dedup",
+    "p8_pack_chunks",
+    "t11_tfidf",
+    "e14_zscore_outliers",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_pairs",
+    "d7b_clusters_df",
     "n1_ann_brute",
     "n2_ann_lsh",
     "g3_triangles",

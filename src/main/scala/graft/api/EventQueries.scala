@@ -240,6 +240,25 @@ object EventQueries {
         .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
     }),
 
+    // Per-entity z-score outliers: events whose value sits more than 2
+    // sample standard deviations from that user's mean — the relational
+    // anomaly screen (fraud/telemetry triage). One combinable per-user
+    // moment aggregation; the tiny (user → mean, sd) table broadcasts
+    // back onto the fact scan, so the corpus-sized side never shuffles.
+    "e14_zscore_outliers" -> ((s, d) => {
+      val stats = events(s, d)
+        .groupBy(col("user_id"))
+        .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+      events(s, d)
+        .join(broadcast(stats), "user_id")
+        .filter(col("sd") > 0 && abs((col("value") - col("m")) / col("sd")) > lit(2.0))
+        .select(
+          col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"),
+          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+        .orderBy(col("event_id"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -310,6 +329,17 @@ object EventQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s_start < b.s_end AND b.s_start < a.s_end
         |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
+
+    "e14_zscore_outliers" ->
+      """WITH s AS (
+        |  SELECT user_id, AVG(value) AS m, STDDEV_SAMP(value) AS sd
+        |  FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id,
+        |  ROUND(e.value, 4) AS value,
+        |  ROUND((e.value - s.m) / s.sd, 6) AS z
+        |FROM events e JOIN s USING (user_id)
+        |WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > 2.0
+        |ORDER BY e.event_id""".stripMargin,
 
     "e10_range_join" ->
       """SELECT a.event_id AS event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_follow

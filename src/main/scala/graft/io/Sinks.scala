@@ -51,6 +51,46 @@ object Sinks {
       value: String): DataFrame =
     spark.read.parquet(path).filter(col(partitionCol) === value)
 
+  /** Training-shard export: the end-of-pipeline sink that turns a curated
+    * corpus into the fixed-width, deterministically-ordered shard files a
+    * training job consumes.
+    *
+    *   - shard assignment: `pmod(xxhash64(key), shards)` — stable across
+    *     runs/engines/partitionings, no global sort, no driver state;
+    *   - layout: `shard=K/part-*.parquet` via partitionBy (readers address
+    *     one shard without listing the rest);
+    *   - intra-shard order: `repartition(shards, shard)` then
+    *     `sortWithinPartitions(shard, key)` — ONE shuffle, each shard
+    *     written as a single sorted run (epoch replays are byte-stable);
+    *   - manifest: per-shard row count + order-invariant content checksum
+    *     (XOR of per-row xxhash64 — overflow-free under ANSI arithmetic;
+    *     paired duplicate rows cancel in XOR, which the row count
+    *     disambiguates), returned AND written next to the data as
+    *     `_manifest/` — integrity check for downstream loaders.
+    *
+    * At 100 TB: the one shuffle is the unavoidable global redistribution;
+    * `shards` sizes output files (pick corpus_bytes / ~1 GB), and the
+    * checksum agg is map-side combinable.
+    */
+  def trainingShards(
+      df: DataFrame, path: String, keyCol: String, shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive; got $shards")
+    val withShard = df
+      .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(shards.toLong)))
+    withShard
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val manifest = withShard
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))").as("content_xor"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    manifest
+  }
+
   /** S5: the UI's base64 `data:` download href
     * (streamlit-pagerank.py:220-229) — presentation-layer encoding of a
     * (small, result-sized) table; collects, so never for scan-sized data.

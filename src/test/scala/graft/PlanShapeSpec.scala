@@ -131,4 +131,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), plan.take(2000))
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
+
+  test("e14: the per-user stats table joins the fact scan by broadcast") {
+    val plan = planOf(SparkEntry.queries("e14_zscore_outliers")(spark, Sf01))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // The fact side must not shuffle for the join: the only exchange is
+    // the user_id moment aggregation feeding the broadcast.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 1, plan.take(2000))
+  }
+
+  test("p9: the per-source probability table broadcasts onto the corpus") {
+    val plan = planOf(SparkEntry.queries("p9_mixture_sample")(spark, Sf01))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    // Permitted hash exchanges: the source-count aggregation, which the
+    // plan derives twice (once under the Σ√n total, once under the
+    // probability projection) — both are per-source-cardinality, i.e.
+    // tiny at any corpus scale. The corpus relation itself must reach the
+    // join as a bare scan: its only exchange is the final orderBy's range
+    // partitioning.
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(2000))
+    assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1, plan.take(2000))
+  }
 }

@@ -98,4 +98,33 @@ class SinksSpec extends SparkSpec {
     assert(back.columns.toSeq == Seq("k", "v"))
     assert(back.count() == 2)
   }
+
+  test("trainingShards: deterministic layout, sorted runs, honest manifest") {
+    val dir = Files.createTempDirectory("sink_shards").toString
+    val docs = Tables.documents(spark, Sf001).select($"doc_id", $"text")
+    val manifest = Sinks.trainingShards(docs, s"$dir/out", "doc_id", shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // Every row landed in its hash-assigned shard, and nothing was lost.
+    val back = spark.read.parquet(s"$dir/out")
+    assert(back.count() == docs.count())
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    assert(back.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(4L))).count() == 0)
+
+    // Manifest counts match the written data per shard.
+    val counts = back.groupBy("shard").count()
+      .collect().map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    assert(manifest.view.mapValues(_._1).toMap == counts)
+
+    // Each shard file is one sorted run by the key.
+    val shard0 = spark.read.parquet(s"$dir/out/shard=0")
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(shard0.sameElements(shard0.sorted))
+
+    // Re-export is byte-stable: same manifest on a second run.
+    val again = Sinks.trainingShards(docs, s"$dir/out2", "doc_id", shards = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == manifest)
+  }
 }
