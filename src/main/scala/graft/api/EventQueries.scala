@@ -259,6 +259,33 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // OHLC downsampling: per (hour × event_type), the opening/closing
+    // value (earliest/latest event, event_id tie-break) and the high/low —
+    // the classic time-series bar compaction. ONE map-side-combinable
+    // aggregation via ordered structs (same argmin/argmax shape as e12):
+    // no window sort, no per-bar shuffle beyond the group-by.
+    "e15_ohlc" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      events(s, d)
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
+          col("event_type"))
+        .agg(
+          min(struct(ms.as("ms"), col("event_id"), col("value"))).as("o"),
+          max(struct(ms.as("ms"), col("event_id"), col("value"))).as("c"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(
+          col("hour"), col("event_type"),
+          round(col("o.value"), 4).as("open"),
+          round(col("high"), 4).as("high"),
+          round(col("low"), 4).as("low"),
+          round(col("c.value"), 4).as("close"),
+          col("n"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -329,6 +356,29 @@ object EventQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s_start < b.s_end AND b.s_start < a.s_end
         |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
+
+    "e15_ohlc" ->
+      """WITH b AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+        |    event_type, epoch_ms(ts) AS ms, event_id, value
+        |  FROM events),
+        |o AS (
+        |  SELECT hour, event_type, value AS open FROM b
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY hour, event_type ORDER BY ms, event_id) = 1),
+        |c AS (
+        |  SELECT hour, event_type, value AS close FROM b
+        |  QUALIFY ROW_NUMBER() OVER (
+        |    PARTITION BY hour, event_type ORDER BY ms DESC, event_id DESC) = 1),
+        |hl AS (
+        |  SELECT hour, event_type, MAX(value) AS high, MIN(value) AS low,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2)
+        |SELECT hl.hour, hl.event_type,
+        |  ROUND(o.open, 4) AS open, ROUND(hl.high, 4) AS high,
+        |  ROUND(hl.low, 4) AS low, ROUND(c.close, 4) AS close, hl.n
+        |FROM hl JOIN o USING (hour, event_type) JOIN c USING (hour, event_type)
+        |ORDER BY hour, event_type""".stripMargin,
 
     "e14_zscore_outliers" ->
       """WITH s AS (

@@ -62,6 +62,22 @@ object PipelineQueries {
       .orderBy(col("freq").desc, col("token"))
       .limit(100)),
 
+    // Approximate heavy hitters over the token stream: a mergeable
+    // Misra–Gries summary (constant ≤k-entry state per partition vs the
+    // exact groupBy's vocabulary-sized shuffle). k=64 exceeds this
+    // corpus's fixed 31-word vocabulary, so the summary is provably exact
+    // here and the query hash-oracles against the true top-10; the
+    // eviction/merge-trim approximation paths are property-tested in
+    // SketchSpec.
+    "a17_heavy_hitters" -> ((s, d) => documents(s, d)
+      .select(explode(TextFns.tokens(col("text"))).as("token"))
+      .agg(org.apache.spark.sql.graft.MisraGriesAgg
+        .heavyHitters(col("token"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term").as("term"), col("e.apx").as("apx"))
+      .orderBy(col("apx").desc, col("term"))
+      .limit(10)),
+
     // Document-length histogram (50-char buckets).
     "t6_length_hist" -> ((s, d) => documents(s, d)
       .groupBy(floor(col("n_chars") / 50).cast("long").as("bucket"))
@@ -128,6 +144,26 @@ object PipelineQueries {
         .filter(u.cast("double") < col("p") * lit(1000000.0))
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Weighted sampling without replacement (Efraimidis–Spirakis A-RES,
+    // IPL 2006): key(d) = u_d^(1/w_d) with u_d uniform, top-k by key —
+    // here ranked by the monotone-equivalent ln(u)/w (descending), weight
+    // = document length, so longer documents are proportionally likelier
+    // to be drawn. u_d is the same md5-portable draw as p6/p9 (mapped
+    // into (0,1]), making the "random" sample engine-independent and
+    // retry-stable. One scan + a top-k (TakeOrderedAndProject) — no
+    // global sort materialization at corpus scale.
+    "p10_weighted_sample" -> ((s, d) => {
+      val x = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long").cast("double")
+      val u = (x + 1.0) / 1.152921504606846976e18 // 2^60: 15 hex digits
+      documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          (log(u) / col("n_chars")).as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(50)
+        .select(col("doc_id"), col("n_chars"))
     }),
 
     // Gopher-style repetition/quality filters (distinct-token fraction,
@@ -551,6 +587,12 @@ object PipelineQueries {
         |    ' +', ' ', 'g')) AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "a17_heavy_hitters" ->
+      """SELECT token AS term, CAST(COUNT(*) AS BIGINT) AS apx FROM (
+        |  SELECT UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY apx DESC, term LIMIT 10""".stripMargin,
+
     "t10_pii_redact" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
@@ -604,6 +646,15 @@ object PipelineQueries {
         |WHERE CAST(CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
         |  < p.p * 1000000.0
         |ORDER BY d.doc_id""".stripMargin,
+
+    "p10_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+        |      / 1152921504606846976.0 AS u
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM u
+        |ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

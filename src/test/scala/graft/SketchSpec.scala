@@ -42,4 +42,44 @@ class SketchSpec extends SparkSpec {
         s"CMS overcount for '$tok' beyond eps*N: $est vs $exact (N=$total)")
     }
   }
+
+  test("misra-gries: MG guarantee holds under eviction and merge pressure") {
+    import org.apache.spark.sql.graft.MisraGriesAgg
+    import spark.implicits._
+    // 5000 rows over ~200 distinct keys with a Zipf-ish skew, k = 8 —
+    // far past eviction, and the 8-partition layout forces summary merges.
+    val rnd = new scala.util.Random(7)
+    val keys = Seq.fill(5000)(s"k${math.min(rnd.nextInt(200), rnd.nextInt(200))}")
+    val df = keys.toDF("key").repartition(8)
+    val k = 8
+    val n = keys.size.toLong
+    val apx = df.agg(MisraGriesAgg.heavyHitters(col("key"), k).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.apx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(apx.size <= k)
+    val exact = keys.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = n / (k + 1)
+    // Every surviving estimate underestimates, by at most n/(k+1).
+    apx.foreach { case (key, a) =>
+      val f = exact.getOrElse(key, 0L)
+      assert(a <= f, s"MG overcounted '$key': $a > $f")
+      assert(f - a <= bound, s"MG error for '$key' beyond n/(k+1): $f - $a > $bound")
+    }
+    // Every true heavy hitter (f > n/(k+1)) is present.
+    exact.filter(_._2 > bound).keys.foreach { key =>
+      assert(apx.contains(key), s"true heavy hitter '$key' missing from summary")
+    }
+  }
+
+  test("misra-gries: exact when cardinality stays under k") {
+    import org.apache.spark.sql.graft.MisraGriesAgg
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"k${i % 10}").toDF("key").repartition(6)
+    val apx = df.agg(MisraGriesAgg.heavyHitters(col("key"), 64).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.apx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(apx == (0 to 9).map(i => s"k$i" -> 100L).toMap)
+  }
 }
