@@ -286,6 +286,29 @@ object EventQueries {
         .orderBy(col("hour"), col("event_type"))
     }),
 
+    // SCD2 compaction: collapse each user's event_type changelog into
+    // type-2 validity intervals — keep only CHANGE points (lag-compare),
+    // then lead() supplies valid_to (NULL = current). Complements e12's
+    // type-1 latest-snapshot. One shuffle by user_id; both window passes
+    // share the same (user_id | ms, event_id) sort so Catalyst plans a
+    // single Exchange+Sort — the shape that compacts a 100 TB changelog
+    // into its dimension history in one pass.
+    "e16_scd2" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val changed = events(s, d)
+        .select(col("user_id"), col("event_id"), ms.as("ms"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      changed.select(
+          col("user_id"),
+          col("event_id").as("since_event"),
+          col("event_type"),
+          col("ms").as("valid_from_ms"),
+          lead(col("ms"), 1).over(w).as("valid_to_ms"))
+        .orderBy(col("user_id"), col("since_event"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -379,6 +402,21 @@ object EventQueries {
         |  ROUND(hl.low, 4) AS low, ROUND(c.close, 4) AS close, hl.n
         |FROM hl JOIN o USING (hour, event_type) JOIN c USING (hour, event_type)
         |ORDER BY hour, event_type""".stripMargin,
+
+    "e16_scd2" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_type
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ms, event_type FROM x
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id AS since_event, event_type,
+        |  ms AS valid_from_ms,
+        |  LEAD(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS valid_to_ms
+        |FROM c
+        |ORDER BY user_id, since_event""".stripMargin,
 
     "e14_zscore_outliers" ->
       """WITH s AS (

@@ -79,6 +79,8 @@ ${prefix}r$i AS (
   private val SweepBetas = Seq("b80" -> 0.80, "b85" -> 0.85, "b90" -> 0.90)
   private val HitsIters = 4
   private val SeedMax = 5 // personalized-PR teleport set: vertex ids < 5
+  private val SsspRounds = 4
+  private val KCoreRounds = 6
 
   /** Personalized-PageRank CTE chain: seeds / seed count, teleport-vector
     * r0, then K iterations of
@@ -172,6 +174,44 @@ h${i}u AS MATERIALIZED (
              FROM a$i a JOIN edges e ON e.dst = a.id GROUP BY e.src) r
     ON nodes.id = r.id),
 h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score FROM h${i}u)""")
+    }
+    sb.toString()
+  }
+
+  /** Unrolled Bellman-Ford: d1..dK from d0, each round the min of the
+    * previous distances and all one-edge extensions — mirrors
+    * [[graft.graph.ShortestPaths.bellmanFord]] round for round.
+    */
+  private def ssspChainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      val prev = s"d${i - 1}"
+      sb.append(s""",
+d$i AS MATERIALIZED (
+  SELECT id, MIN(dist) AS dist FROM (
+    SELECT id, dist FROM $prev
+    UNION ALL
+    SELECT se.dst AS id, p.dist + se.w AS dist
+    FROM swe se JOIN $prev p ON se.src = p.id) u
+  GROUP BY id)""")
+    }
+    sb.toString()
+  }
+
+  /** Unrolled k-core peel: kp_i = vertices of ke_{i-1} with degree ≥ k,
+    * ke_i = edges with both endpoints kept — mirrors
+    * [[graft.graph.KCore.kCore]] round for round (its early stop is an
+    * identity round here).
+    */
+  private def kcoreChainSql(k: Int, rounds: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+kp$i AS MATERIALIZED (
+  SELECT src AS v FROM ke${i - 1} GROUP BY src HAVING COUNT(*) >= $k),
+ke$i AS MATERIALIZED (
+  SELECT e.src, e.dst FROM ke${i - 1} e
+  JOIN kp$i a ON e.src = a.v JOIN kp$i b ON e.dst = b.v)""")
     }
     sb.toString()
   }
@@ -359,6 +399,53 @@ h$i AS MATERIALIZED (SELECT id, score / (SELECT SUM(score) FROM h${i}u) AS score
         .orderBy(col("hops"), col("id"))
     }),
 
+    // Weighted multi-source shortest paths (4 Bellman-Ford rounds) over
+    // the same undirected supply network as g4, edge weight = the minimum
+    // shipped quantity on that part↔supplier lane: the "cheapest supply
+    // route" metric. Same numeric vertex encoding trick as g4; the oracle
+    // unrolls the identical 4 relaxation rounds, so the ≤4-edge shortest
+    // prefix is exact and hash-comparable (frontier-only relaxation in
+    // graph.ShortestPaths provably computes the same prefix).
+    "g6_sssp" -> ((s, d) => {
+      val pw = Tables.lineitem(s, d)
+        .groupBy(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).as("w"))
+      val e = pw.unionAll(pw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") <= 5)
+        .select((col("p_partkey") * 2).as("id"))
+      graft.graph.ShortestPaths.bellmanFord(e, seeds, rounds = SsspRounds)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("p"), expr("id div 2")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+          round(col("dist"), 4).as("dist"))
+        .orderBy(col("id"))
+    }),
+
+    // k-core decomposition (k=3, bounded peel) of the small-lot supply
+    // network (lanes that ever shipped quantity ≤ 3 — the sparsified
+    // graph where peeling actually bites; the full network's minimum
+    // degree is 13, making its 3-core trivially everything): the maximal
+    // subgraph where every part has ≥3 supplier lanes and every supplier
+    // ≥3 part lanes. Early-stops once a round removes nothing (then the
+    // survivor set IS the exact 3-core, identical to the oracle's full
+    // unroll).
+    "g7_kcore" -> ((s, d) => {
+      val p2s = Tables.lineitem(s, d)
+        .filter(col("l_quantity") <= 3)
+        .select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+      graft.graph.KCore.kCore(p2s, k = 3, rounds = KCoreRounds)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("p"), expr("id div 2")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+          col("degree"))
+        .orderBy(col("id"))
+    }),
+
     // P5+O5 — the UI's top-20 induced subgraph: edges whose BOTH endpoints
     // are in the top-20 ranked set (double left-semi join against a
     // broadcast 20-row list), over the non-bipartite trade graph.
@@ -517,6 +604,32 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |  UNION ALL SELECT id, 2 FROM h2
         |  UNION ALL SELECT id, 3 FROM h3) u
         |ORDER BY hops, id""".stripMargin,
+
+    "g6_sssp" ->
+      ("""WITH pw AS MATERIALIZED (
+        |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |         's' || CAST(l_suppkey AS VARCHAR) AS dst,
+        |         MIN(l_quantity) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |swe AS MATERIALIZED (
+        |  SELECT src, dst, w FROM pw UNION ALL SELECT dst, src, w FROM pw),
+        |d0 AS (
+        |  SELECT DISTINCT 'p' || CAST(p_partkey AS VARCHAR) AS id, 0.0 AS dist
+        |  FROM part WHERE p_partkey <= 5)""".stripMargin +
+        ssspChainSql(SsspRounds) +
+        s"\nSELECT id, ROUND(dist, 4) AS dist FROM d$SsspRounds ORDER BY id"),
+
+    "g7_kcore" ->
+      ("""WITH p2s AS MATERIALIZED (
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+        |                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+        |  FROM lineitem WHERE l_quantity <= 3),
+        |ke0 AS MATERIALIZED (
+        |  SELECT src, dst FROM p2s UNION SELECT dst, src FROM p2s)""".stripMargin +
+        kcoreChainSql(3, KCoreRounds) +
+        s"""
+SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
+FROM ke$KCoreRounds GROUP BY src ORDER BY id"""),
 
     "g2_induced_subgraph" ->
       (headerSql(TradeEdgesSql) + chainSql("i_", 0.85, Iters) + s""",

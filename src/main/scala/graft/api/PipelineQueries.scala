@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{documents, embeddings}
 import graft.text.TextFns
@@ -166,6 +167,23 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_chars"))
     }),
 
+    // Deterministic train/val/test split: u = md5("split:" || doc_id)
+    // mod 1000 → test (1%), val (2%), train (rest). The "split:" salt
+    // makes this an independent hash stream from the p6/p9/p10 draws (the
+    // same doc key never correlates across sampling decisions). Pure
+    // narrow map — zero shuffles at corpus scale — and composes with
+    // Sinks.trainingShards(partitionBy split) for the actual export.
+    "p11_split" -> ((s, d) => {
+      val u = conv(substring(
+          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long") % 1000
+      documents(s, d)
+        .select(
+          col("doc_id"),
+          when(u < 10, "test").when(u < 30, "val").otherwise("train").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style repetition/quality filters (distinct-token fraction,
     // top-token fraction, mean word length, duplicate-bigram fraction).
     "t9_quality_gopher" -> ((s, d) =>
@@ -202,6 +220,30 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(round(avg(log(col("n_total").cast("double") / col("f"))), 6)
           .as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-LM surprisal: mean -ln p(w_i | w_{i-1}) per document under
+    // the corpus's own unsmoothed bigram model (every observed bigram has
+    // nonzero count by construction). A stronger fluency/quality signal
+    // than t12's unigram surprisal — boilerplate and shuffled-word spam
+    // score high even when the words themselves are common. Counts join
+    // on Zipf-skewed token keys → AQE skew-join handles the hot heads at
+    // corpus scale; both count relations are map-side-combinable aggs.
+    "t13_bigram_surprisal" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok
+        .withColumn("w2", lead(col("t"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("t").as("w1"), col("w2"))
+      val c2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("c1").cast("double") / col("c2"))), 6)
+          .as("mean_bigram_surprisal"))
         .orderBy(col("doc_id"))
     }),
 
@@ -634,6 +676,24 @@ object PipelineQueries {
         |FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
 
+    "t13_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, arr[i] AS t, i
+        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+        |big AS (
+        |  SELECT doc_id, t AS w1,
+        |    LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM tok QUALIFY w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1)
+        |SELECT big.doc_id,
+        |  ROUND(AVG(ln(CAST(c1.c1 AS DOUBLE) / c2.c2)), 6) AS mean_bigram_surprisal
+        |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+
     "p9_mixture_sample" ->
       """WITH ns AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY source),
@@ -655,6 +715,15 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT doc_id, n_chars FROM u
         |ORDER BY ln(u) / n_chars DESC, doc_id LIMIT 50""".stripMargin,
+
+    "p11_split" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 10 THEN 'test'
+        |    WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000 < 30 THEN 'val'
+        |    ELSE 'train'
+        |  END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

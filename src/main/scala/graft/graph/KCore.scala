@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded k-core peeling: `rounds` synchronized rounds of "drop every
+  * vertex with degree < k, restrict edges to survivors" over an undirected
+  * graph. After round r the survivor set equals the r-th prefix of the
+  * classic peeling fixpoint — the same prefix an unrolled SQL oracle
+  * computes — and once a round removes nothing the set IS the exact
+  * k-core, so the loop stops early (further rounds are identities in both
+  * engines; results stay hash-comparable). Standard degeneracy primitive
+  * (Seidman 1983, "Network structure and minimum degree") for
+  * graph-feature pipelines, in the same bounded-unroll style as
+  * [[Motifs.kHopMinHops]] / [[ShortestPaths.bellmanFord]].
+  *
+  * Scale shape: per round one map-side-combinable degree aggregation plus
+  * two left-semi joins against the survivor list (Catalyst/AQE picks
+  * broadcast once survivors shrink below the threshold). The edge relation
+  * is eagerly localCheckpoint'ed each round — a lazy r-level plan would
+  * re-derive every prior peel — and superseded checkpoints are freed;
+  * callers sweep the final one with the usual persistent-RDD sweep.
+  */
+object KCore {
+
+  /** `edges`: directed pair list, symmetrized + deduped here (self-loops
+    * dropped — a self-loop would let an otherwise-isolated vertex count
+    * itself toward k). Returns surviving (id, degree) with the degree
+    * measured inside the surviving subgraph.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1; got k=$k")
+    require(rounds >= 1 && rounds <= 12,
+      s"kCore unrolls `rounds` plan levels; got rounds=$rounds")
+    val base = edges.select(
+        col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    var e = base.unionAll(base.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("src").as("v"))
+      val next = e
+        .join(keep, e("src") === keep("v"), "left_semi")
+        .join(keep.select(col("v").as("v2")), e("dst") === col("v2"), "left_semi")
+        .localCheckpoint(true)
+      val nNext = next.count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
+      e = next
+      done = nNext == nEdges // no vertex dropped → exact k-core reached
+      nEdges = nNext
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
+  }
+}
