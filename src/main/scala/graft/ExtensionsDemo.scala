@@ -33,6 +33,23 @@ object ExtensionsDemo {
     val err = math.abs(approx - exact).toDouble / exact
     println(f"hll_distinct=$approx exact=$exact relative_error=$err%.4f")
     require(err < 0.05, s"HLL error $err out of spec")
+
+    // bloom_agg / bloom_contains round-trip: every present key must probe
+    // true (no false negatives); a disjoint key range should mostly miss.
+    val bloomRow = spark.sql(
+      """WITH b AS (SELECT bloom_agg(l_partkey, 10000, 65536) AS bf
+        |           FROM lineitem)
+        |SELECT
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE NOT bloom_contains((SELECT bf FROM b), l_partkey)) AS false_negs,
+        |  (SELECT COUNT(*) FROM lineitem
+        |   WHERE bloom_contains((SELECT bf FROM b), l_partkey + 1000000)) AS fp_hits,
+        |  (SELECT COUNT(*) FROM lineitem) AS n""".stripMargin).collect().head
+    println(s"bloom false_negs=${bloomRow.getLong(0)} " +
+      s"fp_hits=${bloomRow.getLong(1)}/${bloomRow.getLong(2)}")
+    require(bloomRow.getLong(0) == 0L, "bloom filter produced false negatives")
+    require(bloomRow.getLong(1) < bloomRow.getLong(2) / 2,
+      "bloom FP rate out of spec for 64Ki bits / 2k keys")
     spark.stop()
   }
 }

@@ -262,6 +262,31 @@ object PipelineQueries {
         "doc_id", "text", n = 4)
     }),
 
+    // d6's semantics through the BLOOM prefilter path: build one mergeable
+    // bloom over the benchmark shingles (Spark's own BloomFilterAggregate,
+    // exposed via graft BloomFns), broadcast the ~KB binary, cut the
+    // corpus shingle stream to ~FP-rate with a codegen'd xxhash64 bit-test,
+    // then confirm exactly against the benchmark set. No false negatives →
+    // byte-identical to d6 (same oracle). This is the shape for when the
+    // benchmark SET outgrows a broadcast relation (10^9 shingles) long
+    // before its bloom does.
+    "d12_bloom_decontaminate" -> ((s, d) => {
+      val docs = documents(s, d)
+      val trainSh = Dedup
+        .shingleIndex(docs.filter(pmod(col("doc_id"), lit(25)) =!= 0), "doc_id", "text", 4)
+        .select(col("id").as("train_id"), col("s"))
+      val benchSh = Dedup
+        .shingleIndex(docs.filter(pmod(col("doc_id"), lit(25)) === 0), "doc_id", "text", 4)
+        .select(col("id").as("bench_id"), col("s"))
+      import org.apache.spark.sql.graft.BloomFns
+      val bloom = benchSh.agg(
+        BloomFns.bloomAgg(col("s"), expectedItems = 1000000L, numBits = 8000000L).as("bf"))
+      val pre = trainSh
+        .filter(BloomFns.mightContain(bloom, col("s")))
+        .select(col("train_id"), col("s"))
+      Dedup.contaminationOnShingles(pre, benchSh)
+    }),
+
     "d2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text", n = 3,
         threshold = JaccardThreshold)),
@@ -768,6 +793,23 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "d6_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 3)) AS u(i)
+        |  WHERE len(t) >= 4),
+        |bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 25 = 0),
+        |train AS (SELECT doc_id AS train_id, s FROM sh WHERE doc_id % 25 <> 0)
+        |SELECT train_id, bench_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM train JOIN bench USING (s)
+        |GROUP BY 1, 2 ORDER BY train_id, bench_id""".stripMargin,
+
+    // Identical result to d6 by construction (bloom prefilter has no
+    // false negatives; the confirm join removes false positives).
+    "d12_bloom_decontaminate" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
         |  FROM documents),

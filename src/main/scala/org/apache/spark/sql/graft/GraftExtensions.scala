@@ -32,5 +32,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MisraGriesAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    // Spark's own bloom machinery (the InjectRuntimeFilter expressions),
+    // exposed for explicit SQL use: bloom_agg(key, items, bits) builds the
+    // binary, bloom_contains(bloom, key) probes it. Keys are xxhash64'd
+    // here so callers pass the raw column on both sides.
+    extensions.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        null, "bloom_agg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        // items/bits must be BIGINT literals; SQL integer literals parse as
+        // INT, so re-literalize the folded values as longs.
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            exprs(1).eval().asInstanceOf[Number].longValue()),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            exprs(2).eval().asInstanceOf[Number].longValue()))))
+    extensions.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        null, "bloom_contains"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))))
   }
 }

@@ -59,6 +59,23 @@ class ExprSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("bloom prefilter: no false negatives, FPs removed by exact confirm") {
+    import org.apache.spark.sql.graft.BloomFns
+    val keys = Seq("k1", "k2", "k3").toDF("s")
+    val probe = (1 to 200).map(i => s"p$i").toDF("s").union(keys)
+    val bloom = keys.agg(BloomFns.bloomAgg(col("s"), 100L, 8192L).as("bf"))
+    val pre = probe
+      .filter(BloomFns.mightContain(bloom, col("s")))
+      .select(col("s"))
+    // Every true member must survive the prefilter...
+    val surviving = pre.collect().map(_.getString(0)).toSet
+    assert(Set("k1", "k2", "k3").subsetOf(surviving))
+    // ...and the exact confirm leaves exactly the true members.
+    val confirmed = pre.join(keys.select(col("s").as("k")), col("s") === col("k"), "left_semi")
+      .collect().map(_.getString(0)).toSet
+    assert(confirmed == Set("k1", "k2", "k3"))
+  }
+
   test("L1Delta aggregator equals sum(abs(a-b))") {
     val pairs = Seq((1.0, 0.5), (2.0, 2.5), (0.0, 0.25)).toDS()
     val viaAgg = pairs.select(new L1Delta().toColumn).collect().head
