@@ -77,7 +77,10 @@ object Bench {
     "d10_span_dedup",
     "p8_pack_chunks",
     "t11_tfidf",
+    "t13_bigram_surprisal",
     "e14_zscore_outliers",
+    "e16_scd2",
+    "d12_bloom_decontaminate",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
     "d4_simhash",
@@ -87,6 +90,8 @@ object Bench {
     "n2_ann_lsh",
     "g3_triangles",
     "g4_khop",
+    "g6_sssp",
+    "g7_kcore",
     "i4_personalized",
     "i5_hits",
     "i1_pagerank_fixed",

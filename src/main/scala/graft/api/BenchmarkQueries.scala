@@ -72,7 +72,30 @@ object BenchmarkQueries {
           col("l_shipdate") < ts("1997-01-01") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue")))
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
+
+    // Q18 analogue (large-volume orders): the HAVING-subquery shape. The
+    // fact self-aggregation is one map-side-combinable shuffle; its
+    // >threshold tail is tiny (~1% of orders), so under AQE it BROADCASTS
+    // into the orders join — the IN-subquery collapses to a broadcast hash
+    // join instead of a second fact shuffle. l_quantity is integral, so
+    // the rounded-total threshold compare is exact in both engines.
+    "q18_large_orders" -> ((s, d) => {
+      val big = lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+        .filter(col("total_qty") > 250)
+      orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(
+          col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          round(col("o_totalprice"), 2).as("total_price"),
+          col("total_qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -111,6 +134,20 @@ object BenchmarkQueries {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
-        |  AND l_quantity < 24""".stripMargin
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING ROUND(SUM(l_quantity), 2) > 250)
+        |SELECT c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |  ROUND(o_totalprice, 2) AS total_price, total_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_price DESC, o_orderkey
+        |LIMIT 100""".stripMargin
   )
 }

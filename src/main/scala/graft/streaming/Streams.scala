@@ -302,6 +302,47 @@ object Streams {
             graft.text.TextFns.shingles(col("text"), n), lit(benchShingles)))
       .select(col("doc_id"), col("text"))
 
+  /** OHLC bar compaction as a stream — twin of the batch `e15_ohlc`: per
+    * (tumbling window × event_type), open/close via the same ordered-struct
+    * argmin/argmax single aggregation (no window sort), high/low/count
+    * alongside. Append mode: a bar emits exactly once, when the watermark
+    * closes its window — the natural shape for continuously materializing
+    * downsampled bars off a 100 TB/day tick stream.
+    */
+  def ohlcBars(
+      events: DataFrame,
+      watermark: String = "1 hour",
+      windowLength: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"), col("event_type"))
+      .agg(
+        min(struct(unix_millis(col("ts")).as("ms"), col("event_id"), col("value"))).as("o"),
+        max(struct(unix_millis(col("ts")).as("ms"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("bar_start"),
+        col("event_type"),
+        round(col("o.value"), 4).as("open"),
+        round(col("high"), 4).as("high"),
+        round(col("low"), 4).as("low"),
+        round(col("c.value"), 4).as("close"),
+        col("n"))
+
+  /** Streaming heavy hitters — the a17 Misra-Gries sketch maintained as
+    * live aggregation state: the TypedImperativeAggregate's serialized
+    * buffer lives in the state store and merges per micro-batch, so the
+    * state is O(k) per group (here: global ⇒ one k-entry buffer) no matter
+    * how much stream has passed — the streaming form of the mergeable-
+    * summaries property. Complete output mode re-emits the current
+    * top list each batch.
+    */
+  def heavyHittersStream(stream: DataFrame, keyCol: String, k: Int): DataFrame =
+    stream.agg(
+      org.apache.spark.sql.graft.MisraGriesAgg.heavyHitters(col(keyCol), k).as("hh"))
+
   /** Stream-static enrichment join: each micro-batch of events is joined
     * against a static dimension table (re-read per batch if backed by a
     * mutable source). Catalyst broadcasts the static side when small —

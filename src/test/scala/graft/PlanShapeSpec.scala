@@ -25,6 +25,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q18: the >threshold order tail joins orders by broadcast") {
+    // The Q18 signature: the fact self-aggregation's filtered tail (~1% of
+    // orders) must come back as a BROADCAST side, not force a second fact
+    // shuffle for the join.
+    val df = SparkEntry.queries("q18_large_orders")(spark, Sf01)
+    df.count() // let AQE finalize with runtime sizes
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("q6: shipdate/discount/quantity predicates push into the parquet scan") {
     val df = SparkEntry.queries("q6_forecast_revenue")(spark, Sf01)
     // AQE wraps the tree in AdaptiveSparkPlanExec whose children are not

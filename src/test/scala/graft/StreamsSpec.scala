@@ -51,6 +51,62 @@ class StreamsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming OHLC bars match batch e15 aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streams.ohlcBars(mem.toDF(), watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ohlc_bars")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ohlc_bars")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSet
+    // Batch twin on the same rows (same ordered-struct aggregation).
+    val ms = unix_millis(col("ts"))
+    val exp = fixture.toDS().toDF()
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("bar_start"),
+        col("event_type"))
+      .agg(
+        min(struct(ms.as("ms"), col("event_id"), col("value"))).as("o"),
+        max(struct(ms.as("ms"), col("event_id"), col("value"))).as("c"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n"))
+      .select(col("bar_start"), col("event_type"),
+        round(col("o.value"), 4), round(col("high"), 4),
+        round(col("low"), 4), round(col("c.value"), 4), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toSet
+    assert(got.subsetOf(exp), s"got=$got exp=$exp")
+    assert(got.nonEmpty)
+  }
+
+  test("streaming heavy hitters carry Misra-Gries state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    // Two micro-batches; k=8 > 4 distinct keys ⇒ MG is EXACT, so the
+    // final complete-mode emission must equal whole-stream counts —
+    // which only happens if the sketch buffer survived batch 1.
+    mem.addData("a", "b", "a", "c")
+    val q = Streams.heavyHittersStream(mem.toDF().toDF("t"), "t", k = 8)
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.apx"))
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    mem.addData("a", "d", "b")
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("hh_stream")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"got=$got")
+  }
+
   test("streaming sessionization matches batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
