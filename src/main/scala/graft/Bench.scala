@@ -55,6 +55,7 @@ object Bench {
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q6_forecast_revenue",
+    "q18_large_orders",
     "s1_scan_project",
     "j3_join_chain",
     "a4_keyed_sum",
@@ -246,7 +247,8 @@ object Bench {
     // inflating cpu_s without touching wall. Not a plan regression;
     // PlanShapeSpec pins the single-aggregation bucket shape.
     val notes =
-      "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\""
+      "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\"," +
+        "\"flagship/GraphX walls swing ±30% with box state (r6: isolated idle-box flagship A/B 5.2s steady vs 3.99s r5 driver run, code path untouched since r5 — cpu_s 1.9-2.5 across r4-r6 is the stable signal)\""
     // The sidecar carries the FULL wall history (min + mean + cpu) so a
     // truncated stdout tail can never lose a round's perf record again.
     val diagJson =

@@ -34,6 +34,15 @@ object ExtensionsDemo {
     println(f"hll_distinct=$approx exact=$exact relative_error=$err%.4f")
     require(err < 0.05, s"HLL error $err out of spec")
 
+    val kll = spark.sql(
+      """SELECT kll_quantiles(l_extendedprice, array(0.5D), 200) AS q,
+        |       percentile(l_extendedprice, 0.5) AS exact
+        |FROM lineitem""".stripMargin).collect().head
+    val (kllMed, exactMed) = (kll.getSeq[Double](0).head, kll.getDouble(1))
+    println(f"kll median=$kllMed%.2f exact=$exactMed%.2f")
+    require(math.abs(kllMed - exactMed) / exactMed < 0.10,
+      s"KLL median $kllMed too far from exact $exactMed")
+
     // bloom_agg / bloom_contains round-trip: every present key must probe
     // true (no false negatives); a disjoint key range should mostly miss.
     val bloomRow = spark.sql(

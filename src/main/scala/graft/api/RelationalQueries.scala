@@ -371,7 +371,21 @@ object RelationalQueries {
       .groupBy(col("l_suppkey"))
       .agg(org.apache.spark.sql.graft.HllSketchAgg
         .hllDistinct(col("l_partkey")).as("hll_parts"))
-      .orderBy(col("l_suppkey")))
+      .orderBy(col("l_suppkey"))),
+
+    // Mergeable KLL quantile sketch (DataSketches) — rows-only (partial-
+    // merge order varies run to run); a12_quantiles is the exact twin on
+    // the same groups/ranks, and SketchSpec pins the rank-error bound and
+    // the merge path. O(k log n) state vs percentile()'s full sort.
+    "a18_kll_quantiles" -> ((s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(org.apache.spark.sql.graft.KllQuantilesAgg
+        .kllQuantiles(col("l_extendedprice"), Seq(0.25, 0.5, 0.75, 0.95)).as("q"))
+      .select(
+        col("l_returnflag"),
+        col("q")(0).as("p25"), col("q")(1).as("p50"),
+        col("q")(2).as("p75"), col("q")(3).as("p95"))
+      .orderBy(col("l_returnflag")))
   )
 
   val oracleSql: Map[String, String] = Map(

@@ -32,6 +32,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         MisraGriesAgg(exprs(0),
           exprs(1).eval().asInstanceOf[Number].intValue())))
+    extensions.injectFunction((
+      new FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantilesAgg].getName, null, "kll_quantiles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        KllQuantilesAgg(
+          exprs(0),
+          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+            .toDoubleArray().toSeq,
+          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+          else 200)))
     // Spark's own bloom machinery (the InjectRuntimeFilter expressions),
     // exposed for explicit SQL use: bloom_agg(key, items, bits) builds the
     // binary, bloom_contains(bloom, key) probes it. Keys are xxhash64'd

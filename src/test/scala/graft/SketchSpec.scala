@@ -17,6 +17,36 @@ class SketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad suppliers outside 5% relative error")
   }
 
+  test("KLL quantile sketch: rank error within bound, merge path exercised") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KllQuantilesAgg
+    // Deterministic skewed values (i*i scrambles ranks vs partition order);
+    // 16 partitions force the map-side-partial + merge path.
+    val n = 20000
+    val vals = (1 to n).map(i => ((i.toLong * i) % 9973).toDouble)
+    val df = vals.toDF("v").repartition(16)
+    val ranks = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val got = df.agg(KllQuantilesAgg.kllQuantiles(col("v"), ranks).as("q"))
+      .head().getAs[scala.collection.Seq[Double]](0)
+    val sorted = vals.sorted
+    ranks.zip(got).foreach { case (r, est) =>
+      // KLL guarantees the returned value's TRUE rank is within eps of the
+      // requested rank (eps ≈ 1.65%/99% conf at k=200; assert a 3% cushion).
+      val trueRank = sorted.count(_ <= est).toDouble / n
+      assert(math.abs(trueRank - r) <= 0.03,
+        s"rank($est) = $trueRank, requested $r")
+    }
+  }
+
+  test("KLL sketch on empty input yields NaNs, not a crash") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.KllQuantilesAgg
+    val got = Seq.empty[Double].toDF("v")
+      .agg(KllQuantilesAgg.kllQuantiles(col("v"), Seq(0.5)).as("q"))
+      .head().getAs[scala.collection.Seq[Double]](0)
+    assert(got.length == 1 && got.head.isNaN)
+  }
+
   test("count-min sketch: heavy-hitter token estimates bound exact counts") {
     import graft.text.TextFns
     // One constant-size mergeable sketch summarizes the whole token stream
