@@ -54,6 +54,7 @@ object Bench {
   private val Headline: Seq[String] = Seq(
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q5_local_supplier",
     "q6_forecast_revenue",
     "q18_large_orders",
     "s1_scan_project",

@@ -74,6 +74,31 @@ object BenchmarkQueries {
           col("l_quantity") < 24)
       .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))),
 
+    // Q5 analogue (local-supplier revenue by nation): the canonical
+    // snowflake join chain — fact → filtered orders → customer →
+    // supplier (with the c_nationkey = s_nationkey "local" constraint) →
+    // nation → region. The two geo dimensions are EXPLICITLY broadcast
+    // (always tiny: 25/5 rows at any corpus scale, unlike the
+    // size-dependent customer side q3 leaves to the optimizer); the big
+    // sides hash-join on their keys and Catalyst orders the chain.
+    "q5_local_supplier" -> ((s, d) => {
+      val ord = orders(s, d).filter(
+        col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // Q18 analogue (large-volume orders): the HAVING-subquery shape. The
     // fact self-aggregation is one map-side-combinable shuffle; its
     // >threshold tail is tiny (~1% of orders), so under AQE it BROADCASTS
@@ -135,6 +160,21 @@ object BenchmarkQueries {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -107,6 +107,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"got=$got")
   }
 
+  test("streaming PageRank materialization converges to batch PageRank") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    @volatile var last: org.apache.spark.sql.DataFrame = null
+    val q = Streams.pageRankStream(mem.toDF(), beta = 0.85, iterations = 4) {
+      (_, ranks) => last = ranks
+    }
+    mem.addData((1L, 2L), (2L, 3L))
+    q.processAllAvailable()
+    mem.addData((3L, 1L), (1L, 3L), (4L, 1L), (1L, 2L)) // includes a duplicate edge
+    q.processAllAvailable(); q.stop()
+
+    val got = last.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val exp = graft.graph.PageRank.fixedIterations(
+        spark,
+        Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst"),
+        0.85, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet)
+    exp.foreach { case (id, r) => assert(math.abs(got(id) - r) < 1e-12, s"id=$id") }
+  }
+
   test("streaming sessionization matches batch sessionization") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
