@@ -247,6 +247,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-distribution Shannon entropy per document:
+    //   H = ln n − (Σ c·ln c)/n   (nats; c = per-token count, n = Σ c)
+    // — the information-theoretic sibling of t9's distinct-token fraction:
+    // spam that cycles a few tokens scores low even when raw length and
+    // token counts look normal. Two map-side-combinable aggregations, no
+    // joins, no windows.
+    "t14_token_entropy" -> ((s, d) => {
+      val cnt = documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+      cnt.groupBy(col("doc_id"))
+        .agg(round(
+          log(sum(col("c")).cast("double")) -
+            sum(col("c").cast("double") * log(col("c").cast("double")))
+              / sum(col("c")).cast("double"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -700,6 +718,18 @@ object PipelineQueries {
         |  ROUND(AVG(ln(CAST(tot.n_total AS DOUBLE) / freq.f)), 6) AS mean_surprisal
         |FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "t14_token_entropy" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |cnt AS (
+        |  SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  ROUND(ln(CAST(SUM(c) AS DOUBLE))
+        |    - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE),
+        |    6) AS entropy
+        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t13_bigram_surprisal" ->
       """WITH toks AS (

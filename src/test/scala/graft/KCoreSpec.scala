@@ -38,6 +38,19 @@ object KCoreProperties extends Properties("KCore") {
     und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
   }
 
+  property("empty / self-loop-only graphs peel to empty, not crash") =
+    Prop {
+      import spark.implicits._
+      val empty = KCore.kCore(
+        Seq.empty[(Long, Long)].toDF("src", "dst"), k = 2, rounds = 3)
+      val loops = KCore.kCore(
+        Seq((1L, 1L), (2L, 2L)).toDF("src", "dst"), k = 1, rounds = 3)
+      val (a, b) = (empty.count(), loops.count())
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(empty)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(loops)
+      a == 0L && b == 0L
+    }
+
   property("kCore == naive bounded peel") =
     forAll(genGraph) { case (edges, k, rounds) =>
       import spark.implicits._

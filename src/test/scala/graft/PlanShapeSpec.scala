@@ -25,6 +25,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("e16: SCD2's two window passes share one exchange+sort") {
+    // lag-compare, filter, lead all run over the same (user_id | ms,
+    // event_id) ordering; filter preserves partitioning and ordering, so
+    // the changelog must shuffle exactly once and sort exactly once.
+    val df = SparkEntry.queries("e16_scd2")(spark, Sf01)
+    val physical: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // Count HASH exchanges only: the final global orderBy legitimately
+    // adds a range-partitioning exchange over the (tiny) change-point set.
+    val exByUser = physical.collect { case e: ShuffleExchangeExec => e }
+      .count(e => e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+        e.outputPartitioning.toString.contains("user_id"))
+    assert(exByUser == 1, s"expected 1 user_id hash exchange, got $exByUser:\n" +
+      physical.toString.take(1500))
+    val sorts = physical.collect {
+      case s: org.apache.spark.sql.execution.SortExec => s }
+    // One partial sort for the windows + the final global orderBy.
+    assert(sorts.count(!_.global) == 1,
+      s"expected 1 window sort, got:\n" + sorts.mkString("\n"))
+  }
+
+  test("q5: both geo dimensions join by broadcast") {
+    val plan = planOf(SparkEntry.queries("q5_local_supplier")(spark, Sf01))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected ≥2 broadcast joins, got $broadcasts")
+  }
+
   test("q18: the >threshold order tail joins orders by broadcast") {
     // The Q18 signature: the fact self-aggregation's filtered tail (~1% of
     // orders) must come back as a BROADCAST side, not force a second fact

@@ -52,6 +52,16 @@ object ShortestPathsProperties extends Properties("ShortestPaths") {
       Prop(got == want) :| s"got=$got want=$want"
     }
 
+  property("empty edges → seeds only; disconnected seeds stay at 0") =
+    Prop {
+      import spark.implicits._
+      val e = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "w")
+      val df = ShortestPaths.bellmanFord(e, Seq(7L, 7L, 9L).toDF("id"), 3)
+      val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      got == Map(7L -> 0.0, 9L -> 0.0)
+    }
+
   property("rejects non-positive rounds and strips non-positive weights") =
     Prop {
       import spark.implicits._
