@@ -218,6 +218,22 @@ object RelationalQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // Distribution window functions (percent_rank / cume_dist): each
+    // supplier's account-balance standing within its nation — the ranking
+    // family's distributional members, completing w1 (rank/row_number) and
+    // w2 (dense_rank/lag/ntile). Deterministic under ties via the
+    // s_suppkey tie-break in the window order.
+    "w3_distribution_window" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal"), col("s_suppkey"))
+      supplier(s, d)
+        .select(
+          col("s_suppkey"), col("s_nationkey"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("s_suppkey"))
+    }),
+
     // A12: exact interpolated quantiles per group (the UI boxplot shape at
     // relational scale; percentile() is Spark's exact linear-interpolation
     // aggregate, matching DuckDB's quantile_cont).
@@ -511,6 +527,14 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w3_distribution_window" ->
+      """SELECT s_suppkey, s_nationkey,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "a12_quantiles" ->
       """SELECT l_returnflag,

@@ -25,6 +25,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("d12: the bloom build runs as a scalar subquery, probe is a plain filter") {
+    val df = SparkEntry.queries("d12_bloom_decontaminate")(spark, Sf01)
+    val plan = df.queryExecution.executedPlan.toString
+    // The probe side must see the bloom as a runtime constant (scalar
+    // subquery), and the prefilter must be a Filter with might_contain —
+    // never a join against the bloom row.
+    assert(plan.contains("Subquery") && plan.contains("might_contain"),
+      plan.take(2000))
+  }
+
   test("e16: SCD2's two window passes share one exchange+sort") {
     // lag-compare, filter, lead all run over the same (user_id | ms,
     // event_id) ordering; filter preserves partitioning and ordering, so
