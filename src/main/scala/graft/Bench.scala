@@ -56,6 +56,8 @@ object Bench {
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
     "q18_large_orders",
     "s1_scan_project",
     "j3_join_chain",
@@ -82,6 +84,7 @@ object Bench {
     "t13_bigram_surprisal",
     "e14_zscore_outliers",
     "e16_scd2",
+    "e17_hopping_window",
     "d12_bloom_decontaminate",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",

@@ -99,6 +99,42 @@ object BenchmarkQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Q10 analogue (returned-item revenue): selective flag filter on the
+    // fact, order/customer join chain, nation decoration, top-20 — the
+    // "worst customers" report. Nation broadcasts (25 rows at any scale);
+    // the revenue agg feeds TakeOrderedAndProject, never a global sort.
+    "q10_returned_items" -> ((s, d) => {
+      val ord = orders(s, d).filter(
+        col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+      lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("n_name"))
+        // Decimal-summed revenue: this aggregate landed on a 2-dp rounding
+        // boundary (…3.595) where double summation ORDER decides the
+        // rounded cent; per-term cast to DECIMAL(18,6) makes the sum exact
+        // and associative, so Spark's partial-agg order and DuckDB's scan
+        // order can't disagree.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double")
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Q14 analogue (promo revenue share): conditional aggregate ratio over
+    // the part join — one month of fact rows, two sums in one pass.
+    "q14_promo_share" -> ((s, d) => {
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev),
+          4).as("promo_pct"))
+    }),
+
     // Q18 analogue (large-volume orders): the HAVING-subquery shape. The
     // fact self-aggregation is one map-side-combinable shuffle; its
     // >threshold tail is tiny (~1% of orders), so under AQE it BROADCASTS
@@ -175,6 +211,29 @@ object BenchmarkQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, n_name,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q14_promo_share" ->
+      """SELECT ROUND(100.0 *
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -309,6 +309,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("since_event"))
     }),
 
+    // HOPPING (sliding) window aggregation — 1 h windows every 30 min, so
+    // each event feeds exactly two bars: the smoothing companion of e1's
+    // tumbling windows and the batch twin of `window(slide)` streaming
+    // aggs. Spark's window() generator replicates rows window-count times
+    // BEFORE the partial agg (map-side combine still applies); the oracle
+    // derives the same two aligned starts arithmetically.
+    "e17_hopping_window" -> ((s, d) => events(s, d)
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -402,6 +418,16 @@ object EventQueries {
         |  ROUND(hl.low, 4) AS low, ROUND(c.close, 4) AS close, hl.n
         |FROM hl JOIN o USING (hour, event_type) JOIN c USING (hour, event_type)
         |ORDER BY hour, event_type""".stripMargin,
+
+    "e17_hopping_window" ->
+      """WITH x AS (
+        |  SELECT epoch_ms(ts) AS ms, event_type, value FROM events),
+        |w AS (
+        |  SELECT (ms // 1800000 - k) * 1800000 AS ws, event_type, value
+        |  FROM x, UNNEST([0, 1]) AS u(k))
+        |SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+        |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "e16_scd2" ->
       """WITH x AS (

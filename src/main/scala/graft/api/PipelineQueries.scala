@@ -265,6 +265,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Hashing-trick feature extraction (the HashingTF shape): tokens →
+    // fixed 1024-bucket space via the portable md5 draw, per-doc bucket
+    // counts — the input representation for linear / hashed-feature
+    // models at corpus scale. Collision-lossy BY DESIGN (that is the
+    // trick); one explode + one combinable groupBy, no vocabulary state,
+    // no joins — the reason it scales where a fitted vocabulary (t5)
+    // needs a corpus-wide dictionary build.
+    "t15_hashing_features" -> ((s, d) => {
+      val bucket = conv(substring(md5(col("t")), 1, 15), 16, 10)
+        .cast("long") % 1024
+      documents(s, d)
+        .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), bucket.as("bucket"))
+        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("n"))
+        .orderBy(col("doc_id"), col("bucket"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -718,6 +735,15 @@ object PipelineQueries {
         |  ROUND(AVG(ln(CAST(tot.n_total AS DOUBLE) / freq.f)), 6) AS mean_surprisal
         |FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "t15_hashing_features" ->
+      """WITH tok AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
 
     "t14_token_entropy" ->
       """WITH tok AS (
