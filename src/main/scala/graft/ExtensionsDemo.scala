@@ -34,8 +34,10 @@ object ExtensionsDemo {
     println(f"hll_distinct=$approx exact=$exact relative_error=$err%.4f")
     require(err < 0.05, s"HLL error $err out of spec")
 
+    // Plain fractional literals (array<decimal>) — the natural SQL
+    // spelling must work, not just the 0.5D double form.
     val kll = spark.sql(
-      """SELECT kll_quantiles(l_extendedprice, array(0.5D), 200) AS q,
+      """SELECT kll_quantiles(l_extendedprice, array(0.5), 200) AS q,
         |       percentile(l_extendedprice, 0.5) AS exact
         |FROM lineitem""".stripMargin).collect().head
     val (kllMed, exactMed) = (kll.getSeq[Double](0).head, kll.getDouble(1))

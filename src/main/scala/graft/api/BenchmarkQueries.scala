@@ -94,7 +94,11 @@ object BenchmarkQueries {
         .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        // Same decimal-sum hardening as q10: thousands of double terms per
+        // nation can straddle a half-cent boundary under different
+        // summation orders; per-term DECIMAL makes the sum associative.
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
@@ -126,12 +130,17 @@ object BenchmarkQueries {
     // Q14 analogue (promo revenue share): conditional aggregate ratio over
     // the part join — one month of fact rows, two sums in one pass.
     "q14_promo_share" -> ((s, d) => {
-      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      // Decimal-summed numerator/denominator (order-independent), ratio
+      // taken in double after both sums are exact.
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")
       lineitem(s, d)
         .filter(col("l_shipdate") >= ts("1996-03-01") && col("l_shipdate") < ts("1996-04-01"))
         .join(part(s, d), col("l_partkey") === col("p_partkey"))
         .agg(round(
-          lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(0.0)) / sum(rev),
+          lit(100.0) * sum(when(col("p_type") === "PROMO", rev)
+              .otherwise(lit(0.0).cast("decimal(18,6)"))).cast("double")
+            / sum(rev).cast("double"),
           4).as("promo_pct"))
     }),
 
@@ -199,7 +208,7 @@ object BenchmarkQueries {
 
     "q5_local_supplier" ->
       """SELECT n_name,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -228,9 +237,11 @@ object BenchmarkQueries {
 
     "q14_promo_share" ->
       """SELECT ROUND(100.0 *
-        |    SUM(CASE WHEN p_type = 'PROMO'
-        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-        |    / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |  4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,

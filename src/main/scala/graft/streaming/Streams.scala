@@ -355,6 +355,18 @@ object Streams {
     * cluster scale the recompute cost is the batch PageRank cost and the
     * ingest cadence throttles it. Parity: the last emitted table equals
     * batch PageRank over the full edge set (StreamsSpec).
+    *
+    * Each batch's rank table supersedes the previous one, and the
+    * previous one's checkpoint backing is freed BEFORE `onUpdate` runs —
+    * consumers must materialize (write/collect) inside the callback
+    * rather than hold rank DataFrames across batches; only the latest
+    * table is live. RESTART CAVEAT: the accumulated edge snapshot is
+    * session-local (localCheckpoint, deliberately non-recoverable) — a
+    * restarted query resumes the SOURCE from its offsets but starts the
+    * edge accumulation empty, so this is a within-session materialized
+    * view; durable recovery needs the caller to replay the full edge log
+    * or persist/restore the snapshot externally (batchId-keyed,
+    * idempotent).
     */
   def pageRankStream(
       edgeStream: DataFrame,
@@ -362,6 +374,7 @@ object Streams {
       iterations: Int)(
       onUpdate: (Long, DataFrame) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     var acc: DataFrame = null
+    var prevRanks: DataFrame = null
     edgeStream.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -372,8 +385,15 @@ object Streams {
         if (acc != null)
           org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(acc)
         acc = merged
-        onUpdate(batchId,
-          graft.graph.PageRank.fixedIterations(batch.sparkSession, acc, beta, iterations))
+        // Free the superseded rank table: without this, one checkpointed
+        // |V|-row snapshot would accumulate per trigger for the life of
+        // the query.
+        if (prevRanks != null)
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prevRanks)
+        val ranks =
+          graft.graph.PageRank.fixedIterations(batch.sparkSession, acc, beta, iterations)
+        prevRanks = ranks
+        onUpdate(batchId, ranks)
       }
       .start()
   }

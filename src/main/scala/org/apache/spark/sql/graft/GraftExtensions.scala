@@ -35,13 +35,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     extensions.injectFunction((
       new FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantilesAgg].getName, null, "kll_quantiles"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // array(0.25, 0.5) parses as array<decimal> — convert elementwise
+        // rather than via toDoubleArray (which would CCE on Decimal).
+        val elemType = exprs(1).dataType
+          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
+        val arr = exprs(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val ranks = arr.toObjectArray(elemType).toSeq.map {
+          case d: org.apache.spark.sql.types.Decimal => d.toDouble
+          case n: Number => n.doubleValue()
+        }
         KllQuantilesAgg(
           exprs(0),
-          exprs(1).eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-            .toDoubleArray().toSeq,
+          ranks,
           if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
-          else 200)))
+          else 200)
+      }))
     // Spark's own bloom machinery (the InjectRuntimeFilter expressions),
     // exposed for explicit SQL use: bloom_agg(key, items, bits) builds the
     // binary, bloom_contains(bloom, key) probes it. Keys are xxhash64'd

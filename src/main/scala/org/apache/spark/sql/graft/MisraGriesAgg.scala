@@ -80,11 +80,16 @@ case class MisraGriesAgg(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[MgBuffer] {
+  extends TypedImperativeAggregate[MgBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k >= 1, s"k must be positive; got $k")
 
   override def children: Seq[Expression] = Seq(child)
+  // Declared input type + implicit cast: misra_gries(l_partkey, 10) casts
+  // the key to string at analysis time instead of CCE'ing mid-job.
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(StringType)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -118,7 +123,15 @@ case class MisraGriesAgg(
     val out = new DataOutputStream(bytes)
     out.writeInt(buf.k)
     out.writeInt(buf.counts.size)
-    buf.counts.foreach { case (t, c) => out.writeUTF(t); out.writeLong(c) }
+    // Length-prefixed raw UTF-8, not writeUTF: writeUTF caps a term at
+    // 64 KB and would fail partial-aggregate serialization if a caller
+    // tracks whole-document keys.
+    buf.counts.foreach { case (t, c) =>
+      val tb = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(tb.length)
+      out.write(tb)
+      out.writeLong(c)
+    }
     out.flush()
     bytes.toByteArray
   }
@@ -129,9 +142,10 @@ case class MisraGriesAgg(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val t = in.readUTF()
+      val tb = new Array[Byte](in.readInt())
+      in.readFully(tb)
       val c = in.readLong()
-      buf.counts.update(t, c)
+      buf.counts.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8), c)
       i += 1
     }
     buf

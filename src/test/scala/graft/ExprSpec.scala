@@ -59,6 +59,15 @@ class ExprSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
   }
 
+  test("misra_gries over a numeric key implicit-casts instead of crashing") {
+    val got = Seq(7L, 7L, 8L, 7L).toDF("k")
+      .agg(org.apache.spark.sql.graft.MisraGriesAgg.heavyHitters(col("k"), 4).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.term"), col("e.apx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("7" -> 3L, "8" -> 1L))
+  }
+
   test("bloom prefilter: no false negatives, FPs removed by exact confirm") {
     import org.apache.spark.sql.graft.BloomFns
     val keys = Seq("k1", "k2", "k3").toDF("s")

@@ -120,6 +120,7 @@ class StreamsSpec extends SparkSpec {
     q.processAllAvailable(); q.stop()
 
     val got = last.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(last)
     val exp = graft.graph.PageRank.fixedIterations(
         spark,
         Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L), (4L, 1L)).toDF("src", "dst"),
