@@ -36,6 +36,9 @@ object QBench {
       }
     })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
+    // Drain the async listener bus so the warm-up job's stage CPU metrics
+    // cannot land after cpuNs.set(0) and inflate the first sample.
+    GraftInternals.drainListenerBus(spark)
     args.foreach { name =>
       val samples = (1 to 3).map { _ =>
         cpuNs.set(0L)

@@ -115,8 +115,7 @@ object PipelineQueries {
         budget = 512L, shards = 8)),
 
     "p6_stratified_portable" -> ((s, d) => {
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100
+      val u = graft.ops.Portable.md5Long(col("doc_id").cast("string")) % 100
       documents(s, d)
         .withColumn("lang", TextFns.langId(col("text")))
         .filter(when(col("lang") === "en", u < 50).otherwise(u < 20))
@@ -139,8 +138,7 @@ object PipelineQueries {
         .select(col("source"),
           least(lit(1.0),
             lit(MixtureTarget) * sqrt(col("ns")) / col("z") / col("ns")).as("p"))
-      val u = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 1000000
+      val u = graft.ops.Portable.md5Long(col("doc_id").cast("string")) % 1000000
       docs.join(broadcast(probs), "source")
         .filter(u.cast("double") < col("p") * lit(1000000.0))
         .select(col("doc_id"), col("source"))
@@ -156,8 +154,7 @@ object PipelineQueries {
     // retry-stable. One scan + a top-k (TakeOrderedAndProject) — no
     // global sort materialization at corpus scale.
     "p10_weighted_sample" -> ((s, d) => {
-      val x = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long").cast("double")
+      val x = graft.ops.Portable.md5Long(col("doc_id").cast("string")).cast("double")
       val u = (x + 1.0) / 1.152921504606846976e18 // 2^60: 15 hex digits
       documents(s, d)
         .select(col("doc_id"), col("n_chars"),
@@ -174,9 +171,8 @@ object PipelineQueries {
     // narrow map — zero shuffles at corpus scale — and composes with
     // Sinks.trainingShards(partitionBy split) for the actual export.
     "p11_split" -> ((s, d) => {
-      val u = conv(substring(
-          md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
-        .cast("long") % 1000
+      val u = graft.ops.Portable.md5Long(
+        concat(lit("split:"), col("doc_id").cast("string"))) % 1000
       documents(s, d)
         .select(
           col("doc_id"),
@@ -190,15 +186,19 @@ object PipelineQueries {
       TextFns.gopherQuality(documents(s, d), "doc_id", "text")),
 
     // PII scrub: per-doc email/phone/IPv4 counts + the redacted text.
-    // This corpus is digit-free (counts 0, text unchanged — the oracle
-    // still runs the identical regex chain in RE2); the matching behavior
+    // Counts are STAGE-CONSISTENT — each pattern counts on the text after
+    // the earlier redaction passes, so n_x is exactly the number of <X>
+    // tokens in `redacted` even when one PII form embeds another (a
+    // phone-shaped email local part counts as email, not phone). This
+    // corpus is digit-free (counts 0, text unchanged — the oracle still
+    // runs the identical regex chain in RE2); the matching behavior
     // itself is pinned on adversarial inline docs in TextSpec.
     "t10_pii_redact" -> ((s, d) => documents(s, d)
       .select(
         col("doc_id"),
-        TextFns.piiCount(col("text"), TextFns.EmailPattern).as("n_emails"),
-        TextFns.piiCount(col("text"), TextFns.PhonePattern).as("n_phones"),
-        TextFns.piiCount(col("text"), TextFns.Ipv4Pattern).as("n_ips"),
+        TextFns.piiCountEmails(col("text")).as("n_emails"),
+        TextFns.piiCountPhones(col("text")).as("n_phones"),
+        TextFns.piiCountIps(col("text")).as("n_ips"),
         TextFns.redactPii(col("text")).as("redacted"))
       .orderBy(col("doc_id"))),
 
@@ -273,8 +273,7 @@ object PipelineQueries {
     // no joins — the reason it scales where a fitted vocabulary (t5)
     // needs a corpus-wide dictionary build.
     "t15_hashing_features" -> ((s, d) => {
-      val bucket = conv(substring(md5(col("t")), 1, 15), 16, 10)
-        .cast("long") % 1024
+      val bucket = graft.ops.Portable.md5Long(col("t")) % 1024
       documents(s, d)
         .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("t"))
         .select(col("doc_id"), bucket.as("bucket"))
@@ -562,6 +561,29 @@ object PipelineQueries {
   /** d5/d7/d8 chain: [[lshCtes]] (6 planes × 8 tables, matching
     * `cosinePairsLsh`'s parameters) plus the undirected candidate join.
     */
+  /** Shared CTE chain for the d10/d11 span-dedup oracles: anchor grams →
+    * cross-doc seeds → diagonal islands (`isl`). One definition so the
+    * two oracles cannot drift on what a "span" is.
+    */
+  private lazy val SpanIslandCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, i - 1 AS pos,
+      |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
+      |  WHERE len(t) >= 6),
+      |seeds AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+      |isl AS (
+      |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+      |      AS island
+      |  FROM seeds)""".stripMargin
+
   /** Shared oracle for d7 (GraphX CC) and d7b (DataFrame CC): min
     * reachable id over the exact d5 pair graph via recursive CTE.
     */
@@ -695,17 +717,24 @@ object PipelineQueries {
         |  FROM documents) t
         |GROUP BY token ORDER BY apx DESC, term LIMIT 10""".stripMargin,
 
+    // Stage-consistent counts: phones count after the email pass, IPs
+    // after email+phone — mirrors the Spark piiCountEmails/Phones/Ips
+    // chain exactly.
     "t10_pii_redact" ->
-      """SELECT doc_id,
+      """WITH s1 AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
-        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
-        |  regexp_replace(
-        |    regexp_replace(
-        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |  CAST(len(regexp_extract_all(t1, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(t2, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM s2 ORDER BY doc_id""".stripMargin,
 
     "t11_tfidf" ->
       """WITH tok AS (
@@ -886,29 +915,13 @@ object PipelineQueries {
         |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
     "d10_span_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
-        |  WHERE len(t) >= 6),
-        |seeds AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
-        |isl AS (
-        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-        |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
-        |      AS island
-        |  FROM seeds)
-        |SELECT doc_a, doc_b,
+      (s"WITH $SpanIslandCtes\n" +
+        """SELECT doc_a, doc_b,
         |  CAST(MIN(pa) AS BIGINT) AS start_a,
         |  CAST(MIN(pb) AS BIGINT) AS start_b,
         |  CAST(MAX(pa) - MIN(pa) + 6 AS BIGINT) AS span_len
         |FROM isl GROUP BY doc_a, doc_b, diag, island
-        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin),
 
     "p8_pack_chunks" ->
       """WITH nt AS (
@@ -932,24 +945,8 @@ object PipelineQueries {
         |ORDER BY shard, chunk, doc_id""".stripMargin,
 
     "d11_span_coverage" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-        |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
-        |  WHERE len(t) >= 6),
-        |seeds AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-        |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
-        |isl AS (
-        |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
-        |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
-        |      AS island
-        |  FROM seeds),
-        |spans AS (
+      (s"WITH $SpanIslandCtes,\n" +
+        """spans AS (
         |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
         |    MAX(pa) - MIN(pa) + 6 AS span_len
         |  FROM isl GROUP BY doc_a, doc_b, diag, island),
@@ -980,7 +977,7 @@ object PipelineQueries {
         |  ROUND(CASE WHEN n_tokens = 0 THEN 0.0
         |    ELSE CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens END, 6) AS coverage
         |FROM nt LEFT JOIN cov ON nt.doc_id = cov.id
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     "d2_jaccard_pairs" ->
       s"""WITH toks AS (

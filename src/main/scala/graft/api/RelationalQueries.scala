@@ -52,10 +52,9 @@ object RelationalQueries {
     // regardless of partitioning.
     "p3b_sample_portable" -> ((s, d) => lineitem(s, d)
       .filter(
-        conv(substring(md5(concat(
+        graft.ops.Portable.md5Long(concat(
           col("l_orderkey").cast("string"), lit(":"),
-          col("l_linenumber").cast("string"))), 1, 15), 16, 10)
-          .cast("long") % 10 === 0)
+          col("l_linenumber").cast("string"))) % 10 === 0)
       .select(col("l_orderkey"), col("l_linenumber"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))),
 

@@ -377,8 +377,8 @@ object Dedup {
       .select(col("id"), col("s"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
       .select(col("id"), col("k"),
-        conv(substring(md5(concat(col("k").cast("string"), lit(":"), col("s"))), 1, 15),
-          16, 10).cast("long").as("h"))
+        graft.ops.Portable.md5Long(
+          concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
       .groupBy(col("id"), col("k"))
       .agg(min(col("h")).as("m"))
     // candidate pair iff all rowsPerBand minima of some band agree.
@@ -403,7 +403,7 @@ object Dedup {
     val toks = docs.select(
       col(idCol).as("id"),
       explode(TextFns.tokens(col(textCol))).as("t"))
-    val h = conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long")
+    val h = graft.ops.Portable.md5Long(col("t"))
     val votes = (0 until 16).map { j =>
       sum(when(shiftright(h, j).bitwiseAND(lit(1L)) === 1, 1).otherwise(-1)).as(s"v$j")
     }

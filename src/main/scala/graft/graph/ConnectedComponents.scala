@@ -81,6 +81,11 @@ object ConnectedComponents {
         // Edge state: undirected edges as (u, v); orientation is
         // re-derived inside each star step as that step requires.
         var edges = seed.localCheckpoint(true)
+        // Failure-path hygiene: on ANY mid-loop throw (including the
+        // 64-round guard) free the live checkpoints before propagating —
+        // library callers have no Bench-style sweep to catch orphans.
+        var pending: DataFrame = null
+        try {
         e.unpersist()
         var signature: (Long, Long) = (-1L, -1L)
         var converged = false
@@ -120,6 +125,7 @@ object ConnectedComponents {
             .distinct()
 
           val next = afterSmall.localCheckpoint(true)
+          pending = next
           val sig = next
             .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))
             .head()
@@ -130,6 +136,7 @@ object ConnectedComponents {
           signature = newSignature
           GraftInternals.freeLocalCheckpoint(edges)
           edges = next
+          pending = null
         }
 
         // Fixpoint: a union of stars (center = component min, stored as
@@ -146,6 +153,12 @@ object ConnectedComponents {
           .localCheckpoint(true)
         GraftInternals.freeLocalCheckpoint(edges)
         out
+        } catch {
+          case t: Throwable =>
+            GraftInternals.freeLocalCheckpoint(edges)
+            if (pending ne null) GraftInternals.freeLocalCheckpoint(pending)
+            throw t
+        }
       } finally {
         e.unpersist()
         verts.unpersist()

@@ -364,13 +364,17 @@ object PageRank {
       beta: Double,
       iterations: Int): DataFrame = {
     val c = edges.columns
-    val e = edges
+    val raw = edges
       .select(col(c(0)).as("src"), col(c(1)).as("dst"), col(c(2)).cast("double").as("w"))
-      // Enforce the documented w > 0 contract instead of silently skewing:
-      // a null/zero/negative weight would make W(u) ≤ 0 or null, the frac
-      // division NULL (non-ANSI divide), and that edge's contribution
-      // would vanish from the ranks with no signal to the caller.
-      .filter(col("w").isNotNull && col("w") > 0)
+    // Enforce the documented w > 0 contract by FAILING, not filtering: a
+    // silent filter would also drop any vertex reachable only through the
+    // bad edge — rows vanishing from the rank table with no signal. One
+    // cheap aggregate over the pre-grouped edges checks the whole input.
+    val bad = raw.filter(col("w").isNull || col("w") <= 0).count()
+    require(bad == 0L,
+      s"weightedFixedIterations: $bad edge(s) with null/zero/negative weight — " +
+        "weights must be > 0")
+    val e = raw
       .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val m = e.count()

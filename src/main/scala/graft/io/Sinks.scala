@@ -75,20 +75,30 @@ object Sinks {
   def trainingShards(
       df: DataFrame, path: String, keyCol: String, shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive; got $shards")
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it; trainingShards owns that name")
     val withShard = df
       .withColumn("shard", pmod(xxhash64(col(keyCol)), lit(shards.toLong)))
     withShard
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col(keyCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = withShard
-      .groupBy(col("shard"))
+    // Manifest from the FILES JUST WRITTEN, not a re-execution of the
+    // source plan: a nondeterministic input stage would otherwise let the
+    // manifest describe rows that were never written, and a pipeline-sized
+    // input would be scanned twice more. Reading back also makes the
+    // checksum cover exactly what a downstream loader will see.
+    // Column-wise xxhash64 via the Column API (quoting-safe for reserved
+    // or spaced column names, unlike a SQL-string spelling).
+    val written = df.sparkSession.read.parquet(path)
+    val manifest = written
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(
         count(lit(1)).as("n_rows"),
-        expr(s"bit_xor(xxhash64(${df.columns.mkString(", ")}))").as("content_xor"))
+        bit_xor(xxhash64(df.columns.map(col): _*)).as("content_xor"))
       .orderBy(col("shard"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
-    manifest
+    df.sparkSession.read.parquet(s"$path/_manifest").orderBy(col("shard"))
   }
 
   /** S5: the UI's base64 `data:` download href

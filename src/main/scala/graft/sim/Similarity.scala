@@ -72,8 +72,9 @@ object Similarity {
     * [0, 2000000] → affine to [−1, 1].
     */
   private def mdCoef(p: Int, i: Column): Column =
-    ((conv(substring(md5(concat_ws(":", lit("plane"), lit(p.toString), i.cast("string"))),
-      1, 15), 16, 10).cast("long") % 2000001L).cast("double")
+    ((graft.ops.Portable.md5Long(
+      concat_ws(":", lit("plane"), lit(p.toString), i.cast("string")))
+      % 2000001L).cast("double")
       - 1000000.0) / 1000000.0
 
   /** Hyperplane-LSH bucket assignment: (vec_id, tbl, bucket) with one row

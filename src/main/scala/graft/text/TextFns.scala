@@ -227,9 +227,29 @@ object TextFns {
   val PhonePattern = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
   val Ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** Occurrences of one PII pattern. */
+  /** Occurrences of one PII pattern on the given text as-is. Prefer the
+    * stage-consistent `piiCountEmails`/`piiCountPhones`/`piiCountIps` for
+    * reporting next to [[redactPii]] — independent raw-text counts can
+    * disagree with the redaction when one PII form embeds another (a
+    * phone-shaped local part inside an email matches PhonePattern on raw
+    * text but is consumed whole by the email pass).
+    */
   def piiCount(text: Column, pattern: String): Column =
     regexp_count(text, lit(pattern)).cast("long")
+
+  /** Stage-consistent counts: each pattern counts on the text AFTER the
+    * earlier redaction passes, so n_x is exactly the number of `<X>`
+    * tokens [[redactPii]] writes.
+    */
+  def piiCountEmails(text: Column): Column = piiCount(text, EmailPattern)
+  def piiCountPhones(text: Column): Column =
+    piiCount(regexp_replace(text, EmailPattern, "<EMAIL>"), PhonePattern)
+  def piiCountIps(text: Column): Column =
+    piiCount(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        PhonePattern, "<PHONE>"),
+      Ipv4Pattern)
 
   /** Redacted text: emails first (their dotted domains would otherwise
     * feed the IP pattern), then phones (3-3-4 with dots overlaps dotted

@@ -12,30 +12,49 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * registration needed.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  /** Clear wrong-arity message instead of an IndexOutOfBounds from the
+    * builder; `eval()` on the guarded args additionally requires them
+    * foldable (a non-literal k/ranks arg fails here with a named error,
+    * not an unbound-attribute internal one).
+    */
+  private def arity(name: String, exprs: Seq[_], allowed: Set[Int]): Unit =
+    if (!allowed.contains(exprs.length))
+      throw new IllegalArgumentException(
+        s"$name expects ${allowed.toSeq.sorted.mkString(" or ")} argument(s); " +
+          s"got ${exprs.length}")
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, null, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimilarityExpr(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("cosine_sim", exprs, Set(2))
+        CosineSimilarityExpr(exprs(0), exprs(1))
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("hll_distinct"),
       new ExpressionInfo(classOf[HllSketchAgg].getName, null, "hll_distinct"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("hll_distinct", exprs, Set(1, 2))
         if (exprs.length > 1)
           HllSketchAgg(exprs(0),
             exprs(1).eval().asInstanceOf[Number].intValue())
-        else HllSketchAgg(exprs(0))))
+        else HllSketchAgg(exprs(0))
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGriesAgg].getName, null, "misra_gries"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("misra_gries", exprs, Set(2))
         MisraGriesAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())))
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("kll_quantiles"),
       new ExpressionInfo(classOf[KllQuantilesAgg].getName, null, "kll_quantiles"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("kll_quantiles", exprs, Set(2, 3))
         // array(0.25, 0.5) parses as array<decimal> — convert elementwise
         // rather than via toDoubleArray (which would CCE on Decimal).
         val elemType = exprs(1).dataType
@@ -61,7 +80,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
         null, "bloom_agg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("bloom_agg", exprs, Set(3))
         // items/bits must be BIGINT literals; SQL integer literals parse as
         // INT, so re-literalize the folded values as longs.
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
@@ -69,15 +89,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           org.apache.spark.sql.catalyst.expressions.Literal(
             exprs(1).eval().asInstanceOf[Number].longValue()),
           org.apache.spark.sql.catalyst.expressions.Literal(
-            exprs(2).eval().asInstanceOf[Number].longValue()))))
+            exprs(2).eval().asInstanceOf[Number].longValue()))
+      }))
     extensions.injectFunction((
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
         null, "bloom_contains"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("bloom_contains", exprs, Set(2))
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0),
-          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))))
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
+      }))
   }
 }

@@ -50,6 +50,14 @@ class GraphAlgSpec extends SparkSpec {
     uniform.foreach { case (id, r) => assert(math.abs(r - got(id)) < 1e-12) }
   }
 
+  test("weighted PR rejects null/zero/negative weights instead of dropping them") {
+    val edges = Seq((1, 2, 1.0), (2, 1, 0.0)).toDF("src", "dst", "w")
+    val err = intercept[IllegalArgumentException] {
+      PageRank.weightedFixedIterations(spark, edges, 0.85, 2)
+    }
+    assert(err.getMessage.contains("weight"))
+  }
+
   test("weighted PR routes rank along the heavy edge") {
     // 1 splits 9:1 between 2 and 3; 2 and 3 cycle back. Vertex 2 must
     // end strictly above vertex 3.

@@ -37,11 +37,24 @@ class TextSpec extends SparkSpec {
   test("counts match the redaction passes") {
     val row = Seq("a@b.io x 555-867-5309 y 10.0.0.1 z c@d.org").toDF("text")
       .select(
-        TextFns.piiCount(col("text"), TextFns.EmailPattern).as("e"),
-        TextFns.piiCount(col("text"), TextFns.PhonePattern).as("p"),
-        TextFns.piiCount(col("text"), TextFns.Ipv4Pattern).as("i"))
+        TextFns.piiCountEmails(col("text")).as("e"),
+        TextFns.piiCountPhones(col("text")).as("p"),
+        TextFns.piiCountIps(col("text")).as("i"))
       .head
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((2L, 1L, 1L)))
+  }
+
+  test("embedded PII counts as the consuming form only (stage consistency)") {
+    // The phone-shaped local part is consumed by the email pass; counts
+    // must agree with the redacted text: one <EMAIL>, zero <PHONE>.
+    val row = Seq("call 555-867-5309@mail.com now").toDF("text")
+      .select(
+        TextFns.piiCountEmails(col("text")).as("e"),
+        TextFns.piiCountPhones(col("text")).as("p"),
+        TextFns.redactPii(col("text")).as("r"))
+      .head
+    assert(row.getLong(0) == 1L && row.getLong(1) == 0L)
+    assert(row.getString(2) == "call <EMAIL> now")
   }
 
   test("tfidf ranks corpus-rare terms above ubiquitous ones") {
