@@ -246,7 +246,7 @@ object Bench {
     // Pinned finding (round 5→6): `n2_ann_lsh` cpu_s moved 5.4→12.6 with
     // wall FLAT. Isolated fresh-JVM A/B (QBench) reproduces the r4 number
     // (~4-6 cpu_s steady state, ~13 first run): the query's generated code
-    // is JIT-warm-up dominated, and in a 40-query session the min-WALL run
+    // is JIT-warm-up dominated, and in a 55-query session the min-WALL run
     // can land while its codegen classes are still being profiled —
     // inflating cpu_s without touching wall. Not a plan regression;
     // PlanShapeSpec pins the single-aggregation bucket shape.
