@@ -252,7 +252,8 @@ object Bench {
     // PlanShapeSpec pins the single-aggregation bucket shape.
     val notes =
       "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\"," +
-        "\"flagship/GraphX walls swing ±30% with box state (r6: isolated idle-box flagship A/B 5.2s steady vs 3.99s r5 driver run, code path untouched since r5 — cpu_s 1.9-2.5 across r4-r6 is the stable signal)\""
+        "\"flagship/GraphX walls swing ±30% with box state (r6: isolated idle-box flagship A/B 5.2s steady vs 3.99s r5 driver run, code path untouched since r5 — cpu_s 1.9-2.5 across r4-r6 is the stable signal)\"," +
+        "\"pagerank_scaled_graphx cpu_s (r5 257 / r6 328) is a SINGLE run at the end of the 55-query session and JIT-context-sensitive like n2: isolated fresh-JVM A/B r6 measures 171-195 cpu_s steady-state (272 cold), GraphX path untouched since r4 — not a regression\""
     // The sidecar carries the FULL wall history (min + mean + cpu) so a
     // truncated stdout tail can never lose a round's perf record again.
     val diagJson =
