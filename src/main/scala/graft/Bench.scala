@@ -54,6 +54,7 @@ object Bench {
   private val Headline: Seq[String] = Seq(
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
@@ -67,6 +68,7 @@ object Bench {
     "o4_topk",
     "w1_rank_window",
     "w2_analytics_window",
+    "w4_topn_per_group",
     "e2_sessionize",
     "e9_asof_join",
     "e10_range_join",
@@ -246,14 +248,14 @@ object Bench {
     // Pinned finding (round 5→6): `n2_ann_lsh` cpu_s moved 5.4→12.6 with
     // wall FLAT. Isolated fresh-JVM A/B (QBench) reproduces the r4 number
     // (~4-6 cpu_s steady state, ~13 first run): the query's generated code
-    // is JIT-warm-up dominated, and in a 55-query session the min-WALL run
+    // is JIT-warm-up dominated, and in a 57-query session the min-WALL run
     // can land while its codegen classes are still being profiled —
     // inflating cpu_s without touching wall. Not a plan regression;
     // PlanShapeSpec pins the single-aggregation bucket shape.
     val notes =
       "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\"," +
         "\"flagship/GraphX walls swing ±30% with box state (r6: isolated idle-box flagship A/B 5.2s steady vs 3.99s r5 driver run, code path untouched since r5 — cpu_s 1.9-2.5 across r4-r6 is the stable signal)\"," +
-        "\"pagerank_scaled_graphx cpu_s (r5 257 / r6 328) is a SINGLE run at the end of the 55-query session and JIT-context-sensitive like n2: isolated fresh-JVM A/B r6 measures 171-195 cpu_s steady-state (272 cold), GraphX path untouched since r4 — not a regression\""
+        "\"pagerank_scaled_graphx cpu_s (r5 257 / r6 328) is a SINGLE run at the end of the 57-query session and JIT-context-sensitive like n2: isolated fresh-JVM A/B r6 measures 171-195 cpu_s steady-state (272 cold), GraphX path untouched since r4 — not a regression\""
     // The sidecar carries the FULL wall history (min + mean + cpu) so a
     // truncated stdout tail can never lose a round's perf record again.
     val diagJson =

@@ -103,6 +103,21 @@ object BenchmarkQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Q4 analogue (priority checking): orders in one quarter with at
+    // least one big-lot line, counted by priority — the correlated-EXISTS
+    // shape, planned as a left-semi hash join (the fact side is reduced
+    // to distinct orderkeys by the semi join itself, no pre-distinct).
+    "q4_order_priority" -> ((s, d) => {
+      val ord = orders(s, d).filter(
+        col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1996-04-01"))
+      ord.join(
+          lineitem(s, d).filter(col("l_quantity") >= 45).select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Q10 analogue (returned-item revenue): selective flag filter on the
     // fact, order/customer join chain, nation decoration, top-20 — the
     // "worst customers" report. Nation broadcasts (25 rows at any scale);
@@ -220,6 +235,16 @@ object BenchmarkQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c_custkey, n_name,

@@ -233,6 +233,21 @@ object RelationalQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Top-N per group via rank window — the per-key companion of o4's
+    // global top-k and a15's top-1 argmax: each nation's 3 highest-balance
+    // suppliers. At scale this is one hash shuffle + per-partition sort
+    // with the rank predicate applied streaming — never a global sort.
+    "w4_topn_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      supplier(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("s_nationkey"), col("rk"), col("s_suppkey"),
+          round(col("s_acctbal"), 2).as("acctbal"))
+        .orderBy(col("s_nationkey"), col("rk"))
+    }),
+
     // A12: exact interpolated quantiles per group (the UI boxplot shape at
     // relational scale; percentile() is Spark's exact linear-interpolation
     // aggregate, matching DuckDB's quantile_cont).
@@ -526,6 +541,16 @@ object RelationalQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "w4_topn_per_group" ->
+      """SELECT s_nationkey, rk, s_suppkey, ROUND(s_acctbal, 2) AS acctbal
+        |FROM (
+        |  SELECT s_nationkey, s_suppkey, s_acctbal,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS INT) AS rk
+        |  FROM supplier) t
+        |WHERE rk <= 3
+        |ORDER BY s_nationkey, rk""".stripMargin,
 
     "w3_distribution_window" ->
       """SELECT s_suppkey, s_nationkey,
