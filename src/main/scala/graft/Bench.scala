@@ -59,6 +59,7 @@ object Bench {
     "q6_forecast_revenue",
     "q10_returned_items",
     "q14_promo_share",
+    "q17_small_quantity",
     "q18_large_orders",
     "s1_scan_project",
     "j3_join_chain",
@@ -82,11 +83,13 @@ object Bench {
     "d9_editdist_pairs",
     "d10_span_dedup",
     "p8_pack_chunks",
+    "p12_winsorize",
     "t11_tfidf",
     "t13_bigram_surprisal",
     "e14_zscore_outliers",
     "e16_scd2",
     "e17_hopping_window",
+    "e18_rolling_range",
     "d12_bloom_decontaminate",
     "d2_jaccard_pairs",
     "d3_minhash_lsh",
@@ -248,14 +251,14 @@ object Bench {
     // Pinned finding (round 5→6): `n2_ann_lsh` cpu_s moved 5.4→12.6 with
     // wall FLAT. Isolated fresh-JVM A/B (QBench) reproduces the r4 number
     // (~4-6 cpu_s steady state, ~13 first run): the query's generated code
-    // is JIT-warm-up dominated, and in a 57-query session the min-WALL run
+    // is JIT-warm-up dominated, and in a 60-query session the min-WALL run
     // can land while its codegen classes are still being profiled —
     // inflating cpu_s without touching wall. Not a plan regression;
     // PlanShapeSpec pins the single-aggregation bucket shape.
     val notes =
       "\"n2_ann_lsh cpu_s is JIT-context-sensitive (isolated A/B matches r4; wall flat; plan shape spec-pinned)\"," +
         "\"flagship/GraphX walls swing ±30% with box state (r6: isolated idle-box flagship A/B 5.2s steady vs 3.99s r5 driver run, code path untouched since r5 — cpu_s 1.9-2.5 across r4-r6 is the stable signal)\"," +
-        "\"pagerank_scaled_graphx cpu_s (r5 257 / r6 328) is a SINGLE run at the end of the 57-query session and JIT-context-sensitive like n2: isolated fresh-JVM A/B r6 measures 171-195 cpu_s steady-state (272 cold), GraphX path untouched since r4 — not a regression\""
+        "\"pagerank_scaled_graphx cpu_s (r5 257 / r6 328) is a SINGLE run at the end of the 60-query session and JIT-context-sensitive like n2: isolated fresh-JVM A/B r6 measures 171-195 cpu_s steady-state (272 cold), GraphX path untouched since r4 — not a regression\""
     // The sidecar carries the FULL wall history (min + mean + cpu) so a
     // truncated stdout tail can never lose a round's perf record again.
     val diagJson =

@@ -9,7 +9,7 @@ import org.apache.spark.sql.graft.GraftInternals
 /** Isolated per-query A/B microbench: runs the named `SparkEntry.queries`
   * entries on a FRESH JVM (one `runMain` per invocation) with the same
   * session config and cpu-time listener as [[Bench]], so a single query's
-  * wall/cpu can be compared across commits without the 57-query session's
+  * wall/cpu can be compared across commits without the 60-query session's
   * JIT/cache history in the way.
   *
   *   sbt "runMain graft.QBench g3_triangles n2_ann_lsh"   # 3 runs each

@@ -159,6 +159,23 @@ object BenchmarkQueries {
           4).as("promo_pct"))
     }),
 
+    // Q17 analogue (small-quantity revenue): the correlated-SCALAR-
+    // subquery shape — lines below 50% of their part's average quantity.
+    // Decorrelated the way Catalyst does it: the per-part average is one
+    // map-side-combinable aggregate joined back to the fact (broadcast
+    // when it fits — it is |parts|-sized, not fact-sized).
+    "q17_small_quantity" -> ((s, d) => {
+      val avgQty = lineitem(s, d)
+        .groupBy(col("l_partkey").as("ap"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      lineitem(s, d)
+        .join(avgQty, col("l_partkey") === col("ap"))
+        .filter(col("l_quantity") < col("aq") * 0.5)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(18,6)")), 2)
+          .cast("double").as("small_lot_revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
     // Q18 analogue (large-volume orders): the HAVING-subquery shape. The
     // fact self-aggregation is one map-side-combinable shuffle; its
     // >threshold tail is tiny (~1% of orders), so under AQE it BROADCASTS
@@ -270,6 +287,19 @@ object BenchmarkQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01'
         |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    // l_quantity is integral ⇒ the per-part average is exact in both
+    // engines and the boundary compare cannot flip on summation order.
+    "q17_small_quantity" ->
+      """WITH aq AS (
+        |  SELECT l_partkey AS ap, AVG(l_quantity) AS aq
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS small_lot_revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN aq ON l_partkey = ap
+        |WHERE l_quantity < aq * 0.5""".stripMargin,
 
     "q18_large_orders" ->
       """WITH big AS (

@@ -325,6 +325,25 @@ object EventQueries {
         col("event_type"), col("n"), col("total"))
       .orderBy(col("window_start"), col("event_type"))),
 
+    // Trailing 1-hour RANGE-frame window: per event, the sum/count of the
+    // same user's events in the preceding hour — the time-range frame
+    // variant next to e3's ROWS frame (a RANGE frame includes ALL
+    // equal-timestamp peers, so ties are deterministic by construction).
+    // Decimal-summed so within-frame addition order can't move the
+    // rounded value.
+    "e18_rolling_range" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(ms)
+        .rangeBetween(-3600000L, Window.currentRow)
+      events(s, d)
+        .select(
+          col("event_id"), col("user_id"),
+          round(sum(col("value").cast("decimal(18,6)")).over(w), 4)
+            .cast("double").as("trail_1h"),
+          count(lit(1)).over(w).as("n_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -418,6 +437,15 @@ object EventQueries {
         |  ROUND(hl.low, 4) AS low, ROUND(c.close, 4) AS close, hl.n
         |FROM hl JOIN o USING (hour, event_type) JOIN c USING (hour, event_type)
         |ORDER BY hour, event_type""".stripMargin,
+
+    "e18_rolling_range" ->
+      """SELECT event_id, user_id,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE) AS trail_1h,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h
+        |FROM (SELECT event_id, user_id, value, epoch_ms(ts) AS ms FROM events) e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ms
+        |  RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "e17_hopping_window" ->
       """WITH x AS (

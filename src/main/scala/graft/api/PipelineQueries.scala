@@ -281,6 +281,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    // Winsorization (quantile clipping): prices clipped to their
+    // returnflag group's [p05, p95] — the standard outlier-taming step
+    // before numeric features feed a trainer. The per-group quantile
+    // table is groups-sized → broadcast; the corpus is one narrow pass.
+    // percentile() ≡ DuckDB quantile_cont (a12 pins the parity), and the
+    // clip returns either the raw value or the shared quantile, so no
+    // rounding-order hazard exists.
+    "p12_winsorize" -> ((s, d) => {
+      val pct = graft.Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("rf"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.05)").as("lo"),
+          expr("percentile(l_extendedprice, 0.95)").as("hi"))
+      graft.Tables.lineitem(s, d)
+        .join(broadcast(pct), col("l_returnflag") === col("rf"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(least(greatest(col("l_extendedprice"), col("lo")), col("hi")), 4)
+            .as("clipped"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -764,6 +786,17 @@ object PipelineQueries {
         |  ROUND(AVG(ln(CAST(tot.n_total AS DOUBLE) / freq.f)), 6) AS mean_surprisal
         |FROM tok JOIN freq ON tok.t = freq.t CROSS JOIN tot
         |GROUP BY tok.doc_id ORDER BY tok.doc_id""".stripMargin,
+
+    "p12_winsorize" ->
+      """WITH pct AS (
+        |  SELECT l_returnflag AS rf,
+        |    quantile_cont(l_extendedprice, 0.05) AS lo,
+        |    quantile_cont(l_extendedprice, 0.95) AS hi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_orderkey, l_linenumber,
+        |  ROUND(LEAST(GREATEST(l_extendedprice, lo), hi), 4) AS clipped
+        |FROM lineitem JOIN pct ON l_returnflag = rf
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "t15_hashing_features" ->
       """WITH tok AS (
