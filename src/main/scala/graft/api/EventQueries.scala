@@ -319,7 +319,10 @@ object EventQueries {
       .groupBy(
         window(col("ts"), "1 hour", "30 minutes").as("w"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      // Decimal-summed like e18/q10: order-independent before the 2-dp
+      // round, so the oracle compare can't flake on a half-cent boundary.
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,6)")), 2).cast("double").as("total"))
       .select(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("total"))
@@ -454,7 +457,8 @@ object EventQueries {
         |  SELECT (ms // 1800000 - k) * 1800000 AS ws, event_type, value
         |  FROM x, UNNEST([0, 1]) AS u(k))
         |SELECT strftime(make_timestamp(ws * 1000), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+        |  event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total
         |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
 
     "e16_scd2" ->

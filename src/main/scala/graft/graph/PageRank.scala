@@ -368,15 +368,25 @@ object PageRank {
       .select(col(c(0)).as("src"), col(c(1)).as("dst"), col(c(2)).cast("double").as("w"))
     // Enforce the documented w > 0 contract by FAILING, not filtering: a
     // silent filter would also drop any vertex reachable only through the
-    // bad edge — rows vanishing from the rank table with no signal. One
-    // cheap aggregate over the pre-grouped edges checks the whole input.
-    val bad = raw.filter(col("w").isNull || col("w") <= 0).count()
-    require(bad == 0L,
-      s"weightedFixedIterations: $bad edge(s) with null/zero/negative weight — " +
-        "weights must be > 0")
+    // bad edge — rows vanishing from the rank table with no signal. The
+    // bad count rides INSIDE the grouped aggregate (count_if folded into
+    // the one pass the caller's edge plan was going to pay anyway — no
+    // second upstream scan; sum() skipping nulls keeps the weight sum
+    // well-typed either way, and we fail before it is used).
     val e = raw
-      .groupBy(col("src"), col("dst")).agg(sum(col("w")).as("w"))
+      .groupBy(col("src"), col("dst"))
+      .agg(
+        sum(col("w")).as("w"),
+        count_if(col("w").isNull || col("w") <= 0).as("n_bad"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val badRow = e.agg(sum(col("n_bad"))).head()
+    val bad = if (badRow.isNullAt(0)) 0L else badRow.getLong(0)
+    if (bad != 0L) {
+      e.unpersist(blocking = false) // don't leak the cache on the failure path
+      throw new IllegalArgumentException(
+        s"weightedFixedIterations: $bad edge(s) with null/zero/negative weight — " +
+          "weights must be > 0")
+    }
     val m = e.count()
     val parts = loopPartitions(spark, m)
     withLoopConf(spark, parts) {

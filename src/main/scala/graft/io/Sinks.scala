@@ -89,8 +89,15 @@ object Sinks {
     // input would be scanned twice more. Reading back also makes the
     // checksum cover exactly what a downstream loader will see.
     // Column-wise xxhash64 via the Column API (quoting-safe for reserved
-    // or spaced column names, unlike a SQL-string spelling).
-    val written = df.sparkSession.read.parquet(path)
+    // or spaced column names, unlike a SQL-string spelling). The explicit
+    // schema keeps the read-back working when the input was EMPTY (a
+    // zero-row partitioned write emits no files, and schema inference
+    // would throw where an empty manifest is the right answer).
+    val writtenSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField(
+          "shard", org.apache.spark.sql.types.LongType, nullable = false))
+    val written = df.sparkSession.read.schema(writtenSchema).parquet(path)
     val manifest = written
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(

@@ -57,13 +57,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("kll_quantiles", exprs, Set(2, 3))
         // array(0.25, 0.5) parses as array<decimal> — convert elementwise
         // rather than via toDoubleArray (which would CCE on Decimal).
-        val elemType = exprs(1).dataType
-          .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
-        val arr = exprs(1).eval()
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        // Every malformed ranks argument gets a NAMED error, matching the
+        // arity guard's contract.
+        val elemType = exprs(1).dataType match {
+          case a: org.apache.spark.sql.types.ArrayType => a.elementType
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles ranks must be an array of numbers; got $other")
+        }
+        val evaled = exprs(1).eval()
+        if (evaled == null) throw new IllegalArgumentException(
+          "kll_quantiles ranks must not be NULL")
+        val arr = evaled.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         val ranks = arr.toObjectArray(elemType).toSeq.map {
           case d: org.apache.spark.sql.types.Decimal => d.toDouble
           case n: Number => n.doubleValue()
+          case null => throw new IllegalArgumentException(
+            "kll_quantiles ranks must not contain NULL elements")
+          case other => throw new IllegalArgumentException(
+            s"kll_quantiles rank element has unsupported type: ${other.getClass}")
         }
         KllQuantilesAgg(
           exprs(0),

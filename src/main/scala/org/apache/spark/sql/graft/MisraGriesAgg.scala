@@ -121,6 +121,10 @@ case class MisraGriesAgg(
   override def serialize(buf: MgBuffer): Array[Byte] = {
     val bytes = new ByteArrayOutputStream()
     val out = new DataOutputStream(bytes)
+    // Version marker: the v1 format began with writeInt(k) whose first
+    // byte is 0 for any sane k, so 0xFF is unambiguous. Lets a streaming
+    // state store checkpointed under v1 restart on this code.
+    out.writeByte(0xFF)
     out.writeInt(buf.k)
     out.writeInt(buf.counts.size)
     // Length-prefixed raw UTF-8, not writeUTF: writeUTF caps a term at
@@ -138,14 +142,20 @@ case class MisraGriesAgg(
 
   override def deserialize(b: Array[Byte]): MgBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(b))
+    val v2 = b.nonEmpty && b(0) == 0xFF.toByte
+    if (v2) in.readByte()
     val buf = new MgBuffer(in.readInt())
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val tb = new Array[Byte](in.readInt())
-      in.readFully(tb)
+      val t =
+        if (v2) {
+          val tb = new Array[Byte](in.readInt())
+          in.readFully(tb)
+          new String(tb, java.nio.charset.StandardCharsets.UTF_8)
+        } else in.readUTF() // v1 (writeUTF) checkpoint compatibility
       val c = in.readLong()
-      buf.counts.update(new String(tb, java.nio.charset.StandardCharsets.UTF_8), c)
+      buf.counts.update(t, c)
       i += 1
     }
     buf

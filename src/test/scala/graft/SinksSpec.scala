@@ -127,4 +127,21 @@ class SinksSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == manifest)
   }
+
+  test("trainingShards: empty input yields an empty manifest, not a crash") {
+    val dir = Files.createTempDirectory("sink_shards_empty").toString
+    val docs = Tables.documents(spark, Sf001)
+      .select($"doc_id", $"text").filter($"doc_id" < 0)
+    val manifest = Sinks.trainingShards(docs, s"$dir/out", "doc_id", shards = 4)
+    assert(manifest.count() == 0)
+  }
+
+  test("trainingShards: rejects an input that already has a shard column") {
+    val dir = Files.createTempDirectory("sink_shards_col").toString
+    val docs = Tables.documents(spark, Sf001)
+      .select($"doc_id", $"text").withColumn("shard", $"doc_id")
+    intercept[IllegalArgumentException] {
+      Sinks.trainingShards(docs, s"$dir/out", "doc_id", shards = 4)
+    }
+  }
 }

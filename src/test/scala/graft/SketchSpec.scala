@@ -17,6 +17,30 @@ class SketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad suppliers outside 5% relative error")
   }
 
+  test("misra-gries deserializes v1 (writeUTF) checkpoint bytes") {
+    import java.io._
+    import org.apache.spark.sql.graft.{MgBuffer, MisraGriesAgg}
+    // Hand-craft the pre-versioning wire format a restarted streaming
+    // query would hold in its state store.
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(8) // k — first byte 0, distinguishing v1 from the 0xFF marker
+    out.writeInt(2)
+    out.writeUTF("alpha"); out.writeLong(3L)
+    out.writeUTF("beta"); out.writeLong(1L)
+    out.flush()
+    val agg = org.apache.spark.sql.graft.MisraGriesAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
+    val buf = agg.deserialize(bytes.toByteArray)
+    assert(buf.k == 8 && buf.counts.toMap == Map("alpha" -> 3L, "beta" -> 1L))
+    // And the new format round-trips, including a >64KB term writeUTF
+    // could not have carried.
+    val big = "t" * 70000
+    val b2 = new MgBuffer(4); b2.add(big); b2.add("s")
+    val rt = agg.deserialize(agg.serialize(b2))
+    assert(rt.counts.toMap == Map(big -> 1L, "s" -> 1L))
+  }
+
   test("KLL quantile sketch: rank error within bound, merge path exercised") {
     import spark.implicits._
     import org.apache.spark.sql.graft.KllQuantilesAgg
