@@ -13,6 +13,10 @@ import graft.graph.{KCore, ShortestPaths, SyntheticGraph}
   */
 object AbGraphOps {
   def main(args: Array[String]): Unit = {
+    // Optional args: <nVerts> <nEdges> (default 200k / 2M; pass 2000000
+    // 20000000 for the 20M-edge point of the scale curve).
+    val nVerts = args.headOption.map(_.toLong).getOrElse(200000L)
+    val nEdges = args.lift(1).map(_.toLong).getOrElse(2000000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +26,7 @@ object AbGraphOps {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val edges = SyntheticGraph.powerLaw(spark, nVerts = 200000L, nEdges = 2000000L)
+    val edges = SyntheticGraph.powerLaw(spark, nVerts = nVerts, nEdges = nEdges)
       .localCheckpoint(true)
     println(s"graph: ${edges.count()} directed edges")
 
