@@ -197,6 +197,189 @@ object BenchmarkQueries {
           col("total_qty"))
         .orderBy(col("total_price").desc, col("o_orderkey"))
         .limit(100)
+    }),
+
+    // Q7 analogue (volume shipping between two nations): the double-role
+    // dimension join — nation joins TWICE (supplier side and customer
+    // side) with a symmetric disjunctive pair filter, grouped by both
+    // nations and ship year. Both nation copies broadcast (25 rows at any
+    // scale); the fact side shuffles once per big join.
+    "q7_nation_volume" -> ((s, d) => {
+      val n1 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(nation(s, d)
+        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation")))
+      lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("sk"))
+        .join(n2, col("c_nationkey") === col("ck"))
+        .filter(
+          (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+            (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // Q8 analogue (national market share): conditional-aggregate RATIO by
+    // year — the share of one supplier nation inside a region's order
+    // volume for one part type. Exercises the two-sums-one-pass shape on
+    // top of a 5-way snowflake; numerator/denominator decimal-summed so
+    // the double ratio is order-independent.
+    "q8_market_share" -> ((s, d) => {
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)")
+      val zero = lit(0.0).cast("decimal(18,6)")
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(orders(s, d).filter(
+          col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("ck"), col("n_regionkey"))),
+          col("c_nationkey") === col("ck"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(nation(s, d)
+            .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", rev).otherwise(zero))
+            .cast("double")
+            / sum(rev).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // Q12 analogue (late-line priority census): the schema has no
+    // l_shipmode / l_commitdate / l_receiptdate, so "late" is adapted to
+    // shipped >90 days after order date and l_returnflag stands in as the
+    // grouping mode. Same plan shape as Q12: fact-fact join + two
+    // conditional counts in one aggregation pass.
+    "q12_late_priority" -> ((s, d) => {
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Q13 analogue (customer order-count distribution): LEFT OUTER join so
+    // zero-order customers survive with count 0, then a second aggregation
+    // over the counts — the two-level group-by histogram. count(o_orderkey)
+    // (not count(*)) is what makes the null-extended rows count as 0.
+    "q13_order_histogram" -> ((s, d) => {
+      val ord = orders(s, d).filter(col("o_orderpriority") =!= "1-URGENT")
+      customer(s, d)
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // Q15 analogue (top supplier): per-supplier quarterly revenue, keep the
+    // row(s) equal to the global max — the scalar-subquery-on-an-aggregate
+    // shape. The max attaches as a broadcast single-row cross join (same
+    // pattern as a6_renormalize); revenue is decimal-summed then rounded,
+    // so the equality compare is exact in both engines.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("total_revenue"))
+      val mx = rev.agg(max(col("total_revenue")).as("max_revenue"))
+      rev.join(broadcast(mx), col("total_revenue") === col("max_revenue"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // Q19 analogue (disjunctive predicate join): three (brand, size-range,
+    // quantity-range) OR-branches over lineitem⋈part. The join key is the
+    // only conjunct Catalyst can use for the join itself; the disjunction
+    // stays a post-join filter — the point of the shape. p_container
+    // doesn't exist in this schema, so p_size ranges stand in.
+    "q19_disjunctive" -> ((s, d) => {
+      lineitem(s, d)
+        .join(part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15)
+            && col("l_quantity").between(1, 11)) ||
+            (col("p_brand") === "Brand#23" && col("p_size").between(1, 25)
+              && col("l_quantity").between(10, 20)) ||
+            (col("p_brand") === "Brand#34" && col("p_size").between(1, 35)
+              && col("l_quantity").between(20, 30)))
+        .agg(round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(18,6)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // Q21 analogue (suppliers who kept orders waiting): classic Q21 is a
+    // double EXISTS / NOT-EXISTS fact self-join; the scalable decorrelated
+    // form used here needs ONE shuffle on orderkey — per order, count
+    // distinct suppliers and distinct LATE suppliers, keep orders where
+    // exactly one supplier was late among ≥2 participants, and attribute
+    // the wait to that supplier. "Late" is adapted (no l_receiptdate /
+    // l_commitdate in this schema) to shipped >60 days after order date on
+    // finalized ('F') orders.
+    "q21_waiting_supplier" -> ((s, d) => {
+      val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+      val per = lineitem(s, d)
+        .join(orders(s, d).filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(late, col("l_suppkey"))).as("n_late"),
+          max(when(late, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      per.join(supplier(s, d), col("late_supp") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // Q22 analogue (global-average balance anti join): customers in seven
+    // chosen nations (phone-prefix stand-in) with above-average positive
+    // balance and no RECENT orders (every synthetic customer has ~10
+    // lifetime orders, so classic Q22's "never ordered" is empty here —
+    // dormancy since 2000-01-01 keeps the same anti-join shape with real
+    // survivors). The global average attaches as a broadcast scalar; the
+    // dormancy test is a LEFT ANTI join against the date-filtered fact.
+    // The average is computed as exact-decimal sum / count so the boundary
+    // compare cannot flip between engines.
+    "q22_dormant_balance" -> ((s, d) => {
+      val nations = Seq(1, 3, 5, 7, 9, 11, 13)
+      val cust = customer(s, d).filter(col("c_nationkey").isin(nations: _*))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg((sum(col("c_acctbal").cast("decimal(18,6)")).cast("double")
+          / count(lit(1))).as("avg_bal"))
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(orders(s, d).filter(col("o_orderdate") >= ts("2000-01-01"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntry"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double")
+            .as("totacctbal"))
+        .orderBy(col("cntry"))
     })
   )
 
@@ -313,6 +496,129 @@ object BenchmarkQueries {
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY total_price DESC, o_orderkey
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN sn.n_name = 'NATION_3'
+        |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |        ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+        |  6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY o_year
+        |ORDER BY o_year""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 1 ELSE 0 END) AS high_line_count,
+        |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |      THEN 0 ELSE 1 END) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q13_order_histogram" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM per_cust
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
+        |  CAST(COUNT(*) AS BIGINT) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q21_waiting_supplier" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |per AS (
+        |  SELECT l_orderkey,
+        |    COUNT(DISTINCT l_suppkey) AS n_supp,
+        |    COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    MAX(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM li GROUP BY l_orderkey)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM per JOIN supplier ON late_supp = s_suppkey
+        |WHERE n_supp >= 2 AND n_late = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q22_dormant_balance" ->
+      """WITH cust AS (
+        |  SELECT * FROM customer
+        |  WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)),
+        |avg_bal AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM cust WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntry,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS totacctbal
+        |FROM cust, avg_bal
+        |WHERE c_acctbal > avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY cntry
+        |ORDER BY cntry""".stripMargin
   )
 }

@@ -201,4 +201,24 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(plan).size <= 2, plan.take(2000))
     assert("Exchange rangepartitioning".r.findAllIn(plan).size <= 1, plan.take(2000))
   }
+
+  test("q21: the decorrelated wait census scans lineitem exactly once") {
+    // Classic Q21 is EXISTS + NOT-EXISTS fact self-joins = 3 lineitem
+    // scans and 3 fact shuffles; the decorrelated per-order census must
+    // read the fact once and shuffle it once (on l_orderkey).
+    val df = SparkEntry.queries("q21_waiting_supplier")(spark, Sf01)
+    val physical: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val liScans = physical.collect { case f: FileSourceScanExec => f }
+      .count(_.metadata("Location").contains("lineitem"))
+    assert(liScans == 1, s"expected 1 lineitem scan, got $liScans:\n" +
+      physical.toString.take(1500))
+  }
+
+  test("q13: zero-order customers survive via a left outer join") {
+    val plan = planOf(SparkEntry.queries("q13_order_histogram")(spark, Sf01))
+    assert(plan.contains("LeftOuter"), plan.take(2000))
+  }
 }
