@@ -81,6 +81,7 @@ ${prefix}r$i AS (
   private val SeedMax = 5 // personalized-PR teleport set: vertex ids < 5
   private val SsspRounds = 4
   private val KCoreRounds = 6
+  private val LpaRounds = 4
 
   /** Personalized-PageRank CTE chain: seeds / seed count, teleport-vector
     * r0, then K iterations of
@@ -194,6 +195,28 @@ d$i AS MATERIALIZED (
     SELECT se.dst AS id, p.dist + se.w AS dist
     FROM swe se JOIN $prev p ON se.src = p.id) u
   GROUP BY id)""")
+    }
+    sb.toString()
+  }
+
+  /** Unrolled label-propagation rounds mirroring
+    * [[graft.graph.LabelPropagation.run]]: votes = neighbor labels plus
+    * the self-vote, winner = (count desc, label asc) — its early stop is
+    * an identity round here.
+    */
+  private def lpaChainSql(rounds: Int): String = {
+    val sb = new StringBuilder
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+l$i AS MATERIALIZED (
+  SELECT id, label FROM (
+    SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label) AS rn
+    FROM (
+      SELECT id, label, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        SELECT se.dst AS id, p.label FROM swe se JOIN l${i - 1} p ON se.src = p.id
+        UNION ALL SELECT id, label FROM l${i - 1}) v
+      GROUP BY 1, 2) cs) r
+  WHERE rn = 1)""")
     }
     sb.toString()
   }
@@ -446,6 +469,25 @@ ke$i AS MATERIALIZED (
         .orderBy(col("id"))
     }),
 
+    // Community detection (bounded synchronous label propagation, 4
+    // rounds + self-vote) over the same undirected supply network as g4,
+    // with the same numeric vertex encoding; the oracle unrolls the
+    // identical rounds, so the assignment is exact and hash-comparable.
+    "g8_label_prop" -> ((s, d) => {
+      val p2s = Tables.lineitem(s, d)
+        .select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      graft.graph.LabelPropagation.run(p2s, rounds = LpaRounds)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("p"), expr("id div 2")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+          when(pmod(col("label"), lit(2)) === 0, concat(lit("p"), expr("label div 2")))
+            .otherwise(concat(lit("s"), expr("(label - 1) div 2"))).as("community"))
+        .orderBy(col("id"))
+    }),
+
     // P5+O5 — the UI's top-20 induced subgraph: edges whose BOTH endpoints
     // are in the top-20 ranked set (double left-semi join against a
     // broadcast 20-row list), over the non-bipartite trade graph.
@@ -630,6 +672,21 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         s"""
 SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
 FROM ke$KCoreRounds GROUP BY src ORDER BY id"""),
+
+    "g8_label_prop" ->
+      ("""WITH p2s AS MATERIALIZED (
+        |  SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem),
+        |swe AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM p2s UNION ALL SELECT v, u FROM p2s),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM swe)""".stripMargin +
+        lpaChainSql(LpaRounds) +
+        s"""
+SELECT
+  CASE WHEN id % 2 = 0 THEN 'p' || CAST(id // 2 AS VARCHAR)
+       ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+  CASE WHEN label % 2 = 0 THEN 'p' || CAST(label // 2 AS VARCHAR)
+       ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END AS community
+FROM l$LpaRounds ORDER BY id"""),
 
     "g2_induced_subgraph" ->
       (headerSql(TradeEdgesSql) + chainSql("i_", 0.85, Iters) + s""",

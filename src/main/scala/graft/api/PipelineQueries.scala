@@ -281,6 +281,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("bucket"))
     }),
 
+    // Gopher repetition signals (Rae et al. 2021 §A1.1, the standard
+    // LLM-curation repetition filters) — see TextFns.repetitionSignals
+    // for definitions and the scale shape. These documents are
+    // single-line, so the paper's line-based signals don't apply; the
+    // word-n-gram family is computed exactly.
+    "t16_repetition" -> ((s, d) =>
+      TextFns.repetitionSignals(documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // Winsorization (quantile clipping): prices clipped to their
     // returnflag group's [p05, p95] — the standard outlier-taming step
     // before numeric features feed a trainer. The per-group quantile
@@ -806,6 +815,47 @@ object PipelineQueries {
         |  CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024 AS bucket,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM tok GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin,
+
+    "t16_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, arr[i] AS t, i
+        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+        |led AS (
+        |  SELECT doc_id, t,
+        |    LEAD(t, 1) OVER w AS w2, LEAD(t, 2) OVER w AS w3,
+        |    LEAD(t, 3) OVER w AS w4, LEAD(t, 4) OVER w AS w5
+        |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+        |c2 AS (
+        |  SELECT doc_id, t || ' ' || w2 AS g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM led WHERE w2 IS NOT NULL GROUP BY 1, 2),
+        |top2 AS (
+        |  SELECT doc_id, c * (length(g) - 1) AS cov2 FROM (
+        |    SELECT doc_id, g, c,
+        |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+        |    FROM c2) r
+        |  WHERE rn = 1),
+        |c5 AS (
+        |  SELECT doc_id, t || ' ' || w2 || ' ' || w3 || ' ' || w4 || ' ' || w5 AS g,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM led WHERE w5 IS NOT NULL GROUP BY 1, 2),
+        |dup5 AS (
+        |  SELECT doc_id, SUM(c * (length(g) - 4)) AS cov5
+        |  FROM c5 WHERE c > 1 GROUP BY 1),
+        |base AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n, SUM(length(t)) AS wchars,
+        |    COUNT(DISTINCT t) AS dt
+        |  FROM tok GROUP BY 1)
+        |SELECT b.doc_id,
+        |  ROUND(CAST(COALESCE(top2.cov2, 0) AS DOUBLE) / wchars, 6) AS top2_char_frac,
+        |  ROUND(CAST(COALESCE(dup5.cov5, 0) AS DOUBLE) / wchars, 6) AS dup5_char_frac,
+        |  ROUND(CAST(dt AS DOUBLE) / n, 6) AS distinct_ratio
+        |FROM base b
+        |LEFT JOIN top2 USING (doc_id)
+        |LEFT JOIN dup5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "t14_token_entropy" ->
       """WITH tok AS (

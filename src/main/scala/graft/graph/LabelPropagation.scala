@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded synchronous label propagation (community detection): every
+  * vertex starts labeled with its own id; each round it adopts the label
+  * most frequent among its neighbors PLUS its own current label (the
+  * self-vote damps the 2-cycle oscillation synchronous LPA exhibits on
+  * bipartite graphs), ties broken toward the smallest label — fully
+  * deterministic, so an unrolled SQL oracle mirrors it round for round
+  * (Raghavan et al. 2007, "Near linear time algorithm to detect community
+  * structures in large-scale networks"; the deterministic variant GraphX's
+  * `lib.LabelPropagation` also uses, minus the self-vote).
+  *
+  * Once a round changes no label the map is a fixpoint of the (pure)
+  * update rule, so the loop stops early — further rounds are identities
+  * in both engines and results stay hash-comparable.
+  *
+  * Scale shape: per round ONE join of the edge list against the |V|-sized
+  * label map (hash on src, the label side is |V| ≪ |E| and broadcasts
+  * when it fits), then two map-side-combinable aggregations — the argmax
+  * is `max(struct(count, -label))`, no window, no shuffle beyond the
+  * groupBy. Labels are eagerly localCheckpoint'ed per round (a lazy
+  * r-level plan would re-derive every prior round); superseded
+  * checkpoints are freed, the caller sweeps the final one.
+  */
+object LabelPropagation {
+
+  /** `edges`: directed pair list over non-negative long vertex ids,
+    * symmetrized + deduped here (self-loops dropped — a self-loop would
+    * double a vertex's self-vote). Returns (id, label) for every
+    * non-isolated vertex.
+    */
+  def run(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 12,
+      s"labelPropagation unrolls `rounds` plan levels; got rounds=$rounds")
+    val base = edges.select(
+        col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    // Same canonical-orientation dedup as KCore: the distinct sees |E|
+    // rows, and a canonical set maps 1:1 to its reversal.
+    val canon = base
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val e = canon.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(canon.select(col("v").as("src"), col("u").as("dst")))
+      .localCheckpoint(true)
+    // Symmetrized: every vertex occurs as src, so the vertex set is one
+    // distinct over src.
+    var labels = e.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var done = false
+    for (_ <- 1 to rounds if !done) {
+      val votes = e.join(labels, e("src") === labels("id"))
+        .select(e("dst").as("id"), col("label"))
+        .unionAll(labels)
+      val next = votes
+        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("id"))
+        // argmax by (count desc, label asc): struct compare is
+        // lexicographic, so max picks the highest count, then the highest
+        // -label = the SMALLEST label.
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("id"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.select(col("id").as("pid"), col("label").as("prev")),
+          col("id") === col("pid"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(labels)
+      labels = next
+      done = changed == 0
+    }
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
+    labels
+  }
+}

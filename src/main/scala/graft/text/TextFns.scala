@@ -218,6 +218,57 @@ object TextFns {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Gopher repetition signals (Rae et al. 2021 §A1.1): per document the
+    * fraction of word characters covered by the most frequent word
+    * 2-gram, the fraction covered by duplicated (count>1) word 5-grams,
+    * and the distinct-word ratio. Coverage counts every occurrence, so
+    * overlapping grams can push a fraction above 1 (as in the paper).
+    * ONE posexplode + one window pass yields every lead offset; the
+    * 2-gram and 5-gram branches share that subtree's doc_id exchange
+    * (ReuseExchange), and all per-doc aggregates are map-side-
+    * combinable. Docs too short for a gram keep their row with coverage
+    * 0 via the left joins.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "t")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val led = tok
+      .withColumn("w2", lead(col("t"), 1).over(w))
+      .withColumn("w3", lead(col("t"), 2).over(w))
+      .withColumn("w4", lead(col("t"), 3).over(w))
+      .withColumn("w5", lead(col("t"), 4).over(w))
+    val c2 = led.filter(col("w2").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("t"), col("w2")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    // Deterministic top gram: (count desc, gram asc) — equal-count grams
+    // of different lengths would otherwise make coverage engine-dependent.
+    val wTop = Window.partitionBy(col("doc_id")).orderBy(col("c").desc, col("g"))
+    val top2 = c2.withColumn("rn", row_number().over(wTop)).filter(col("rn") === 1)
+      .select(col("doc_id").as("d2"),
+        (col("c") * (length(col("g")) - 1)).as("cov2"))
+    val dup5 = led.filter(col("w5").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("t"), col("w2"), col("w3"), col("w4"), col("w5")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (length(col("g")) - 4)).as("cov5"))
+      .withColumnRenamed("doc_id", "d5")
+    val base = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n"), sum(length(col("t"))).as("wchars"),
+        countDistinct(col("t")).as("dt"))
+    base.join(top2, col("doc_id") === col("d2"), "left")
+      .join(dup5, col("doc_id") === col("d5"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("cov2"), lit(0L)).cast("double") / col("wchars"), 6)
+          .as("top2_char_frac"),
+        round(coalesce(col("cov5"), lit(0L)).cast("double") / col("wchars"), 6)
+          .as("dup5_char_frac"),
+        round(col("dt").cast("double") / col("n"), 6).as("distinct_ratio"))
+  }
+
   /** PII patterns — public, widely-used formats (email local@domain.tld,
     * NANP-style 3-3-4 phone with `-`/`.` separators, dotted-quad IPv4).
     * Both regex dialects in play (Java for Spark, RE2 for the DuckDB

@@ -71,4 +71,26 @@ class TextSpec extends SparkSpec {
     // unless nothing else is there.
     assert(!top.filter(_._1 == 1L).map(_._3).contains("common"))
   }
+
+  test("repetition signals: hand-computed fractions, incl. sub-gram docs") {
+    val docs = Seq(
+      (1L, "b b b b b"),       // 5×1-char token
+      (2L, "a b"),             // one bigram, no 5-gram
+      (3L, "a"),               // no grams at all
+      (4L, "c d c d c d c d")) // overlapping duplicated 5-grams
+      .toDF("doc_id", "text")
+    val got = TextFns.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // doc 1: top bigram "b b" ×4 covers 4·2 of 5 word chars = 1.6 (>1 by
+    // overlap, as Gopher defines); the single 5-gram is not duplicated.
+    assert(got(1L) == ((1.6, 0.0, 0.2)), got(1L))
+    // doc 2: the only bigram covers everything; doc too short for 5-grams.
+    assert(got(2L) == ((1.0, 0.0, 1.0)), got(2L))
+    // doc 3: no bigram → zero coverage, row still present.
+    assert(got(3L) == ((0.0, 0.0, 1.0)), got(3L))
+    // doc 4: "c d"×4 covers 8/8; both 5-grams appear twice →
+    // (2·5 + 2·5)/8 = 2.5.
+    assert(got(4L) == ((1.0, 2.5, 0.25)), got(4L))
+  }
 }
