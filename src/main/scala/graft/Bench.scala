@@ -61,6 +61,8 @@ object Bench {
     "q14_promo_share",
     "q17_small_quantity",
     "q18_large_orders",
+    "q13_order_histogram",
+    "q21_waiting_supplier",
     "s1_scan_project",
     "j3_join_chain",
     "a4_keyed_sum",
@@ -86,6 +88,7 @@ object Bench {
     "p12_winsorize",
     "t11_tfidf",
     "t13_bigram_surprisal",
+    "t16_repetition",
     "e14_zscore_outliers",
     "e16_scd2",
     "e17_hopping_window",
@@ -102,6 +105,8 @@ object Bench {
     "g4_khop",
     "g6_sssp",
     "g7_kcore",
+    "g8_label_prop",
+    "g9_assortativity",
     "i4_personalized",
     "i5_hits",
     "i1_pagerank_fixed",

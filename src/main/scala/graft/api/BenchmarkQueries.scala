@@ -329,6 +329,27 @@ object BenchmarkQueries {
           count(lit(1)).as("n_lines"))
     }),
 
+    // Q16 analogue (supplier variety per part attribute): count DISTINCT
+    // suppliers per (brand, type, size) over the shipped lanes, excluding
+    // one brand and a NOT-IN supplier set. The schema has no partsupp, so
+    // lineitem's (part, supplier) lanes stand in for it, and negative
+    // account balance stands in for the complaints filter. The NOT-IN
+    // plans as a broadcast left-anti join; countDistinct is the two-level
+    // expand aggregate.
+    "q16_supplier_variety" -> ((s, d) => {
+      val excluded = supplier(s, d).filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_brand") =!= "Brand#5" &&
+            col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)),
+          col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
     // Q21 analogue (suppliers who kept orders waiting): classic Q21 is a
     // double EXISTS / NOT-EXISTS fact self-join; the scalable decorrelated
     // form used here needs ONE shuffle on orderkey — per order, count
@@ -584,6 +605,17 @@ object BenchmarkQueries {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        |  AND l_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q21_waiting_supplier" ->
       """WITH li AS (

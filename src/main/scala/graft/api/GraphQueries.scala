@@ -488,6 +488,29 @@ ke$i AS MATERIALIZED (
         .orderBy(col("id"))
     }),
 
+    // Degree assortativity (Newman 2002, "Assortative mixing in
+    // networks"): Pearson correlation of endpoint degrees over the
+    // symmetrized edge list — do high-degree parts trade with high-degree
+    // suppliers? One combinable degree aggregation, the edge list joined
+    // twice against the |V|-sized degree map (broadcast when it fits),
+    // one corr — the same two-pass shape at any scale.
+    "g9_assortativity" -> ((s, d) => {
+      val p2s = Tables.lineitem(s, d)
+        .select(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
+      e.join(deg, col("src") === col("v"))
+        .select(col("dst"), col("deg").as("ds"))
+        .join(deg.select(col("v").as("v2"), col("deg").as("dd")),
+          col("dst") === col("v2"))
+        .agg(
+          round(corr(col("ds"), col("dd")), 6).as("assortativity"),
+          count(lit(1)).as("n_edges"))
+    }),
+
     // P5+O5 — the UI's top-20 induced subgraph: edges whose BOTH endpoints
     // are in the top-20 ranked set (double left-semi join against a
     // broadcast 20-row list), over the non-bipartite trade graph.
@@ -687,6 +710,18 @@ SELECT
   CASE WHEN label % 2 = 0 THEN 'p' || CAST(label // 2 AS VARCHAR)
        ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END AS community
 FROM l$LpaRounds ORDER BY id"""),
+
+    "g9_assortativity" ->
+      """WITH p2s AS (
+        |  SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem),
+        |swe AS (SELECT u AS src, v AS dst FROM p2s UNION ALL SELECT v, u FROM p2s),
+        |deg AS (SELECT src AS vx, CAST(COUNT(*) AS BIGINT) AS deg
+        |        FROM swe GROUP BY 1)
+        |SELECT ROUND(corr(a.deg, b.deg), 6) AS assortativity,
+        |  CAST(COUNT(*) AS BIGINT) AS n_edges
+        |FROM swe
+        |JOIN deg a ON swe.src = a.vx
+        |JOIN deg b ON swe.dst = b.vx""".stripMargin,
 
     "g2_induced_subgraph" ->
       (headerSql(TradeEdgesSql) + chainSql("i_", 0.85, Iters) + s""",

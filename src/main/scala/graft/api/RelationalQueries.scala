@@ -248,6 +248,35 @@ object RelationalQueries {
         .orderBy(col("s_nationkey"), col("rk"))
     }),
 
+    // NTILE bucketing — the feature-engineering "decile" primitive
+    // (quantile-bucket a score within its segment). Partitioned window
+    // with a unique tie-break, so bucket boundaries are deterministic in
+    // both engines.
+    "w5_ntile" -> ((s, d) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      customer(s, d)
+        .withColumn("decile", ntile(10).over(w))
+        .select(col("c_custkey"), col("c_mktsegment"), col("decile"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Per-key categorical MODE (most frequent value): two stacked
+    // map-side-combinable aggregations — the window picking the winner
+    // runs over the (key, value) count relation (≤ |keys|·|domain| rows),
+    // never the fact. Tie-break (count desc, value asc) is deterministic.
+    "a19_mode" -> ((s, d) => {
+      val cnt = orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("c").desc, col("o_orderpriority"))
+      cnt.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("o_custkey"),
+          col("o_orderpriority").as("mode_priority"), col("c").as("n"))
+        .orderBy(col("o_custkey"))
+    }),
+
     // A12: exact interpolated quantiles per group (the UI boxplot shape at
     // relational scale; percentile() is Spark's exact linear-interpolation
     // aggregate, matching DuckDB's quantile_cont).
@@ -559,6 +588,27 @@ object RelationalQueries {
         |FROM supplier
         |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "w5_ntile" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(NTILE(10) OVER (
+        |    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS INT)
+        |    AS decile
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
+
+    "a19_mode" ->
+      """WITH cnt AS (
+        |  SELECT o_custkey, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_custkey, o_orderpriority AS mode_priority, c AS n
+        |FROM (
+        |  SELECT o_custkey, o_orderpriority, c,
+        |    ROW_NUMBER() OVER (
+        |      PARTITION BY o_custkey ORDER BY c DESC, o_orderpriority) AS rn
+        |  FROM cnt) t
+        |WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
 
     "a12_quantiles" ->
       """SELECT l_returnflag,
