@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.graph.{KCore, ShortestPaths, SyntheticGraph}
+import graft.graph.{KCore, LabelPropagation, ShortestPaths, SyntheticGraph}
 
 /** A/B scale probe for the round-6 bounded graph loops (not driver-run):
   * Bellman-Ford SSSP and k-core peeling on the same deterministic 2M-edge
@@ -49,6 +49,15 @@ object AbGraphOps {
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(res)
       println(f"kcore k=$k survivors=$n wall=$dt%.2f s")
+    }
+
+    for (rounds <- Seq(2, 4)) {
+      val t0 = System.nanoTime()
+      val res = LabelPropagation.run(edges, rounds)
+      val comms = res.select(col("label")).distinct().count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(res)
+      println(f"lpa rounds=$rounds communities=$comms wall=$dt%.2f s (${dt / rounds}%.2f s/round)")
     }
     spark.stop()
   }

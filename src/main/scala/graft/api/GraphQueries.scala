@@ -469,6 +469,16 @@ ke$i AS MATERIALIZED (
         .orderBy(col("id"))
     }),
 
+    // The reference's per-iteration convergence LOG as a relation:
+    // (iteration, L1 delta) for each fixed-β step — what its verbose
+    // mode prints while converging, queryable and oracled (deltas between
+    // successive unrolled CTE ranks).
+    "i7_convergence_trace" -> ((s, d) =>
+      PageRank.fixedIterationsTrace(s, edges(s, d), beta = 0.85,
+          iterations = Iters)
+        .select(col("iteration"), round(col("l1_delta"), 9).as("l1_delta"))
+        .orderBy(col("iteration"))),
+
     // Community detection (bounded synchronous label propagation, 4
     // rounds + self-vote) over the same undirected supply network as g4,
     // with the same numeric vertex encoding; the oracle unrolls the
@@ -695,6 +705,17 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         s"""
 SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree
 FROM ke$KCoreRounds GROUP BY src ORDER BY id"""),
+
+    "i7_convergence_trace" ->
+      (headerSql(EdgesSql) + chainSql("t_", 0.85, Iters) + "\n" +
+        "SELECT iteration, l1_delta FROM (" +
+        (1 to Iters).map { i =>
+          val prev = if (i == 1) "r0" else s"t_r${i - 1}"
+          s"""
+  SELECT $i AS iteration, ROUND(SUM(ABS(a.rank - b.rank)), 9) AS l1_delta
+  FROM t_r$i a JOIN $prev b ON a.id = b.id"""
+        }.mkString("\n  UNION ALL") + """
+) t ORDER BY iteration"""),
 
     "g8_label_prop" ->
       ("""WITH p2s AS MATERIALIZED (

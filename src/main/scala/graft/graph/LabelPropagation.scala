@@ -23,7 +23,10 @@ import org.apache.spark.sql.functions._
   * is `max(struct(count, -label))`, no window, no shuffle beyond the
   * groupBy. Labels are eagerly localCheckpoint'ed per round (a lazy
   * r-level plan would re-derive every prior round); superseded
-  * checkpoints are freed, the caller sweeps the final one.
+  * checkpoints are freed, the caller sweeps the final one. 2M-edge
+  * power-law probe (AbGraphOps): ~1.9–3.4 s/round at local[32] — the
+  * vote join on |E| dominates, the same per-round profile as the
+  * PageRank loop.
   */
 object LabelPropagation {
 

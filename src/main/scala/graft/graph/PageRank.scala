@@ -296,6 +296,58 @@ object PageRank {
     }
   }
 
+  /** [[fixedIterationsOn]] with the reference's per-iteration convergence
+    * log as a relation: one (iteration, l1_delta) row per step, where
+    * l1_delta = Σ_v |rank_i(v) − rank_{i−1}(v)| — the verbose trace the
+    * reference prints while converging, exposed as a queryable table
+    * (result is iteration-count-sized, so the driver-side collect is the
+    * same inherent scalar-per-iteration cost as [[runOn]]'s convergence
+    * check). All rank checkpoints are freed before returning; the result
+    * carries no cluster state.
+    */
+  def fixedIterationsTrace(
+      spark: SparkSession,
+      edges: DataFrame,
+      beta: Double,
+      iterations: Int): DataFrame = {
+    val g = prepare(edges)
+    try {
+      val PreparedGraph(verts, linked, n, parts) = g
+      require(n > 0, "fixedIterationsTrace needs a non-empty graph")
+      val deltas = withLoopConf(spark, parts) {
+        var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
+        val out = Seq.newBuilder[(Int, Double)]
+        var i = 0
+        while (i < iterations) {
+          val contribs = linked
+            .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+            .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+            .groupBy(col("dst"))
+            .agg(sum(col("w")).as("c"))
+          val next = verts
+            .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
+            .select(
+              verts("id"),
+              (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
+            .localCheckpoint(true)
+          val d = next
+            .join(ranks.select(col("id").as("pid"), col("rank").as("prev")),
+              col("id") === col("pid"))
+            .agg(sum(abs(col("rank") - col("prev"))).as("d"))
+            .head.getDouble(0)
+          out += ((i + 1, d))
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(ranks)
+          ranks = next
+          i += 1
+        }
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(ranks)
+        out.result()
+      }
+      import spark.implicits._
+      deltas.toDF("iteration", "l1_delta")
+    } finally g.unpersist()
+  }
+
   /** Personalized PageRank, fixed iterations: the teleport mass lands on
     * the `seeds` ∩ V set instead of uniformly —
     *   rank'_i = (1 − β)·[i ∈ S]/|S| + β · Σ_{u→i} rank(u)/deg(u),
