@@ -57,7 +57,9 @@ object AbGraphOps {
       val comms = res.select(col("label")).distinct().count()
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(res)
-      println(f"lpa rounds=$rounds communities=$comms wall=$dt%.2f s (${dt / rounds}%.2f s/round)")
+      // run() may early-stop before `rounds`, so dt/rounds would
+      // UNDERSTATE per-round cost; report the wall for ≤rounds rounds.
+      println(f"lpa rounds<=$rounds communities=$comms wall=$dt%.2f s")
     }
     spark.stop()
   }

@@ -510,7 +510,13 @@ ke$i AS MATERIALIZED (
           (col("l_partkey") * 2).as("src"),
           (col("l_suppkey") * 2 + 1).as("dst"))
         .distinct()
+      // Eager localCheckpoint: the symmetrized edge list feeds THREE
+      // consumers (degree build + both endpoint joins) — unchecked, the
+      // lineitem distinct would run three times. The backing is part of
+      // the returned plan, so the standard post-consumption sweep frees
+      // it (same pattern as g2).
       val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
       val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("deg"))
       e.join(deg, col("src") === col("v"))
         .select(col("dst"), col("deg").as("ds"))

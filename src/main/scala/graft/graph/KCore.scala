@@ -32,21 +32,9 @@ object KCore {
     require(k >= 1, s"k-core needs k >= 1; got k=$k")
     require(rounds >= 1 && rounds <= 12,
       s"kCore unrolls `rounds` plan levels; got rounds=$rounds")
-    val base = edges.select(
-        col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    // Dedup the CANONICAL orientation (u < v), then mirror: the distinct —
-    // the heaviest shuffle of the whole peel — sees |E| input rows instead
-    // of 2|E|, and the mirrored union needs no re-dedup (a canonical set
-    // maps 1:1 to its reversal). Neutral when the distinct fits in memory
-    // (2M-edge probe: ~6 s either way); the halved shuffle volume targets
-    // the spill-bound regime the 20M-edge probe exposed.
-    val canon = base
-      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    var e = canon.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(canon.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+    // Canonical-orientation dedup + mirror: see Undirected.symmetrize for
+    // the halved-shuffle rationale.
+    var e = Undirected.symmetrize(edges).localCheckpoint(true)
     var nEdges = e.count()
     var done = false
     for (_ <- 1 to rounds if !done) {

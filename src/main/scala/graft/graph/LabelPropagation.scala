@@ -24,9 +24,10 @@ import org.apache.spark.sql.functions._
   * groupBy. Labels are eagerly localCheckpoint'ed per round (a lazy
   * r-level plan would re-derive every prior round); superseded
   * checkpoints are freed, the caller sweeps the final one. 2M-edge
-  * power-law probe (AbGraphOps): ~1.9–3.4 s/round at local[32] — the
-  * vote join on |E| dominates, the same per-round profile as the
-  * PageRank loop.
+  * power-law probe (AbGraphOps): ~7 s wall for a ≤4-round run at
+  * local[32] (early stop possible, so per-round division would
+  * understate cost) — the vote join on |E| dominates, the same
+  * per-round profile as the PageRank loop.
   */
 object LabelPropagation {
 
@@ -38,25 +39,14 @@ object LabelPropagation {
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 12,
       s"labelPropagation unrolls `rounds` plan levels; got rounds=$rounds")
-    val base = edges.select(
-        col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
-      .filter(col("src") =!= col("dst"))
-    // Same canonical-orientation dedup as KCore: the distinct sees |E|
-    // rows, and a canonical set maps 1:1 to its reversal.
-    val canon = base
-      .select(least(col("src"), col("dst")).as("u"),
-        greatest(col("src"), col("dst")).as("v"))
-      .distinct()
-    val e = canon.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(canon.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint(true)
+    val e = Undirected.symmetrize(edges).localCheckpoint(true)
     // Symmetrized: every vertex occurs as src, so the vertex set is one
     // distinct over src.
     var labels = e.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)
     var done = false
-    for (_ <- 1 to rounds if !done) {
+    for (r <- 1 to rounds if !done) {
       val votes = e.join(labels, e("src") === labels("id"))
         .select(e("dst").as("id"), col("label"))
         .unionAll(labels)
@@ -69,14 +59,19 @@ object LabelPropagation {
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("id"), (-col("m.nl")).as("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.select(col("id").as("pid"), col("label").as("prev")),
-          col("id") === col("pid"))
-        .filter(col("label") =!= col("prev"))
-        .count()
+      // Early-stop check only while a later round exists to skip — on the
+      // final bounded round `done` is never read, so the |V|-row compare
+      // job would be pure waste.
+      if (r < rounds) {
+        val changed = next
+          .join(labels.select(col("id").as("pid"), col("label").as("prev")),
+            col("id") === col("pid"))
+          .filter(col("label") =!= col("prev"))
+          .count()
+        done = changed == 0
+      }
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(labels)
       labels = next
-      done = changed == 0
     }
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
     labels

@@ -277,23 +277,35 @@ object PageRank {
       var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
       var i = 0
       while (i < iterations) {
-        val contribs = linked
-          .join(vertexSide(ranks, n), linked("src") === ranks("id"))
-          .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
-          .groupBy(col("dst"))
-          .agg(sum(col("w")).as("c"))
-        val next = verts
-          .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
-          .select(
-            verts("id"),
-            (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
         val prev = ranks
-        ranks = next.localCheckpoint(true)
+        ranks = uniformStep(verts, linked, n, beta, prev).localCheckpoint(true)
         org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(prev)
         i += 1
       }
       ranks
     }
+  }
+
+  /** One explicit-teleport iteration (the I1 recurrence shared by
+    * [[fixedIterationsOn]] and [[fixedIterationsTrace]]):
+    *   rank'_i = (1 − β)/N + β · Σ_{u→i} rank(u)/deg(u).
+    */
+  private def uniformStep(
+      verts: DataFrame,
+      linked: DataFrame,
+      n: Long,
+      beta: Double,
+      ranks: DataFrame): DataFrame = {
+    val contribs = linked
+      .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+      .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
+      .groupBy(col("dst"))
+      .agg(sum(col("w")).as("c"))
+    verts
+      .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
+      .select(
+        verts("id"),
+        (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
   }
 
   /** [[fixedIterationsOn]] with the reference's per-iteration convergence
@@ -319,17 +331,11 @@ object PageRank {
         val out = Seq.newBuilder[(Int, Double)]
         var i = 0
         while (i < iterations) {
-          val contribs = linked
-            .join(vertexSide(ranks, n), linked("src") === ranks("id"))
-            .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
-            .groupBy(col("dst"))
-            .agg(sum(col("w")).as("c"))
-          val next = verts
-            .join(vertexSide(contribs, n), verts("id") === contribs("dst"), "left")
-            .select(
-              verts("id"),
-              (lit((1.0 - beta) / n) + lit(beta) * coalesce(col("c"), lit(0.0))).as("rank"))
-            .localCheckpoint(true)
+          // LAZY checkpoint (runOn's idiom): the delta aggregate below is
+          // the first action, so ONE job both computes the iteration and
+          // materializes the checkpoint.
+          val next = uniformStep(verts, linked, n, beta, ranks)
+            .localCheckpoint(false)
           val d = next
             .join(ranks.select(col("id").as("pid"), col("rank").as("prev")),
               col("id") === col("pid"))
