@@ -347,6 +347,30 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Funnel conversion LATENCY (e6 counts conversions; this measures how
+    // fast): per user, first signup → earliest subsequent click, then
+    // exact latency quantiles over converting users. The click side joins
+    // on user_id only (one equi shuffle each side) and the ">t0" filter +
+    // min runs post-join — the standard decorrelation of "first event
+    // after X". percentile() ≡ quantile_cont (a12 pins the parity);
+    // inputs are exact millisecond longs.
+    "e19_funnel_latency" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val su = events(s, d).filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(ms).as("t0"))
+      val cl = events(s, d).filter(col("event_type") === "click")
+        .select(col("user_id").as("u2"), ms.as("tc"))
+      val lat = su.join(cl, col("user_id") === col("u2") && col("tc") > col("t0"))
+        .groupBy(col("user_id"), col("t0")).agg(min(col("tc")).as("t1"))
+        .select((col("t1") - col("t0")).as("lat_ms"))
+      lat.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_ms, 0.25)"), 3).as("p25_ms"),
+        round(expr("percentile(lat_ms, 0.5)"), 3).as("p50_ms"),
+        round(expr("percentile(lat_ms, 0.75)"), 3).as("p75_ms"),
+        round(expr("percentile(lat_ms, 0.9)"), 3).as("p90_ms"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -417,6 +441,22 @@ object EventQueries {
         |FROM sess a JOIN sess b
         |  ON a.user_id < b.user_id AND a.s_start < b.s_end AND b.s_start < a.s_end
         |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin,
+
+    "e19_funnel_latency" ->
+      """WITH su AS (
+        |  SELECT user_id, MIN(epoch_ms(ts)) AS t0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |lat AS (
+        |  SELECT su.user_id, MIN(epoch_ms(e.ts)) - su.t0 AS lat_ms
+        |  FROM su JOIN events e ON e.user_id = su.user_id
+        |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > su.t0
+        |  GROUP BY su.user_id, su.t0)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |  ROUND(quantile_cont(lat_ms, 0.25), 3) AS p25_ms,
+        |  ROUND(quantile_cont(lat_ms, 0.5), 3) AS p50_ms,
+        |  ROUND(quantile_cont(lat_ms, 0.75), 3) AS p75_ms,
+        |  ROUND(quantile_cont(lat_ms, 0.9), 3) AS p90_ms
+        |FROM lat""".stripMargin,
 
     "e15_ohlc" ->
       """WITH b AS (

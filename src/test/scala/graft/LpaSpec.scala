@@ -58,6 +58,14 @@ class LpaSpec extends SparkSpec {
     assert(run(edges, 4) == run(edges, 8))
   }
 
+  test("degenerate inputs: empty graph and self-loops-only both yield empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(LabelPropagation.run(empty, 2).count() == 0)
+    // Self-loops are dropped, so a loops-only graph has no vertices left.
+    val loops = Seq((1L, 1L), (2L, 2L)).toDF("src", "dst")
+    assert(LabelPropagation.run(loops, 2).count() == 0)
+  }
+
   test("rounds guard rejects 0 and unroll-hostile depths") {
     val e = Seq((1L, 2L)).toDF("src", "dst")
     intercept[IllegalArgumentException] { LabelPropagation.run(e, 0) }
