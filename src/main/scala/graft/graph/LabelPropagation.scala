@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   * is `max(struct(count, -label))`, no window, no shuffle beyond the
   * groupBy. Labels are eagerly localCheckpoint'ed per round (a lazy
   * r-level plan would re-derive every prior round); superseded
-  * checkpoints are freed, the caller sweeps the final one. 2M-edge
-  * power-law probe (AbGraphOps): ~7 s wall for a ≤4-round run at
-  * local[32] (early stop possible, so per-round division would
-  * understate cost) — the vote join on |E| dominates, the same
-  * per-round profile as the PageRank loop.
+  * checkpoints are freed, the caller sweeps the final one. Power-law
+  * probe (AbGraphOps), ≤4-round runs at local[32]: ~7 s at 2M edges,
+  * ~65–69 s at 20M (an upper bound — the same 20M session's SSSP/k-core
+  * legs read 2–4× above their documented idle-box walls, i.e. a
+  * contended run) — ~linear in |E|; the vote join on |E| dominates, the
+  * same per-round profile as the PageRank loop. Early stop is possible,
+  * so per-round division would understate cost.
   */
 object LabelPropagation {
 
