@@ -490,6 +490,14 @@ object PipelineQueries {
     "n4b_ann_ivf_portable" -> ((s, d) =>
       Similarity.annIvfStatic(vecs(s, d), dims = 3, k = 5)),
 
+    // Int8 scalar quantization of the embedding store (faiss-SQ8 shape):
+    // per-dim [min,max] grid → codes + midpoint reconstruction — the
+    // 4× memory-compression step before code-resident ANN. One 64-row
+    // combinable aggregate broadcast onto one corpus scan; quality bound
+    // (cosine(recon, original) ≥ 0.999) spec-asserted in DedupSimSpec.
+    "n5_sq_encode" -> ((s, d) =>
+      Similarity.sqEncode(vecs(s, d)).orderBy(col("vec_id"), col("i"))),
+
     // The composed corpus-curation pipeline — what this library exists
     // for, end to end in ONE lazy plan: Gopher-style quality gate → exact
     // dedup (min-id representative per content hash) → benchmark
@@ -917,6 +925,24 @@ object PipelineQueries {
         |    ELSE 'train'
         |  END AS split
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "n5_sq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+        |    UNNEST(v) AS x
+        |  FROM e),
+        |rng AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM el GROUP BY i),
+        |enc AS (
+        |  SELECT vec_id, el.i,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE LEAST(255, GREATEST(0,
+        |           CAST(FLOOR((x - lo) / (hi - lo) * 256) AS BIGINT))) END AS code,
+        |    lo, hi
+        |  FROM el JOIN rng ON el.i = rng.i)
+        |SELECT vec_id, i, code,
+        |  ROUND(lo + (code + 0.5) * (hi - lo) / 256, 6) AS recon
+        |FROM enc ORDER BY vec_id, i""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

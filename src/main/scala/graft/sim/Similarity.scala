@@ -296,4 +296,36 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 4).as("cosine"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
+
+  /** Int8 scalar quantization (the public faiss-SQ8 technique): each
+    * dimension linearly gridded to 256 levels over its corpus [min, max],
+    * decode = bucket midpoint — 4× memory compression (float32 → int8)
+    * for embedding stores, the standard precursor to code-resident ANN.
+    * Returns exploded (vec_id, i, code, recon) with recon rounded for
+    * engine parity.
+    *
+    * Scale shape: ONE 64-row combinable min/max aggregate broadcast back
+    * onto a single corpus scan — no other shuffle, codegen end to end.
+    * The grid arithmetic is written in the exact same operation order as
+    * the SQL oracle ((x−lo)/(hi−lo)·256, floor, clamp), so IEEE doubles
+    * agree bit-for-bit; constant dimensions (hi = lo) take code 0 by an
+    * explicit guard rather than dividing by zero.
+    */
+  def sqEncode(vectors: DataFrame): DataFrame = {
+    val el = vectors.select(
+      col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+    val rng = el.groupBy(col("i"))
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    val rawCode = floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 256)
+      .cast("long")
+    val code = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(lit(255L), greatest(lit(0L), rawCode)))
+    el.join(broadcast(rng), "i")
+      .select(
+        col("vec_id"),
+        col("i").cast("long").as("i"),
+        code.as("code"),
+        round(col("lo") + (code + lit(0.5)) * (col("hi") - col("lo")) / 256, 6)
+          .as("recon"))
+  }
 }

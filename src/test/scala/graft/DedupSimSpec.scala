@@ -318,6 +318,25 @@ class DedupSimSpec extends SparkSpec {
     assert(rows.forall(r => r.getDouble(3) <= 1.0001))
   }
 
+  test("int8 scalar quantization preserves geometry (cosine ≥ 0.999)") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val recon = Similarity.sqEncode(v)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("recon")))).as("s"))
+      .select(col("vec_id").as("rid"),
+        expr("transform(s, p -> p.recon)").as("rv"))
+    val worst = v.join(recon, col("vec_id") === col("rid"))
+      .select(Similarity.cosine(col("v"), col("rv")).as("c"))
+      .agg(min(col("c"))).head.getDouble(0)
+    // 256 levels per dimension: reconstruction must be geometrically
+    // faithful for every vector, not just on average.
+    assert(worst >= 0.999, s"worst cosine=$worst")
+    // Codes are genuinely int8-ranged.
+    val rng = Similarity.sqEncode(v).agg(min(col("code")), max(col("code"))).head
+    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 255L)
+  }
+
   test("csv base64 download href encodes the table (S5)") {
     val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
     val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")
