@@ -76,6 +76,7 @@ object Bench {
     "e9_asof_join",
     "e10_range_join",
     "e13_overlap_sessions",
+    "e19_funnel_latency",
     "e11_resample_locf",
     "t2_quality_score",
     "t9_quality_gopher",
@@ -101,6 +102,7 @@ object Bench {
     "d7b_clusters_df",
     "n1_ann_brute",
     "n2_ann_lsh",
+    "n5_sq_encode",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",

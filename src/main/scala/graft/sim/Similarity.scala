@@ -304,8 +304,11 @@ object Similarity {
     * Returns exploded (vec_id, i, code, recon) with recon rounded for
     * engine parity.
     *
-    * Scale shape: ONE 64-row combinable min/max aggregate broadcast back
-    * onto a single corpus scan — no other shuffle, codegen end to end.
+    * Scale shape: the inherent TWO-pass form of corpus-normalized
+    * encodings — a range pass (64-row combinable min/max aggregate) and
+    * an encode pass with the range table broadcast back; no other
+    * shuffle, codegen end to end. At cluster scale the tiny range table
+    * is computed once and reused across encodes.
     * The grid arithmetic is written in the exact same operation order as
     * the SQL oracle ((x−lo)/(hi−lo)·256, floor, clamp), so IEEE doubles
     * agree bit-for-bit; constant dimensions (hi = lo) take code 0 by an

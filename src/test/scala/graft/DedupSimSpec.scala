@@ -321,20 +321,24 @@ class DedupSimSpec extends SparkSpec {
   test("int8 scalar quantization preserves geometry (cosine ≥ 0.999)") {
     val v = Tables.embeddings(spark, Sf001)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
-    val recon = Similarity.sqEncode(v)
-      .groupBy(col("vec_id"))
-      .agg(sort_array(collect_list(struct(col("i"), col("recon")))).as("s"))
-      .select(col("vec_id").as("rid"),
-        expr("transform(s, p -> p.recon)").as("rv"))
-    val worst = v.join(recon, col("vec_id") === col("rid"))
-      .select(Similarity.cosine(col("v"), col("rv")).as("c"))
-      .agg(min(col("c"))).head.getDouble(0)
-    // 256 levels per dimension: reconstruction must be geometrically
-    // faithful for every vector, not just on average.
-    assert(worst >= 0.999, s"worst cosine=$worst")
-    // Codes are genuinely int8-ranged.
-    val rng = Similarity.sqEncode(v).agg(min(col("code")), max(col("code"))).head
-    assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 255L)
+    // ONE encode job serves both assertions (recon geometry + code range).
+    val enc = Similarity.sqEncode(v).localCheckpoint(true)
+    try {
+      val recon = enc
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("i"), col("recon")))).as("s"))
+        .select(col("vec_id").as("rid"),
+          expr("transform(s, p -> p.recon)").as("rv"))
+      val worst = v.join(recon, col("vec_id") === col("rid"))
+        .select(Similarity.cosine(col("v"), col("rv")).as("c"))
+        .agg(min(col("c"))).head.getDouble(0)
+      // 256 levels per dimension: reconstruction must be geometrically
+      // faithful for every vector, not just on average.
+      assert(worst >= 0.999, s"worst cosine=$worst")
+      // Codes are genuinely int8-ranged.
+      val rng = enc.agg(min(col("code")), max(col("code"))).head
+      assert(rng.getLong(0) >= 0L && rng.getLong(1) <= 255L)
+    } finally org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(enc)
   }
 
   test("csv base64 download href encodes the table (S5)") {

@@ -28,21 +28,8 @@ object LpaProperties extends Properties("LabelPropagation") {
     } yield (a, b))
   } yield edges
 
-  private def naive(edges: List[(Long, Long)], rounds: Int): Map[Long, Long] = {
-    val und = edges.filter { case (a, b) => a != b }
-      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
-    val adj = (und ++ und.map(_.swap))
-      .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
-    var labels: Map[Long, Long] = adj.keys.map(v => v -> v).toMap
-    for (_ <- 1 to rounds) {
-      labels = adj.map { case (v, ns) =>
-        val votes = (labels(v) +: ns.map(labels)).groupBy(identity)
-          .map { case (l, occ) => (l, occ.size) }
-        v -> votes.toSeq.maxBy { case (l, c) => (c.toLong, -l) }._1
-      }
-    }
-    labels
-  }
+  private def naive(edges: List[(Long, Long)], rounds: Int): Map[Long, Long] =
+    LpaReference.naive(edges, rounds)
 
   property("run == naive same-rule execution on random multigraphs") =
     forAll(genEdges, Gen.choose(1, 3)) { (edges, rounds) =>

@@ -2,18 +2,14 @@ package graft
 
 import graft.graph.LabelPropagation
 
-/** Semantics of bounded synchronous label propagation: equivalence with a
-  * naive in-memory implementation of the same deterministic rule, known
-  * community structure, and the early-stop fixpoint.
+/** The exact rule of LabelPropagation.run as a naive in-memory oracle:
+  * symmetrize+dedup edges, then each round every vertex adopts the
+  * (count desc, label asc) winner among neighbor labels plus its own
+  * current label. Shared by [[LpaSpec]] and [[LpaProperties]] so the two
+  * suites can never assert different reference rules.
   */
-class LpaSpec extends SparkSpec {
-  import spark.implicits._
-
-  /** The exact rule of LabelPropagation.run: symmetrize+dedup edges, then
-    * each round every vertex adopts the (count desc, label asc) winner
-    * among neighbor labels plus its own current label.
-    */
-  private def naive(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+private[graft] object LpaReference {
+  def naive(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
     val und = edges.filter { case (a, b) => a != b }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
     val adj = (und ++ und.map(_.swap))
@@ -28,6 +24,17 @@ class LpaSpec extends SparkSpec {
     }
     labels
   }
+}
+
+/** Semantics of bounded synchronous label propagation: equivalence with a
+  * naive in-memory implementation of the same deterministic rule, known
+  * community structure, and the early-stop fixpoint.
+  */
+class LpaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
+    LpaReference.naive(edges, rounds)
 
   private def run(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] =
     LabelPropagation.run(edges.toDF("src", "dst"), rounds)
