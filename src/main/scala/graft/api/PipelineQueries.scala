@@ -498,6 +498,26 @@ object PipelineQueries {
     "n5_sq_encode" -> ((s, d) =>
       Similarity.sqEncode(vecs(s, d)).orderBy(col("vec_id"), col("i"))),
 
+    // ANN over the COMPRESSED store (asymmetric-distance shape): exact
+    // query vectors scored against SQ-decoded candidates — at scale the
+    // candidate side reads 4× fewer bytes (int8 codes) and decodes on
+    // the fly; reconstruction is deterministic, so unlike trained-PQ
+    // search this is fully hash-oracled. Ranking fidelity vs the exact
+    // n1 baseline is spec-asserted in DedupSimSpec.
+    "n6_ann_sq" -> ((s, d) => {
+      val v = vecs(s, d)
+      val recon = Similarity.sqEncode(v)
+        .groupBy(col("vec_id"))
+        .agg(sort_array(collect_list(struct(col("i"), col("recon")))).as("sr"))
+        .select(col("vec_id"), expr("transform(sr, p -> p.recon)").as("rv"))
+      Similarity.annBrute(
+        v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        recon.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("rv").as("cv")),
+        k = 10)
+    }),
+
     // The composed corpus-curation pipeline — what this library exists
     // for, end to end in ONE lazy plan: Gopher-style quality gate → exact
     // dedup (min-id representative per content hash) → benchmark
@@ -943,6 +963,38 @@ object PipelineQueries {
         |SELECT vec_id, i, code,
         |  ROUND(lo + (code + 0.5) * (hi - lo) / 256, 6) AS recon
         |FROM enc ORDER BY vec_id, i""".stripMargin,
+
+    "n6_ann_sq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, CAST(generate_subscripts(v, 1) - 1 AS BIGINT) AS i,
+        |    UNNEST(v) AS x
+        |  FROM e),
+        |rng AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM el GROUP BY i),
+        |enc AS (
+        |  SELECT vec_id, el.i,
+        |    CASE WHEN hi = lo THEN 0
+        |         ELSE LEAST(255, GREATEST(0,
+        |           CAST(FLOOR((x - lo) / (hi - lo) * 256) AS BIGINT))) END AS code,
+        |    lo, hi
+        |  FROM el JOIN rng ON el.i = rng.i),
+        |rec AS (
+        |  SELECT vec_id,
+        |    list(ROUND(lo + (code + 0.5) * (hi - lo) / 256, 6) ORDER BY i) AS rv
+        |  FROM enc GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, rv AS cv FROM rec WHERE vec_id >= 10),
+        |scored AS (
+        |  SELECT query_id, cand_id,
+        |    ROUND(list_cosine_similarity(qv, cv), 4) AS cosine
+        |  FROM q CROSS JOIN c),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "n3_normalize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

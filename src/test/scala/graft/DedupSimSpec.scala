@@ -341,6 +341,28 @@ class DedupSimSpec extends SparkSpec {
     } finally org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(enc)
   }
 
+  test("SQ-compressed search reproduces the exact top-k almost verbatim") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    def topk(cands: org.apache.spark.sql.DataFrame) = Similarity.annBrute(
+      v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      cands, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = topk(v.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("v").as("cv")))
+    val recon = Similarity.sqEncode(v)
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("i"), col("recon")))).as("sr"))
+      .select(col("vec_id"), expr("transform(sr, p -> p.recon)").as("rv"))
+    val sq = topk(recon.filter(col("vec_id") >= 10)
+      .select(col("vec_id").as("cand_id"), col("rv").as("cv")))
+    // 256-level quantization barely perturbs cosine ordering: the
+    // compressed search must recover nearly all exact neighbors.
+    val overlap = sq.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"overlap=$overlap")
+  }
+
   test("csv base64 download href encodes the table (S5)") {
     val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
     val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")
