@@ -39,7 +39,10 @@ object AbGraphOps {
       val n = res.count()
       val dt = (System.nanoTime() - t0) / 1e9
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(res)
-      println(f"sssp rounds=$rounds reached=$n wall=$dt%.2f s (${dt / rounds}%.2f s/round)")
+      // bellmanFord early-stops when the frontier empties, so dt/rounds
+      // would UNDERSTATE per-round cost on small-diameter graphs — report
+      // the wall for ≤rounds rounds, same convention as the LPA leg below.
+      println(f"sssp rounds<=$rounds reached=$n wall=$dt%.2f s")
     }
 
     for (k <- Seq(3, 5)) {

@@ -243,19 +243,32 @@ object EventQueries {
     // Per-entity z-score outliers: events whose value sits more than 2
     // sample standard deviations from that user's mean — the relational
     // anomaly screen (fraud/telemetry triage). One combinable per-user
-    // moment aggregation; the tiny (user → mean, sd) table broadcasts
+    // moment aggregation; the tiny (user → moments) table broadcasts
     // back onto the fact scan, so the corpus-sized side never shuffles.
+    // Boundary hardening (same class as the q6/q10 revenue sums): a native
+    // stddev_samp over doubles is summation-order-dependent, and the
+    // strict |z| > 2 cut would let a borderline row flip MEMBERSHIP, not
+    // just a rounding digit, between Spark's and DuckDB's orders. So the
+    // moments are exact per-term-DECIMAL sums (associative in both
+    // engines), cast to double ONCE; every downstream double op then sees
+    // bit-identical inputs and IEEE arithmetic gives bit-identical z.
     "e14_zscore_outliers" -> ((s, d) => {
+      val vd = col("value").cast("decimal(18,6)")
       val stats = events(s, d)
         .groupBy(col("user_id"))
-        .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("sd"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(vd).cast("double").as("s1"),
+          sum(vd * vd).cast("double").as("s2"))
+      val m = col("s1") / col("n")
+      val sd = sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
       events(s, d)
         .join(broadcast(stats), "user_id")
-        .filter(col("sd") > 0 && abs((col("value") - col("m")) / col("sd")) > lit(2.0))
+        .filter(col("n") > 1 && sd > 0 && abs((col("value") - m) / sd) > lit(2.0))
         .select(
           col("event_id"), col("user_id"),
           round(col("value"), 4).as("value"),
-          round((col("value") - col("m")) / col("sd"), 6).as("z"))
+          round((col("value") - m) / sd, 6).as("z"))
         .orderBy(col("event_id"))
     }),
 
@@ -518,13 +531,20 @@ object EventQueries {
 
     "e14_zscore_outliers" ->
       """WITH s AS (
-        |  SELECT user_id, AVG(value) AS m, STDDEV_SAMP(value) AS sd
-        |  FROM events GROUP BY user_id)
+        |  SELECT user_id,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+        |  FROM events GROUP BY user_id),
+        |z AS (
+        |  SELECT user_id, n, s1 / n AS m,
+        |    SQRT((s2 - s1 * s1 / n) / (n - 1)) AS sd
+        |  FROM s)
         |SELECT e.event_id, e.user_id,
         |  ROUND(e.value, 4) AS value,
-        |  ROUND((e.value - s.m) / s.sd, 6) AS z
-        |FROM events e JOIN s USING (user_id)
-        |WHERE s.sd > 0 AND ABS((e.value - s.m) / s.sd) > 2.0
+        |  ROUND((e.value - z.m) / z.sd, 6) AS z
+        |FROM events e JOIN z USING (user_id)
+        |WHERE z.n > 1 AND z.sd > 0 AND ABS((e.value - z.m) / z.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
 
     "e10_range_join" ->

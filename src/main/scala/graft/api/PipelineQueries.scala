@@ -444,6 +444,32 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // Fuzzy-cluster dedup APPLY — the production "keep one per near-dup
+    // cluster" stage, composed end-to-end from oracled pieces: d3b
+    // MinHash-LSH pairs → d7b pure-DF connected components → canonical
+    // doc per cluster (longest tokenization, min doc_id tie-break) →
+    // surviving corpus. Scale shape: the drop list is cluster-sized
+    // (small side, broadcast anti-join); the corpus is scanned for the
+    // pair build and the final anti-join but never shuffled whole.
+    "d13_fuzzy_dedup_apply" -> ((s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = ConnectedComponents.run(pairs)
+      val ntok = docs.select(col("doc_id").as("member_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      val keep = cl.join(ntok, "member_id")
+        .groupBy(col("rep_id"))
+        .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+        .select((-col("b.neg")).as("keep_id"))
+      val drops = cl.join(keep, cl("member_id") === keep("keep_id"), "left_anti")
+        .select(col("member_id"))
+      docs.join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- similarity search ----
     // Brute-force exact ANN: first 10 vectors are the query set.
     "n1_ann_brute" -> ((s, d) => {
@@ -516,6 +542,53 @@ object PipelineQueries {
         recon.filter(col("vec_id") >= 10)
           .select(col("vec_id").as("cand_id"), col("rv").as("cv")),
         k = 10)
+    }),
+
+    // Product quantization (faiss-PQ recipe; completes the n5/n6
+    // compression family): 64-dim → 32 subspaces × 256-centroid codebooks
+    // = 32 bytes/vector (8×). m=32 because the synthetic near-random
+    // embeddings are PQ's WORST case (no inter-dim correlation to exploit;
+    // measured top-5 overlap 0.66/0.78/0.94 at m=8/16/32) — real-corpus
+    // embeddings tolerate much coarser m. Portable md5-sampled codebook →
+    // the encode is fully hash-oracled (the n4b static-quantizer trick);
+    // the trained k-means variant is n9 (rows-only + recall spec, like n4).
+    "n7_pq_encode" -> ((s, d) => {
+      val v = vecs(s, d)
+      Similarity.pqEncode(
+          v, Similarity.pqCodebookPortable(v, dim = 64, m = 32, nCodes = 256),
+          dim = 64, m = 32)
+        .orderBy(col("vec_id"), col("subspace"))
+    }),
+
+    // ADC search over the PQ-compressed store: exact queries, candidates
+    // represented by their 4 codebook bytes, scored via broadcast lookup
+    // tables — the asymmetric-distance layout that keeps the big side
+    // code-resident. Portable codebook → full DuckDB oracle; ranking
+    // fidelity vs exact n1 is spec-asserted alongside n6's.
+    "n8_ann_pq" -> ((s, d) => {
+      val v = vecs(s, d)
+      val cb = Similarity.pqCodebookPortable(v, dim = 64, m = 32, nCodes = 256)
+      Similarity.annPq(
+        v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        v.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("v")),
+        cb, dim = 64, m = 32, k = 10)
+    }),
+
+    // Trained-codebook PQ ADC (per-subspace k-means, the faiss default):
+    // centroids are engine-specific, so rows-only — the portable twin n8
+    // carries the hash oracle; recall vs exact n1 is the spec here.
+    // nCodes=64 at test corpus size (500-5000 vectors); 256 at production.
+    "n9_pq_trained" -> ((s, d) => {
+      val v = vecs(s, d)
+      val cb = Similarity.pqCodebookTrained(s, v, dim = 64, m = 32, nCodes = 64)
+      Similarity.annPq(
+        v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        v.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("v")),
+        cb, dim = 64, m = 32, k = 10)
     }),
 
     // The composed corpus-curation pipeline — what this library exists
@@ -993,6 +1066,142 @@ object PipelineQueries {
         |    ROW_NUMBER() OVER (PARTITION BY query_id
         |      ORDER BY cosine DESC, cand_id) AS rnk
         |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // Same d3b LSH candidate pipeline, then the recursive-CTE component
+    // labels (the d7/d7b oracle shape), then canonical-doc argmax
+    // (longest tokenization, min doc_id tie-break) and the anti-join.
+    "d13_fuzzy_dedup_apply" ->
+      s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+        |sig AS (
+        |  SELECT doc_id, k,
+        |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
+        |matches AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(FLOOR(a.k / 4.0) AS INT) AS band, COUNT(*) AS c
+        |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM matches WHERE c = 4),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |shp AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |lshp AS (
+        |  SELECT c.doc_a AS a, c.doc_b AS b
+        |  FROM cand c
+        |  JOIN shp p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+        |  JOIN cnt ca ON c.doc_a = ca.doc_id
+        |  JOIN cnt cb ON c.doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold),
+        |und AS (SELECT a, b FROM lshp UNION ALL SELECT b, a FROM lshp),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |comp AS (SELECT v AS member_id, MIN(r) AS rep_id FROM reach GROUP BY v),
+        |ntok AS (
+        |  SELECT doc_id, CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT c.member_id,
+        |    ROW_NUMBER() OVER (PARTITION BY c.rep_id
+        |      ORDER BY t.n_tok DESC, c.member_id) AS rn
+        |  FROM comp c JOIN ntok t ON t.doc_id = c.member_id),
+        |drops AS (SELECT member_id FROM ranked WHERE rn > 1)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT member_id FROM drops)
+        |ORDER BY doc_id""".stripMargin,
+
+    "n7_pq_encode" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT v, code FROM (
+        |    SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY
+        |        CAST('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        vec_id) - 1 AS BIGINT) AS code
+        |    FROM e)
+        |  WHERE code < 256),
+        |sp AS (SELECT UNNEST(generate_series(0, 31)) AS p),
+        |cand AS (
+        |  SELECT e.vec_id, sp.p, s.code,
+        |    list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> (e.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])
+        |         * (e.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])), 'sum') AS dist
+        |  FROM e CROSS JOIN seeds s CROSS JOIN sp),
+        |best AS (
+        |  SELECT vec_id, p, code,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, p ORDER BY dist, code) AS rn
+        |  FROM cand)
+        |SELECT vec_id, CAST(p AS BIGINT) AS subspace, code
+        |FROM best WHERE rn = 1 ORDER BY vec_id, subspace""".stripMargin,
+
+    "n8_ann_pq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT v, code FROM (
+        |    SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY
+        |        CAST('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        vec_id) - 1 AS BIGINT) AS code
+        |    FROM e)
+        |  WHERE code < 256),
+        |sp AS (SELECT UNNEST(generate_series(0, 31)) AS p),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 10),
+        |cand AS (
+        |  SELECT c.cand_id, sp.p, s.code,
+        |    list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> (c.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])
+        |         * (c.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])), 'sum') AS dist
+        |  FROM c CROSS JOIN seeds s CROSS JOIN sp),
+        |enc AS (
+        |  SELECT cand_id, p, code FROM (
+        |    SELECT cand_id, p, code,
+        |      ROW_NUMBER() OVER (PARTITION BY cand_id, p ORDER BY dist, code) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT q.query_id, sp.p, s.code,
+        |    CAST(ROUND(list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> q.qv[sp.p * 2 + j] * s.v[sp.p * 2 + j]), 'sum'), 9)
+        |      AS DECIMAL(24,9)) AS qd
+        |  FROM q CROSS JOIN seeds s CROSS JOIN sp),
+        |cn AS (
+        |  SELECT sp.p, s.code,
+        |    CAST(ROUND(list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> s.v[sp.p * 2 + j] * s.v[sp.p * 2 + j]), 'sum'), 9)
+        |      AS DECIMAL(24,9)) AS c2
+        |  FROM seeds s CROSS JOIN sp),
+        |qn AS (
+        |  SELECT query_id,
+        |    sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')) AS qnorm
+        |  FROM q),
+        |scored AS (
+        |  SELECT l.query_id, enc.cand_id,
+        |    CAST(SUM(l.qd) AS DOUBLE) AS dot,
+        |    CAST(SUM(cn.c2) AS DOUBLE) AS cn2
+        |  FROM enc
+        |  JOIN lut l ON enc.p = l.p AND enc.code = l.code
+        |  JOIN cn ON enc.p = cn.p AND enc.code = cn.code
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    ROUND(s.dot / (qn.qnorm * sqrt(s.cn2)), 4) AS cosine
+        |  FROM scored s JOIN qn USING (query_id)),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM cosd)
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
 

@@ -29,9 +29,11 @@ object ShortestPaths {
 
   private val BroadcastMax = 1000000L
 
-  /** `edges`: (src, dst, w) with w > 0 (enforced — silent non-positive
-    * weights would make "shortest" meaningless); `seeds`: single-column id
-    * relation, distance 0. Returns (id, dist).
+  /** `edges`: (src, dst, w) with w > 0 (enforced by FAILING, matching
+    * [[PageRank.weightedFixedIterations]] — a silent filter would also
+    * silently report any vertex reachable only through the dropped edge as
+    * unreachable); `seeds`: single-column id relation, distance 0.
+    * Returns (id, dist).
     */
   def bellmanFord(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 12,
@@ -40,8 +42,15 @@ object ShortestPaths {
         col(edges.columns(0)).as("src"),
         col(edges.columns(1)).as("dst"),
         col(edges.columns(2)).cast("double").as("w"))
-      .filter(col("w") > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // The contract check materializes the persisted edge cache the loop
+    // was about to pay for anyway — no extra upstream scan.
+    val bad = e.filter(col("w").isNull || col("w") <= 0).count()
+    if (bad != 0L) {
+      e.unpersist(blocking = false) // don't leak the cache on the failure path
+      throw new IllegalArgumentException(
+        s"bellmanFord: $bad edge(s) with null/zero/negative weight — weights must be > 0")
+    }
 
     var dist = seeds.select(col(seeds.columns(0)).as("id"))
       .distinct()

@@ -331,4 +331,188 @@ object Similarity {
         round(col("lo") + (code + lit(0.5)) * (col("hi") - col("lo")) / 256, 6)
           .as("recon"))
   }
+
+  // ---------------------------------------------------------------------
+  // Product quantization (the public faiss-PQ recipe, completing the n5
+  // SQ8 / n6 asymmetric-search compression family): each vector is split
+  // into `m` sub-vectors of dim/m dims; per subspace a codebook of
+  // `nCodes` centroids quantizes the sub-vector to 1 byte — dim·4 bytes →
+  // m bytes per vector (64-dim float32 → 4 bytes at m=4), which is what
+  // makes a 100 TB embedding store RAM-resident. Search is asymmetric
+  // distance computation (ADC): exact query sub-vectors against a
+  // 256-entry per-subspace lookup table, summed across subspaces.
+  // ---------------------------------------------------------------------
+
+  /** Portable PQ codebook: centroids are a DETERMINISTIC md5-ranked corpus
+    * sample (k-means with zero Lloyd iterations — sampled init is the
+    * standard quantizer bootstrap), so the codebook — and everything
+    * downstream of it — is reproducible verbatim in any engine with md5
+    * and carries a full DuckDB oracle, exactly the trick that made the
+    * static-IVF twin (n4b) hash-checkable where trained k-means is not.
+    * Returns (p, code, sv): subspace, centroid id in [0, nCodes), and the
+    * centroid's dim/m-dim coordinates.
+    *
+    * Scale note: the ranking window is global, but it ranks only to
+    * select `nCodes` seeds — at corpus scale you would md5-pre-sample
+    * (the p3b trick) down to ~4·nCodes candidates before ranking; at
+    * test scale the corpus IS the sample.
+    */
+  def pqCodebookPortable(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      dim: Int,
+      m: Int,
+      nCodes: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val w = Window.orderBy(
+      graft.ops.Portable.md5Long(
+        concat_ws(":", lit("pqseed"), col("vec_id").cast("string"))),
+      col("vec_id"))
+    vectors
+      .withColumn("code", (row_number().over(w) - 1).cast("long"))
+      .filter(col("code") < nCodes)
+      .select(col("code"),
+        explode(array((0 until m).map(p =>
+          struct(lit(p).as("p"), slice(col("v"), p * sub + 1, sub).as("sv"))): _*))
+          .as("e"))
+      .select(col("e.p").as("p"), col("code"), col("e.sv").as("sv"))
+  }
+
+  /** Trained PQ codebook: per-subspace k-means (the faiss default). The
+    * centroids are engine-specific (Lloyd iterations), so operators built
+    * on this variant are rows-only + recall-spec'd, like the KMeans IVF
+    * path (n4) — [[pqCodebookPortable]] is the hash-checkable twin.
+    */
+  def pqCodebookTrained(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame,
+      dim: Int,
+      m: Int,
+      nCodes: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    import spark.implicits._
+    (0 until m).map { p =>
+      val feat = vectors
+        .select(array_to_vector(slice(col("v"), p * sub + 1, sub)).as("features"))
+        .localCheckpoint(true)
+      val model = new KMeans()
+        .setK(nCodes).setSeed(42L + p).setMaxIter(10)
+        .setFeaturesCol("features")
+        .fit(feat)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(feat)
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (p, i.toLong, c.toArray.toSeq) }
+        .toDF("p", "code", "sv")
+    }.reduce(_ unionAll _)
+  }
+
+  /** PQ encode: (vec_id, subspace, code) — each sub-vector to its nearest
+    * centroid (squared L2, lowest code on ties). MAP-ONLY at any scale:
+    * the codebook (m·nCodes rows) collapses to one array per subspace and
+    * broadcasts; each vector row explodes to its m sub-vectors and the
+    * argmin runs as a fold over the broadcast array — no shuffle, no
+    * per-pair row explosion (the N·m·nCodes candidate relation never
+    * materializes). Distances fold left-to-right over the sub-vector, so
+    * doubles match the SQL oracle bit-for-bit (the n5/n6 precedent).
+    */
+  def pqEncode(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      codebook: DataFrame, // (p INT, code LONG, sv ARRAY<DOUBLE>)
+      dim: Int,
+      m: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val cbArr = codebook.groupBy(col("p"))
+      .agg(sort_array(collect_list(struct(col("code"), col("sv")))).as("cb"))
+    val el = vectors
+      .select(col("vec_id"),
+        explode(array((0 until m).map(p =>
+          struct(lit(p).as("p"), slice(col("v"), p * sub + 1, sub).as("qsv"))): _*))
+          .as("e"))
+      .select(col("vec_id"), col("e.p").as("p"), col("e.qsv").as("qsv"))
+    el.join(broadcast(cbArr), "p")
+      .select(
+        col("vec_id"),
+        col("p").cast("long").as("subspace"),
+        aggregate(
+          col("cb"),
+          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("code")),
+          (acc, s) => {
+            val d = aggregate(
+              zip_with(col("qsv"), s.getField("sv"), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, v) => a + v)
+            when(d < acc.getField("d"),
+              struct(d.as("d"), s.getField("code").as("code"))).otherwise(acc)
+          },
+          acc => acc.getField("code")).as("code"))
+  }
+
+  /** PQ ADC search: exact queries against the PQ-COMPRESSED store, cosine
+    * metric. The classic asymmetric-distance layout:
+    *  - per query, a lookup table of partial dot products
+    *    ⟨q_p, centroid⟩ for all (subspace, code) — |Q|·m·nCodes rows,
+    *    BROADCAST;
+    *  - a query-independent table of centroid norms |c_p(code)|²,
+    *    broadcast alongside;
+    *  - the big side — the (cand_id, subspace, code) store, m SMALL ints
+    *    per vector instead of dim floats — joins the LUT on (p, code) and
+    *    one combinable groupBy sums the m partials into
+    *    cos ≈ Σ⟨q_p,c_p⟩ / (|q|·√Σ|c_p|²). The store is scanned once and
+    *    never rebuilt per query.
+    * Partials are rounded to 9 dp and summed as DECIMAL so the m-way sums
+    * are associative — order-independent in both engines (the e14/q6
+    * hardening pattern); every downstream double op then sees identical
+    * inputs. Ranking: rounded cosine desc, cand_id tie-break.
+    */
+  def annPq(
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
+      candidates: DataFrame, // (cand_id LONG, v ARRAY<DOUBLE>)
+      codebook: DataFrame, // (p INT, code LONG, sv ARRAY<DOUBLE>)
+      dim: Int,
+      m: Int,
+      k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    val enc = pqEncode(
+        candidates.select(col("cand_id").as("vec_id"), col("v")), codebook, dim, m)
+      .select(col("vec_id").as("cand_id"), col("subspace").as("p"), col("code"))
+    val qel = queries
+      .select(col("query_id"),
+        explode(array((0 until m).map(p =>
+          struct(lit(p).as("p"), slice(col("qv"), p * sub + 1, sub).as("qsv"))): _*))
+          .as("e"))
+      .select(col("query_id"), col("e.p").cast("int").as("p"), col("e.qsv").as("qsv"))
+    val lut = qel.join(codebook.withColumn("p", col("p").cast("int")), "p")
+      .select(col("query_id"), col("p").cast("long").as("p"), col("code"),
+        round(aggregate(zip_with(col("qsv"), col("sv"), (x, y) => x * y),
+            lit(0.0), (a, v) => a + v), 9)
+          .cast("decimal(24,9)").as("qd"))
+    val cn = codebook
+      .select(col("p").cast("long").as("p"), col("code"),
+        round(aggregate(transform(col("sv"), x => x * x),
+            lit(0.0), (a, v) => a + v), 9)
+          .cast("decimal(24,9)").as("c2"))
+    val qn = queries.select(col("query_id"),
+      sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, v) => a + v))
+        .as("qnorm"))
+    val scored = enc
+      .join(broadcast(lut.join(cn, Seq("p", "code"))), Seq("p", "code"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qd")).as("dot"), sum(col("c2")).as("cn2"))
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(col("dot").cast("double")
+            / (col("qnorm") * sqrt(col("cn2").cast("double"))), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -44,12 +44,44 @@ class ExprSpec extends SparkSpec {
     assert(math.abs(got - 1.0) < 1e-15)
   }
 
-  test("misra_gries registered via GraftExtensions SQL surface") {
-    // The extensions entry point builds its own session; exercise the
-    // function-injection route rather than the Column API.
-    val ext = new org.apache.spark.sql.graft.GraftExtensions
-    val exts = new org.apache.spark.sql.SparkSessionExtensions
-    ext(exts) // must not throw; registration itself is covered below
+  test("GraftExtensions SQL surface: misra_gries/kll_quantiles/arity via withExtensions session") {
+    // Exercise the REAL injection route: a session built with
+    // .withExtensions(new GraftExtensions) sharing the test SparkContext,
+    // driving the injected SQL builders (arity guard, decimal ranks
+    // conversion) through spark.sql — the cluster-deployment path, in CI
+    // rather than only in the manual ExtensionsDemo runMain.
+    val base = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    try {
+      val ext = org.apache.spark.sql.SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .getOrCreate() // reuses the existing SparkContext; new sessionState
+      val hh = ext.sql(
+        """SELECT e.term, e.apx
+          |FROM (SELECT explode(misra_gries(t, 8)) AS e
+          |      FROM VALUES ('a'),('b'),('a'),('a'),('c') AS v(t))""".stripMargin)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hh == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      // Plain fractional literal → array<decimal> ranks: the elementwise
+      // Decimal conversion in the builder is the code under test.
+      val med = ext.sql(
+        "SELECT kll_quantiles(v, array(0.5)) AS q FROM VALUES (1.0d),(2.0d),(3.0d) AS t(v)")
+        .collect().head.getSeq[Double](0).head
+      assert(med == 2.0, s"kll median over {1,2,3} was $med")
+      // Wrong arity must surface the builder's NAMED error.
+      val err = intercept[Exception] {
+        ext.sql("SELECT misra_gries(t) FROM VALUES ('a') AS v(t)").collect()
+      }
+      assert(err.getMessage.contains("misra_gries expects 2"),
+        s"unexpected arity error: ${err.getMessage}")
+    } finally {
+      org.apache.spark.sql.SparkSession.setDefaultSession(base)
+      org.apache.spark.sql.SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("misra_gries Column API heavy hitters") {
     import spark.implicits._
     val got = Seq("a", "b", "a", "a", "c").toDF("t")
       .agg(org.apache.spark.sql.graft.MisraGriesAgg.heavyHitters(col("t"), 8).as("hh"))

@@ -62,17 +62,29 @@ object ShortestPathsProperties extends Properties("ShortestPaths") {
       got == Map(7L -> 0.0, 9L -> 0.0)
     }
 
-  property("rejects non-positive rounds and strips non-positive weights") =
+  property("rejects non-positive rounds and FAILS on non-positive weights") =
     Prop {
       import spark.implicits._
-      val e = Seq((0L, 1L, -5.0), (0L, 1L, 3.0)).toDF("src", "dst", "w")
       val zeroRejected =
-        try { ShortestPaths.bellmanFord(e, Seq(0L).toDF("id"), 0); false }
-        catch { case _: IllegalArgumentException => true }
-      val df = ShortestPaths.bellmanFord(e, Seq(0L).toDF("id"), 2)
+        try {
+          ShortestPaths.bellmanFord(
+            Seq((0L, 1L, 3.0)).toDF("src", "dst", "w"), Seq(0L).toDF("id"), 0)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      // w > 0 is enforced fail-fast (like PageRank.weightedFixedIterations):
+      // a silent drop would report vertex 1 as unreachable-with-no-signal if
+      // the -5 edge were its only path.
+      val badRejected =
+        try {
+          ShortestPaths.bellmanFord(
+            Seq((0L, 1L, -5.0), (0L, 1L, 3.0)).toDF("src", "dst", "w"),
+            Seq(0L).toDF("id"), 2)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      val df = ShortestPaths.bellmanFord(
+        Seq((0L, 1L, 3.0)).toDF("src", "dst", "w"), Seq(0L).toDF("id"), 2)
       val got = df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
-      // The -5 edge must be ignored, not produce dist(1) = -5.
-      zeroRejected && got == Map(0L -> 0.0, 1L -> 3.0)
+      zeroRejected && badRejected && got == Map(0L -> 0.0, 1L -> 3.0)
     }
 }
