@@ -26,7 +26,7 @@ object Motifs {
     * `GraftInternals.freeLocalCheckpoint`) once the result is consumed —
     * the same contract as [[kHopMinHops]]'s per-level checkpoints.
     */
-  private def orientedGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+  private[graft] def orientedGraph(edges: DataFrame): (DataFrame, DataFrame) = {
     val und = edges
       .select(
         least(col(edges.columns(0)), col(edges.columns(1))).as("a"),
@@ -57,17 +57,60 @@ object Motifs {
     (deg, oriented)
   }
 
+  /** Oriented out-degree above which a vertex's wedge generation is split
+    * across bucket pairs. Orientation bounds out-degree at O(√m), but at
+    * 100 TB scale √m is still ~10⁵ and C(od, 2) wedges of ONE vertex would
+    * land in ONE hash partition of the wedge self-join — the classic
+    * power-law straggler. 4096 caps per-key join work at ~T² ≈ 17M pair
+    * evaluations; every graph in this repo's bench stays below it (sf0.1
+    * max oriented out-degree ≈ √(2·1.2M) ≈ 1.5k), so the split is a no-op
+    * there by construction (B = 1 everywhere).
+    */
+  private[graft] val HubSplitThreshold = 4096L
+
+  /** The two sides of the wedge self-join, SALTED for hub vertices — the
+    * public "high/low-degree vertex partitioning" triangle trick. For a
+    * vertex with out-degree od > threshold, out-neighbors hash into
+    * B = ⌈od/threshold⌉ buckets; the left side replicates each edge across
+    * the B values of the RIGHT bucket (by), the right side across the B
+    * values of the LEFT bucket (bx), and the join keys on (u, bx, by) —
+    * every neighbor pair meets in exactly one of the B² keys, each key
+    * carrying ≤ ~threshold² pair evaluations. Non-hub vertices get B = 1
+    * (bx = by = 0, one replica): bit-identical to the unsalted join.
+    * The hub relation is tiny by definition (vertices above √m-scale
+    * out-degree) and broadcasts.
+    */
+  private[graft] def saltedWedgeSides(
+      oriented: DataFrame, threshold: Long): (DataFrame, DataFrame) = {
+    val hubs = oriented.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .filter(col("od") > threshold)
+    val withB = oriented.join(broadcast(hubs), Seq("u"), "left")
+      .withColumn("nb",
+        coalesce(ceil(col("od").cast("double") / threshold).cast("int"), lit(1)))
+    val x = withB.select(
+      col("u"), col("v").as("v1"), col("dv").as("d1"),
+      pmod(xxhash64(col("v")), col("nb")).cast("int").as("bx"),
+      explode(sequence(lit(0), col("nb") - 1)).as("by"))
+    val y = withB.select(
+      col("u"), col("v").as("v2"), col("dv").as("d2"),
+      explode(sequence(lit(0), col("nb") - 1)).as("bx"),
+      pmod(xxhash64(col("v")), col("nb")).cast("int").as("by"))
+    (x, y)
+  }
+
   /** Closed wedges (u, v1, v2) of the oriented edge list: wedges (u→v1,
     * u→v2) with v1 below v2 in the (degree, id) order, closed by the
     * oriented edge (v1, v2). Each triangle appears exactly once, at its
     * lowest-ordered corner. Inner join, not semi: distinct wedges sharing
     * the same (v1, v2) close into DIFFERENT triangles and must each count
     * once; the oriented edge list is distinct, so the join multiplies by
-    * exactly 1.
+    * exactly 1. Hub vertices generate their wedges across salted bucket
+    * pairs ([[saltedWedgeSides]]) so no single partition owns a hub.
     */
-  private def closedWedges(oriented: DataFrame): DataFrame = {
-    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
-    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+  private def closedWedges(
+      oriented: DataFrame,
+      threshold: Long = HubSplitThreshold): DataFrame = {
+    val (x, y) = saltedWedgeSides(oriented, threshold)
     // (d1, v1) < (d2, v2) lexicographically, spelled with primitive
     // comparisons: the equivalent struct(..) < struct(..) predicate is
     // evaluated by an interpreted ordering (no codegen) and at sf0.1 this
@@ -82,7 +125,8 @@ object Motifs {
     // sort-free; the edge side exceeds the broadcast threshold and grows
     // with |E|, so a shuffled hash (per-partition build ~|E|/parts) is the
     // scale-safe strategy, not a broadcast.
-    x.join(y, x("u") === y("u") && below)
+    x.join(y,
+        x("u") === y("u") && x("bx") === y("bx") && x("by") === y("by") && below)
       .select(x("u").as("u"), col("v1"), col("v2"))
       .join(
         oriented.select(col("u").as("v1"), col("v").as("v2")).hint("SHUFFLE_HASH"),
@@ -111,9 +155,12 @@ object Motifs {
     * degree join), the wedge self-join and closing join are plain equi
     * hash joins on vertex ids — all AQE-replannable; nothing is collected.
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(
+      edges: DataFrame,
+      hubSplitThreshold: Long = HubSplitThreshold): DataFrame = {
     val (deg, oriented) = orientedGraph(edges)
-    val nTri = closedWedges(oriented).agg(count(lit(1)).as("n_triangles"))
+    val nTri = closedWedges(oriented, hubSplitThreshold)
+      .agg(count(lit(1)).as("n_triangles"))
     val degAgg = deg.agg(
       count(lit(1)).as("n_vertices"),
       // coalesce: SUM over zero rows is NULL — an empty graph must report

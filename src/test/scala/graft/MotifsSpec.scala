@@ -46,6 +46,44 @@ class MotifsSpec extends SparkSpec {
     assert(row.getAs[Double]("transitivity") == 0.0)
   }
 
+  test("hub salting: crafted hub graph splits wedge keys, count unchanged") {
+    // Vertex 0 ("h") links 100 heavies (ids 1..100); each heavy also links
+    // 101 private fillers, so deg(heavy) ≥ 103 > deg(h) = 100 and ALL h
+    // edges orient h→heavy: h's oriented out-degree is 100 — a wedge hub.
+    // Consecutive heavies are linked, closing exactly 99 triangles at h.
+    val hEdges = (1 to 100).map(i => (0L, i.toLong))
+    val chain = (1 until 100).map(i => (i.toLong, (i + 1).toLong))
+    val fillers = for {
+      i <- 1 to 100; j <- 0 until 101
+    } yield (i.toLong, 1000L + i * 200L + j)
+    val edges = (hEdges ++ chain ++ fillers).toDF("src", "dst")
+
+    // Correctness under forced splitting (threshold 16 → B = ⌈100/16⌉ = 7
+    // buckets for h): identical census to the unsalted-path default.
+    val salted = Motifs.triangleStats(edges, hubSplitThreshold = 16L).collect().head
+    assert(salted.getAs[Long]("n_triangles") == 99L)
+    val default = Motifs.triangleStats(edges).collect().head
+    assert(default.getAs[Long]("n_triangles") == 99L)
+
+    // Bounded per-key wedge loads: no (u, bx, by) join key may carry more
+    // than ~threshold² candidate pairs (4× slack for hash imbalance), and
+    // the hub's wedges must actually spread across many keys.
+    val (degRel, oriented) = Motifs.orientedGraph(edges)
+    val (x, y) = Motifs.saltedWedgeSides(oriented, threshold = 16L)
+    val loadX = x.groupBy(col("u"), col("bx"), col("by")).count()
+      .select(col("u"), col("bx"), col("by"), col("count").as("nx"))
+    val loadY = y.groupBy(col("u"), col("bx"), col("by")).count()
+      .select(col("u"), col("bx"), col("by"), col("count").as("ny"))
+    val keyPairs = loadX.join(loadY, Seq("u", "bx", "by"))
+      .select(col("u"), (col("nx") * col("ny")).as("pairs"))
+    val maxPairs = keyPairs.agg(max(col("pairs"))).head().getLong(0)
+    assert(maxPairs <= 4L * 16L * 16L, s"maxPairs=$maxPairs")
+    val hubKeys = keyPairs.filter(col("u") === 0L).count()
+    assert(hubKeys >= 40L, s"hub wedges spread over only $hubKeys keys")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(oriented)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(degRel)
+  }
+
   test("triangle count matches brute-force enumeration on a power-law graph") {
     val g = SyntheticGraph.powerLaw(spark, 120L, 900L).cache()
     val und = g.select(

@@ -35,6 +35,16 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("g3: the wedge self-join keys on the salt columns, closing join hash-shuffles") {
+    // The hub-split contract at plan level: the wedge self-join must key
+    // on (u, bx, by) — NOT u alone — so a power-law hub's wedge pairs
+    // spread over B² hash keys instead of one partition, and the closing
+    // join must stay a ShuffledHashJoin (no 41M-row wedge sort).
+    val plan = planOf(SparkEntry.queries("g3_triangles")(spark, Sf01))
+    assert(plan.contains("bx") && plan.contains("by"), plan.take(3000))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(3000))
+  }
+
   test("e16: SCD2's two window passes share one exchange+sort") {
     // lag-compare, filter, lead all run over the same (user_id | ms,
     // event_id) ordering; filter preserves partitioning and ordering, so
