@@ -1,12 +1,25 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
+import java.util.concurrent.atomic.AtomicLong
 
-/** One-off crossover experiment: DataFrame loop vs GraphX at 10M and 20M
-  * power-law edges, fixed iteration count (delta = 0) so both paths do
-  * identical work. Extends the 2M-edge bench data point before
-  * recommending either path as the cluster-scale default.
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.graft.GraftInternals
+import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, PageRankGraphX, SyntheticGraph}
+
+/** Scale-ceiling probe: the three production graph loops — PageRank-DF,
+  * label propagation, star-contraction connected components — at 2M, 20M
+  * and 100M power-law edges on local[32]/128 GiB, with executor CPU and
+  * SPILL BYTES recorded per run. This answers "would the loop shapes
+  * survive 100×?" with data: the wall/cpu curve shows where scaling stops
+  * being linear, the spill column shows where partitions stop fitting in
+  * memory, and an OOM/failure at a point IS the documented ceiling.
+  * Results are tabulated in README §scale. GraphX rides along at the two
+  * smaller points as the crossover reference (its 100M cost is RDD-path
+  * dominated and was already characterized at 20M).
+  *
+  *   sbt "runMain graft.AbScaledXl"            # all points
+  *   XL_POINTS=2000000 XL_ITERS=5 ...          # override
   */
 object AbScaledXl {
   def main(args: Array[String]): Unit = {
@@ -17,25 +30,72 @@ object AbScaledXl {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val sc = spark.sparkContext
+    sc.setLogLevel("ERROR")
     val iters = sys.env.getOrElse("XL_ITERS", "5").toInt
+    val points = sys.env.getOrElse("XL_POINTS", "2000000,20000000,100000000")
+      .split(",").map(_.trim.toLong).toSeq
     val params = PageRank.Params(beta = 0.85, delta = 0.0, maxIter = iters)
-    // warm
+
+    val cpuNs = new AtomicLong(0L)
+    val spillBytes = new AtomicLong(0L)
+    sc.addSparkListener(new SparkListener {
+      override def onStageCompleted(done: SparkListenerStageCompleted): Unit = {
+        val m = done.stageInfo.taskMetrics
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+          ()
+        }
+      }
+    })
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    def measure(label: String, nv: Long, ne: Long)(body: => Long): Unit = {
+      GraftInternals.drainListenerBus(spark)
+      cpuNs.set(0L); spillBytes.set(0L)
+      val t0 = System.nanoTime()
+      val ok = try { val rows = body; require(rows > 0); true }
+        catch { case t: Throwable =>
+          println(s"XL $label verts=$nv edges=$ne FAILED: ${t.getClass.getSimpleName} ${String.valueOf(t.getMessage).take(160)}")
+          false
+        }
+      val wall = (System.nanoTime() - t0) / 1e9
+      GraftInternals.drainListenerBus(spark)
+      if (ok) println(f"XL $label%-8s verts=$nv%9d edges=$ne%10d iters=$iters " +
+        f"wall=$wall%8.2f s cpu=${cpuNs.get() / 1e9}%8.1f s spill=${spillBytes.get() / 1e6}%.0f MB")
+      sweep()
+    }
+
+    // warm the JVM/codegen once
     PageRank.run(spark, SyntheticGraph.powerLaw(spark, 10000L, 100000L), params).release()
-    for ((nv, ne) <- Seq((1000000L, 10000000L), (2000000L, 20000000L))) {
-      for (form <- Seq("df", "graphx")) {
-        val t0 = System.nanoTime()
-        val edges = SyntheticGraph.powerLaw(spark, nv, ne)
-        val res =
-          if (form == "df") PageRank.run(spark, edges, params)
-          else PageRankGraphX.run(spark, edges, params)
+    sweep()
+
+    for (ne <- points) {
+      val nv = ne / 10
+      measure("pr_df", nv, ne) {
+        val res = PageRank.run(spark, SyntheticGraph.powerLaw(spark, nv, ne), params)
         require(res.iterations == iters)
-        require(PageRank.topK(res.ranks, 100).count() == 100)
-        res.release()
-        val wall = (System.nanoTime() - t0) / 1e9
-        println(f"XL $form%-7s verts=$nv edges=$ne iters=$iters wall=$wall%.2f s")
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+        val n = PageRank.topK(res.ranks, 100).count()
+        res.release(); n
+      }
+      measure("lpa", nv, ne) {
+        val res = LabelPropagation.run(SyntheticGraph.powerLaw(spark, nv, ne), rounds = 2)
+        val n = res.count()
+        GraftInternals.freeLocalCheckpoint(res); n
+      }
+      measure("cc_df", nv, ne) {
+        val res = ConnectedComponents.run(SyntheticGraph.powerLaw(spark, nv, ne))
+        val n = res.count()
+        GraftInternals.freeLocalCheckpoint(res); n
+      }
+      if (ne <= 20000000L) measure("graphx", nv, ne) {
+        val res = PageRankGraphX.run(spark, SyntheticGraph.powerLaw(spark, nv, ne), params)
+        require(res.iterations == iters)
+        val n = PageRank.topK(res.ranks, 100).count()
+        res.release(); n
       }
     }
     spark.stop()

@@ -107,9 +107,11 @@ object Bench {
     "d4_simhash",
     "d5_embedding_pairs",
     "d7b_clusters_df",
+    "d13_fuzzy_dedup_apply",
     "n1_ann_brute",
     "n2_ann_lsh",
     "n5_sq_encode",
+    "n8_ann_pq",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",
@@ -291,9 +293,40 @@ object Bench {
     // SparkContext/scan start-up.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
+    // The export path under the bench: trainingShards (shuffle + sorted
+    // runs + manifest read-back) and the Hive-partitioned sink, written to
+    // a throwaway local dir. Tracked so the end-of-pipeline sink has a
+    // perf number like every query-shaped operator.
+    def sinksDir(): java.nio.file.Path =
+      java.nio.file.Files.createTempDirectory("graft_bench_sinks")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+
     val results: Seq[(String, (Sample, Double))] = Headline.map { name =>
       name -> time(2)(SparkEntry.queries(name)(spark, sfDir).count())
-    } :+ ("pagerank_wikidata" -> time(2) {
+    } :+ ("sinks_training_shards" -> time(2) {
+      val dir = sinksDir()
+      try {
+        val docs = Tables.documents(spark, sfDir)
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text"))
+        val manifest = graft.io.Sinks.trainingShards(
+          docs, dir.resolve("shards").toString, "doc_id", shards = 8)
+        require(manifest.count() == 8L)
+      } finally rmTree(dir)
+    }) :+ ("sinks_partitioned" -> time(2) {
+      val dir = sinksDir()
+      try {
+        graft.io.Sinks.writePartitioned(
+          Tables.documents(spark, sfDir), dir.resolve("bylang").toString, "lang")
+        val en = graft.io.Sinks.readPruned(spark, dir.resolve("bylang").toString,
+          "lang", "en").count()
+        require(en > 0L)
+      } finally rmTree(dir)
+    }) :+ ("pagerank_wikidata" -> time(2) {
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
       val res = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
       val n = PageRank.topK(res.ranks, 100).count()

@@ -567,7 +567,11 @@ object PipelineQueries {
     // fidelity vs exact n1 is spec-asserted alongside n6's.
     "n8_ann_pq" -> ((s, d) => {
       val v = vecs(s, d)
+      // The codebook feeds three consumers (encode broadcast, query LUT,
+      // centroid norms) — materialize it once; the checkpoint stays
+      // reachable from the returned plan and sweeps as usual.
       val cb = Similarity.pqCodebookPortable(v, dim = 64, m = 32, nCodes = 256)
+        .localCheckpoint(true)
       Similarity.annPq(
         v.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv")),
@@ -583,6 +587,7 @@ object PipelineQueries {
     "n9_pq_trained" -> ((s, d) => {
       val v = vecs(s, d)
       val cb = Similarity.pqCodebookTrained(s, v, dim = 64, m = 32, nCodes = 64)
+        .localCheckpoint(true)
       Similarity.annPq(
         v.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("v").as("qv")),

@@ -409,14 +409,27 @@ object Similarity {
     }.reduce(_ unionAll _)
   }
 
+  /** Per-element sum over the sub-vector spelled as UNROLLED element_at
+    * arithmetic (the term for index j comes from `term`), reduced
+    * left-to-right so doubles match the SQL oracle's in-order
+    * `list_aggregate` bit-for-bit (the n5/n6 precedent). Unrolled rather
+    * than `zip_with`+`aggregate`: higher-order lambdas are CodegenFallback
+    * — interpreted per row — and the encode evaluates this N·m·nCodes
+    * times (measured 17 executor-CPU-s at sf0.1 in lambda form vs ~1 s
+    * unrolled; the same lesson as d4's vote-sum rewrite).
+    */
+  private def unrolledSum(sub: Int)(term: Int => Column): Column =
+    (1 to sub).map(term).reduce(_ + _)
+
   /** PQ encode: (vec_id, subspace, code) — each sub-vector to its nearest
     * centroid (squared L2, lowest code on ties). MAP-ONLY at any scale:
-    * the codebook (m·nCodes rows) collapses to one array per subspace and
-    * broadcasts; each vector row explodes to its m sub-vectors and the
-    * argmin runs as a fold over the broadcast array — no shuffle, no
-    * per-pair row explosion (the N·m·nCodes candidate relation never
-    * materializes). Distances fold left-to-right over the sub-vector, so
-    * doubles match the SQL oracle bit-for-bit (the n5/n6 precedent).
+    * the codebook collapses to one (codes[], flat coords[]) pair per
+    * subspace (m rows, broadcast); each vector row explodes to its m
+    * sub-vectors and the whole nCodes×subDim argmin loop runs inside the
+    * native codegen'd [[org.apache.spark.sql.graft.PqArgMinExpr]] — no
+    * shuffle, no N·m·nCodes row stream (every relational spelling of that
+    * stream measured 6-17 s at sf0.1 vs sub-second fused; see the
+    * expression's scaladoc).
     */
   def pqEncode(
       vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
@@ -425,8 +438,13 @@ object Similarity {
       m: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
+    // codes ascending (sort_array on (code, sv) structs orders by code),
+    // coords flattened in the same order — the layout PqArgMinExpr scans.
     val cbArr = codebook.groupBy(col("p"))
       .agg(sort_array(collect_list(struct(col("code"), col("sv")))).as("cb"))
+      .select(col("p").cast("int").as("p"),
+        expr("transform(cb, x -> x.code)").as("codes"),
+        flatten(expr("transform(cb, x -> x.sv)")).as("flat"))
     val el = vectors
       .select(col("vec_id"),
         explode(array((0 until m).map(p =>
@@ -437,17 +455,8 @@ object Similarity {
       .select(
         col("vec_id"),
         col("p").cast("long").as("subspace"),
-        aggregate(
-          col("cb"),
-          struct(lit(Double.MaxValue).as("d"), lit(-1L).as("code")),
-          (acc, s) => {
-            val d = aggregate(
-              zip_with(col("qsv"), s.getField("sv"), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, v) => a + v)
-            when(d < acc.getField("d"),
-              struct(d.as("d"), s.getField("code").as("code"))).otherwise(acc)
-          },
-          acc => acc.getField("code")).as("code"))
+        org.apache.spark.sql.graft.PqArgMinExpr
+          .pqArgMin(col("qsv"), col("codes"), col("flat")).as("code"))
   }
 
   /** PQ ADC search: exact queries against the PQ-COMPRESSED store, cosine
@@ -476,9 +485,18 @@ object Similarity {
       k: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
     val sub = dim / m
+    // The encoded store is MATERIALIZED (eager localCheckpoint) before the
+    // ADC join — production PQ reads codes at rest, it does not re-run the
+    // encoder per query. It is also what keeps the stage codegen'd: fused
+    // into the join+aggregate stage, the m-way explode pushed the
+    // generated method past the whole-stage limit and the entire stage
+    // fell back to interpreted eval (measured 6.1 s vs 0.8 s at sf0.1 for
+    // the scoring stage alone). The checkpoint backs the returned plan and
+    // is freed by the caller's usual persistent-RDD sweep.
     val enc = pqEncode(
         candidates.select(col("cand_id").as("vec_id"), col("v")), codebook, dim, m)
       .select(col("vec_id").as("cand_id"), col("subspace").as("p"), col("code"))
+      .localCheckpoint(true)
     val qel = queries
       .select(col("query_id"),
         explode(array((0 until m).map(p =>
@@ -487,13 +505,13 @@ object Similarity {
       .select(col("query_id"), col("e.p").cast("int").as("p"), col("e.qsv").as("qsv"))
     val lut = qel.join(codebook.withColumn("p", col("p").cast("int")), "p")
       .select(col("query_id"), col("p").cast("long").as("p"), col("code"),
-        round(aggregate(zip_with(col("qsv"), col("sv"), (x, y) => x * y),
-            lit(0.0), (a, v) => a + v), 9)
+        round(unrolledSum(sub)(j =>
+            element_at(col("qsv"), j) * element_at(col("sv"), j)), 9)
           .cast("decimal(24,9)").as("qd"))
     val cn = codebook
       .select(col("p").cast("long").as("p"), col("code"),
-        round(aggregate(transform(col("sv"), x => x * x),
-            lit(0.0), (a, v) => a + v), 9)
+        round(unrolledSum(sub)(j =>
+            element_at(col("sv"), j) * element_at(col("sv"), j)), 9)
           .cast("decimal(24,9)").as("c2"))
     val qn = queries.select(col("query_id"),
       sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, v) => a + v))

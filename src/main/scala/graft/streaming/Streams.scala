@@ -234,6 +234,91 @@ object Streams {
       .select(col("l_id"), col("r_id"))
   }
 
+  /** Tagged element of the unified as-of input stream. */
+  case class AsOfEv(k: Long, t: Long, isRight: Boolean,
+      v: Option[Long], id: Option[Long], ts: Timestamp)
+  /** Per-key as-of buffer: unmatched lefts (t, id) and candidate rights
+    * (t, v).
+    */
+  case class AsOfPending(lefts: List[(Long, Long)], rights: List[(Long, Long)])
+  /** One as-of match (asofV None when no right row at or before t). */
+  case class AsOfMatch(id: Long, k: Long, asofV: Option[Long])
+
+  /** Stream-stream AS-OF enrichment — the streaming twin of
+    * `ops.AsOfJoin.asOf` (backward direction): every left row decorated
+    * with the latest right value at or before its event time on the same
+    * key. Spark has no streaming as-of join, and the batch union+window
+    * merge needs a per-key sort streams can't do — so this is custom
+    * state over `flatMapGroupsWithState` (the §2.10 ladder's (c) rung),
+    * with WATERMARK-BOUNDED buffers:
+    *
+    *  - a left row buffers until the watermark passes its event time —
+    *    only then can no earlier-or-equal right row still arrive — and
+    *    emits exactly once (append semantics);
+    *  - right rows at or before the watermark collapse to the single
+    *    latest one (it is the only one a future left can still need:
+    *    un-dropped future lefts have t ≥ watermark); rights beyond the
+    *    watermark are kept as-is. State per key is therefore
+    *    O(arrival rate × watermark delay), never corpus-sized.
+    *
+    * Tie rule matches the batch operator: rights at exactly t_left are
+    * visible; among rights with equal t the largest v wins. Event-time
+    * timeouts flush buffered lefts of QUIET keys (groups with no new
+    * rows) once their emission point passes.
+    */
+  def asOfStream(
+      left: DataFrame, // streaming (k LONG, ts TIMESTAMP, id LONG)
+      right: DataFrame, // streaming (k LONG, ts TIMESTAMP, v LONG)
+      watermark: String = "1 hour"): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    val l = left.select(
+        col(left.columns(0)).as("k"), col(left.columns(1)).as("ts"),
+        col(left.columns(2)).as("id"))
+      .withWatermark("ts", watermark)
+      .select(col("k"), unix_millis(col("ts")).as("t"),
+        lit(false).as("isRight"), lit(null).cast("long").as("v"),
+        col("id").cast("long").as("id"), col("ts"))
+    val r = right.select(
+        col(right.columns(0)).as("k"), col(right.columns(1)).as("ts"),
+        col(right.columns(2)).as("v"))
+      .withWatermark("ts", watermark)
+      .select(col("k"), unix_millis(col("ts")).as("t"),
+        lit(true).as("isRight"), col("v").cast("long").as("v"),
+        lit(null).cast("long").as("id"), col("ts"))
+    l.unionByName(r).as[AsOfEv]
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[AsOfPending, AsOfMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (k: Long, it: Iterator[AsOfEv], state: GroupState[AsOfPending]) =>
+          val st = state.getOption.getOrElse(AsOfPending(Nil, Nil))
+          val rows = it.toList
+          val lefts = st.lefts ++
+            rows.filter(!_.isRight).map(e => (e.t, e.id.get))
+          val rights = (st.rights ++
+            rows.filter(_.isRight).map(e => (e.t, e.v.get))).sorted
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, rest) = lefts.partition(_._1 <= wm)
+          val out = ripe.sorted.map { case (t, id) =>
+            // rights sorted by (t, v): the last entry at or before t is
+            // the max-t (then max-v) match — the batch tie rule.
+            AsOfMatch(id, k, rights.takeWhile(_._1 <= t).lastOption.map(_._2))
+          }
+          val (expired, live) = rights.partition(_._1 <= wm)
+          val keptRights = expired.lastOption.toList ++ live
+          if (rest.isEmpty && keptRights.isEmpty) state.remove()
+          else {
+            state.update(AsOfPending(rest, keptRights))
+            // Wake the group when the earliest buffered left ripens (must
+            // be strictly beyond the current watermark).
+            if (rest.nonEmpty)
+              state.setTimeoutTimestamp(math.max(rest.map(_._1).min, wm + 1))
+          }
+          out.iterator
+      }
+      .select(col("id"), col("k"), col("asofV").as("asof_v"))
+  }
+
   /** Streaming benchmark decontamination — the stream-static twin of
     * `Dedup.contamination`: documents arrive as a stream, the (small,
     * static) benchmark shingle index is broadcast, and each micro-batch

@@ -89,4 +89,59 @@ object OpsProperties extends Properties("Ops") {
         .toMap
       got == naiveAsOf(lrows, rrows, forward, tol)
     }
+
+  property("p9 mixture: temperature formula exact on 3-source + 99%-skew fixtures") =
+    {
+      import spark.implicits._
+      // Sizes with exact square roots so the hand computation is clean:
+      // √(100,400,2500) = (10,20,50), Z = 80, and with the query's T = 100
+      // the acceptance probs are (0.125, 0.0625, 0.025) by hand.
+      def run(sizes: Map[String, Int]): (Map[String, Long], Map[String, Long]) = {
+        val dir = java.nio.file.Files.createTempDirectory("p9fixture")
+        try {
+          val rows = sizes.toSeq.sortBy(_._1).flatMap { case (src, n) =>
+            val base = src.hashCode.abs.toLong * 100000L
+            (1 to n).map(i => (base + i, s"text $i", "en", src, 10L))
+          }
+          val docs = rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+          docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+          val got = SparkEntry.queries("p9_mixture_sample")(spark, dir.toString)
+            .groupBy(col("source")).count()
+            .as[(String, Long)].collect().toMap
+          // Expected: the EXACT accepted count under the hand-computed
+          // per-source threshold (same md5 draw the query uses — the
+          // formula, T·√n_s/Z/n_s, is recomputed here from first
+          // principles, not read back from the query).
+          val z = sizes.values.map(n => math.sqrt(n.toDouble)).sum
+          val u = graft.ops.Portable.md5Long(col("doc_id").cast("string")) % 1000000
+          val want = sizes.keys.map { src =>
+            val n = sizes(src).toDouble
+            val p = math.min(1.0, 100.0 * math.sqrt(n) / z / n)
+            src -> docs.filter(col("source") === src)
+              .filter(u.cast("double") < p * 1000000.0).count()
+          }.toMap.filter(_._2 > 0)
+          (got, want)
+        } finally {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+
+      // 3-source fixture: thresholds must be the hand values exactly.
+      assert(100.0 * 10.0 / 80.0 / 100.0 == 0.125)
+      assert(100.0 * 20.0 / 80.0 / 400.0 == 0.0625)
+      val (got3, want3) = run(Map("A" -> 100, "B" -> 400, "C" -> 2500))
+      // Skew fixture: X is 99% of the corpus (6400 vs 64; √ = 80 vs 8).
+      // The α=0.5 temperature identity: per-doc acceptance upweight of the
+      // small source is exactly √(n_X/n_Y) = 10.
+      val pX = 100.0 * 80.0 / 88.0 / 6400.0
+      val pY = 100.0 * 8.0 / 88.0 / 64.0
+      assert(math.abs(pY / pX - 10.0) < 1e-12, s"upweight=${pY / pX}")
+      val (gotS, wantS) = run(Map("X" -> 6400, "Y" -> 64))
+      (Prop(got3 == want3) :| s"3src got=$got3 want=$want3") &&
+        (Prop(got3.keySet == Set("A", "B", "C")) :| s"empty source in $got3") &&
+        (Prop(gotS == wantS) :| s"skew got=$gotS want=$wantS") &&
+        (Prop(gotS.keySet == Set("X", "Y")) :| s"empty source in $gotS")
+    }
 }

@@ -389,6 +389,65 @@ class StreamsSpec extends SparkSpec {
     assert(want === Set((20L, 21L), (20L, 22L)))
   }
 
+  test("streaming as-of enrichment matches batch AsOfJoin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(hm: String) = Timestamp.valueOf(s"2024-01-01 $hm:00")
+    val memL = MemoryStream[(Long, Timestamp, Long)] // (k, ts, id)
+    val memR = MemoryStream[(Long, Timestamp, Long)] // (k, ts, v)
+    val q = Streams.asOfStream(
+        memL.toDF().toDF("k", "ts", "id"),
+        memR.toDF().toDF("k", "ts", "v"),
+        watermark = "0 seconds")
+      .writeStream.format("memory").queryName("asofstream")
+      .outputMode("append").start()
+    // Batch 1: early rows. Watermark is still 0 → nothing emits yet.
+    memL.addData((1L, t("09:55"), 1L), (1L, t("10:00"), 2L), (2L, t("10:10"), 4L))
+    memR.addData((1L, t("10:00"), 100L), (2L, t("10:05"), 200L))
+    q.processAllAvailable()
+    // Batch 2: watermark = min(10:10, 10:05) = 10:05 → ids 1 (no right at
+    // or before 09:55 → null) and 2 (inclusive match at 10:00) emit; the
+    // equal-t rights (101 vs 150) land for the later tie-rule check.
+    memL.addData((1L, t("10:30"), 3L), (3L, t("10:15"), 5L))
+    memR.addData((1L, t("10:20"), 101L), (1L, t("10:20"), 150L))
+    q.processAllAvailable()
+    // Batch 3: per-key flush sentinels; watermark = min(10:30, 10:20) =
+    // 10:20 → id 4 (→200) and id 5 (k=3 has no earlier right → null).
+    memL.addData((99L, t("11:00"), 99L))
+    memR.addData((1L, t("11:00"), 888L), (2L, t("11:00"), 888L), (3L, t("11:00"), 888L))
+    q.processAllAvailable()
+    // Batch 4: watermark = 11:00 → id 3 ripens; among the equal-t 10:20
+    // rights the LARGEST v (150) must win, matching the batch tie rule.
+    memR.addData((1L, t("11:30"), 889L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asofstream")
+      .filter(col("id") <= 5L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+
+    // Batch twin over the SAME rows (sentinels included — they sit after
+    // every left timestamp, so the backward as-of ignores them).
+    val lRows = Seq(
+      (1L, t("09:55"), 1L), (1L, t("10:00"), 2L), (2L, t("10:10"), 4L),
+      (1L, t("10:30"), 3L), (3L, t("10:15"), 5L), (99L, t("11:00"), 99L))
+    val rRows = Seq(
+      (1L, t("10:00"), 100L), (2L, t("10:05"), 200L),
+      (1L, t("10:20"), 101L), (1L, t("10:20"), 150L),
+      (1L, t("11:00"), 888L), (2L, t("11:00"), 888L), (3L, t("11:00"), 888L),
+      (1L, t("11:30"), 889L))
+    val want = graft.ops.AsOfJoin.asOf(
+        lRows.toDF("k", "ts", "id")
+          .select(col("k"), unix_millis(col("ts")).as("t"), col("id")),
+        rRows.toDF("k", "ts", "v")
+          .select(col("k"), unix_millis(col("ts")).as("t"), col("v")))
+      .filter(col("id") <= 5L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got === want, s"got=$got want=$want")
+    assert(got === Map(
+      1L -> None, 2L -> Some(100L), 3L -> Some(150L),
+      4L -> Some(200L), 5L -> None))
+  }
+
   test("incremental out-degrees update across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
