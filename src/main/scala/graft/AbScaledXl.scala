@@ -18,8 +18,20 @@ import graft.graph.{ConnectedComponents, LabelPropagation, PageRank, PageRankGra
   * smaller points as the crossover reference (its 100M cost is RDD-path
   * dominated and was already characterized at 20M).
   *
-  *   sbt "runMain graft.AbScaledXl"            # all points
-  *   XL_POINTS=2000000 XL_ITERS=5 ...          # override
+  * The session shuffle-partition cap SCALES WITH THE POINT
+  * (max(32, |E|/250k) — 32/80/400 at 2M/20M/100M), mirroring how a real
+  * cluster's session cap grows with executor count; the graph loops
+  * already derive their partitioning from |E| (`PageRank.loopPartitions`)
+  * but respect the session cap, so an undersized fixed cap is a harness
+  * artifact, not an operator property. The first XL run (fixed 32
+  * partitions, 8 GiB heap) demonstrated exactly that: LPA and CC — whose
+  * loops shuffle |E|-sized relations, unlike PageRank's |V|-sized rank
+  * map — died with AGGREGATE_OUT_OF_MEMORY at 100M edges, i.e. ~6M
+  * hash-agg rows per task inside ~250 MB of per-task execution memory.
+  * Both outcomes are recorded in the README table.
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.AbScaledXl"   # all points
+  *   XL_POINTS=2000000 XL_ITERS=5 ...                      # override
   */
 object AbScaledXl {
   def main(args: Array[String]): Unit = {
@@ -75,6 +87,9 @@ object AbScaledXl {
 
     for (ne <- points) {
       val nv = ne / 10
+      val cap = math.max(32L, ne / 250000L).toInt
+      spark.conf.set("spark.sql.shuffle.partitions", cap)
+      println(s"XL point edges=$ne shuffle.partitions=$cap")
       measure("pr_df", nv, ne) {
         val res = PageRank.run(spark, SyntheticGraph.powerLaw(spark, nv, ne), params)
         require(res.iterations == iters)

@@ -580,6 +580,23 @@ object PipelineQueries {
         cb, dim = 64, m = 32, k = 10)
     }),
 
+    // IVFPQ (the composed faiss flagship): sign-pattern coarse cells
+    // (n4b's quantizer, 8 cells) prune the search to the query's own
+    // cell; PQ-ADC (n8's lookup tables) scores only that cell's codes.
+    // Fully portable composition → hash-oracled end to end; single-probe
+    // recall floor vs exact spec-asserted in DedupSimSpec.
+    "n10_ann_ivfpq" -> ((s, d) => {
+      val v = vecs(s, d)
+      val cb = Similarity.pqCodebookPortable(v, dim = 64, m = 32, nCodes = 256)
+        .localCheckpoint(true)
+      Similarity.annIvfPq(
+        v.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        v.filter(col("vec_id") >= 10)
+          .select(col("vec_id").as("cand_id"), col("v")),
+        cb, dim = 64, m = 32, cellDims = 3, k = 10)
+    }),
+
     // Trained-codebook PQ ADC (per-subspace k-means, the faiss default):
     // centroids are engine-specific, so rows-only — the portable twin n8
     // carries the hash oracle; recall vs exact n1 is the spec here.
@@ -1197,6 +1214,80 @@ object PipelineQueries {
         |  FROM enc
         |  JOIN lut l ON enc.p = l.p AND enc.code = l.code
         |  JOIN cn ON enc.p = cn.p AND enc.code = cn.code
+        |  GROUP BY 1, 2),
+        |cosd AS (
+        |  SELECT s.query_id, s.cand_id,
+        |    ROUND(s.dot / (qn.qnorm * sqrt(s.cn2)), 4) AS cosine
+        |  FROM scored s JOIN qn USING (query_id)),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM cosd)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "n10_ann_ivfpq" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |seeds AS (
+        |  SELECT v, code FROM (
+        |    SELECT v, CAST(ROW_NUMBER() OVER (ORDER BY
+        |        CAST('0x' || substr(md5('pqseed:' || CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |        vec_id) - 1 AS BIGINT) AS code
+        |    FROM e)
+        |  WHERE code < 256),
+        |sp AS (SELECT UNNEST(generate_series(0, 31)) AS p),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS cand_id, v FROM e WHERE vec_id >= 10),
+        |qc AS (
+        |  SELECT query_id, qv,
+        |    (CASE WHEN qv[1] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN qv[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN qv[3] >= 0 THEN 1 ELSE 0 END) AS qcell
+        |  FROM q),
+        |cc AS (
+        |  SELECT cand_id,
+        |    (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS cell
+        |  FROM c),
+        |cand AS (
+        |  SELECT c.cand_id, sp.p, s.code,
+        |    list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> (c.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])
+        |         * (c.v[sp.p * 2 + j] - s.v[sp.p * 2 + j])), 'sum') AS dist
+        |  FROM c CROSS JOIN seeds s CROSS JOIN sp),
+        |enc AS (
+        |  SELECT cand_id, p, code FROM (
+        |    SELECT cand_id, p, code,
+        |      ROW_NUMBER() OVER (PARTITION BY cand_id, p ORDER BY dist, code) AS rn
+        |    FROM cand)
+        |  WHERE rn = 1),
+        |lut AS (
+        |  SELECT qc.query_id, qc.qcell, sp.p, s.code,
+        |    CAST(ROUND(list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> qc.qv[sp.p * 2 + j] * s.v[sp.p * 2 + j]), 'sum'), 9)
+        |      AS DECIMAL(24,9)) AS qd
+        |  FROM qc CROSS JOIN seeds s CROSS JOIN sp),
+        |cn AS (
+        |  SELECT sp.p, s.code,
+        |    CAST(ROUND(list_aggregate(list_transform(generate_series(1, 2),
+        |      j -> s.v[sp.p * 2 + j] * s.v[sp.p * 2 + j]), 'sum'), 9)
+        |      AS DECIMAL(24,9)) AS c2
+        |  FROM seeds s CROSS JOIN sp),
+        |qn AS (
+        |  SELECT query_id,
+        |    sqrt(list_aggregate(list_transform(qv, x -> x * x), 'sum')) AS qnorm
+        |  FROM q),
+        |scored AS (
+        |  SELECT l.query_id, enc.cand_id,
+        |    CAST(SUM(l.qd) AS DOUBLE) AS dot,
+        |    CAST(SUM(cn.c2) AS DOUBLE) AS cn2
+        |  FROM enc
+        |  JOIN cc ON cc.cand_id = enc.cand_id
+        |  JOIN lut l ON enc.p = l.p AND enc.code = l.code
+        |  JOIN cn ON enc.p = cn.p AND enc.code = cn.code
+        |  WHERE cc.cell = l.qcell
         |  GROUP BY 1, 2),
         |cosd AS (
         |  SELECT s.query_id, s.cand_id,

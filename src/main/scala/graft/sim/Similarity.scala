@@ -533,4 +533,77 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
       .orderBy(col("query_id"), col("rnk"))
   }
+
+  /** IVFPQ — the composed faiss flagship index: a COARSE quantizer prunes
+    * the search to one cell, and PQ-ADC scores only that cell's codes.
+    * The coarse quantizer here is the data-independent sign-pattern cell
+    * of [[annIvfStatic]] (2^cellDims cells), so the whole composition
+    * stays engine-portable and hash-oracled; swapping in the trained
+    * k-means cell (n4) and codebooks (n9) gives the production faiss
+    * configuration with the same physical shape. Search work per query
+    * drops from N·m code lookups to ~(N/2^cellDims)·m — the pruning that
+    * makes code-resident ANN sublinear — at the usual single-probe recall
+    * cost (neighbors in adjacent cells are missed; spec-asserted floor vs
+    * the exact baseline).
+    */
+  def annIvfPq(
+      queries: DataFrame, // (query_id LONG, qv ARRAY<DOUBLE>)
+      candidates: DataFrame, // (cand_id LONG, v ARRAY<DOUBLE>)
+      codebook: DataFrame, // (p INT, code LONG, sv ARRAY<DOUBLE>)
+      dim: Int,
+      m: Int,
+      cellDims: Int,
+      k: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim not divisible by m=$m")
+    require(cellDims >= 1 && cellDims <= 16)
+    val sub = dim / m
+    def cellOf(vc: Column): Column = (0 until cellDims).map { j =>
+      when(element_at(vc, j + 1) >= 0, 1 << (cellDims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    // The store at rest: (cand_id, cell, p, code) — codes plus the coarse
+    // cell id, materialized once (same rationale as annPq's checkpoint).
+    val enc = pqEncode(
+        candidates.select(col("cand_id").as("vec_id"), col("v")), codebook, dim, m)
+      .select(col("vec_id").as("cand_id"), col("subspace").as("p"), col("code"))
+      .join(candidates.select(col("cand_id"), cellOf(col("v")).as("cell")), "cand_id")
+      .localCheckpoint(true)
+    val qel = queries
+      .select(col("query_id"), cellOf(col("qv")).as("qcell"),
+        explode(array((0 until m).map(p =>
+          struct(lit(p).as("p"), slice(col("qv"), p * sub + 1, sub).as("qsv"))): _*))
+          .as("e"))
+      .select(col("query_id"), col("qcell"),
+        col("e.p").cast("int").as("p"), col("e.qsv").as("qsv"))
+    val lut = qel.join(codebook.withColumn("p", col("p").cast("int")), "p")
+      .select(col("query_id"), col("qcell"),
+        col("p").cast("long").as("p"), col("code"),
+        round(unrolledSum(sub)(j =>
+            element_at(col("qsv"), j) * element_at(col("sv"), j)), 9)
+          .cast("decimal(24,9)").as("qd"))
+    val cn = codebook
+      .select(col("p").cast("long").as("p"), col("code"),
+        round(unrolledSum(sub)(j =>
+            element_at(col("sv"), j) * element_at(col("sv"), j)), 9)
+          .cast("decimal(24,9)").as("c2"))
+    val qn = queries.select(col("query_id"),
+      sqrt(aggregate(transform(col("qv"), x => x * x), lit(0.0), (a, v) => a + v))
+        .as("qnorm"))
+    val scored = enc
+      .join(broadcast(lut.join(cn, Seq("p", "code"))), Seq("p", "code"))
+      .filter(col("cell") === col("qcell"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(sum(col("qd")).as("dot"), sum(col("c2")).as("cn2"))
+      .join(broadcast(qn), "query_id")
+      .select(col("query_id"), col("cand_id"),
+        round(col("dot").cast("double")
+            / (col("qnorm") * sqrt(col("cn2").cast("double"))), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -408,6 +408,34 @@ class DedupSimSpec extends SparkSpec {
     assert(overlap >= 0.7, s"overlap=$overlap")
   }
 
+  test("IVFPQ: results stay in the query's cell; single-probe recall floor holds") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val cb = Similarity.pqCodebookPortable(v, dim = 64, m = 32, nCodes = 256)
+    val got = Similarity.annIvfPq(
+      v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      v.filter(col("vec_id") >= 10).select(col("vec_id").as("cand_id"), col("v")),
+      cb, dim = 64, m = 32, cellDims = 3, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Every returned candidate must share the query's sign-pattern cell.
+    def cell(arr: Seq[Double]): Int =
+      (0 until 3).map(j => if (arr(j) >= 0) 1 << (2 - j) else 0).sum
+    val cells = v.collect().map(r =>
+      r.getLong(0) -> cell(r.getSeq[Double](1))).toMap
+    assert(got.forall { case (q, c) => cells(q) == cells(c) }, "cross-cell pair returned")
+    // Single-probe IVF over 8 static cells misses cross-cell neighbors by
+    // design; it must still recover a meaningful share of the exact top-5
+    // (the n4-family floor).
+    val exact = Similarity.annBrute(
+      v.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("v").as("qv")),
+      v.filter(col("vec_id") >= 10).select(col("vec_id").as("cand_id"), col("v").as("cv")),
+      k = 5).select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = got.intersect(exact).size.toDouble / exact.size
+    assert(overlap >= 0.15, s"overlap=$overlap")
+  }
+
   test("PQ encode emits exactly m in-range codes per vector") {
     val v = Tables.embeddings(spark, Sf001)
       .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
