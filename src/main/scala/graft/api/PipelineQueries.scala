@@ -457,6 +457,11 @@ object PipelineQueries {
           n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
         .select(col("doc_a"), col("doc_b"))
       val cl = ConnectedComponents.run(pairs)
+      // run() eagerly materializes its result behind its own checkpoint,
+      // which cuts `pairs` out of the result lineage — so the shingle-index
+      // checkpoint inside the pair build would otherwise linger as a stray
+      // persisted RDD (leak-neutrality contract, QueriesSpec). Free it now.
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(pairs)
       val ntok = docs.select(col("doc_id").as("member_id"),
         size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
       val keep = cl.join(ntok, "member_id")

@@ -57,6 +57,28 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Exact all-pairs top-k with self excluded — the ground-truth baseline
+    * [[graft.Bench]] uses to PUBLISH recall@k for the trained approximate
+    * paths (n4 KMeans-IVF, n9 trained-PQ) each round. |V|² scoring: a
+    * measurement fixture for test-scale corpora, never a production shape
+    * (the production exact path is [[annBrute]] with a bounded query set).
+    */
+  def annBruteAll(vectors: DataFrame, k: Int): DataFrame = {
+    val a = vectors.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val b = vectors.select(col("vec_id").as("cand_id"), col("v").as("cv"))
+    val scored = broadcast(a).crossJoin(b)
+      .filter(col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+  }
+
   /** Pseudo-random hyperplane coefficient in [−1, 1] for (plane `p`,
     * element index `i`) — xxhash64-derived: fast, codegen'd, the
     * production hash family.

@@ -75,6 +75,24 @@ class ExprSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("misra_gries expects 2"),
         s"unexpected arity error: ${err.getMessage}")
+      // bloom_agg + bloom_contains round-trip through pure SQL (the
+      // scalar-subquery build plan d12 uses): true members always pass,
+      // and at 8192 bits / 3 keys the non-members here are (deterministic
+      // xxhash64 family) observed FP-free.
+      val bloomHits = ext.sql(
+        """SELECT s FROM VALUES ('k1'),('k2'),('p1'),('p2'),('p3') AS probe(s)
+          |WHERE bloom_contains(
+          |  (SELECT bloom_agg(s, 100L, 8192L)
+          |   FROM VALUES ('k1'),('k2'),('k3') AS keys(s)), s)
+          |ORDER BY s""".stripMargin)
+        .collect().map(_.getString(0)).toSet
+      assert(Set("k1", "k2").subsetOf(bloomHits), s"bloom lost a true member: $bloomHits")
+      assert(bloomHits.subsetOf(Set("k1", "k2", "p1", "p2", "p3")))
+      val bloomErr = intercept[Exception] {
+        ext.sql("SELECT bloom_contains(cast(null as binary)) ").collect()
+      }
+      assert(bloomErr.getMessage.contains("bloom_contains expects 2"),
+        s"unexpected bloom arity error: ${bloomErr.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

@@ -154,18 +154,15 @@ class StreamsSpec extends SparkSpec {
   }
 
   test("file-source streaming over events parquet matches batch hourly counts") {
-    // Real readStream file source: explicit schema (never inferred), with
-    // the NANOS timestamp read as long and converted exactly like
-    // Tables.events does for batch.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Real readStream file source via Tables.eventsStream: the imposed
+    // schema (streaming never infers) and the ts normalization are both
+    // derived from the file's actual physical encoding, so this parity
+    // test tracks driver testdata regeneration exactly like batch does.
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$Sf001/events.parquet"),
       dir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.eventsStream(spark, dir.toString)
     val q = stream
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH").as("hour"),
