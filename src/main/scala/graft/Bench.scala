@@ -112,6 +112,7 @@ object Bench {
     "n2_ann_lsh",
     "n5_sq_encode",
     "n8_ann_pq",
+    "n11_ann_ivf_multiprobe",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",
@@ -326,7 +327,9 @@ object Bench {
           "lang", "en").count()
         require(en > 0L)
       } finally rmTree(dir)
-    }) :+ ("pagerank_wikidata" -> time(2) {
+    }) :+ ("pagerank_wikidata" -> time(3) { // 3 runs: this leg is THE
+      // baseline-bar artifact (<= 2x of BASELINE.md 6.35 s); one extra
+      // run keeps a single noisy sample from deciding the round.
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
       val res = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
       val n = PageRank.topK(res.ranks, 100).count()
@@ -374,11 +377,14 @@ object Bench {
       val exactAll = pairSet(graft.sim.Similarity.annBruteAll(v, k = 5))
       val gotN4 = pairSet(SparkEntry.queries("n4_ann_ivf")(spark, sfDir))
       sweep()
+      val gotN11 = pairSet(SparkEntry.queries("n11_ann_ivf_multiprobe")(spark, sfDir))
+      sweep()
       def r(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
         if (exact.isEmpty) -1.0
         else got.intersect(exact).size.toDouble / exact.size
       Seq("n9_pq_trained@10" -> r(gotN9, exactN1),
-        "n4_ann_ivf@5" -> r(gotN4, exactAll))
+        "n4_ann_ivf@5" -> r(gotN4, exactAll),
+        "n11_ann_ivf_multiprobe@5" -> r(gotN11, exactAll))
     } catch {
       case t: Throwable =>
         System.err.println(s"recall stage failed: ${t.getClass.getSimpleName}: ${t.getMessage}")
@@ -430,9 +436,19 @@ object Bench {
       val measured = autoAb.map { case (k, p, w, walls, cpuSamples, err) =>
         if (walls.isEmpty) s""""auto A/B $k: isolated re-measure FAILED ($err) — session ${fmtN(w)}s vs prev ${fmtN(p)}s unadjudicated""""
         else {
+          // NOTE on the second verdict: `prev` is the prior round's
+          // committed min, which for late-position queries came from a
+          // long-warm shared JVM — a 3-run fresh JVM has a higher JIT
+          // floor for many-small-stage loops (r8 bisect: g7_kcore showed
+          // an identical ~1.2 s iso floor on BOTH the r6 and r7 trees
+          // while its in-session r6 min was 0.67 s). So a confirmed flag
+          // here means "re-bisect against the prior TREE under this same
+          // harness", not "code regressed".
           val verdict =
             if (walls.min <= 1.5 * p) "session noise, exonerated"
-            else "isolated min still >1.5x prev — real regression candidate"
+            else "isolated min still >1.5x prev — regression candidate; " +
+              "bisect vs prior tree under this harness before believing it " +
+              "(prev may be a warm-JVM in-session min below the fresh-JVM floor)"
           s""""auto A/B $k: prev ${fmtN(p)}s, session ${fmtN(w)}s; isolated fresh-JVM wall [${walls.map(fmtN).mkString(",")}] cpu [${cpuSamples.map(fmtN).mkString(",")}] — $verdict""""
         }
       }

@@ -261,10 +261,12 @@ object EventQueries {
     // (PARTITION BY user_id)) shuffles the ENTIRE fact table to rebuild
     // per-user groups, where this shape shuffles only the map-side-
     // combined (user → 3 doubles) moments and broadcasts them back. Two
-    // pruned columnar scans are the cheap resource; the r6→r7 wall delta
-    // (0.36 → 0.87 s iso) is the decimal(18,6) exact-sum hardening above,
-    // not the scan count — measured by swapping only the sums back to
-    // double (scans unchanged): decimal 0.9 s vs double 0.4 s at sf0.1.
+    // pruned columnar scans are the cheap resource. Measured at sf0.1
+    // (fresh-JVM QBench, warm steady state): the decimal(18,6) exact-sum
+    // hardening costs ~0.15 executor-cpu-s vs ~0.10 with plain double
+    // sums (scans unchanged in both), and wall is identical within noise
+    // (~0.5-0.7 s, dominated by fixed per-query overhead) — the r7 "0.87 s
+    // regression" reading was first-position JIT inflation, not this plan.
     "e14_zscore_outliers" -> ((s, d) => {
       val vd = col("value").cast("decimal(18,6)")
       val stats = events(s, d)

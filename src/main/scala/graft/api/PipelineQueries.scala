@@ -521,6 +521,19 @@ object PipelineQueries {
     "n4b_ann_ivf_portable" -> ((s, d) =>
       Similarity.annIvfStatic(vecs(s, d), dims = 3, k = 5)),
 
+    // Multi-probe IVF: n4 with nprobe=3 — queries scan their 3 nearest
+    // cells, the standard recall knob (the per-round recall artifact
+    // showed nprobe=1 at 0.43 recall@5). Approximate → rows-only; the
+    // recall improvement is itself published per round by the bench.
+    "n11_ann_ivf_multiprobe" -> ((s, d) =>
+      Similarity.annIvfMultiProbe(s, vecs(s, d), nCells = 8, probes = 3, k = 5)),
+
+    // Portable multi-probe twin: home cell + least-confident-sign-bit
+    // flip (probes=2), deterministic → full DuckDB hash oracle for the
+    // multi-probe path.
+    "n11b_ann_multiprobe_portable" -> ((s, d) =>
+      Similarity.annIvfStaticMultiProbe(vecs(s, d), dims = 3, k = 5)),
+
     // Int8 scalar quantization of the embedding store (faiss-SQ8 shape):
     // per-dim [min,max] grid → codes + midpoint reconstruction — the
     // 4× memory-compression step before code-resident ANN. One 64-row
@@ -1681,6 +1694,35 @@ object PipelineQueries {
         |    ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
         |  FROM assigned a JOIN assigned b
         |    ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "n11b_ann_multiprobe_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |assigned AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS cell,
+        |    (CASE
+        |       WHEN abs(v[1]) = least(abs(v[1]), abs(v[2]), abs(v[3])) THEN 4
+        |       WHEN abs(v[2]) = least(abs(v[1]), abs(v[2]), abs(v[3])) THEN 2
+        |       ELSE 1 END) AS flip
+        |  FROM e),
+        |qcells AS (
+        |  SELECT vec_id AS query_id, v AS qv, cell FROM assigned
+        |  UNION ALL
+        |  SELECT vec_id, v, xor(cell, flip) FROM assigned),
+        |scored AS (
+        |  SELECT q.query_id, b.vec_id AS cand_id,
+        |    ROUND(list_cosine_similarity(q.qv, b.v), 4) AS cosine
+        |  FROM qcells q JOIN assigned b
+        |    ON q.cell = b.cell AND q.query_id <> b.vec_id),
         |ranked AS (
         |  SELECT query_id, cand_id, cosine,
         |    ROW_NUMBER() OVER (PARTITION BY query_id

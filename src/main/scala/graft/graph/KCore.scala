@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * is eagerly localCheckpoint'ed each round — a lazy r-level plan would
   * re-derive every prior peel — and superseded checkpoints are freed;
   * callers sweep the final one with the usual persistent-RDD sweep.
+  *
+  * Perf note (r7 "regression" adjudicated r8): the bench flagged
+  * g7_kcore at 1.14 s isolated vs 0.67 s the round before. Bisect:
+  * the round-6 TREE rebuilt under the identical fresh-JVM QBench
+  * harness shows the same ~1.2 s floor (walls 1.18-1.46 across 9 warm
+  * runs, both trees) — nothing regressed; the 0.67 s was an in-session
+  * min inside a long-running bench JVM whose JIT state a 3-run fresh
+  * JVM never reaches. The many-small-stage peeling loop is the most
+  * JIT-sensitive shape in the suite; compare like with like.
   */
 object KCore {
 

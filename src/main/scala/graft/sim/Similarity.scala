@@ -233,6 +233,117 @@ object Similarity {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Multi-probe IVF (the standard recall knob on [[annIvf]], which the
+    * per-round recall artifact showed losing over half the true top-k to
+    * cell boundaries at nProbe=1): each query scans its `probes` NEAREST
+    * cells instead of only its home cell — neighbors that fall just
+    * across a Voronoi boundary are recovered at probes× scan cost, still
+    * ≪ brute force (faiss `nprobe`; Lv et al., "Multi-Probe LSH", VLDB
+    * 2007 for the perturbation idea).
+    *
+    * Scale shape: candidates are stored ONCE, keyed by their single home
+    * cell; only the query side fans out (×probes) before the same
+    * per-cell equi-join as [[annIvf]]. Cell choice is a broadcast
+    * crossJoin against the O(nCells) centroid table (nCells ∝ √N at
+    * production scale — tiny) + a per-query top-probes window over
+    * nCells rows. No candidate row is ever duplicated, so the probe
+    * fan-out never touches the corpus-sized side.
+    */
+  def annIvfMultiProbe(
+      spark: org.apache.spark.sql.SparkSession,
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      nCells: Int,
+      probes: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(probes >= 1 && probes <= nCells,
+      s"probes must be in [1, nCells=$nCells]; got $probes")
+    val withFeat = vectors.withColumn("features", array_to_vector(col("v")))
+      .localCheckpoint(true)
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(withFeat)
+    val cand = model.transform(withFeat)
+      .select(col("prediction").as("cell_b"),
+        col("vec_id").as("cand_id"), col("v").as("cv"))
+    import spark.implicits._
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
+    // KMeans assigns by squared Euclidean distance; rank cells the same
+    // way so probe #1 is always the home cell.
+    val d2 = aggregate(
+      zip_with(col("qv"), col("centroid"), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (a, x) => a + x)
+    val pw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
+    val qcells = vectors
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= probes)
+      .select(col("query_id"), col("qv"), col("cell"))
+    val scored = qcells.join(cand,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Portable multi-probe twin of [[annIvfStatic]] (probes = 2): each
+    * query searches its sign-pattern home cell PLUS the cell with its
+    * least-confident sign bit flipped — argmin_j |v_j| over the first
+    * `dims` coordinates (ties → smallest j), the coordinate most likely
+    * to sit on the wrong side of its hyperplane (the Multi-Probe LSH
+    * perturbation heuristic). Fully deterministic and engine-portable,
+    * so unlike the KMeans variant this carries a complete DuckDB oracle;
+    * same candidates-stored-once/query-side-fan-out shape as
+    * [[annIvfMultiProbe]].
+    */
+  def annIvfStaticMultiProbe(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      dims: Int,
+      k: Int): DataFrame = {
+    require(dims >= 2 && dims <= 16)
+    val cell = (0 until dims).map { j =>
+      when(element_at(col("v"), j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    val assigned = vectors.select(col("vec_id"), col("v"), cell.as("cell"))
+    val cand = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("cand_id"), col("v").as("cv"))
+    val absJ = (0 until dims).map(j => abs(element_at(col("v"), j + 1)))
+    val minAbs = least(absJ: _*)
+    // First (lowest-j) coordinate attaining the min — deterministic on
+    // ties, reproducible as a CASE chain in the oracle.
+    var flip: Column = when(absJ.head === minAbs, lit(1 << (dims - 1)))
+    for (j <- 1 until dims)
+      flip = flip.when(absJ(j) === minAbs, lit(1 << (dims - 1 - j)))
+    val qcells = assigned.select(
+        col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(array(col("cell"),
+          col("cell").bitwiseXOR(flip))).as("cell"))
+    val scored = qcells.join(cand,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** IVF with a DATA-INDEPENDENT quantizer: cells are the sign pattern of
     * the first `dims` coordinates (2^dims cells) instead of trained
     * k-means centroids. Same physical shape as [[annIvf]] — cell

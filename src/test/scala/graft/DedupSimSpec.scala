@@ -299,6 +299,41 @@ class DedupSimSpec extends SparkSpec {
     assert(overlap > 0.25, s"overlap=$overlap")
   }
 
+  test("multi-probe IVF recall dominates single-probe on the same quantizer") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val exact = Similarity.annBruteAll(v, k = 5)
+      .select("query_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "cand_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    // Same seed/k-means/nCells → identical cells; probes=3 scans a strict
+    // SUPERSET of probes=1's candidates, so recall can only improve.
+    val r1 = recall(Similarity.annIvf(spark, v, nCells = 8, k = 5))
+    val r3 = recall(Similarity.annIvfMultiProbe(spark, v, nCells = 8, probes = 3, k = 5))
+    assert(r3 >= r1, s"multi-probe recall $r3 fell below single-probe $r1")
+    assert(r3 >= 0.6, s"probes=3 of 8 cells should recover most neighbors; recall=$r3")
+  }
+
+  test("static multi-probe twin: per-query best cosine never below single-probe") {
+    val v = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    def best(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.filter(col("rnk") === 1).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val single = best(Similarity.annIvfStatic(v, dims = 3, k = 5))
+    val multi = best(Similarity.annIvfStaticMultiProbe(v, dims = 3, k = 5))
+    // The probe set is a superset of {home cell}, so each query's best
+    // found neighbor is at least as good — deterministic, no seed.
+    single.foreach { case (q, c) =>
+      assert(multi.getOrElse(q, -1.0) >= c - 1e-12,
+        s"query $q: multi-probe best ${multi.get(q)} < single-probe best $c")
+    }
+  }
+
   test("multimodal pipeline composes: decode stub → features → ANN") {
     // The media path produces embedding-shaped output that feeds the same
     // similarity operators as the embeddings table — full pipeline shape.
