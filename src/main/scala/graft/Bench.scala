@@ -140,13 +140,19 @@ object Bench {
     * absent or unparseable (first round, renamed queries) — auto-A/B is
     * then skipped with a note.
     */
-  private def previousMinWalls(): Map[String, Double] =
+  private def previousMinWalls(sfDir: String): Map[String, Double] =
     try {
       val p = java.nio.file.Paths.get("bench_diag.json")
       if (!java.nio.file.Files.exists(p)) Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt) match {
+        // A sidecar from a DIFFERENT scale factor is not a baseline: a
+        // local sf0.001 smoke run would otherwise flag every sf0.1 query
+        // as a >3x mover and burn the whole A/B budget on noise.
+        val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+          .findFirstMatchIn(txt).map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty
+        else "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt) match {
           case None => Map.empty
           case Some(m) =>
             "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
@@ -226,7 +232,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Must be read before this run overwrites the sidecar at the end.
-    val prevMin = previousMinWalls()
+    val prevMin = previousMinWalls(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -513,8 +519,16 @@ object Bench {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(s => scala.util.Try(s.toDouble).isSuccess)
       .getOrElse("\"" + sfDir + "\"")
+    // Driver-line map at 2-decimal precision: the 3-decimal map crossed
+    // the 1800-char guard once the surface hit ~70 legs (observed 1803 →
+    // total-only fallback, which loses the round's per-query record).
+    // 10 ms resolution is ample for the driver's min-wall comparison;
+    // bench_diag.json keeps the 3-decimal history.
+    val qsShort = results.map { case (k, (s, _)) =>
+      "\"" + k + "\":" + (if (s.wall < 0) "-1" else f"${s.wall}%.2f")
+    }.mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":$sfNum}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":$sfNum}"""
     // Never throw after the run: an overflowing line would put the JSON's
     // start outside the driver's 2000-char stdout tail (that cost round 4
     // its wall record), but failing here would discard EVERYTHING. Emit a

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * update rule, so the loop stops early — further rounds are identities
   * in both engines and results stay hash-comparable.
   *
-  * Scale shape: per round ONE join of the edge list against the |V|-sized
-  * label map (hash on src, the label side is |V| ≪ |E| and broadcasts
-  * when it fits), then two map-side-combinable aggregations — the argmax
+  * Scale shape: the symmetrized edge relation is persisted hash-
+  * partitioned by src ONCE; per round ONE join against the |V|-sized
+  * label map (only the label side moves — the 2|E| side never
+  * re-exchanges), then two map-side-combinable aggregations — the argmax
   * is `max(struct(count, -label))`, no window, no shuffle beyond the
   * groupBy. Labels are eagerly localCheckpoint'ed per round (a lazy
   * r-level plan would re-derive every prior round); superseded
@@ -41,41 +42,62 @@ object LabelPropagation {
   def run(edges: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 12,
       s"labelPropagation unrolls `rounds` plan levels; got rounds=$rounds")
-    val e = Undirected.symmetrize(edges).localCheckpoint(true)
-    // Symmetrized: every vertex occurs as src, so the vertex set is one
-    // distinct over src.
-    var labels = e.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
-    var done = false
-    for (r <- 1 to rounds if !done) {
-      val votes = e.join(labels, e("src") === labels("id"))
-        .select(e("dst").as("id"), col("label"))
-        .unionAll(labels)
-      val next = votes
-        .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
-        .groupBy(col("id"))
-        // argmax by (count desc, label asc): struct compare is
-        // lexicographic, so max picks the highest count, then the highest
-        // -label = the SMALLEST label.
-        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("id"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
-      // Early-stop check only while a later round exists to skip — on the
-      // final bounded round `done` is never read, so the |V|-row compare
-      // job would be pure waste.
-      if (r < rounds) {
-        val changed = next
-          .join(labels.select(col("id").as("pid"), col("label").as("prev")),
-            col("id") === col("pid"))
-          .filter(col("label") =!= col("prev"))
-          .count()
-        done = changed == 0
-      }
-      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(labels)
-      labels = next
+    val spark = edges.sparkSession
+    // Persist the symmetrized relation HASH-PARTITIONED BY src once
+    // (PageRank.prepare's `linked` idiom): the per-round vote join then
+    // reuses this partitioning for the 2|E| side and only the |V|-sized
+    // label map moves. Before this, every round re-shuffled the full
+    // edge relation for the join — at the 100M-edge XL point that
+    // per-round exchange was the dominant share of 87 GB of spill.
+    // Shuffle sizing + AQE handling mirror the other fixpoints
+    // (loopPartitions / withLoopConf): the loop's shapes are known up
+    // front, and AQE's coalescing could move a stage off the persisted
+    // partitioning, forcing the re-exchange back.
+    val pre = Undirected.symmetrize(edges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = pre.count()
+    val parts = PageRank.loopPartitions(spark, m)
+    PageRank.withLoopConf(spark, parts) {
+      val e = pre.repartition(parts, col("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      pre.unpersist()
+      try {
+        // Symmetrized: every vertex occurs as src, so the vertex set is
+        // one distinct over src.
+        var labels = e.select(col("src").as("id")).distinct()
+          .select(col("id"), col("id").as("label"))
+          .localCheckpoint(true)
+        var done = false
+        for (r <- 1 to rounds if !done) {
+          val votes = e.join(labels, e("src") === labels("id"))
+            .select(e("dst").as("id"), col("label"))
+            .unionAll(labels)
+          val next = votes
+            .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
+            .groupBy(col("id"))
+            // argmax by (count desc, label asc): struct compare is
+            // lexicographic, so max picks the highest count, then the
+            // highest -label = the SMALLEST label.
+            .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+            .select(col("id"), (-col("m.nl")).as("label"))
+            .localCheckpoint(true)
+          // Early-stop check only while a later round exists to skip — on
+          // the final bounded round `done` is never read, so the |V|-row
+          // compare job would be pure waste.
+          if (r < rounds) {
+            val changed = next
+              .join(labels.select(col("id").as("pid"), col("label").as("prev")),
+                col("id") === col("pid"))
+              .filter(col("label") =!= col("prev"))
+              .count()
+            done = changed == 0
+          }
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(labels)
+          labels = next
+        }
+        labels
+      } finally e.unpersist()
     }
-    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
-    labels
   }
 }
