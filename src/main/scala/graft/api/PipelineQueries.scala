@@ -312,6 +312,24 @@ object PipelineQueries {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Per-source token-budget report: docs, tokens, and corpus share per
+    // `source` — the planning table a mixture sampler (p9) consumes when
+    // balancing domains for a training run. One map-side-combinable
+    // aggregation over the token counts plus a broadcast of the 1-row
+    // global total; the corpus is scanned once.
+    "p13_source_budget" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(TextFns.tokens(col("text"))).cast("long")).as("n_tok"))
+      val per = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      val total = per.agg(sum(col("n_tokens")).as("tot"))
+      per.crossJoin(broadcast(total))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / col("tot"), 6).as("token_share"))
+        .orderBy(col("source"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -533,6 +551,47 @@ object PipelineQueries {
     // multi-probe path.
     "n11b_ann_multiprobe_portable" -> ((s, d) =>
       Similarity.annIvfStaticMultiProbe(vecs(s, d), dims = 3, k = 5)),
+
+    // kNN label-consistency screen: for each labeled query vector, the
+    // majority label among its k=5 cosine-nearest neighbors and the
+    // agreement fraction — the standard embedding-space mislabel
+    // detector for curated training sets (a vector whose neighbors all
+    // carry a different label is a labeling-error candidate; Northcutt
+    // et al., "Confident Learning", JAIR 2021 surveys the family).
+    // Exact brute kNN over the bounded query slice here; at corpus scale
+    // the candidate side swaps to the IVF/PQ index (n4/n11/n8) without
+    // changing the label aggregation. Fully deterministic → hash oracle.
+    "n12_knn_label_check" -> ((s, d) => {
+      val e = embeddings(s, d).select(
+        col("vec_id"), Similarity.asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      val nn = Similarity.annBrute(
+        e.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")),
+        e.filter(col("vec_id") >= 200)
+          .select(col("vec_id").as("cand_id"), col("v").as("cv")),
+        k = 5)
+      val labeled = nn
+        .join(e.select(col("vec_id").as("cand_id"), col("label").as("clabel")),
+          "cand_id")
+        .join(broadcast(e.filter(col("vec_id") < 200)
+          .select(col("vec_id").as("query_id"), col("label").as("qlabel"))),
+          "query_id")
+      val maj = labeled
+        .groupBy(col("query_id"), col("clabel")).agg(count(lit(1)).as("c"))
+        .groupBy(col("query_id"))
+        // argmax by (count desc, label asc) — same struct idiom as LPA.
+        .agg(max(struct(col("c"), (-col("clabel")).as("nl"))).as("m"))
+        .select(col("query_id"), (-col("m.nl")).as("knn_label"))
+      val agree = labeled.groupBy(col("query_id"), col("qlabel"))
+        .agg((sum(when(col("clabel") === col("qlabel"), 1).otherwise(0))
+          .cast("double") / count(lit(1))).as("af"))
+      agree.join(maj, "query_id")
+        .select(col("query_id"), col("qlabel"), col("knn_label"),
+          round(col("af"), 4).as("agree_frac"),
+          (col("knn_label") =!= col("qlabel")).as("suspect"))
+        .orderBy(col("query_id"))
+    }),
 
     // Int8 scalar quantization of the embedding store (faiss-SQ8 shape):
     // per-dim [min,max] grid → codes + midpoint reconstruction — the
@@ -1730,6 +1789,52 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "n12_knn_label_check" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CAST(label AS BIGINT) AS label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        |      FROM e WHERE vec_id < 200),
+        |c AS (SELECT vec_id AS cand_id, v AS cv, label AS clabel
+        |      FROM e WHERE vec_id >= 200),
+        |scored AS (
+        |  SELECT query_id, qlabel, cand_id, clabel,
+        |    ROUND(list_cosine_similarity(qv, cv), 4) AS cosine
+        |  FROM q CROSS JOIN c),
+        |nn AS (
+        |  SELECT query_id, qlabel, clabel FROM scored
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) <= 5),
+        |maj AS (
+        |  SELECT query_id, clabel AS knn_label
+        |  FROM (SELECT query_id, clabel, COUNT(*) AS cnt FROM nn GROUP BY 1, 2)
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cnt DESC, clabel) = 1),
+        |agree AS (
+        |  SELECT query_id, qlabel,
+        |    ROUND(CAST(SUM(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / COUNT(*), 4) AS agree_frac
+        |  FROM nn GROUP BY 1, 2)
+        |SELECT a.query_id, a.qlabel, m.knn_label, a.agree_frac,
+        |  (m.knn_label <> a.qlabel) AS suspect
+        |FROM agree a JOIN maj m USING (query_id)
+        |ORDER BY a.query_id""".stripMargin,
+
+    "p13_source_budget" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source)
+        |SELECT source, n_docs, n_tokens,
+        |  ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
+        |    AS token_share
+        |FROM per ORDER BY source""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
