@@ -399,6 +399,25 @@ object EventQueries {
         round(expr("percentile(lat_ms, 0.9)"), 3).as("p90_ms"))
     }),
 
+    // Telemetry gap report: per user, consecutive-event gaps over one
+    // hour — the data-quality screen that catches dead sensors / dropped
+    // pipelines before a downstream model trains on silently-truncated
+    // history. One per-user LAG window (shuffle by user_id only); the
+    // unique event_id tiebreak makes the neighbor pairing deterministic.
+    "e20_gap_report" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), ms.as("t"))
+        .withColumn("prev_t", lag(col("t"), 1).over(w))
+        .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+        .filter(col("prev_t").isNotNull && col("t") - col("prev_t") > 3600000L)
+        .select(col("user_id"), col("prev_id").as("gap_start_event"),
+          col("event_id").as("gap_end_event"),
+          (col("t") - col("prev_t")).as("gap_ms"))
+        .orderBy(col("user_id"), col("gap_start_event"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -415,6 +434,19 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e20_gap_report" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS t,
+        |    LAG(epoch_ms(ts)) OVER w AS prev_t,
+        |    LAG(event_id) OVER w AS prev_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id))
+        |SELECT user_id, prev_id AS gap_start_event, event_id AS gap_end_event,
+        |  t - prev_t AS gap_ms
+        |FROM t
+        |WHERE prev_t IS NOT NULL AND t - prev_t > 3600000
+        |ORDER BY user_id, gap_start_event""".stripMargin,
+
     "e12_latest_snapshot" ->
       """SELECT user_id, event_id AS last_event, event_type AS last_type,
         |  epoch_ms(ts) AS last_ms, ROUND(value, 4) AS last_value

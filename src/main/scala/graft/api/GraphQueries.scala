@@ -504,6 +504,21 @@ ke$i AS MATERIALIZED (
     // suppliers? One combinable degree aggregation, the edge list joined
     // twice against the |V|-sized degree map (broadcast when it fits),
     // one corr — the same two-pass shape at any scale.
+    // Log2-bucketed out-degree histogram — the first diagnostic anyone
+    // runs on a new graph (is it power-law? where's the hub tail the
+    // salted joins must survive?). Bucket = floor(log2(deg)) computed as
+    // length(bin(deg))-1: integer/string arithmetic, so Spark and DuckDB
+    // can never disagree on a float boundary at exact powers of two.
+    "g10_degree_hist" -> ((s, d) => {
+      val deg = edges(s, d).groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+        .agg(
+          count(lit(1)).as("n_vertices"),
+          min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy(col("bucket"))
+    }),
+
     "g9_assortativity" -> ((s, d) => {
       val p2s = Tables.lineitem(s, d)
         .select(
@@ -737,6 +752,17 @@ SELECT
   CASE WHEN label % 2 = 0 THEN 'p' || CAST(label // 2 AS VARCHAR)
        ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END AS community
 FROM l$LpaRounds ORDER BY id"""),
+
+    "g10_degree_hist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT l_partkey AS src, l_suppkey AS dst FROM lineitem),
+        |deg AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src)
+        |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |  CAST(MIN(deg) AS BIGINT) AS min_deg,
+        |  CAST(MAX(deg) AS BIGINT) AS max_deg
+        |FROM deg GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "g9_assortativity" ->
       """WITH p2s AS (
