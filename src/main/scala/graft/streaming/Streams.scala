@@ -103,6 +103,52 @@ object Streams {
       }
   }
 
+  case class Gap(user_id: Long, gap_start_event: Long,
+      gap_end_event: Long, gap_ms: Long)
+
+  /** Keyed state for [[gapReport]]: the last-seen (event time, event id)
+    * per user (non-private for encoder codegen, like [[SessionState]]).
+    */
+  case class GapState(lastTs: Long, lastId: Long)
+
+  /** Streaming twin of `e20_gap_report`: per-user telemetry-gap
+    * detection as keyed state — when an event arrives more than `gapMs`
+    * after its predecessor, the (predecessor, successor, gap) record is
+    * emitted. The live-monitoring dual of the batch LAG window: the
+    * batch query finds historical gaps, this one flags a recovering
+    * sensor the moment it reports back. State is ONE (ts, id) pair per
+    * user — |users|-bounded, not history-bounded; a production deploy
+    * adds timeout eviction for retired users (same knob as
+    * [[sessionize]]'s `withTimeouts`, omitted here so finite
+    * AvailableNow parity runs terminate).
+    */
+  def gapReport(events: Dataset[Event], gapMs: Long): Dataset[Gap] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, Gap](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[GapState]) =>
+          // Within a micro-batch, order events by time (Spark does not
+          // guarantee iterator order); the unique event_id tiebreak
+          // matches the batch window's determinism.
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var out = List.empty[Gap]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            prev match {
+              case Some(p) if t - p.lastTs > gapMs =>
+                out ::= Gap(userId, p.lastId, e.event_id, t - p.lastTs)
+              case _ =>
+            }
+            prev = Some(GapState(t, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.reverseIterator
+      }
+  }
+
   /** Incremental out-degree maintenance over a stream of edge arrivals
     * (SURVEY §7.5): a running `groupBy(src).count()` in update mode —
     * Spark keeps the per-key state, so each micro-batch emits only the

@@ -209,6 +209,30 @@ class StreamsSpec extends SparkSpec {
     assert(got(3L) === 3.0)
   }
 
+  test("streaming gap report over events parquet matches batch e20") {
+    // File-source stream (Tables.eventsStream, encoding-proof) through
+    // the keyed-state gap detector; the WHOLE file arrives as micro-
+    // batches, so the emitted gaps must equal the batch LAG window's.
+    val dir = java.nio.file.Files.createTempDirectory("events_gap_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val stream = Tables.eventsStream(spark, dir.toString)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Streams.Event]
+    val q = Streams.gapReport(stream, gapMs = 3600000L)
+      .writeStream.format("memory").queryName("gap_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("gap_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = SparkEntry.queries("e20_gap_report")(spark, Sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp,
+      s"stream/batch gap mismatch: ${(got -- exp).take(3)} / ${(exp -- got).take(3)}")
+  }
+
   test("streaming exact dedup over sf0.01 documents matches batch d1 (scale parity)") {
     // File-source stream over the real documents table, staged TWICE into
     // the source directory so every content hash arrives (at least) twice
