@@ -493,6 +493,34 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination report — d6's n-gram leakage check in
+    // embedding space: for every corpus vector, its nearest held-out
+    // benchmark vector (vec_id % 25 == 0, mirroring d6's split) with the
+    // cosine and a flag at the 0.9 near-dup threshold. Paraphrased
+    // benchmark leakage defeats n-gram overlap; this is the screen that
+    // catches it. Scale shape: the benchmark side is small by
+    // construction and BROADCASTS; the corpus is scanned once into one
+    // combinable argmax — at production corpus sizes the crossJoin swaps
+    // for the LSH/IVF candidate generation (d5/n11) without changing the
+    // aggregate. Deterministic → full hash oracle.
+    "d14_semantic_contamination" -> ((s, d) => {
+      val v = vecs(s, d)
+      val bench = v.filter(pmod(col("vec_id"), lit(25)) === 0)
+        .select(col("vec_id").as("bench_id"), col("v").as("bv"))
+      val corpus = v.filter(pmod(col("vec_id"), lit(25)) =!= 0)
+        .select(col("vec_id").as("corp_id"), col("v").as("cv"))
+      corpus.crossJoin(broadcast(bench))
+        .select(col("corp_id"), col("bench_id"),
+          round(Similarity.cosine(col("cv"), col("bv")), 4).as("cos"))
+        .groupBy(col("corp_id"))
+        // argmax by (cosine desc, bench_id asc) — the LPA struct idiom.
+        .agg(max(struct(col("cos"), (-col("bench_id")).as("nb"))).as("m"))
+        .select(col("corp_id"), (-col("m.nb")).as("nearest_bench"),
+          col("m.cos").as("max_cos"),
+          (col("m.cos") >= 0.9).as("contaminated"))
+        .orderBy(col("corp_id"))
+    }),
+
     // ---- similarity search ----
     // Brute-force exact ANN: first 10 vectors are the query set.
     "n1_ann_brute" -> ((s, d) => {
@@ -1789,6 +1817,21 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "d14_semantic_contamination" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 25 = 0),
+        |c AS (SELECT vec_id AS corp_id, v AS cv FROM e WHERE vec_id % 25 <> 0),
+        |s AS (
+        |  SELECT corp_id, bench_id,
+        |    ROUND(list_cosine_similarity(cv, bv), 4) AS cos
+        |  FROM c CROSS JOIN b)
+        |SELECT corp_id, bench_id AS nearest_bench, cos AS max_cos,
+        |  (cos >= 0.9) AS contaminated
+        |FROM s
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY corp_id
+        |  ORDER BY cos DESC, bench_id) = 1
+        |ORDER BY corp_id""".stripMargin,
 
     "n12_knn_label_check" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
