@@ -70,6 +70,10 @@ object Bench {
     "q18_large_orders",
     "q13_order_histogram",
     "q21_waiting_supplier",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q20_promotable_parts",
     "s1_scan_project",
     "j3_join_chain",
     "a4_keyed_sum",
@@ -108,6 +112,7 @@ object Bench {
     "d5_embedding_pairs",
     "d7b_clusters_df",
     "d13_fuzzy_dedup_apply",
+    "d15_dup_matrix",
     "n1_ann_brute",
     "n2_ann_lsh",
     "n5_sq_encode",
@@ -119,6 +124,7 @@ object Bench {
     "g7_kcore",
     "g8_label_prop",
     "g9_assortativity",
+    "g11_link_prediction",
     "i4_personalized",
     "i5_hits",
     "i1_pagerank_fixed",

@@ -27,6 +27,38 @@ object BenchmarkQueries {
 
   private def ts(s: String) = lit(s).cast("timestamp")
 
+  /** Derived partsupp stand-in for the four TPC-H queries the schema's
+    * missing partsupp table would otherwise exclude (Q2/Q9/Q11/Q20): one
+    * row per distinct (part, supplier) lane in lineitem, with availqty /
+    * supplycost as pure integer-arithmetic functions of the keys. The
+    * oracle CTE ([[PartsuppSql]]) repeats the identical expressions, so
+    * both engines derive the same relation and the queries stay fully
+    * hash-oracled. supplycost's `int/100.0 + 1` double is deterministic
+    * IEEE arithmetic in both engines; every compare on it is an equality
+    * or a decimal-cast sum, never a summation-order-sensitive double sum.
+    * Scale shape: |lanes| ≤ |lineitem| after one map-side-combinable
+    * distinct — the stand-in is dimension-like (part×supplier), not
+    * fact-sized.
+    */
+  private def partsupp(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+      .distinct()
+      .withColumn("ps_availqty",
+        (pmod(col("ps_partkey") * 7 + col("ps_suppkey") * 3, lit(1000)) + 1)
+          .cast("long"))
+      .withColumn("ps_supplycost",
+        pmod(col("ps_partkey") * 13 + col("ps_suppkey") * 17, lit(10000))
+          .cast("double") / 100.0 + 1.0)
+
+  private val PartsuppSql =
+    """partsupp AS (
+      |  SELECT ps_partkey, ps_suppkey,
+      |    CAST((ps_partkey * 7 + ps_suppkey * 3) % 1000 + 1 AS BIGINT) AS ps_availqty,
+      |    CAST((ps_partkey * 13 + ps_suppkey * 17) % 10000 AS DOUBLE) / 100.0 + 1.0 AS ps_supplycost
+      |  FROM (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+      |        FROM lineitem))""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q1_pricing_summary" -> ((s, d) => lineitem(s, d)
       .filter(col("l_shipdate") <= ts("1998-09-02"))
@@ -401,6 +433,108 @@ object BenchmarkQueries {
           round(sum(col("c_acctbal").cast("decimal(18,6)")), 2).cast("double")
             .as("totacctbal"))
         .orderBy(col("cntry"))
+    }),
+
+    // Q2 analogue (minimum-cost supplier): the correlated-MIN shape over
+    // the derived partsupp — for each qualifying part, keep the ASIA
+    // supplier row(s) at that part's minimum supply cost. Decorrelated
+    // as Catalyst would: the per-part min is a |parts|-bounded aggregate
+    // re-joined on (key, cost) equality (exact — identical doubles from
+    // identical integer arithmetic). Geo dims broadcast; the min side is
+    // dimension-sized and broadcasts under AQE.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      val sup = supplier(s, d)
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      val eligible = partsupp(s, d)
+        .join(sup, col("ps_suppkey") === col("s_suppkey"))
+        .join(part(s, d).filter(col("p_size") === 15 && col("p_type") === "ECONOMY"),
+          col("ps_partkey") === col("p_partkey"))
+      val mins = eligible.groupBy(col("ps_partkey").as("mp"))
+        .agg(min(col("ps_supplycost")).as("mc"))
+      eligible
+        .join(mins, col("ps_partkey") === col("mp") && col("ps_supplycost") === col("mc"))
+        .select(
+          round(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), round(col("ps_supplycost"), 2).as("ps_supplycost"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // Q9 analogue (product-type profit by nation and year): the widest
+    // join in the family — fact ⋈ part ⋈ partsupp ⋈ supplier ⋈ orders ⋈
+    // nation, profit = revenue − supply cost. Both profit terms are
+    // per-row decimal-cast before the sum so the aggregate is
+    // order-independent; the supplycost×quantity product is deterministic
+    // double arithmetic (integral quantity) in both engines.
+    "q9_product_profit" -> ((s, d) => {
+      val amount = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,6)") -
+        (col("ps_supplycost") * col("l_quantity")).cast("decimal(18,6)")
+      lineitem(s, d)
+        .join(part(s, d).filter(col("p_name").like("%red%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(partsupp(s, d),
+          col("l_partkey") === col("ps_partkey") && col("l_suppkey") === col("ps_suppkey"))
+        .join(supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(amount), 2).cast("double").as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // Q11 analogue (important stock): per-part inventory value for one
+    // nation's suppliers, kept where the value exceeds a fraction of the
+    // nation's total — the scalar-subquery-threshold shape. Both sums are
+    // exact decimals; the threshold compare is then ONE double multiply
+    // and ONE double cast on each side (deterministic IEEE ops on
+    // identical exact inputs — decimal×decimal is avoided because DuckDB
+    // promotes >38-width decimal products to DOUBLE while Spark keeps a
+    // precision-lossy decimal, and the two roundings could disagree). The
+    // threshold attaches as a broadcast single-row cross join.
+    "q11_important_stock" -> ((s, d) => {
+      val ps = partsupp(s, d)
+        .join(supplier(s, d), col("ps_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+      val v = ps.groupBy(col("ps_partkey"))
+        .agg(sum((col("ps_supplycost") * col("ps_availqty")).cast("decimal(18,6)"))
+          .as("value"))
+      val thr = v.agg((sum(col("value")).cast("double") * 0.0001).as("threshold"))
+      v.crossJoin(broadcast(thr))
+        .filter(col("value").cast("double") > col("threshold"))
+        .select(col("ps_partkey"), round(col("value"), 2).cast("double").as("value"))
+        .orderBy(col("value").desc, col("ps_partkey"))
+    }),
+
+    // Q20 analogue (promotable parts): suppliers in one nation whose stock
+    // of a part family exceeds half of what they actually shipped in a
+    // year — the nested-IN chain, spelled as the two semi joins Catalyst
+    // decorrelates it to. The shipped-quantity aggregate is exact
+    // (integral quantities); ×0.5 is a power-of-two scale, so the compare
+    // is engine-exact in doubles.
+    "q20_promotable_parts" -> ((s, d) => {
+      val shipped = lineitem(s, d)
+        .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+      val smallParts = part(s, d).filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val bigStock = partsupp(s, d)
+        .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+        .join(shipped,
+          col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+        .filter(col("ps_availqty").cast("double") > col("qty") * 0.5)
+        .select(col("ps_suppkey"))
+      supplier(s, d)
+        .join(broadcast(nation(s, d).filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(bigStock, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
     })
   )
 
@@ -651,6 +785,78 @@ object BenchmarkQueries {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY cntry
-        |ORDER BY cntry""".stripMargin
+        |ORDER BY cntry""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      s"""WITH $PartsuppSql,
+        |eligible AS (
+        |  SELECT ps_partkey, ps_supplycost, s_acctbal, s_name, n_name, p_partkey
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  JOIN part ON ps_partkey = p_partkey
+        |  WHERE r_name = 'ASIA' AND p_size = 15 AND p_type = 'ECONOMY'),
+        |mins AS (SELECT ps_partkey AS mp, MIN(ps_supplycost) AS mc
+        |         FROM eligible GROUP BY 1)
+        |SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+        |  ROUND(ps_supplycost, 2) AS ps_supplycost
+        |FROM eligible JOIN mins ON ps_partkey = mp AND ps_supplycost = mc
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q9_product_profit" ->
+      s"""WITH $PartsuppSql
+        |SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(ROUND(SUM(
+        |    CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+        |    - CAST(ps_supplycost * l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, o_year
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q11_important_stock" ->
+      s"""WITH $PartsuppSql,
+        |v AS (
+        |  SELECT ps_partkey,
+        |    SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,6))) AS value
+        |  FROM partsupp
+        |  JOIN supplier ON ps_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'
+        |  GROUP BY ps_partkey)
+        |SELECT ps_partkey, CAST(ROUND(value, 2) AS DOUBLE) AS value
+        |FROM v
+        |WHERE CAST(value AS DOUBLE) >
+        |  (SELECT CAST(SUM(value) AS DOUBLE) * 0.0001 FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    "q20_promotable_parts" ->
+      s"""WITH $PartsuppSql,
+        |shipped AS (
+        |  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |big AS (
+        |  SELECT DISTINCT ps_suppkey
+        |  FROM partsupp
+        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |    AND CAST(ps_availqty AS DOUBLE) > qty * 0.5)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (SELECT ps_suppkey FROM big)
+        |ORDER BY s_name""".stripMargin
   )
 }

@@ -395,6 +395,45 @@ ke$i AS MATERIALIZED (
         graft.graph.Motifs.coOccurrence(li, "l_orderkey", "l_partkey"))
     }),
 
+    // Link prediction (common-neighbor / Jaccard recommendation) over the
+    // co-order graph: for each seed part (keys ≤ 20), the top-5
+    // NON-adjacent parts ranked by shared-neighbor count — the classic
+    // "related items" candidate generator. Scale shape: the seed side of
+    // the mid join is |seeds|-bounded (per-mid work ≤ |seeds|·deg(mid),
+    // never deg(mid)², so no wedge salting is needed for a bounded seed
+    // set), the adjacency anti-join removes existing edges before the
+    // |seeds|-bounded rank window. Integer-exact scores; the Jaccard
+    // column is one double division on exact integers.
+    "g11_link_prediction" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_partkey"))
+      val und = graft.graph.Motifs.coOccurrence(li, "l_orderkey", "l_partkey")
+        .localCheckpoint(true) // three consumers below; the co-order
+      // self-join is the expensive input (1.2M edges at sf0.1)
+      val adj = und.select(col("a").as("v"), col("b").as("n"))
+        .unionAll(und.select(col("b").as("v"), col("a").as("n")))
+      val deg = adj.groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val seeds = adj.filter(col("v") <= 20)
+        .select(col("v").as("seed"), col("n").as("mid"))
+      val cand = seeds
+        .join(adj.select(col("v").as("mid"), col("n").as("cand")), "mid")
+        .filter(col("cand") =!= col("seed"))
+        .join(adj.select(col("v").as("seed"), col("n").as("cand")),
+          Seq("seed", "cand"), "left_anti")
+        .groupBy(col("seed"), col("cand"))
+        .agg(count(lit(1)).as("cn"))
+      val w = Window.partitionBy(col("seed")).orderBy(col("cn").desc, col("cand"))
+      val out = cand
+        .join(deg.select(col("v").as("seed"), col("d").as("ds")), "seed")
+        .join(deg.select(col("v").as("cand"), col("d").as("dc")), "cand")
+        .select(col("seed"), col("cand"), col("cn"),
+          round(col("cn").cast("double") / (col("ds") + col("dc") - col("cn")), 9)
+            .as("jaccard"),
+          row_number().over(w).cast("long").as("rk"))
+        .filter(col("rk") <= 5)
+        .orderBy(col("seed"), col("rk"))
+      out
+    }),
+
     // Bounded-hop reachability (frontier BFS, k=3) over the undirected
     // part↔supplier supply network ('p'/'s'-prefixed ids keep the two key
     // namespaces apart): the supply-chain blast radius of seed parts 1-5,
@@ -679,6 +718,27 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |    ELSE 2.0 * COALESCE(pv.n_tri, 0) / (deg.d * (deg.d - 1)) END, 9) AS coef
         |FROM deg LEFT JOIN pv ON deg.v = pv.v
         |ORDER BY id""".stripMargin,
+
+    "g11_link_prediction" ->
+      """WITH ps AS (SELECT DISTINCT l_orderkey AS p, l_partkey AS s FROM lineitem),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT x.s AS a, y.s AS b FROM ps x JOIN ps y ON x.p = y.p AND x.s < y.s),
+        |adj AS MATERIALIZED (
+        |  SELECT a AS v, b AS n FROM und UNION ALL SELECT b AS v, a AS n FROM und),
+        |deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+        |cand AS (
+        |  SELECT s.v AS seed, t.n AS cand, COUNT(*) AS cn
+        |  FROM adj s JOIN adj t ON s.n = t.v
+        |  WHERE s.v <= 20 AND t.n <> s.v
+        |    AND NOT EXISTS (SELECT 1 FROM adj e WHERE e.v = s.v AND e.n = t.n)
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT seed, cand, cn,
+        |    ROUND(CAST(cn AS DOUBLE) / (ds.d + dc.d - cn), 9) AS jaccard,
+        |    ROW_NUMBER() OVER (PARTITION BY seed ORDER BY cn DESC, cand) AS rk
+        |  FROM cand JOIN deg ds ON ds.v = seed JOIN deg dc ON dc.v = cand)
+        |SELECT seed, cand, cn, jaccard, CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 5 ORDER BY seed, rk""".stripMargin,
 
     "g4_khop" ->
       """WITH p2s AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,

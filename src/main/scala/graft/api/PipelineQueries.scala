@@ -24,6 +24,44 @@ object PipelineQueries {
   private val CosineThreshold = 0.35
   private val MixtureTarget = 100.0
 
+  /** Shared oracle CTE chain reproducing the portable MinHash-LSH pair set
+    * (`Dedup.minhashLshPairsPortable`, n=3, 8 bands × 4 rows) exactly:
+    * `mh_pairs(doc_a, doc_b, jaccard)`. Used by d3b (the pair list) and
+    * d15 (the cross-source duplication matrix over the same pairs).
+    */
+  private val D3bPairsCtes =
+    s"""toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+      |sig AS (
+      |  SELECT doc_id, k,
+      |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+      |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
+      |matches AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(FLOOR(a.k / 4.0) AS INT) AS band, COUNT(*) AS c
+      |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3),
+      |cand AS (SELECT DISTINCT doc_a, doc_b FROM matches WHERE c = 4),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |mh_pairs AS (
+      |  SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
+      |    ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+      |  FROM cand c
+      |  JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+      |  JOIN cnt ca ON c.doc_a = ca.doc_id
+      |  JOIN cnt cb ON c.doc_b = cb.doc_id
+      |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold)""".stripMargin
+
   private def vecs(s: SparkSession, d: String): DataFrame =
     embeddings(s, d).select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
 
@@ -389,6 +427,31 @@ object PipelineQueries {
     "d3b_minhash_portable" -> ((s, d) =>
       Dedup.minhashLshPairsPortable(documents(s, d), "doc_id", "text",
         n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)),
+
+    // Cross-source duplication matrix over the d3b portable pair set:
+    // which sources near-duplicate which — the corpus-governance view
+    // that decides whether a source is worth re-crawling (its content is
+    // already held elsewhere) or is internally redundant (the diagonal).
+    // The doc→source decoration is a dimension-sized broadcast; the
+    // matrix itself is ≤ |sources|² rows. Exact aggregation (decimal-cast
+    // jaccard sum) over the identical oracle-reproduced pair set.
+    "d15_dup_matrix" -> ((s, d) => {
+      val pairs = Dedup.minhashLshPairsPortable(documents(s, d), "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      pairs
+        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))),
+          "doc_a")
+        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))),
+          "doc_b")
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(sum(col("jaccard").cast("decimal(10,6)")).cast("double")
+            / count(lit(1)), 6).as("mean_jaccard"))
+        .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+    }),
 
     // Portable 16-bit SimHash — full SQL oracle.
     "d4b_simhash_portable" -> ((s, d) =>
@@ -1581,37 +1644,24 @@ object PipelineQueries {
         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "d3b_minhash_portable" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
-        |sig AS (
-        |  SELECT doc_id, k,
-        |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
-        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
-        |matches AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |    CAST(FLOOR(a.k / 4.0) AS INT) AS band, COUNT(*) AS c
-        |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3),
-        |cand AS (SELECT DISTINCT doc_a, doc_b FROM matches WHERE c = 4),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT c.doc_a AS doc_a, c.doc_b AS doc_b,
-        |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
-        |FROM cand c
-        |JOIN pairs p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
-        |JOIN cnt ca ON c.doc_a = ca.doc_id
-        |JOIN cnt cb ON c.doc_b = cb.doc_id
-        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
-        |ORDER BY c.doc_a, c.doc_b""".stripMargin,
+      s"""WITH $D3bPairsCtes
+        |SELECT doc_a, doc_b, jaccard FROM mh_pairs
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Shares the d3b pair set (D3bPairsCtes) — the matrix is an exact
+    // aggregation over the identical portable near-dup pairs.
+    "d15_dup_matrix" ->
+      s"""WITH $D3bPairsCtes
+        |SELECT LEAST(da.source, db.source) AS source_a,
+        |  GREATEST(da.source, db.source) AS source_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(SUM(CAST(jaccard AS DECIMAL(10,6))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_jaccard
+        |FROM mh_pairs
+        |JOIN documents da ON doc_a = da.doc_id
+        |JOIN documents db ON doc_b = db.doc_id
+        |GROUP BY source_a, source_b
+        |ORDER BY n_pairs DESC, source_a, source_b""".stripMargin,
 
     "d4b_simhash_portable" -> {
       val votes = (0 until 16)
