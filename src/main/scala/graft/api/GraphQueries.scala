@@ -434,6 +434,50 @@ ke$i AS MATERIALIZED (
       out
     }),
 
+    // Bounded-hop closeness + harmonic centrality for seed parts 1-5 over
+    // the part↔supplier supply network: a PER-SEED labeled BFS (frontier
+    // rows are (seed, vertex) pairs — k bounded joins, no per-seed loop),
+    // then centralities from the per-level reach counts. The counts are
+    // integer-exact; closeness is one division and harmonic is the FIXED
+    // expression n1 + n2/2 + n3/3 (pivoted counts, not a float sum over
+    // rows, so no summation-order sensitivity between engines). At scale
+    // the frontier side of each hop join is |seeds|-bounded and
+    // broadcasts; the visited anti-join is keyed on (seed, id).
+    "g12_closeness" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      var frontier = Tables.part(s, d).filter(col("p_partkey") <= 5)
+        .select((col("p_partkey") * 2).as("seed"), (col("p_partkey") * 2).as("id"))
+        .distinct().localCheckpoint(true)
+      var visited = frontier
+      var levels = List(frontier.withColumn("hops", lit(0)))
+      for (h <- 1 to 3) {
+        val next = e.join(frontier, col("src") === col("id"))
+          .select(col("seed"), col("dst").as("id")).distinct()
+          .join(visited, Seq("seed", "id"), "left_anti")
+          .localCheckpoint(true)
+        levels ::= next.withColumn("hops", lit(h))
+        visited = visited.unionAll(next)
+        frontier = next
+      }
+      val u = levels.reverse.reduce(_.unionAll(_))
+      val cnt = u.groupBy(col("seed")).agg(
+        sum(when(col("hops") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("hops") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("hops") === 3, 1L).otherwise(0L)).as("n3"))
+      cnt.select(
+          expr("seed div 2").as("part_id"),
+          (col("n1") + col("n2") + col("n3")).as("reached"),
+          (col("n1") + col("n2") * 2 + col("n3") * 3).as("sum_hops"),
+          round(when(col("n1") + col("n2") * 2 + col("n3") * 3 === 0, 0.0)
+            .otherwise((col("n1") + col("n2") + col("n3")).cast("double")
+              / (col("n1") + col("n2") * 2 + col("n3") * 3)), 9).as("closeness"),
+          round(col("n1") + col("n2") / 2.0 + col("n3") / 3.0, 9).as("harmonic"))
+        .orderBy(col("part_id"))
+    }),
+
     // Bounded-hop reachability (frontier BFS, k=3) over the undirected
     // part↔supplier supply network ('p'/'s'-prefixed ids keep the two key
     // namespaces apart): the supply-chain blast radius of seed parts 1-5,
@@ -739,6 +783,41 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |  FROM cand JOIN deg ds ON ds.v = seed JOIN deg dc ON dc.v = cand)
         |SELECT seed, cand, cn, jaccard, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 5 ORDER BY seed, rk""".stripMargin,
+
+    "g12_closeness" ->
+      """WITH p2s AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem),
+        |edges AS (SELECT src, dst FROM p2s UNION SELECT dst, src FROM p2s),
+        |h0 AS (SELECT DISTINCT p_partkey * 2 AS seed, p_partkey * 2 AS id
+        |       FROM part WHERE p_partkey <= 5),
+        |h1 AS (SELECT DISTINCT h0.seed, e.dst AS id FROM edges e JOIN h0 ON e.src = h0.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h0.seed AND v.id = e.dst)),
+        |h2 AS (SELECT DISTINCT h1.seed, e.dst AS id FROM edges e JOIN h1 ON e.src = h1.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h1.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.seed = h1.seed AND v.id = e.dst)),
+        |h3 AS (SELECT DISTINCT h2.seed, e.dst AS id FROM edges e JOIN h2 ON e.src = h2.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h2.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.seed = h2.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h2 v WHERE v.seed = h2.seed AND v.id = e.dst)),
+        |u AS (
+        |  SELECT seed, 1 AS hops FROM h1
+        |  UNION ALL SELECT seed, 2 FROM h2
+        |  UNION ALL SELECT seed, 3 FROM h3),
+        |cnt AS (
+        |  SELECT h0.seed,
+        |    CAST(COALESCE(SUM(CASE WHEN hops = 1 THEN 1 END), 0) AS BIGINT) AS n1,
+        |    CAST(COALESCE(SUM(CASE WHEN hops = 2 THEN 1 END), 0) AS BIGINT) AS n2,
+        |    CAST(COALESCE(SUM(CASE WHEN hops = 3 THEN 1 END), 0) AS BIGINT) AS n3
+        |  FROM h0 LEFT JOIN u ON u.seed = h0.seed
+        |  GROUP BY h0.seed)
+        |SELECT seed // 2 AS part_id,
+        |  n1 + n2 + n3 AS reached,
+        |  n1 + n2 * 2 + n3 * 3 AS sum_hops,
+        |  ROUND(CASE WHEN n1 + n2 * 2 + n3 * 3 = 0 THEN 0.0
+        |    ELSE CAST(n1 + n2 + n3 AS DOUBLE) / (n1 + n2 * 2 + n3 * 3) END, 9)
+        |    AS closeness,
+        |  ROUND(n1 + n2 / 2.0 + n3 / 3.0, 9) AS harmonic
+        |FROM cnt ORDER BY part_id""".stripMargin,
 
     "g4_khop" ->
       """WITH p2s AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,

@@ -368,6 +368,33 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Epoch plan for a data-constrained run (Muennighoff et al. 2023
+    // shape): α=0.5 temperature weights over per-source token budgets
+    // (p13) allocate a 4×-corpus token target; per-source epochs =
+    // allocation / budget, capped at 16 repeats — beyond which repeated
+    // data stops helping. The whole plan is one corpus scan + a broadcast
+    // 1-row global; per-source arithmetic is deterministic IEEE double on
+    // exact integer inputs (sqrt/÷/× only; the rank-sensitive sums are
+    // integer counts), so the plan is fully hash-oracled.
+    "p14_epoch_plan" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(TextFns.tokens(col("text"))).cast("long")).as("n_tok"))
+      val per = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      val g = per.agg(sum(col("n_tokens")).as("tot"),
+        sum(sqrt(col("n_tokens").cast("double"))).as("z"))
+      val w = sqrt(col("n_tokens").cast("double")) / col("z")
+      val e = (col("tot") * 4).cast("double") * w / col("n_tokens")
+      per.crossJoin(broadcast(g))
+        .select(col("source"), col("n_tokens"),
+          round(w, 6).as("weight"),
+          round(e, 4).as("raw_epochs"),
+          round(least(e, lit(16.0)), 4).as("epochs"),
+          floor(least(e, lit(16.0)) * col("n_tokens")).cast("long")
+            .as("planned_tokens"))
+        .orderBy(col("source"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -1928,6 +1955,32 @@ object PipelineQueries {
         |  ROUND(CAST(n_tokens AS DOUBLE) / (SELECT SUM(n_tokens) FROM per), 6)
         |    AS token_share
         |FROM per ORDER BY source""".stripMargin,
+
+    "p14_epoch_plan" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY source),
+        |g AS (
+        |  SELECT SUM(n_tokens) AS tot, SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS z
+        |  FROM per),
+        |calc AS (
+        |  SELECT source, n_tokens,
+        |    sqrt(CAST(n_tokens AS DOUBLE)) / z AS w,
+        |    CAST(tot * 4 AS DOUBLE) * (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+        |      / n_tokens AS e
+        |  FROM per, g)
+        |SELECT source, n_tokens,
+        |  ROUND(w, 6) AS weight,
+        |  ROUND(e, 4) AS raw_epochs,
+        |  ROUND(LEAST(e, 16.0), 4) AS epochs,
+        |  CAST(FLOOR(LEAST(e, 16.0) * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM calc ORDER BY source""".stripMargin,
 
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
