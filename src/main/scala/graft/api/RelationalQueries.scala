@@ -445,6 +445,34 @@ object RelationalQueries {
         col("q")(0).as("p25"), col("q")(1).as("p50"),
         col("q")(2).as("p75"), col("q")(3).as("p95"))
       .orderBy(col("l_returnflag")))
+  ,
+
+    // Theta-sketch set algebra: customer-audience overlap between two
+    // order halves — |A|, |B|, |A∪B|, |A∩B|, |A∖B| from two independently
+    // built sketches (the post-hoc composition HLL cannot do). lgK=16
+    // (65536 nominal entries) exceeds the customer cardinality at every
+    // test sf, so the sketches are in their EXACT regime and the query
+    // hash-oracles against COUNT(DISTINCT)/INTERSECT/EXCEPT; the sampling
+    // regime's error bound is property-tested in SketchSpec. Each side is
+    // one map-side-combinable aggregation; the two 1-row sketch tables
+    // broadcast-cross-join.
+    "a20_theta_ops" -> ((s, d) => {
+      import org.apache.spark.sql.graft.ThetaSketchAgg._
+      val ord = orders(s, d)
+      val mid = lit("1996-07-01").cast("timestamp")
+      val a = ord.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < mid)
+        .agg(thetaSketch(col("o_custkey"), 16).as("sa"))
+      val b = ord.filter(col("o_orderdate") >= mid
+          && col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .agg(thetaSketch(col("o_custkey"), 16).as("sb"))
+      a.crossJoin(broadcast(b)).select(
+        round(thetaEstimate(col("sa"))).cast("long").as("n_a"),
+        round(thetaEstimate(col("sb"))).cast("long").as("n_b"),
+        round(thetaUnionEst(col("sa"), col("sb"))).cast("long").as("n_union"),
+        round(thetaIntersectEst(col("sa"), col("sb"))).cast("long").as("n_intersect"),
+        round(thetaAnotBEst(col("sa"), col("sb"))).cast("long").as("n_a_not_b"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -707,6 +735,27 @@ object RelationalQueries {
         |FROM orders
         |QUALIFY ROW_NUMBER() OVER (
         |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) = 1
-        |ORDER BY o_custkey""".stripMargin
+        |ORDER BY o_custkey""".stripMargin,
+
+    // Exact-regime theta sketches (lgK=16 > |customers| at every test sf)
+    // ⇒ the estimates equal the true set cardinalities.
+    "a20_theta_ops" ->
+      """WITH a AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1996-07-01'),
+        |b AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a,
+        |  CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b,
+        |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+        |        UNION SELECT o_custkey FROM b)) AS BIGINT) AS n_union,
+        |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+        |        INTERSECT SELECT o_custkey FROM b)) AS BIGINT) AS n_intersect,
+        |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
+        |        EXCEPT SELECT o_custkey FROM b)) AS BIGINT) AS n_a_not_b""".stripMargin
   )
 }

@@ -113,5 +113,33 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           exprs(0),
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(1))))
       }))
+    // Theta set-algebra sketches: theta_sketch(col[, lgK]) builds the
+    // binary; theta_estimate(bin) and theta_{union,intersect,anotb}_est
+    // (a, b) evaluate cardinalities over stored sketches.
+    extensions.injectFunction((
+      new FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo(classOf[ThetaSketchAgg].getName, null, "theta_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("theta_sketch", exprs, Set(1, 2))
+        if (exprs.length > 1)
+          ThetaSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        else ThetaSketchAgg(exprs(0))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("theta_estimate"),
+      new ExpressionInfo(classOf[ThetaEstimateExpr].getName, null, "theta_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("theta_estimate", exprs, Set(1))
+        ThetaEstimateExpr(exprs(0))
+      }))
+    Seq("union", "intersect", "anotb").foreach { op =>
+      extensions.injectFunction((
+        new FunctionIdentifier(s"theta_${op}_est"),
+        new ExpressionInfo(classOf[ThetaSetEstExpr].getName, null, s"theta_${op}_est"),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          arity(s"theta_${op}_est", exprs, Set(2))
+          ThetaSetEstExpr(exprs(0), exprs(1), op)
+        }))
+    }
   }
 }

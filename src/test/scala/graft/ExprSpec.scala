@@ -93,6 +93,24 @@ class ExprSpec extends SparkSpec {
       }
       assert(bloomErr.getMessage.contains("bloom_contains expects 2"),
         s"unexpected bloom arity error: ${bloomErr.getMessage}")
+      // Theta set-algebra family end-to-end through SQL (exact regime, so
+      // the estimates are the true cardinalities): A={1..4}, B={3,4,5}.
+      val theta = ext.sql(
+        """SELECT round(theta_estimate(sa)) AS na,
+          |  round(theta_intersect_est(sa, sb)) AS ni,
+          |  round(theta_anotb_est(sa, sb)) AS nd,
+          |  round(theta_union_est(sa, sb)) AS nu
+          |FROM (SELECT theta_sketch(v) AS sa FROM VALUES (1),(2),(3),(4) AS a(v)),
+          |     (SELECT theta_sketch(v) AS sb FROM VALUES (3),(4),(5) AS b(v))"""
+          .stripMargin).collect().head
+      assert((theta.getDouble(0), theta.getDouble(1), theta.getDouble(2),
+        theta.getDouble(3)) == ((4.0, 2.0, 2.0, 5.0)),
+        s"theta SQL set ops returned $theta")
+      val thetaErr = intercept[Exception] {
+        ext.sql("SELECT theta_sketch(v, 12, 9) FROM VALUES (1) AS t(v)").collect()
+      }
+      assert(thetaErr.getMessage.contains("theta_sketch expects 1 or 2"),
+        s"unexpected theta arity error: ${thetaErr.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

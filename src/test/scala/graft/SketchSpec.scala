@@ -136,4 +136,42 @@ class SketchSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(apx == (0 to 9).map(i => s"k$i" -> 100L).toMap)
   }
+
+  test("theta sketch: exact below nominal entries, merge-invariant, bounded above") {
+    import org.apache.spark.sql.graft.ThetaSketchAgg._
+    import spark.implicits._
+    // Exact regime: 1000 distincts < 4096 nominal (default lgK=12) — the
+    // estimate IS the cardinality, independent of partitioning (the merge
+    // path composes partial unions; exactness must survive it).
+    val df = (1 to 1000).toDF("v")
+    assert(df.agg(thetaEstimate(thetaSketch(col("v"))))
+      .head.getDouble(0) == 1000.0)
+    assert(df.repartition(8).agg(thetaEstimate(thetaSketch(col("v"))))
+      .head.getDouble(0) == 1000.0)
+    // Estimation regime: lgK=9 (512 retained) over 50k distincts. RSE ≈
+    // 1/√512 ≈ 4.4%; 5σ bound keeps the assertion deterministic-enough
+    // for the fixed hash family while still catching a broken update path
+    // (which typically misses by orders of magnitude, not percent).
+    val e = (1 to 50000).toDF("v").repartition(8)
+      .agg(thetaEstimate(thetaSketch(col("v"), 9))).head.getDouble(0)
+    assert(math.abs(e - 50000.0) / 50000.0 < 0.22, s"estimation-mode estimate $e")
+  }
+
+  test("theta set ops: exact regime equals true set algebra across types") {
+    import org.apache.spark.sql.graft.ThetaSketchAgg._
+    import spark.implicits._
+    // A = {1..1000}, B = {500..1500}: |A∩B| = 501, |A∖B| = 499,
+    // |A∪B| = 1500 — all below nominal entries, so equality is exact.
+    val a = (1 to 1000).toDF("v").agg(thetaSketch(col("v")).as("sa"))
+    val b = (500 to 1500).toDF("v").agg(thetaSketch(col("v")).as("sb"))
+    val r = a.crossJoin(b).select(
+      thetaIntersectEst(col("sa"), col("sb")).as("i"),
+      thetaAnotBEst(col("sa"), col("sb")).as("d"),
+      thetaUnionEst(col("sa"), col("sb")).as("u")).head
+    assert((r.getDouble(0), r.getDouble(1), r.getDouble(2)) ==
+      ((501.0, 499.0, 1500.0)))
+    // String keys hash through the same sketch (the update-path overload).
+    val sa = Seq("x", "y", "z").toDF("s").agg(thetaSketch(col("s")).as("t"))
+    assert(sa.select(thetaEstimate(col("t"))).head.getDouble(0) == 3.0)
+  }
 }
