@@ -231,4 +231,23 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("q13_order_histogram")(spark, Sf01))
     assert(plan.contains("LeftOuter"), plan.take(2000))
   }
+
+  test("q2: the per-part min re-join broadcasts (dimension-sized, never the fact)") {
+    val plan = planOf(SparkEntry.queries("q2_min_cost_supplier")(spark, Sf01))
+    // The decorrelated correlated-MIN: eligible ⋈ mins on (key, cost)
+    // must be a BroadcastHashJoin — mins is |parts|-bounded at any scale.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q11: the threshold attaches as a broadcast single-row join, not a shuffle") {
+    val df = SparkEntry.queries("q11_important_stock")(spark, Sf01)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("g11: candidate generation is hash joins end to end (no cartesian)") {
+    val plan = planOf(SparkEntry.queries("g11_link_prediction")(spark, Sf001))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
 }
