@@ -287,6 +287,36 @@ object EventQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Robust (median/MAD) outlier screen — e14's moment-free twin for
+    // heavy-tailed telemetry, where mean/stddev are themselves dragged by
+    // the outliers being hunted. Exact medians are NOT sketchable or
+    // map-side combinable (percentile buffers the group), so this shape
+    // honestly pays two keyed shuffles of the value column — the price of
+    // exactness; at 100 TB the approximate alternative is the same screen
+    // over KLL quantiles (a18), one combinable pass. Interpolating-median
+    // parity: Spark's percentile and DuckDB's quantile_cont both
+    // interpolate lo + (hi-lo)·frac at index p·(n-1), so the oracle
+    // compare is exact.
+    "e21_mad_outliers" -> ((s, d) => {
+      val med = events(s, d).groupBy(col("user_id"))
+        .agg(expr("percentile(value, 0.5)").as("med"), count(lit(1)).as("n"))
+      val dev = events(s, d).join(broadcast(med), "user_id")
+        .select(col("event_id"), col("user_id"), col("value"), col("med"),
+          col("n"), abs(col("value") - col("med")).as("ad"))
+      val mads = dev.groupBy(col("user_id"))
+        .agg(expr("percentile(ad, 0.5)").as("mad"))
+      dev.join(broadcast(mads), "user_id")
+        .filter(col("n") > 1 && col("mad") > 0 &&
+          abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"))
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"),
+          round(col("med"), 6).as("med"),
+          round(col("mad"), 6).as("mad"),
+          round((col("value") - col("med")) / (lit(1.4826) * col("mad")), 6)
+            .as("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     // OHLC downsampling: per (hour × event_type), the opening/closing
     // value (earliest/latest event, event_id tie-break) and the high/low —
     // the classic time-series bar compaction. ONE map-side-combinable
@@ -593,6 +623,27 @@ object EventQueries {
         |FROM events e JOIN z USING (user_id)
         |WHERE z.n > 1 AND z.sd > 0 AND ABS((e.value - z.m) / z.sd) > 2.0
         |ORDER BY e.event_id""".stripMargin,
+
+    "e21_mad_outliers" ->
+      """WITH med AS (
+        |  SELECT user_id, quantile_cont(value, 0.5) AS med,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id),
+        |dev AS (
+        |  SELECT e.event_id, e.user_id, e.value, m.med, m.n,
+        |    ABS(e.value - m.med) AS ad
+        |  FROM events e JOIN med m USING (user_id)),
+        |mads AS (
+        |  SELECT user_id, quantile_cont(ad, 0.5) AS mad FROM dev GROUP BY user_id)
+        |SELECT d.event_id, d.user_id,
+        |  ROUND(d.value, 4) AS value,
+        |  ROUND(d.med, 6) AS med,
+        |  ROUND(mads.mad, 6) AS mad,
+        |  ROUND((d.value - d.med) / (1.4826 * mads.mad), 6) AS robust_z
+        |FROM dev d JOIN mads USING (user_id)
+        |WHERE d.n > 1 AND mads.mad > 0
+        |  AND ABS(d.value - d.med) > 3.0 * 1.4826 * mads.mad
+        |ORDER BY d.event_id""".stripMargin,
 
     "e10_range_join" ->
       """SELECT a.event_id AS event_id, CAST(COUNT(b.event_id) AS BIGINT) AS n_follow
