@@ -434,6 +434,25 @@ ke$i AS MATERIALIZED (
       out
     }),
 
+    // Strongly connected components of the DIRECTED high-value trade
+    // graph (customer nation → supplier nation for big discounted lots —
+    // the filter keeps the graph sparse enough to have non-trivial SCC
+    // structure: a giant mutual-trade component plus one-way satellites).
+    // graph.Scc: forward-min coloring + color-restricted backward sweep;
+    // oracle = recursive-CTE reachability closure with a mutual-pairs
+    // min aggregation (exact on this dimension-sized vertex set).
+    "g13_scc" -> ((s, d) => {
+      val e = Tables.lineitem(s, d)
+        .filter(col("l_quantity") >= 49 && col("l_discount") > 0.09)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .filter(col("c_nationkey") =!= col("s_nationkey"))
+        .select(col("c_nationkey").cast("long").as("src"),
+          col("s_nationkey").cast("long").as("dst"))
+      graft.graph.Scc.run(e).orderBy(col("id"))
+    }),
+
     // Bounded-hop closeness + harmonic centrality for seed parts 1-5 over
     // the part↔supplier supply network: a PER-SEED labeled BFS (frontier
     // rows are (seed, vertex) pairs — k bounded joins, no per-seed loop),
@@ -783,6 +802,27 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |  FROM cand JOIN deg ds ON ds.v = seed JOIN deg dc ON dc.v = cand)
         |SELECT seed, cand, cn, jaccard, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 5 ORDER BY seed, rk""".stripMargin,
+
+    "g13_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT CAST(c_nationkey AS BIGINT) AS src,
+        |    CAST(s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  WHERE l_quantity >= 49 AND l_discount > 0.09
+        |    AND c_nationkey <> s_nationkey),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |reach(a, b) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
+        |SELECT n.id, MIN(m.id) AS scc_id
+        |FROM nodes n JOIN nodes m ON n.id = m.id
+        |  OR (EXISTS (SELECT 1 FROM reach WHERE a = n.id AND b = m.id)
+        |  AND EXISTS (SELECT 1 FROM reach WHERE a = m.id AND b = n.id))
+        |GROUP BY n.id ORDER BY n.id""".stripMargin,
 
     "g12_closeness" ->
       """WITH p2s AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
