@@ -218,6 +218,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Distributed BPE tokenizer TRAINING (Sennrich et al. 2016): the top-12
+    // learned merges over the corpus word-frequency dictionary — one corpus
+    // scan, then vocabulary-sized merge rounds (graft.text.Bpe). Rows-only
+    // by design: DuckDB's RE2 regex has no lookarounds, so the oracle is a
+    // ScalaTest property instead — BpeSpec pins the ENTIRE merge sequence
+    // and final segmentation against a naive sequential list-based
+    // reference.
+    "t18_bpe_train" -> ((s, d) => {
+      val (merges, vocab) = graft.text.Bpe.train(documents(s, d), "text", 12)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(vocab)
+      graft.text.Bpe.mergesDf(s, merges)
+    }),
+
+    // Apply the trained BPE vocabulary: per-doc word + BPE-token counts
+    // via a broadcast segmentation map (corpus scans once; no per-doc
+    // merge replay). The t7 regex tokenizer is the heuristic stand-in;
+    // this is the real learned-subword path.
+    "t19_bpe_tokens" -> ((s, d) => {
+      val (_, vocab) = graft.text.Bpe.train(documents(s, d), "text", 12)
+      graft.text.Bpe.tokenCounts(documents(s, d), "doc_id", "text", vocab)
+    }),
+
     // Gopher-style repetition/quality filters (distinct-token fraction,
     // top-token fraction, mean word length, duplicate-bigram fraction).
     "t9_quality_gopher" -> ((s, d) =>
