@@ -125,6 +125,10 @@ object Bench {
     "g8_label_prop",
     "g9_assortativity",
     "g11_link_prediction",
+    "g13_scc",
+    "a20_theta_ops",
+    "e21_mad_outliers",
+    "t19_bpe_tokens",
     "i4_personalized",
     "i5_hits",
     "i1_pagerank_fixed",

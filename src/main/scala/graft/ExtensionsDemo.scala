@@ -61,6 +61,23 @@ object ExtensionsDemo {
     require(bloomRow.getLong(0) == 0L, "bloom filter produced false negatives")
     require(bloomRow.getLong(1) < bloomRow.getLong(2) / 2,
       "bloom FP rate out of spec for 64Ki bits / 2k keys")
+
+    // Theta set algebra over two independently built sketches (exact
+    // regime at this scale): overlap of the part sets shipped by two
+    // supplier halves.
+    val theta = spark.sql(
+      """WITH a AS (SELECT theta_sketch(l_partkey, 16) AS s FROM lineitem
+        |           WHERE l_suppkey % 2 = 0),
+        |b AS (SELECT theta_sketch(l_partkey, 16) AS s FROM lineitem
+        |      WHERE l_suppkey % 2 = 1),
+        |x AS (SELECT COUNT(DISTINCT l_partkey) AS n FROM lineitem)
+        |SELECT round(theta_union_est(a.s, b.s)) AS apx_union, x.n AS exact_union,
+        |  round(theta_intersect_est(a.s, b.s)) AS apx_both
+        |FROM a, b, x""".stripMargin).collect().head
+    println(s"theta union=${theta.getDouble(0)} exact=${theta.getLong(1)} " +
+      s"intersect=${theta.getDouble(2)}")
+    require(theta.getDouble(0) == theta.getLong(1).toDouble,
+      "theta union not exact below nominal entries")
     spark.stop()
   }
 }
