@@ -444,8 +444,7 @@ object RelationalQueries {
         col("l_returnflag"),
         col("q")(0).as("p25"), col("q")(1).as("p50"),
         col("q")(2).as("p75"), col("q")(3).as("p95"))
-      .orderBy(col("l_returnflag")))
-  ,
+      .orderBy(col("l_returnflag"))),
 
     // Theta-sketch set algebra: customer-audience overlap between two
     // order halves — |A|, |B|, |A∪B|, |A∩B|, |A∖B| from two independently

@@ -73,4 +73,34 @@ class TablesSpec extends SparkSpec {
     val out = Tables.events(spark, Sf001).select(unix_millis(col("ts")).as("ms"))
     assert(out.limit(1).count() == 1)
   }
+
+  test("driver testdata key columns keep the types the query surface assumes") {
+    // The r7 events.ts drift generalized: pin the HANDFUL of (table,
+    // column) types every family hard-depends on, so a driver testdata
+    // regeneration that changes one surfaces as a single named failure
+    // here instead of dozens of analysis errors downstream. Tolerant on
+    // purpose — only load-bearing columns, and numeric ids accept any
+    // integral width (queries cast).
+    import org.apache.spark.sql.types._
+    def dt(table: String, column: String): DataType =
+      Tables.t(spark, Sf001, table).schema(column).dataType
+    val integral = Set[DataType](IntegerType, LongType)
+    assert(integral(dt("lineitem", "l_orderkey")))
+    assert(Set[DataType](TimestampType, TimestampNTZType, DateType)(
+      dt("lineitem", "l_shipdate")),
+      s"l_shipdate became ${dt("lineitem", "l_shipdate")}")
+    assert(dt("lineitem", "l_quantity") == DoubleType)
+    assert(dt("documents", "text") == StringType)
+    assert(dt("documents", "source") == StringType)
+    assert(integral(dt("documents", "doc_id")))
+    (dt("embeddings", "embedding"): @unchecked) match {
+      case ArrayType(et, _) =>
+        assert(Set[DataType](FloatType, DoubleType)(et),
+          s"embedding element became $et")
+      case other => fail(s"embeddings.embedding became $other")
+    }
+    assert(integral(dt("events", "user_id")))
+    assert(dt("events", "value") == DoubleType)
+    assert(dt("events", "props") == StringType)
+  }
 }
