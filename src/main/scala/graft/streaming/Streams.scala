@@ -474,6 +474,24 @@ object Streams {
     stream.agg(
       org.apache.spark.sql.graft.MisraGriesAgg.heavyHitters(col(keyCol), k).as("hh"))
 
+  /** Streaming per-group distinct sketches — the sketch family's
+    * distinct-count (HLL) and SET-ALGEBRA (theta) members as streaming
+    * aggregation state. Both are mergeable TypedImperativeAggregates, so
+    * the state store carries one serialized buffer per group and every
+    * micro-batch folds in with a merge — no raw-key state, no rescan.
+    * The theta column makes the SNAPSHOTS composable after the fact:
+    * two groups' (or two streams') stored sketches answer |A∪B| / |A∩B|
+    * / |A∖B| via `theta_*_est` without re-reading either stream — the
+    * cross-day/cross-stream audience questions (parity + cross-batch
+    * state survival in StreamsSpec).
+    */
+  def distinctSketchStream(
+      stream: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    stream.groupBy(col(groupCol)).agg(
+      org.apache.spark.sql.graft.HllSketchAgg.hllDistinct(col(keyCol)).as("apx"),
+      org.apache.spark.sql.graft.ThetaSketchAgg
+        .thetaSketch(col(keyCol), 16).as("theta"))
+
   /** Continuous PageRank materialization over an edge-arrival stream —
     * the reference's defining fixpoint (SURVEY §2.9) meeting its §2.10
     * streaming extension: each micro-batch folds the new edges into the

@@ -107,6 +107,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("a" -> 3L, "b" -> 2L, "c" -> 1L, "d" -> 1L), s"got=$got")
   }
 
+  test("streaming distinct sketches carry HLL and theta state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    mem.addData(("g1", 1L), ("g1", 2L), ("g2", 1L))
+    val q = Streams.distinctSketchStream(mem.toDF().toDF("g", "k"), "g", "k")
+      .select(col("g"), col("apx"),
+        org.apache.spark.sql.graft.ThetaSketchAgg.thetaEstimate(col("theta"))
+          .as("texact"))
+      .writeStream.format("memory").queryName("sketch_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    mem.addData(("g1", 2L), ("g1", 3L), ("g2", 9L)) // g1 {1,2,3}, g2 {1,9}
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("sketch_stream")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // Exact regimes at these cardinalities (HLL coupon mode, theta below
+    // nominal entries) — whole-stream distincts only appear if the
+    // sketch buffers survived batch 1 inside the state store.
+    assert(got == Map("g1" -> ((3L, 3.0)), "g2" -> ((2L, 2.0))), s"got=$got")
+  }
+
   test("streaming PageRank materialization converges to batch PageRank") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
