@@ -434,6 +434,28 @@ ke$i AS MATERIALIZED (
       out
     }),
 
+    // Sampled hop-bounded shortest-path LOAD centrality (stress family —
+    // the integer-exact member of the betweenness family, so fully
+    // hash-oracled where σ-ratio betweenness would be float-sum
+    // order-sensitive): #(shortest paths from seed parts 1-3 passing
+    // through each vertex), k=3, over the undirected supply network.
+    // graph.Centrality: forward σ sweep + backward suffix-count sweep,
+    // both (seed, vertex)-keyed — all seeds advance in the same k joins.
+    "g14_path_load" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        (col("l_partkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey").between(1, 3))
+        .select((col("p_partkey") * 2).as("id"))
+      graft.graph.Centrality.pathLoad(e, seeds, k = 3)
+        .select(
+          when(pmod(col("id"), lit(2)) === 0, concat(lit("p"), expr("id div 2")))
+            .otherwise(concat(lit("s"), expr("(id - 1) div 2"))).as("id"),
+          col("load"))
+        .orderBy(col("id"))
+    }),
+
     // Strongly connected components of the DIRECTED high-value trade
     // graph (customer nation → supplier nation for big discounted lots —
     // the filter keeps the graph sparse enough to have non-trivial SCC
@@ -802,6 +824,46 @@ FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),
         |  FROM cand JOIN deg ds ON ds.v = seed JOIN deg dc ON dc.v = cand)
         |SELECT seed, cand, cn, jaccard, CAST(rk AS BIGINT) AS rk
         |FROM ranked WHERE rk <= 5 ORDER BY seed, rk""".stripMargin,
+
+    "g14_path_load" ->
+      """WITH p2s AS (SELECT DISTINCT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |            FROM lineitem),
+        |edges AS (SELECT src, dst FROM p2s UNION SELECT dst, src FROM p2s),
+        |h0 AS (SELECT DISTINCT p_partkey * 2 AS seed, p_partkey * 2 AS id,
+        |         CAST(1 AS BIGINT) AS sigma
+        |       FROM part WHERE p_partkey BETWEEN 1 AND 3),
+        |h1 AS (SELECT h0.seed, e.dst AS id, CAST(SUM(h0.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN h0 ON e.src = h0.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h0.seed AND v.id = e.dst)
+        |       GROUP BY h0.seed, e.dst),
+        |h2 AS (SELECT h1.seed, e.dst AS id, CAST(SUM(h1.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN h1 ON e.src = h1.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h1.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.seed = h1.seed AND v.id = e.dst)
+        |       GROUP BY h1.seed, e.dst),
+        |h3 AS (SELECT h2.seed, e.dst AS id, CAST(SUM(h2.sigma) AS BIGINT) AS sigma
+        |       FROM edges e JOIN h2 ON e.src = h2.id
+        |       WHERE NOT EXISTS (SELECT 1 FROM h0 v WHERE v.seed = h2.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h1 v WHERE v.seed = h2.seed AND v.id = e.dst)
+        |         AND NOT EXISTS (SELECT 1 FROM h2 v WHERE v.seed = h2.seed AND v.id = e.dst)
+        |       GROUP BY h2.seed, e.dst),
+        |psi3 AS (SELECT seed, id, CAST(1 AS BIGINT) AS psi FROM h3),
+        |s2 AS (SELECT p.seed, e.src AS id, SUM(p.psi) AS s
+        |       FROM edges e JOIN psi3 p ON e.dst = p.id GROUP BY p.seed, e.src),
+        |psi2 AS (SELECT h2.seed, h2.id, h2.sigma, 1 + COALESCE(s2.s, 0) AS psi
+        |         FROM h2 LEFT JOIN s2 ON s2.seed = h2.seed AND s2.id = h2.id),
+        |s1 AS (SELECT p.seed, e.src AS id, SUM(p.psi) AS s
+        |       FROM edges e JOIN psi2 p ON e.dst = p.id GROUP BY p.seed, e.src),
+        |psi1 AS (SELECT h1.seed, h1.id, h1.sigma, 1 + COALESCE(s1.s, 0) AS psi
+        |         FROM h1 LEFT JOIN s1 ON s1.seed = h1.seed AND s1.id = h1.id),
+        |loads AS (
+        |  SELECT seed, id, sigma * (psi - 1) AS load FROM psi1
+        |  UNION ALL SELECT seed, id, sigma * (psi - 1) FROM psi2
+        |  UNION ALL SELECT seed, id, CAST(0 AS BIGINT) FROM h3)
+        |SELECT CASE WHEN id % 2 = 0 THEN 'p' || CAST(id // 2 AS VARCHAR)
+        |            ELSE 's' || CAST((id - 1) // 2 AS VARCHAR) END AS id,
+        |  CAST(SUM(load) AS BIGINT) AS load
+        |FROM loads GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "g13_scc" ->
       """WITH RECURSIVE e AS (
