@@ -47,6 +47,12 @@ object AbScaledXl {
     val iters = sys.env.getOrElse("XL_ITERS", "5").toInt
     val points = sys.env.getOrElse("XL_POINTS", "2000000,20000000,100000000")
       .split(",").map(_.trim.toLong).toSeq
+    // Optional leg filter (comma-separated labels) so one loop's missing
+    // point can be filled without re-running the whole sweep.
+    val legs: String => Boolean = sys.env.get("XL_LEGS") match {
+      case Some(s) => s.split(",").map(_.trim).toSet
+      case None => _ => true
+    }
     val params = PageRank.Params(beta = 0.85, delta = 0.0, maxIter = iters)
 
     val cpuNs = new AtomicLong(0L)
@@ -66,6 +72,7 @@ object AbScaledXl {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     def measure(label: String, nv: Long, ne: Long)(body: => Long): Unit = {
+      if (!legs(label)) return
       GraftInternals.drainListenerBus(spark)
       cpuNs.set(0L); spillBytes.set(0L)
       val t0 = System.nanoTime()
@@ -103,6 +110,25 @@ object AbScaledXl {
       }
       measure("cc_df", nv, ne) {
         val res = ConnectedComponents.run(SyntheticGraph.powerLaw(spark, nv, ne))
+        val n = res.count()
+        GraftInternals.freeLocalCheckpoint(res); n
+      }
+      // Round-8 loops: directed SCC (coloring fixpoint dominates — its
+      // propagation rounds scale with the min-label chain length, so the
+      // 100M point is skipped like GraphX's; 2M/20M characterize the
+      // curve) and sampled path-load centrality (k bounded, so it rides
+      // every point).
+      if (ne <= 20000000L) measure("scc", nv, ne) {
+        val res = graft.graph.Scc.run(
+          SyntheticGraph.powerLaw(spark, nv, ne), maxRounds = 12, maxProp = 80)
+        val n = res.count()
+        GraftInternals.freeLocalCheckpoint(res); n
+      }
+      measure("pathload", nv, ne) {
+        import org.apache.spark.sql.functions.col
+        val seeds = spark.range(3).select(col("id"))
+        val res = graft.graph.Centrality.pathLoad(
+          SyntheticGraph.powerLaw(spark, nv, ne), seeds, k = 3)
         val n = res.count()
         GraftInternals.freeLocalCheckpoint(res); n
       }

@@ -126,6 +126,7 @@ object Bench {
     "g9_assortativity",
     "g11_link_prediction",
     "g13_scc",
+    "g14_path_load",
     "a20_theta_ops",
     "e21_mad_outliers",
     "t19_bpe_tokens",
