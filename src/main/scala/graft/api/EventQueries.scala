@@ -448,6 +448,33 @@ object EventQueries {
         .orderBy(col("user_id"), col("gap_start_event"))
     }),
 
+    // Event-time DISORDER histogram — the watermark-sizing companion to
+    // e20's gap screen: per event, how far behind its ingest shard's
+    // running event-time high-water mark it arrived (arrival order =
+    // event_id; shard = event_type, where users' timelines interleave —
+    // exactly what a per-partition watermark sees), log2-bucketed (g10's
+    // integer-exact length(bin(·)) trick; bucket −1 = in-order). Bucket k
+    // covers [2^k, 2^(k+1)) ms of disorder, so "the p99 bucket" reads off
+    // the `withWatermark` delay the streaming twins need for their keyed
+    // state to be eviction-safe. The window shuffles by shard key — never
+    // a global single-partition sort.
+    "e22_disorder" -> ((s, d) => {
+      val ms = unix_millis(col("ts"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("event_id"), col("event_type"), ms.as("ms"))
+        .withColumn("hwm", max(col("ms")).over(w))
+        .withColumn("late_ms",
+          greatest(lit(0L), coalesce(col("hwm") - col("ms"), lit(0L))))
+        .groupBy(
+          when(col("late_ms") === 0, lit(-1L))
+            .otherwise((length(bin(col("late_ms"))) - 1).cast("long"))
+            .as("bucket"))
+        .agg(count(lit(1)).as("n_events"), max(col("late_ms")).as("max_late_ms"))
+        .orderBy(col("bucket"))
+    }),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -464,6 +491,19 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "e22_disorder" ->
+      """WITH l AS (
+        |  SELECT event_id, event_type, epoch_ms(ts) AS ms,
+        |    MAX(epoch_ms(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM events),
+        |d AS (SELECT GREATEST(0, COALESCE(hwm - ms, 0)) AS late_ms FROM l)
+        |SELECT CASE WHEN late_ms = 0 THEN CAST(-1 AS BIGINT)
+        |            ELSE CAST(length(bin(late_ms)) - 1 AS BIGINT) END AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(MAX(late_ms) AS BIGINT) AS max_late_ms
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "e20_gap_report" ->
       """WITH t AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS t,
