@@ -97,6 +97,7 @@ object Bench {
     "d9_editdist_pairs",
     "d10_span_dedup",
     "p8_pack_chunks",
+    "p15_corpus_build",
     "p12_winsorize",
     "t11_tfidf",
     "t13_bigram_surprisal",

@@ -24,6 +24,55 @@ object PipelineQueries {
   private val CosineThreshold = 0.35
   private val MixtureTarget = 100.0
 
+  /** Shared oracle CTE chain for the p7 curation stage, ending in
+    * `curated(doc_id)` — the quality-passing, exact-dup-representative,
+    * decontaminated training ids. p7 selects it directly; p15 chains the
+    * mixture-sampling and packing stages on top.
+    */
+  private val P7Ctes =
+    """toks AS MATERIALIZED (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+      |  FROM documents),
+      |tok AS MATERIALIZED (
+      |  SELECT doc_id, arr[i] AS t
+      |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+      |bi AS (
+      |  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
+      |  FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS u(i)
+      |  WHERE len(arr) >= 2),
+      |a1 AS (
+      |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd FROM tok GROUP BY 1),
+      |tc AS (
+      |  SELECT doc_id, MAX(c) AS top_c FROM (
+      |    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+      |a2 AS (
+      |  SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nbd FROM bi GROUP BY 1),
+      |pass AS MATERIALIZED (
+      |  SELECT a1.doc_id FROM a1 JOIN tc USING (doc_id) LEFT JOIN a2 USING (doc_id)
+      |  WHERE a1.n >= 15
+      |    AND ROUND(CAST(a1.nd AS DOUBLE) / a1.n, 6) >= 0.35
+      |    AND ROUND(CAST(tc.top_c AS DOUBLE) / a1.n, 6) <= 0.12
+      |    AND (CASE WHEN a2.nb IS NULL THEN 0.0
+      |         ELSE ROUND(1.0 - CAST(a2.nbd AS DOUBLE) / a2.nb, 6) END) <= 0.2),
+      |keep AS MATERIALIZED (
+      |  SELECT MIN(doc_id) AS doc_id FROM documents
+      |  WHERE doc_id IN (SELECT doc_id FROM pass)
+      |  GROUP BY md5(text)),
+      |sh AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(arr) - 3)) AS u(i)
+      |  WHERE len(arr) >= 4),
+      |contaminated AS MATERIALIZED (
+      |  SELECT DISTINCT t.doc_id
+      |  FROM sh t JOIN sh b USING (s)
+      |  WHERE b.doc_id % 25 = 0 AND t.doc_id % 25 <> 0
+      |    AND t.doc_id IN (SELECT doc_id FROM keep)),
+      |curated AS MATERIALIZED (
+      |  SELECT doc_id FROM keep
+      |  WHERE doc_id % 25 <> 0
+      |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
   /** Shared oracle CTE chain reproducing the portable MinHash-LSH pair set
     * (`Dedup.minhashLshPairsPortable`, n=3, 8 bands × 4 rows) exactly:
     * `mh_pairs(doc_a, doc_b, jaccard)`. Used by d3b (the pair list) and
@@ -838,8 +887,59 @@ object PipelineQueries {
     // single-stage operator (t9 / d1 / d6); Catalyst fuses the whole
     // chain, and the only large-data shuffles are the token aggregations
     // and the content-hash groupBy — the benchmark side broadcasts.
-    "p7_curate" -> ((s, d) => {
+    "p7_curate" -> ((s, d) => curatedDocs(s, d)),
+
+    // The END-TO-END corpus build in ONE plan: p7's curation (quality
+    // gate → exact-dup representative → benchmark decontamination), then
+    // p9's temperature mixture sampling with budgets computed over the
+    // CURATED corpus (post-cleaning source sizes are what the mixture
+    // should balance), then p8's context packing of the sampled docs —
+    // the full "raw corpus → training chunks" pipeline a data team runs,
+    // composed from the same stage implementations and oracled end to end
+    // by chaining the stages' CTE chains. Scale shape inherits from the
+    // stages: ids-only joins after one tokenize pass, broadcast prob
+    // table, shard-parallel prefix sums.
+    "p15_corpus_build" -> ((s, d) => {
       val docs = documents(s, d)
+      val cur = docs.join(curatedDocs(s, d).select(col("doc_id")), "doc_id")
+      val bySrc = cur.groupBy(col("source")).agg(count(lit(1)).as("ns"))
+      val z = bySrc.agg(sum(sqrt(col("ns"))).as("z"))
+      val probs = bySrc.crossJoin(broadcast(z))
+        .select(col("source"),
+          least(lit(1.0),
+            lit(MixtureTarget) * sqrt(col("ns")) / col("z") / col("ns")).as("p"))
+      val u = graft.ops.Portable.md5Long(col("doc_id").cast("string")) % 1000000
+      val sampled = cur.join(broadcast(probs), "source")
+        .filter(u.cast("double") < col("p") * lit(1000000.0))
+      TextFns.packChunks(sampled, "doc_id", "text", budget = 512L, shards = 8)
+    }),
+
+    // ---- multimodal ----
+    // Batched feature extraction through the imperative mapPartitions
+    // path (per-partition decoder init), md5-portable values → full
+    // oracle even for the non-relational execution route.
+    "m2_media_features" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, documents(s, d))
+      Multimodal.extractFeaturesPortable(media, dims = 8).toDF()
+        .select(col("media_id"), col("j"), round(col("feat"), 6).as("feat"))
+        .orderBy(col("media_id"), col("j"))
+    }),
+
+    // Frame-sampling plumbing: uniform-stride frame indices per media row
+    // (≤ 8 frames regardless of clip length), ready to feed a decoder.
+    "m3_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(documents(s, d), "doc_id", "n_chars", maxFrames = 8)),
+
+    "m1_media_meta" -> ((s, d) =>
+      Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
+  )
+
+  /** p7's curation pipeline (quality gate → exact-dup representative →
+    * benchmark decontamination) as a reusable stage — p15 composes it
+    * with mixture sampling and context packing.
+    */
+  private def curatedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
       // Tokenize ONCE for the whole pipeline (eager localCheckpoint): the
       // quality gate reads the token relation three times (base counts,
       // top-token, bigram window) and the contamination shingles a fourth
@@ -878,27 +978,7 @@ object PipelineQueries {
         .join(trainIds, "doc_id")
         .join(contaminated, Seq("doc_id"), "left_anti")
         .orderBy(col("doc_id"))
-    }),
-
-    // ---- multimodal ----
-    // Batched feature extraction through the imperative mapPartitions
-    // path (per-partition decoder init), md5-portable values → full
-    // oracle even for the non-relational execution route.
-    "m2_media_features" -> ((s, d) => {
-      val media = Multimodal.fromDocuments(s, documents(s, d))
-      Multimodal.extractFeaturesPortable(media, dims = 8).toDF()
-        .select(col("media_id"), col("j"), round(col("feat"), 6).as("feat"))
-        .orderBy(col("media_id"), col("j"))
-    }),
-
-    // Frame-sampling plumbing: uniform-stride frame indices per media row
-    // (≤ 8 frames regardless of clip length), ready to feed a decoder.
-    "m3_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(documents(s, d), "doc_id", "n_chars", maxFrames = 8)),
-
-    "m1_media_meta" -> ((s, d) =>
-      Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
-  )
+  }
 
   /** CTE chain mirroring `hyperplaneBuckets` with the md5 plane family:
     * same coefficients, same dot products, same bucket assembly — ending
@@ -1822,50 +1902,49 @@ object PipelineQueries {
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "p7_curate" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
-        |  FROM documents),
-        |tok AS MATERIALIZED (
-        |  SELECT doc_id, arr[i] AS t
-        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
-        |bi AS (
-        |  SELECT doc_id, arr[i] || ' ' || arr[i+1] AS bg
-        |  FROM toks, UNNEST(generate_series(1, len(arr) - 1)) AS u(i)
-        |  WHERE len(arr) >= 2),
-        |a1 AS (
-        |  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT t) AS nd FROM tok GROUP BY 1),
-        |tc AS (
-        |  SELECT doc_id, MAX(c) AS top_c FROM (
-        |    SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
-        |a2 AS (
-        |  SELECT doc_id, COUNT(*) AS nb, COUNT(DISTINCT bg) AS nbd FROM bi GROUP BY 1),
-        |pass AS MATERIALIZED (
-        |  SELECT a1.doc_id FROM a1 JOIN tc USING (doc_id) LEFT JOIN a2 USING (doc_id)
-        |  WHERE a1.n >= 15
-        |    AND ROUND(CAST(a1.nd AS DOUBLE) / a1.n, 6) >= 0.35
-        |    AND ROUND(CAST(tc.top_c AS DOUBLE) / a1.n, 6) <= 0.12
-        |    AND (CASE WHEN a2.nb IS NULL THEN 0.0
-        |         ELSE ROUND(1.0 - CAST(a2.nbd AS DOUBLE) / a2.nb, 6) END) <= 0.2),
-        |keep AS MATERIALIZED (
-        |  SELECT MIN(doc_id) AS doc_id FROM documents
-        |  WHERE doc_id IN (SELECT doc_id FROM pass)
-        |  GROUP BY md5(text)),
-        |sh AS MATERIALIZED (
-        |  SELECT DISTINCT doc_id,
-        |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] AS s
-        |  FROM toks, UNNEST(generate_series(1, len(arr) - 3)) AS u(i)
-        |  WHERE len(arr) >= 4),
-        |contaminated AS MATERIALIZED (
-        |  SELECT DISTINCT t.doc_id
-        |  FROM sh t JOIN sh b USING (s)
-        |  WHERE b.doc_id % 25 = 0 AND t.doc_id % 25 <> 0
-        |    AND t.doc_id IN (SELECT doc_id FROM keep))
+      s"""WITH $P7Ctes
         |SELECT d.doc_id, d.lang, d.n_chars
         |FROM documents d
-        |WHERE d.doc_id IN (SELECT doc_id FROM keep)
-        |  AND d.doc_id % 25 <> 0
-        |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |WHERE d.doc_id IN (SELECT doc_id FROM curated)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Chains P7Ctes (curation) with p9's mixture draw over the CURATED
+    // corpus and p8's packing arithmetic — one oracle for the whole
+    // corpus-build composition.
+    "p15_corpus_build" ->
+      s"""WITH $P7Ctes,
+        |cur AS (
+        |  SELECT d.doc_id, d.source, d.text FROM documents d
+        |  WHERE d.doc_id IN (SELECT doc_id FROM curated)),
+        |ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM cur GROUP BY source),
+        |z AS (SELECT SUM(sqrt(CAST(ns AS DOUBLE))) AS z FROM ns),
+        |p AS (
+        |  SELECT source, LEAST(1.0, 100.0 * sqrt(CAST(ns AS DOUBLE)) / z.z / ns) AS p
+        |  FROM ns CROSS JOIN z),
+        |sampled AS (
+        |  SELECT c.doc_id, c.text
+        |  FROM cur c JOIN p USING (source)
+        |  WHERE CAST(CAST('0x' || substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000 AS DOUBLE)
+        |    < p.p * 1000000.0),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM sampled),
+        |base AS (
+        |  SELECT doc_id, n_tokens, doc_id % 8 AS shard FROM nt WHERE n_tokens > 0),
+        |o AS (
+        |  SELECT doc_id, n_tokens, shard,
+        |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+        |  FROM base)
+        |SELECT shard, c AS chunk, doc_id,
+        |  CAST(GREATEST(0, c * 512 - off) AS BIGINT) AS tok_from,
+        |  CAST(LEAST(n_tokens, (c + 1) * 512 - off)
+        |    - GREATEST(0, c * 512 - off) AS BIGINT) AS tok_len
+        |FROM o, UNNEST(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS u(c)
+        |ORDER BY shard, chunk, doc_id""".stripMargin,
 
     "n4b_ann_ivf_portable" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
