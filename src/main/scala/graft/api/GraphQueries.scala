@@ -750,8 +750,17 @@ FROM i_r$Iters"""),
         weightedChainSql(0.85, Iters) +
         s"\nSELECT id, ROUND(rank, 9) AS rank FROM w_r$Iters ORDER BY id"),
 
+    // HITS is SELF-LOOP-FREE (a page endorsing itself is not an
+    // endorsement — graph.Hits drops src = dst), so the oracle filters
+    // the edge relation the same way. The PageRank-family oracles keep
+    // self-loops (reference parity). Caught by the sf0.001 cross-check:
+    // at sf0.01 the trade graph is the complete K25 incl. every self-loop
+    // and HITS is uniform either way, so the divergence only shows on an
+    // asymmetric graph.
     "i5_hits" ->
-      (headerSql(TradeEdgesSql) + hitsChainSql(HitsIters) +
+      (headerSql(
+        s"SELECT src, dst FROM ($TradeEdgesSql) te WHERE src <> dst") +
+        hitsChainSql(HitsIters) +
         s"""
 SELECT a.id AS id, ROUND(a.score, 9) AS authority, ROUND(h.score, 9) AS hub
 FROM a$HitsIters a JOIN h$HitsIters h ON a.id = h.id ORDER BY id"""),

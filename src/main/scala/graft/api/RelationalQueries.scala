@@ -318,11 +318,24 @@ object RelationalQueries {
     // Unpivot (wide → long): melt per-nation balance stats back into
     // (nation, metric, value) rows — inverse of e8_pivot's shape.
     "u6_unpivot" -> ((s, d) => {
-      val wide = customer(s, d).groupBy(col("c_nationkey"))
+      // The average is computed in exact integer CENTS and rounded
+      // half-away-from-zero with integer arithmetic: at sf0.001 one
+      // nation's mean is exactly a half cent, and rounding that double
+      // diverges between engines (Spark rounds the shortest decimal
+      // representation, DuckDB the scaled binary value) even when both
+      // divide identical exact sums — caught by the round-8 sf0.001
+      // cross-check. min/max round already-2-dp stored values: identity.
+      val agg0 = customer(s, d).groupBy(col("c_nationkey"))
         .agg(
           round(min(col("c_acctbal")), 2).as("min_bal"),
-          round(avg(col("c_acctbal")), 2).as("avg_bal"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"),
+          count(lit(1)).as("cnt"),
           round(max(col("c_acctbal")), 2).as("max_bal"))
+      val avgCents = when(col("cents") >= 0,
+          expr("(2 * cents + cnt) div (2 * cnt)"))
+        .otherwise(-expr("(2 * (-cents) + cnt) div (2 * cnt)"))
+      val wide = agg0.select(col("c_nationkey"), col("min_bal"),
+        (avgCents.cast("double") / 100.0).as("avg_bal"), col("max_bal"))
       wide.unpivot(
         Array(col("c_nationkey")),
         Array(col("min_bal"), col("avg_bal"), col("max_bal")),
@@ -683,12 +696,19 @@ object RelationalQueries {
         |GROUP BY k ORDER BY k""".stripMargin,
 
     "u6_unpivot" ->
-      """WITH wide AS (
+      """WITH agg0 AS (
         |  SELECT c_nationkey,
         |    ROUND(MIN(c_acctbal), 2) AS min_bal,
-        |    ROUND(AVG(c_acctbal), 2) AS avg_bal,
+        |    CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt,
         |    ROUND(MAX(c_acctbal), 2) AS max_bal
-        |  FROM customer GROUP BY c_nationkey)
+        |  FROM customer GROUP BY c_nationkey),
+        |wide AS (
+        |  SELECT c_nationkey, min_bal,
+        |    CAST(CASE WHEN cents >= 0 THEN (2 * cents + cnt) // (2 * cnt)
+        |         ELSE -((2 * (-cents) + cnt) // (2 * cnt)) END AS DOUBLE)
+        |      / 100.0 AS avg_bal,
+        |    max_bal FROM agg0)
         |SELECT c_nationkey, metric, value FROM (
         |  SELECT c_nationkey, 'min_bal' AS metric, min_bal AS value FROM wide
         |  UNION ALL SELECT c_nationkey, 'avg_bal', avg_bal FROM wide
