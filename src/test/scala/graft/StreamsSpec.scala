@@ -129,6 +129,43 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("g1" -> ((3L, 3.0)), "g2" -> ((2L, 2.0))), s"got=$got")
   }
 
+  test("sketch aggregation state survives a query RESTART from checkpoint") {
+    // The TypedImperativeAggregate buffers (HLL + theta) live in the
+    // state store between micro-batches; a restart additionally
+    // round-trips them through checkpoint recovery in a NEW query
+    // instance — if serialize/deserialize were not self-contained, the
+    // restarted query would resume from corrupt or empty state. File
+    // source + checkpointLocation (MemoryStream cannot restart).
+    val root = java.nio.file.Files.createTempDirectory("graft_sketch_ckpt")
+    val in = s"$root/in"
+    val ckpt = s"$root/ckpt"
+    new java.io.File(in).mkdirs()
+    def runOnce(name: String): Map[String, (Long, Double)] = {
+      val stream = spark.readStream.schema("g STRING, k LONG").parquet(in)
+      val q = Streams.distinctSketchStream(stream, "g", "k")
+        .select(col("g"), col("apx"),
+          org.apache.spark.sql.graft.ThetaSketchAgg.thetaEstimate(col("theta"))
+            .as("texact"))
+        .writeStream.format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("complete").trigger(Trigger.ProcessingTime(0))
+        .start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+    }
+    Seq(("g1", 1L), ("g1", 2L), ("g2", 1L)).toDF("g", "k")
+      .write.mode("append").parquet(in)
+    assert(runOnce("sk_ckpt_a") == Map("g1" -> ((2L, 2.0)), "g2" -> ((1L, 1.0))))
+    // New data lands while the query is DOWN; the restarted instance must
+    // fold it into the recovered buffers.
+    Seq(("g1", 2L), ("g1", 3L), ("g2", 9L)).toDF("g", "k")
+      .write.mode("append").parquet(in)
+    assert(runOnce("sk_ckpt_b") == Map("g1" -> ((3L, 3.0)), "g2" -> ((2L, 2.0))),
+      "restarted query did not recover sketch state from the checkpoint")
+  }
+
   test("streaming PageRank materialization converges to batch PageRank") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Long)]
