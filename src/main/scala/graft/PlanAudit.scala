@@ -14,7 +14,11 @@ object PlanAudit {
         "o4_topk", "a4_keyed_sum", "n1_ann_brute", "d3_minhash_lsh",
         "e2_sessionize", "g2_induced_subgraph", "e10_range_join",
         "w2_analytics_window", "a12_quantiles", "d5_embedding_pairs",
-        "d6_decontaminate", "t9_quality_gopher")
+        "d6_decontaminate", "t9_quality_gopher",
+        // round-8 additions: derived-partsupp joins, seed-bounded wedge
+        // join, sketch set-ops, exact-quantile shuffles, composed build
+        "q9_product_profit", "q11_important_stock", "g11_link_prediction",
+        "a20_theta_ops", "e21_mad_outliers", "p15_corpus_build")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
