@@ -108,6 +108,7 @@ object Bench {
     "e18_rolling_range",
     "d12_bloom_decontaminate",
     "d2_jaccard_pairs",
+    "d16_jaccard_prefix",
     "d3_minhash_lsh",
     "d4_simhash",
     "d5_embedding_pairs",

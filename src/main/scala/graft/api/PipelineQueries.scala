@@ -21,6 +21,13 @@ object PipelineQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private val JaccardThreshold = 0.3
+
+  /** d16's threshold: prefix filtering prunes with power 1−t, so its
+    * design regime is high-similarity joins (near-dup detection at
+    * t ≈ 0.8) — at d2's 0.3 the prefix keeps ~70% of the index and the
+    * bookkeeping costs more than it saves (measured: AbPrefixSkew).
+    */
+  private val PrefixJoinThreshold = 0.8
   private val CosineThreshold = 0.35
   private val MixtureTarget = 100.0
 
@@ -509,6 +516,16 @@ object PipelineQueries {
     "d2_jaccard_pairs" -> ((s, d) =>
       Dedup.jaccardPairs(documents(s, d), "doc_id", "text", n = 3,
         threshold = JaccardThreshold)),
+
+    // Prefix-filtered (AllPairs/PPJoin) exact Jaccard at its design-point
+    // threshold 0.8 — output-identical to jaccardPairs at the same t, but
+    // the inverted index holds only each doc's ~0.2·n rarest shingles.
+    // Measured in the regime it exists for (AbPrefixSkew, 20k docs with a
+    // shared footer on 50%): 7.4 s vs 35.0 s plain index vs 119.8 s
+    // DF-capped — and exact, unlike the cap.
+    "d16_jaccard_prefix" -> ((s, d) =>
+      Dedup.jaccardPairsPrefix(documents(s, d), "doc_id", "text", n = 3,
+        threshold = PrefixJoinThreshold)),
 
     // MinHash-LSH (approximate; exact-refined output, rows-only check).
     "d3_minhash_lsh" -> ((s, d) =>
@@ -1060,6 +1077,33 @@ object PipelineQueries {
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM buckets a JOIN buckets b
       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)""".stripMargin
+
+  /** Exact n-gram (n=3) Jaccard pair oracle — shared by d2 (inverted
+    * index) and d16 (prefix-filtered index): the two Spark plans are
+    * output-identical by construction.
+    */
+  private val JaccardPairsSql: String = jaccardPairsSql(JaccardThreshold)
+
+  private def jaccardPairsSql(threshold: Double): String =
+    s"""WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT doc_a, doc_b,
+      |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON doc_a = ca.doc_id
+      |JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $threshold
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "t1_token_count" ->
@@ -1742,26 +1786,13 @@ object PipelineQueries {
         |FROM nt LEFT JOIN cov ON nt.doc_id = cov.id
         |ORDER BY doc_id""".stripMargin),
 
-    "d2_jaccard_pairs" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
-        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
-        |  WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id)
-        |SELECT doc_a, doc_b,
-        |  ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
-        |FROM pairs
-        |JOIN cnt ca ON doc_a = ca.doc_id
-        |JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold
-        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d2_jaccard_pairs" -> JaccardPairsSql,
+
+    // d16 is output-identical to the inverted-index formulation at the
+    // same threshold by the prefix-filter exactness guarantee (see
+    // Dedup.jaccardPairsPrefix), so it shares d2's oracle shape at its
+    // own design-point threshold.
+    "d16_jaccard_prefix" -> jaccardPairsSql(PrefixJoinThreshold),
 
     "d9_editdist_pairs" ->
       """WITH p AS (SELECT doc_id, substr(lower(text), 1, 40) AS s FROM documents)

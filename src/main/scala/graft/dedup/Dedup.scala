@@ -260,6 +260,64 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** [[jaccardPairs]] with PREFIX FILTERING (AllPairs / PPJoin candidate
+    * pruning, Bayardo et al. WWW'07; Xiao et al. WWW'08): order every
+    * document's shingles by a single global total order (document
+    * frequency ascending, shingle string as tie-break) and index only the
+    * first `|s| − ⌈t·|s|⌉ + 1` shingles of each document. Any pair with
+    * jaccard ≥ t must share at least one shingle inside BOTH prefixes
+    * under a common order, so candidate generation over the prefix index
+    * is EXACT — same output as [[jaccardPairs]], asserted in DedupSimSpec
+    * — while the inverted index shrinks by ≈t and, because the global
+    * order puts the RAREST shingles in the prefix, the per-shingle
+    * candidate fan-out collapses (frequent boilerplate shingles fall out
+    * of every prefix instead of being hard-capped as in
+    * [[jaccardPairsCapped]]). A size filter (t·|a| ≤ |b| ≤ |a|/t, a
+    * necessary condition for j ≥ t) prunes cross-length candidates before
+    * the refine. Float guard: both ⌈t·n⌉ sites subtract 1e-9 before
+    * `ceil` so binary rounding of t·n can only lengthen a prefix / admit
+    * a borderline candidate (safe direction); the exact refine restores
+    * precision.
+    *
+    * Regime (measured, AbPrefixSkew + QBench): the prefix keeps
+    * `n − ⌈t·n⌉ + 1 ≈ (1−t)·n` shingles, so pruning power scales with t.
+    * At t = 0.8 on a 20k-doc corpus with a shared footer on half the
+    * docs this wins 4.7× over the plain inverted index (7.4 s vs 35.0 s)
+    * and 16× over the DF-capped index (119.8 s) — while staying exact,
+    * which the cap is not (it silently dropped 4 of 34k pairs in the
+    * t = 0.3 leg of the same probe). At t = 0.3 it LOSES (~70% of the
+    * index survives the prefix and the DF-join + rank windows cost more
+    * than they save: QBench sf0.1 6.3 s vs d2's 1.6 s). So: use this for
+    * high-threshold near-dup joins at crawl scale; use [[jaccardPairs]]
+    * for low-threshold similarity mining on bounded corpora; use
+    * [[jaccardPairsCapped]] only when approximate recall is acceptable.
+    */
+  def jaccardPairsPrefix(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
+    val dfs = sh.groupBy(col("s")).agg(count(lit(1)).as("df_s"))
+    val byRarity = Window.partitionBy(col("id")).orderBy(col("df_s"), col("s"))
+    val prefixLen =
+      col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1
+    val prefix = sh.join(dfs, "s")
+      .select(col("id"), col("s"),
+        row_number().over(byRarity).as("rk"),
+        count(lit(1)).over(Window.partitionBy(col("id"))).as("n_sh"))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("s"), col("n_sh"))
+    val candidates = prefix
+      .select(col("id").as("doc_a"), col("s"), col("n_sh").as("na"))
+      .join(prefix.select(col("id").as("doc_b"), col("s"), col("n_sh").as("nb")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .filter(col("nb") >= lit(threshold) * col("na") - lit(1e-9) &&
+        col("na") >= lit(threshold) * col("nb") - lit(1e-9))
+      .select(col("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    refineJaccard(candidates, sh, threshold)
+  }
+
   /** Exact-Jaccard refine over a candidate pair relation `(doc_a, doc_b)`:
     * expand each candidate by doc_a's shingles, probe doc_b's shingle set,
     * keep pairs with j ≥ threshold. Work is Σ_cand |shingles(doc_a)| —

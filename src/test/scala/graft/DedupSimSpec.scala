@@ -104,6 +104,31 @@ class DedupSimSpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("prefix-filtered jaccard pairs = full inverted-index pairs (sf0.001)") {
+    val docs = Tables.documents(spark, Sf001)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = key(Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3))
+    val pref = key(Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.3))
+    assert(full.nonEmpty, "fixture must produce at least one pair")
+    assert(pref == full,
+      s"missing=${(full -- pref).take(5)} extra=${(pref -- full).take(5)}")
+  }
+
+  test("prefix filter keeps threshold-boundary pairs (float-guard fixture)") {
+    // |A|=5, |B|=2 shingle sets sharing both of B's shingles → j = 2/5 =
+    // 0.4 exactly; at t = 0.4 the size filter t·|A| ≤ |B| holds with
+    // equality, where a naive double comparison (0.4*5 > 2) would prune.
+    val docs = Seq(
+      (1L, "a b c d e f g"), // 5 trigram shingles
+      (2L, "a b c d")        // 2 trigram shingles, both shared with doc 1
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 3, 0.4).collect()
+    assert(out.length == 1, out.mkString(", "))
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 0.4) < 1e-12)
+  }
+
   test("minhash-LSH recall ≥ 0.9 vs exact jaccard on sf0.001") {
     val docs = Tables.documents(spark, Sf001)
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
