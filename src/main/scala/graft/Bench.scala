@@ -130,6 +130,7 @@ object Bench {
     "g13_scc",
     "g14_path_load",
     "a20_theta_ops",
+    "a21_cms",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",

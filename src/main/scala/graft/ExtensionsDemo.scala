@@ -78,6 +78,18 @@ object ExtensionsDemo {
       s"intersect=${theta.getDouble(2)}")
     require(theta.getDouble(0) == theta.getLong(1).toDouble,
       "theta union not exact below nominal entries")
+
+    // Count-min point queries over a stored sketch: every supplier's
+    // estimate must bound its exact line count from above.
+    val cms = spark.sql(
+      """WITH s AS (SELECT count_min_sketch(l_suppkey, 0.001d, 0.99d, 42)
+        |           AS cms FROM lineitem),
+        |t AS (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1)
+        |SELECT SUM(CASE WHEN cms_estimate(s.cms, t.l_suppkey) < t.n
+        |           THEN 1 ELSE 0 END) AS undercounts, COUNT(*) AS keys
+        |FROM t, s""".stripMargin).collect().head
+    println(s"cms undercounts=${cms.getLong(0)}/${cms.getLong(1)} keys")
+    require(cms.getLong(0) == 0L, "count-min sketch undercounted a key")
     spark.stop()
   }
 }

@@ -484,6 +484,56 @@ object RelationalQueries {
         round(thetaUnionEst(col("sa"), col("sb"))).cast("long").as("n_union"),
         round(thetaIntersectEst(col("sa"), col("sb"))).cast("long").as("n_intersect"),
         round(thetaAnotBEst(col("sa"), col("sb"))).cast("long").as("n_a_not_b"))
+    }),
+
+    // Count-min sketch: Spark's OWN count_min_sketch aggregate builds the
+    // binary; graft's cms_estimate closes the missing read side. One
+    // sketch for the whole fact table, then every supplier key probes it
+    // through a broadcast of the one-row sketch relation — the stored-
+    // sketch point-query shape. Rows-only check (Spark-internal hashing);
+    // the bound est ≥ true is asserted in the plan itself (`overcount`
+    // would go negative) and property-tested in SketchSpec; a21b is the
+    // portable fully-oracled twin.
+    "a21_cms" -> ((s, d) => {
+      import org.apache.spark.sql.graft.CmsFns.cmsEstimate
+      val li = lineitem(s, d)
+      val sketch = li.agg(
+        count_min_sketch(col("l_suppkey"), lit(0.001d), lit(0.99d), lit(42))
+          .as("cms"))
+      li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("true_cnt"))
+        .crossJoin(broadcast(sketch))
+        .select(
+          col("l_suppkey"),
+          col("true_cnt"),
+          cmsEstimate(col("cms"), col("l_suppkey")).as("cms_est"))
+        .withColumn("overcount", col("cms_est") - col("true_cnt"))
+        .orderBy(col("l_suppkey"))
+    }),
+
+    // Portable count-min twin: the SAME d×w estimator replayed
+    // relationally with the md5 hash family (graft.ops.Portable), so
+    // DuckDB reproduces every counter and every min() bit-for-bit —
+    // deliberately small w=64 to exercise the collision/overcount path
+    // deterministically. The cells relation is d·w ≤ 256 rows → broadcast.
+    "a21b_cms_portable" -> ((s, d) => {
+      val w = 64
+      val depth = 4
+      val raw = orders(s, d).select(col("o_custkey").cast("string").as("k"))
+      val depths = explode(array((0 until depth).map(lit(_)): _*)).as("i")
+      def bucket(): org.apache.spark.sql.Column =
+        pmod(graft.ops.Portable.md5Long(
+          concat_ws(":", col("i"), col("k"))), lit(w.toLong))
+      val cells = raw.select(col("k"), depths)
+        .withColumn("b", bucket())
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      val keys = raw.groupBy(col("k")).agg(count(lit(1)).as("true_cnt"))
+      keys.select(col("k"), col("true_cnt"), depths)
+        .withColumn("b", bucket())
+        .join(broadcast(cells), Seq("i", "b"))
+        .groupBy(col("k"), col("true_cnt"))
+        .agg(min(col("c")).as("est"))
+        .select(col("k").cast("long").as("custkey"), col("true_cnt"), col("est"))
+        .orderBy(col("custkey"))
     })
   )
 
@@ -775,6 +825,26 @@ object RelationalQueries {
         |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
         |        INTERSECT SELECT o_custkey FROM b)) AS BIGINT) AS n_intersect,
         |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
-        |        EXCEPT SELECT o_custkey FROM b)) AS BIGINT) AS n_a_not_b""".stripMargin
+        |        EXCEPT SELECT o_custkey FROM b)) AS BIGINT) AS n_a_not_b""".stripMargin,
+
+    "a21b_cms_portable" ->
+      """WITH raw AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),
+        |h AS (
+        |  SELECT k, i,
+        |    CAST('0x' || substr(md5(i || ':' || k), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM raw, UNNEST([0, 1, 2, 3]) AS u(i)),
+        |cells AS (SELECT i, b, COUNT(*) AS c FROM h GROUP BY i, b),
+        |keys AS (SELECT k, COUNT(*) AS true_cnt FROM raw GROUP BY k),
+        |probes AS (
+        |  SELECT k, i,
+        |    CAST('0x' || substr(md5(i || ':' || k), 1, 15) AS BIGINT) % 64 AS b
+        |  FROM keys, UNNEST([0, 1, 2, 3]) AS u(i)),
+        |est AS (
+        |  SELECT p.k, MIN(c.c) AS est
+        |  FROM probes p JOIN cells c ON p.i = c.i AND p.b = c.b
+        |  GROUP BY p.k)
+        |SELECT CAST(keys.k AS BIGINT) AS custkey, true_cnt, est.est AS est
+        |FROM keys JOIN est ON keys.k = est.k
+        |ORDER BY custkey""".stripMargin
   )
 }

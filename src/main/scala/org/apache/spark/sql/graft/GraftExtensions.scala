@@ -141,5 +141,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ThetaSetEstExpr(exprs(0), exprs(1), op)
         }))
     }
+    // Read side of Spark's own count_min_sketch aggregate: the builtin
+    // builds the binary but offers no estimator function.
+    extensions.injectFunction((
+      new FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimateExpr].getName, null, "cms_estimate"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("cms_estimate", exprs, Set(2))
+        CmsEstimateExpr(exprs(0), exprs(1))
+      }))
   }
 }

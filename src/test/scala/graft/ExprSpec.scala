@@ -111,6 +111,21 @@ class ExprSpec extends SparkSpec {
       }
       assert(thetaErr.getMessage.contains("theta_sketch expects 1 or 2"),
         s"unexpected theta arity error: ${thetaErr.getMessage}")
+      // cms_estimate reads Spark's own count_min_sketch binary through
+      // SQL; collision-free at this size, so estimates are exact.
+      val cms = ext.sql(
+        """SELECT cms_estimate(s, CAST(7 AS BIGINT)) AS e7,
+          |  cms_estimate(s, CAST(9 AS BIGINT)) AS e9
+          |FROM (SELECT count_min_sketch(v, 0.001d, 0.99d, 42) AS s
+          |      FROM VALUES (7L),(7L),(7L),(9L) AS t(v))""".stripMargin)
+        .collect().head
+      assert((cms.getLong(0), cms.getLong(1)) == ((3L, 1L)),
+        s"cms_estimate SQL returned $cms")
+      val cmsErr = intercept[Exception] {
+        ext.sql("SELECT cms_estimate(cast(null as binary))").collect()
+      }
+      assert(cmsErr.getMessage.contains("cms_estimate expects 2"),
+        s"unexpected cms arity error: ${cmsErr.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

@@ -97,6 +97,41 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("cms_estimate expression matches driver-side readFrom on both key types") {
+    import org.apache.spark.sql.graft.CmsFns.cmsEstimate
+    // Long keys: the expression must probe the same addLong path the
+    // aggregate used; string keys the UTF-8 path. Compare the Column-API
+    // estimator row-for-row against the JVM readFrom estimates that the
+    // existing count-min test already validated against exact counts.
+    val li = Tables.lineitem(spark, Sf001)
+    val sketchBytes = li
+      .agg(count_min_sketch(col("l_suppkey"), lit(0.001), lit(0.99), lit(42)).as("s"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val viaExpr = li.groupBy(col("l_suppkey")).count()
+      .crossJoin(broadcast(li.agg(
+        count_min_sketch(col("l_suppkey"), lit(0.001), lit(0.99), lit(42)).as("cms"))))
+      .select(col("l_suppkey"), cmsEstimate(col("cms"), col("l_suppkey")).as("est"),
+        col("count"))
+      .collect()
+    assert(viaExpr.nonEmpty)
+    viaExpr.foreach { r =>
+      val (k, est, exact) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(est == cms.estimateCount(k),
+        s"expr/readFrom divergence for key $k: $est vs ${cms.estimateCount(k)}")
+      assert(est >= exact, s"CMS undercounted $k: $est < $exact")
+    }
+    // String path: build over strings, probe with strings.
+    val sdf = spark.createDataFrame(Seq(Tuple1("x"), Tuple1("x"), Tuple1("y")))
+      .toDF("t")
+    val got = sdf.crossJoin(
+        sdf.agg(count_min_sketch(col("t"), lit(0.01), lit(0.99), lit(1)).as("cms")))
+      .select(col("t"), cmsEstimate(col("cms"), col("t")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("x" -> 2L, "y" -> 1L), got.toString)
+  }
+
   test("misra-gries: MG guarantee holds under eviction and merge pressure") {
     import org.apache.spark.sql.graft.MisraGriesAgg
     import spark.implicits._
