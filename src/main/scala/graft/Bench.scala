@@ -129,6 +129,7 @@ object Bench {
     "g11_link_prediction",
     "g13_scc",
     "g14_path_load",
+    "g15_random_walks",
     "a20_theta_ops",
     "a21_cms",
     "e21_mad_outliers",

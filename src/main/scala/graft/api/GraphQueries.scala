@@ -685,8 +685,60 @@ ke$i AS MATERIALIZED (
       e.join(broadcast(top), e("src") === top("id"), "left_semi")
         .join(broadcast(top), e("dst") === top("id"), "left_semi")
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // Deterministic seeded random walks (DeepWalk/node2vec corpus
+    // generation, p=q=1): 2 walks × 4 steps from each of the first 10
+    // parts over the undirected part↔supplier graph. Every transition is
+    // the md5-portable argmin over the current node's neighbors, so the
+    // walk corpus is reproducible run-to-run AND engine-to-engine — the
+    // DuckDB oracle replays all 4 unrolled steps exactly.
+    "g15_random_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      graft.graph.RandomWalks.walk(e, seeds, steps = 4, nWalks = 2)
     })
   )
+
+  /** Unrolled DuckDB replay of [[graft.graph.RandomWalks.walk]]: one CTE
+    * per step, each picking row_number()=1 ordered by the same
+    * md5-portable draw (ties by dst) the Spark argmin uses.
+    */
+  private def randomWalksSql(steps: Int): String = {
+    def stepCte(j: Int): String = {
+      val prev = if (j == 1) "w0" else s"s${j - 1}"
+      s"""s$j AS (
+         |  SELECT walk_id, dst AS cur FROM (
+         |    SELECT f.walk_id, e.dst,
+         |      ROW_NUMBER() OVER (PARTITION BY f.walk_id ORDER BY
+         |        CAST('0x' || substr(md5(f.walk_id || ':' || $j || ':' ||
+         |          f.cur || ':' || e.dst), 1, 15) AS BIGINT), e.dst) AS rn
+         |    FROM $prev f JOIN edges e ON f.cur = e.src)
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val unions = (1 to steps)
+      .map(j => s"  UNION ALL SELECT walk_id, $j AS step, cur AS node FROM s$j")
+      .mkString("\n")
+    s"""WITH p2s AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM p2s
+       |          UNION ALL SELECT dst, src FROM p2s),
+       |w0 AS (
+       |  SELECT 'p' || CAST(p_partkey AS VARCHAR) || '#' || w AS walk_id,
+       |         'p' || CAST(p_partkey AS VARCHAR) AS cur
+       |  FROM part, UNNEST([0, 1]) AS u(w) WHERE p_partkey <= 10),
+       |${(1 to steps).map(stepCte).mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, 0 AS step, cur AS node FROM w0
+       |$unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "i1_pagerank_fixed" ->
@@ -1034,6 +1086,8 @@ top20 AS (
     ORDER BY rank DESC, id LIMIT 20) t)
 SELECT src, dst FROM edges
 WHERE src IN (SELECT id FROM top20) AND dst IN (SELECT id FROM top20)
-ORDER BY src, dst""")
+ORDER BY src, dst"""),
+
+    "g15_random_walks" -> randomWalksSql(4)
   )
 }

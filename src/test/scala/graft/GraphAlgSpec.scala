@@ -9,6 +9,53 @@ import graft.graph.{Hits, PageRank}
 class GraphAlgSpec extends SparkSpec {
   import spark.implicits._
 
+  test("random walks: valid transitions, full length, deterministic, dead-end stops") {
+    import graft.graph.RandomWalks
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val seeds = Seq("a", "d", "z").toDF("id") // z is isolated: walk of length 0
+    def run() = RandomWalks.walk(edges, seeds, steps = 3, nWalks = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    val w1 = run()
+    assert(w1.toSeq == run().toSeq, "walks must be deterministic across runs")
+    val byWalk =
+      w1.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(byWalk.keySet ==
+      Set("a#0", "a#1", "d#0", "d#1", "z#0", "z#1"))
+    // z has no out-edges: its walks stop at step 0.
+    assert(byWalk("z#0") == Seq("z") && byWalk("z#1") == Seq("z"))
+    // every a/d walk runs the full 4 nodes and every hop follows an edge
+    val edgeSet = Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c", "d" -> "a")
+    Seq("a#0", "a#1", "d#0", "d#1").foreach { w =>
+      val path = byWalk(w)
+      assert(path.length == 4, s"$w stopped early: $path")
+      path.sliding(2).foreach { hop =>
+        assert(edgeSet(hop(0) -> hop(1)),
+          s"$w took a non-edge ${hop(0)}->${hop(1)} in $path")
+      }
+    }
+    // Pin the portable-hash contract: an independent reference walk
+    // (MessageDigest md5, same "walkId:step:cur:dst" spelling, argmin
+    // with dst tie-break) must reproduce every path exactly. This is
+    // what keeps the Spark plan and the DuckDB oracle in lockstep.
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val adj = edgeSet.toSeq.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    Seq("a#0", "a#1", "d#0", "d#1").foreach { w =>
+      val seed = w.takeWhile(_ != '#')
+      val expected = (1 to 3).scanLeft(seed) { (cur, j) =>
+        adj.get(cur).map(_.minBy(d => (md5Long(s"$w:$j:$cur:$d"), d)))
+          .getOrElse(cur)
+      }
+      assert(byWalk(w) == expected,
+        s"$w diverged from the md5 reference: got ${byWalk(w)}, want $expected")
+    }
+  }
+
   test("personalized PR with S = V equals uniform fixed-iteration PR") {
     val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
     val allIds = Seq(1, 2, 3, 4).toDF("id")
