@@ -475,6 +475,15 @@ object EventQueries {
         .orderBy(col("bucket"))
     }),
 
+    // e2's sessionization respelled on Spark's builtin session_window —
+    // the declarative form whose SAME groupBy also runs as a stream
+    // (Streams.sessionWindows; parity in StreamsSpec). Oracled against
+    // the window-island formulation, so the builtin's merge semantics
+    // are pinned to e2's gap convention (see the gapMs+1 note).
+    "e23_session_window" -> ((s, d) =>
+      graft.streaming.Streams.sessionWindows(events(s, d).toDF(), GapMs)
+        .orderBy(col("user_id"), col("session_start_ms"))),
+
     // Day-7 retention: users with activity on both day D and day D+7.
     "e7_retention" -> ((s, d) => {
       val userDays = events(s, d)
@@ -529,6 +538,26 @@ object EventQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
         |  event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "e23_session_window" ->
+      s"""WITH x AS (
+        |  SELECT user_id, event_id, value, epoch_ms(ts) AS ms,
+        |    LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, event_id, value, ms,
+        |    CASE WHEN prev_ms IS NULL OR ms - prev_ms > $GapMs THEN 1 ELSE 0 END AS new_s
+        |  FROM x),
+        |z AS (
+        |  SELECT user_id, value, ms,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ms, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM y)
+        |SELECT user_id, MIN(ms) AS session_start_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  ROUND(SUM(value), 2) AS session_value
+        |FROM z GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "e2_sessionize" ->
       s"""WITH x AS (

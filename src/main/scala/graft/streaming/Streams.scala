@@ -103,6 +103,32 @@ object Streams {
       }
   }
 
+  /** Builtin `session_window` twin of [[sessionize]] / [[sessionizeBatch]]
+    * — the let-Catalyst-do-it spelling: one declarative groupBy that runs
+    * UNCHANGED in batch and streaming (pass a `watermark` to stream;
+    * Spark's UpdatingSessionsExec / session-merge state store replace the
+    * hand-written flatMapGroupsWithState state machine). Semantics note:
+    * `session_window(gap)` merges events with diff < gap, while the
+    * e2/sessionize convention keeps diff ≤ gapMs in one session — so the
+    * builtin gap is gapMs+1 ms, making the two groupings identical at
+    * millisecond resolution (parity-tested in StreamsSpec; e23 is
+    * oracled against e2's island formulation).
+    */
+  def sessionWindows(
+      events: DataFrame,
+      gapMs: Long,
+      watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(events.withWatermark("ts", _))
+    src
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${gapMs + 1} milliseconds").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        unix_millis(col("sw.start")).as("session_start_ms"),
+        col("n_events"), col("session_value"))
+  }
+
   case class Gap(user_id: Long, gap_start_event: Long,
       gap_end_event: Long, gap_ms: Long)
 

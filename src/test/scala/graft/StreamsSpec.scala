@@ -212,6 +212,42 @@ class StreamsSpec extends SparkSpec {
     assert(got.exists(s => s._1 == 1L && s._3 == 2L && math.abs(s._4 - 3.0) < 1e-12))
   }
 
+  test("builtin session_window twin: batch = sessionizeBatch groups, stream = batch subset") {
+    val gapMs = 30L * 60 * 1000
+    // Batch parity: same groups (user, start, n, value) as the island
+    // formulation — including the gap convention (diff ≤ gap merges).
+    val batch = Streams.sessionWindows(fixture.toDF(), gapMs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val island = Streams.sessionizeBatch(fixture.toDS(), gapMs)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getLong(2), math.rint(r.getDouble(3) * 100) / 100))
+      .toSet
+    assert(batch == island, s"builtin=$batch island=$island")
+    // Boundary pin: events exactly gapMs apart must share a session
+    // (the gapMs+1 builtin gap under test).
+    val boundary = Seq(
+      Event(1, ts(0), 9L, "click", 1.0),
+      Event(2, new Timestamp(ts(0).getTime + gapMs), 9L, "click", 2.0))
+    val b = Streams.sessionWindows(boundary.toDF(), gapMs).collect()
+    assert(b.length == 1 && b.head.getLong(2) == 2L,
+      s"boundary events split: ${b.mkString(", ")}")
+    // Streaming: the same groupBy as a stream; with a 0s watermark in
+    // append mode, emitted sessions must be a subset of the batch ones.
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(fixture: _*)
+    val q = Streams.sessionWindows(mem.toDF(), gapMs, watermark = Some("0 seconds"))
+      .writeStream.format("memory").queryName("session_windows")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("session_windows")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got.subsetOf(batch), s"stream emitted unknown sessions: ${got -- batch}")
+    assert(got.nonEmpty, "stream emitted nothing despite closed sessions")
+  }
+
   test("file-source streaming over events parquet matches batch hourly counts") {
     // Real readStream file source via Tables.eventsStream: the imposed
     // schema (streaming never infers) and the ts normalization are both
