@@ -18,7 +18,11 @@ object PlanAudit {
         // round-8 additions: derived-partsupp joins, seed-bounded wedge
         // join, sketch set-ops, exact-quantile shuffles, composed build
         "q9_product_profit", "q11_important_stock", "g11_link_prediction",
-        "a20_theta_ops", "e21_mad_outliers", "p15_corpus_build")
+        "a20_theta_ops", "e21_mad_outliers", "p15_corpus_build",
+        // round-8 third-session additions: prefix-filtered set-sim join,
+        // broadcast sketch probe, walk frontier loop, builtin sessions
+        "d16_jaccard_prefix", "a21_cms", "a21b_cms_portable",
+        "g15_random_walks", "e23_session_window")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -948,7 +948,16 @@ object PipelineQueries {
       Multimodal.frameSample(documents(s, d), "doc_id", "n_chars", maxFrames = 8)),
 
     "m1_media_meta" -> ((s, d) =>
-      Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars"))
+      Multimodal.mediaMeta(documents(s, d), "doc_id", "text", "n_chars")),
+
+    // Perceptual-hash near-duplicate pairs across media payloads:
+    // mapPartitions feature extraction (16 md5-portable dims) → sign
+    // quantization → the banded Hamming join shared with d4c. Radius 2.
+    "m4_phash_pairs" -> ((s, d) => {
+      val media = Multimodal.fromDocuments(s, documents(s, d))
+      Multimodal.phashPairs(
+        Multimodal.extractFeaturesPortable(media, dims = 16).toDF(), radius = 2)
+    })
   )
 
   /** p7's curation pipeline (quality gate → exact-dup representative →
@@ -2146,6 +2155,31 @@ object PipelineQueries {
         |FROM f, UNNEST(generate_series(0, n_frames - 1,
         |  CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT))) AS u(frame_idx)
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    "m4_phash_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, j,
+        |    CAST('0x' || substr(md5(text), CAST(2*j+1 AS INT), 2) AS BIGINT) AS b
+        |  FROM documents, UNNEST(generate_series(0, 15)) AS u(j)),
+        |fp AS (
+        |  SELECT media_id,
+        |    CAST(SUM(CASE WHEN b >= 128 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM f GROUP BY media_id),
+        |bnd AS (
+        |  SELECT media_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.media_id < b2.media_id)
+        |SELECT c.media_a, c.media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |FROM c
+        |JOIN fp fa ON fa.media_id = c.media_a
+        |JOIN fp fb ON fb.media_id = c.media_b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

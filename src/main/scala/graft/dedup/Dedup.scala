@@ -514,27 +514,37 @@ object Dedup {
     */
   def simhashPairsPortable(
       docs: DataFrame, idCol: String, textCol: String, radius: Int = 3): DataFrame = {
-    require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
     val fps = simhash16Portable(docs, idCol, textCol)
-      .select(col("doc_id"), col("simhash16").as("fp"))
+      .select(col("doc_id").as("id"), col("simhash16").as("fp"))
+    hamming16Pairs(fps, radius, "doc_a", "doc_b")
+  }
+
+  /** Banded Hamming-radius pair join over ANY 16-bit fingerprint relation
+    * `(id, fp)` — the blocking core shared by text SimHash (d4c) and the
+    * multimodal perceptual-hash dedup (m4). 4 nibble bands; complete for
+    * r ≤ 3 by pigeonhole (see [[simhashPairsPortable]]).
+    */
+  private[graft] def hamming16Pairs(
+      fps: DataFrame, radius: Int, outA: String, outB: String): DataFrame = {
+    require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
     val banded = fps
-      .select(col("doc_id"), col("fp"),
+      .select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
       .withColumn("bkey", expr("shiftright(fp, band * 4) & 15"))
-    val candidates = banded.select(col("band"), col("bkey"), col("doc_id").as("doc_a"))
+    val candidates = banded.select(col("band"), col("bkey"), col("id").as(outA))
       .join(banded.select(col("band").as("band_b"), col("bkey").as("bkey_b"),
-          col("doc_id").as("doc_b")),
+          col("id").as(outB)),
         col("band") === col("band_b") && col("bkey") === col("bkey_b") &&
-          col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+          col(outA) < col(outB))
+      .select(col(outA), col(outB))
+      .dropDuplicates(outA, outB)
     candidates
-      .join(fps.select(col("doc_id").as("doc_a"), col("fp").as("fp_a")), "doc_a")
-      .join(fps.select(col("doc_id").as("doc_b"), col("fp").as("fp_b")), "doc_b")
+      .join(fps.select(col("id").as(outA), col("fp").as("fp_a")), outA)
+      .join(fps.select(col("id").as(outB), col("fp").as("fp_b")), outB)
       .withColumn("hamming", expr("cast(bit_count(fp_a ^ fp_b) as bigint)"))
       .filter(col("hamming") <= radius)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy(col("doc_a"), col("doc_b"))
+      .select(col(outA), col(outB), col("hamming"))
+      .orderBy(col(outA), col(outB))
   }
 
   /** Benchmark-decontamination report: which training documents share at

@@ -95,6 +95,31 @@ object Multimodal {
     }
   }
 
+  /** 16-bit perceptual hash over an extracted feature relation
+    * `(media_id, j, feat)`: bit j set iff feature j is non-negative —
+    * the sign-quantization step every real pHash pipeline ends with
+    * (DCT/embedding features → sign bits). One map-side-combinable
+    * aggregation per media row; no shuffle beyond the groupBy.
+    */
+  def phash16(features: DataFrame): DataFrame =
+    features
+      .groupBy(col("media_id"))
+      .agg(sum(when(col("feat") >= 0,
+        expr("shiftleft(1L, cast(j as int))")).otherwise(lit(0L))).as("fp"))
+
+  /** Multimodal near-duplicate pairs by perceptual hash: features →
+    * [[phash16]] → the SAME banded Hamming-radius join the text SimHash
+    * path uses ([[graft.dedup.Dedup.hamming16Pairs]] — complete for
+    * r ≤ 3, never a cartesian). This is the cross-media dedup shape: the
+    * decode/feature stage is modality-specific (stubbed here, see
+    * [[extractFeaturesPortable]]), everything downstream is
+    * modality-agnostic fingerprint algebra.
+    */
+  def phashPairs(features: DataFrame, radius: Int): DataFrame =
+    graft.dedup.Dedup.hamming16Pairs(
+      phash16(features).select(col("media_id").as("id"), col("fp")),
+      radius, "media_a", "media_b")
+
   /** Frame sampling plumbing: per media row, the deterministic frame
     * indices a video decoder would be asked for — uniform stride so that
     * ≤ `maxFrames` frames are taken regardless of clip length (the

@@ -142,6 +142,30 @@ class DedupSimSpec extends SparkSpec {
     }
   }
 
+  test("phash16: sign quantization bits, duplicate payloads pair at hamming 0") {
+    import graft.media.Multimodal
+    // Hand-built feature rows: media 1 and 2 identical signs, media 3
+    // differs in exactly bits 0 and 15.
+    val feats = (0 until 16).flatMap { j =>
+      val base = if (j % 3 == 0) 0.25 else -0.25
+      Seq((1L, j.toLong, base), (2L, j.toLong, base),
+        (3L, j.toLong, if (j == 0 || j == 15) -base else base))
+    }.toDF("media_id", "j", "feat")
+    val fp = Multimodal.phash16(feats)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (0 until 16).filter(_ % 3 == 0).map(1L << _).sum
+    assert(fp(1L) == expected, s"fp=${fp(1L)} expected=$expected")
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) == 2)
+    val pairs = Multimodal.phashPairs(feats, radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 2L), (2L, 3L, 2L)), pairs.toString)
+    // boundary: feat exactly 0 counts as a set bit (b >= 128 in the
+    // portable stub maps to feat >= 0)
+    val zero = Seq((9L, 0L, 0.0)).toDF("media_id", "j", "feat")
+    assert(Multimodal.phash16(zero).head().getLong(1) == 1L)
+  }
+
   test("simhash: identical docs equal, near-dup docs close, distinct docs far") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),

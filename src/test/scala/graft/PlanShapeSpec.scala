@@ -191,6 +191,60 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(4000))
   }
 
+  test("d16: prefix candidate generation is an equi-join, never a product") {
+    // The AllPairs contract at plan level: candidates come from the
+    // prefix self-join ON THE SHINGLE (hash/merge equi-join) and the
+    // refine re-joins by (doc, shingle) — a nested-loop or cartesian
+    // anywhere means the prefix index degenerated to all-pairs.
+    val plan = planOf(SparkEntry.queries("d16_jaccard_prefix")(spark, Sf01))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the candidate self-join keys on the shingle (at test scale AQE may
+    // broadcast it; the join KEY is the invariant, not the strategy)
+    assert("Join \\[s#\\d+".r.findFirstIn(plan).isDefined, plan.take(3000))
+  }
+
+  test("a21: every supplier probes the one-row sketch via broadcast") {
+    // The stored-sketch point-query shape: the sketch relation (1 row)
+    // must broadcast under the cross join; the fact aggregation must not
+    // re-shuffle to meet it.
+    val plan = planOf(SparkEntry.queries("a21_cms")(spark, Sf01))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("cms_estimate"), plan.take(3000))
+  }
+
+  test("g15: the walk frontier broadcasts at every step, edges never shuffle for the join") {
+    // 4 steps → 4 frontier⋈edges joins, each with the |walks|-row
+    // frontier on the broadcast side. An exchange of the edge relation
+    // keyed by src would mean the frontier stopped driving the join.
+    val plan = planOf(SparkEntry.queries("g15_random_walks")(spark, Sf01))
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins (one per step), got $bhj:\n" +
+      plan.take(3000))
+    assert(!("Exchange hashpartitioning\\(src".r.findFirstIn(plan).isDefined),
+      plan.take(3000))
+  }
+
+  test("e23: builtin session_window groups in one user_id exchange") {
+    // The declarative sessionization must shuffle the events once by
+    // user_id for the session merge; the only other exchange is the
+    // final (tiny) global orderBy.
+    val df = SparkEntry.queries("e23_session_window")(spark, Sf01)
+    val physical: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val byUser = physical.collect { case e: ShuffleExchangeExec => e }
+      .count(e => e.outputPartitioning.toString.startsWith("hashpartitioning") &&
+        e.outputPartitioning.toString.contains("user_id"))
+    assert(byUser == 1, s"expected 1 user_id hash exchange, got $byUser:\n" +
+      physical.toString.take(2000))
+    // and the merge itself runs in Spark's dedicated session-merge node
+    assert(physical.toString.contains("MergingSessions"),
+      physical.toString.take(2000))
+  }
+
   test("e14: the per-user stats table joins the fact scan by broadcast") {
     val plan = planOf(SparkEntry.queries("e14_zscore_outliers")(spark, Sf01))
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
