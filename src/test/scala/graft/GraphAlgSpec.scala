@@ -56,6 +56,25 @@ class GraphAlgSpec extends SparkSpec {
     }
   }
 
+  test("walkShuffled (co-partitioned shape) = walk (broadcast shape), leak-neutral") {
+    import graft.graph.RandomWalks
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("c", "d"), ("b", "a")).toDF("src", "dst")
+    val seeds = Seq("a", "b", "c", "d").toDF("id")
+    val bc = RandomWalks.walk(edges, seeds, steps = 5, nWalks = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = RddScope.persisted(spark)
+    val sh = RandomWalks.walkShuffled(edges, seeds, steps = 5, nWalks = 2)
+    val got = sh.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == bc, s"shapes diverge: ${got.diff(bc).take(5)}")
+    // Leak contract: the only persisted blocks this call left behind are
+    // the result's own checkpoint backing.
+    val leaked = RddScope.persisted(spark) -- before --
+      org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(sh)
+    assert(leaked.isEmpty, s"walkShuffled leaked RDDs: $leaked")
+  }
+
   test("personalized PR with S = V equals uniform fixed-iteration PR") {
     val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
     val allIds = Seq(1, 2, 3, 4).toDF("id")
