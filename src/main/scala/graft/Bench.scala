@@ -84,6 +84,7 @@ object Bench {
     "w2_analytics_window",
     "w4_topn_per_group",
     "e2_sessionize",
+    "e23_session_window",
     "e9_asof_join",
     "e10_range_join",
     "e13_overlap_sessions",
