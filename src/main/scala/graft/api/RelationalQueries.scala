@@ -510,6 +510,25 @@ object RelationalQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // Stored-sketch ROLLUP on Spark's own DataSketches HLL builtins
+    // (hll_sketch_agg → binary per group, hll_union_agg → re-aggregated
+    // later WITHOUT rescanning the facts — the sketch-once/roll-up-many
+    // warehouse pattern; graft's theta/CMS functions extend the same
+    // story to set algebra and frequencies). lgK=14 keeps the sketch in
+    // its exact (coupon/set) regime at gate cardinalities (≤ ~10k
+    // distincts), so per-group AND unioned estimates hash-oracle against
+    // COUNT(DISTINCT); the estimation-regime error is HllSpec territory.
+    "a22_hll_rollup" -> ((s, d) => {
+      val per = orders(s, d).groupBy(col("o_orderpriority"))
+        .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+      val perOut = per.select(col("o_orderpriority").as("scope"),
+        hll_sketch_estimate(col("sk")).as("apx_distinct"))
+      val all = per.select(hll_union_agg(col("sk")).as("u"))
+        .select(lit("ALL").as("scope"),
+          hll_sketch_estimate(col("u")).as("apx_distinct"))
+      perOut.unionAll(all).orderBy(col("scope"))
+    }),
+
     // Portable count-min twin: the SAME d×w estimator replayed
     // relationally with the md5 hash family (graft.ops.Portable), so
     // DuckDB reproduces every counter and every min() bit-for-bit —
@@ -826,6 +845,15 @@ object RelationalQueries {
         |        INTERSECT SELECT o_custkey FROM b)) AS BIGINT) AS n_intersect,
         |  CAST((SELECT COUNT(*) FROM (SELECT o_custkey FROM a
         |        EXCEPT SELECT o_custkey FROM b)) AS BIGINT) AS n_a_not_b""".stripMargin,
+
+    "a22_hll_rollup" ->
+      """SELECT CAST(o_orderpriority AS VARCHAR) AS scope,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS apx_distinct
+        |FROM orders GROUP BY 1
+        |UNION ALL
+        |SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+        |FROM orders
+        |ORDER BY scope""".stripMargin,
 
     "a21b_cms_portable" ->
       """WITH raw AS (SELECT CAST(o_custkey AS VARCHAR) AS k FROM orders),

@@ -97,6 +97,28 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("builtin HLL sketches: exact in set regime, bounded in estimation regime, union = global") {
+    // Exact (coupon/set) regime — the property a22's oracle relies on.
+    val small = spark.range(2000).select((col("id") % 5).as("g"), col("id"))
+    val perSmall = small.groupBy(col("g"))
+      .agg(hll_sketch_agg(col("id"), lit(14)).as("sk"), countDistinct(col("id")).as("n"))
+    perSmall.select(hll_sketch_estimate(col("sk")).as("e"), col("n")).collect()
+      .foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // Estimation regime: 500k distincts at lgK=12 → RSE ≈ 1.04/√4096 ≈
+    // 1.6%; assert a loose 5% envelope. Partitioned build + union must
+    // agree with the one-shot global sketch (merge soundness).
+    val big = spark.range(500000).select((col("id") % 8).as("g"), col("id"))
+    val unioned = big.groupBy(col("g"))
+      .agg(hll_sketch_agg(col("id"), lit(12)).as("sk"))
+      .select(hll_union_agg(col("sk")).as("u"))
+      .select(hll_sketch_estimate(col("u"))).head().getLong(0)
+    val oneShot = big.agg(hll_sketch_estimate(hll_sketch_agg(col("id"), lit(12))))
+      .head().getLong(0)
+    assert(unioned == oneShot, s"union-of-parts $unioned != one-shot $oneShot")
+    assert(math.abs(unioned - 500000.0) / 500000.0 < 0.05,
+      s"estimation-regime error too large: $unioned vs 500000")
+  }
+
   test("cms_estimate expression matches driver-side readFrom on both key types") {
     import org.apache.spark.sql.graft.CmsFns.cmsEstimate
     // Long keys: the expression must probe the same addLong path the
