@@ -529,6 +529,25 @@ object RelationalQueries {
       perOut.unionAll(all).orderBy(col("scope"))
     }),
 
+    // Stored-KLL rollup — quantiles join the sketch warehouse: binary
+    // sketch per nation, kll_merge re-aggregates the STORED binaries to
+    // a global row, kll_value reads medians off both. Exact regime
+    // (n ≤ k=200 per sketch and after merge), so the INCLUSIVE quantile
+    // is the item at 1-based position ⌈r·n⌉ — reproduced in the oracle
+    // with a row_number window, making the whole rollup hash-green.
+    "a23_kll_rollup" -> ((s, d) => {
+      import org.apache.spark.sql.graft.KllStoreFns._
+      val sup = supplier(s, d)
+        .select(col("s_nationkey"), col("s_acctbal").cast("double").as("bal"))
+      val per = sup.groupBy(col("s_nationkey")).agg(kllSketch(col("bal")).as("sk"))
+      val perOut = per.select(col("s_nationkey").cast("string").as("scope"),
+        round(kllValue(col("sk"), lit(0.5)), 2).as("median_bal"))
+      val all = per.agg(kllMerge(col("sk")).as("u"))
+        .select(lit("ALL").as("scope"),
+          round(kllValue(col("u"), lit(0.5)), 2).as("median_bal"))
+      perOut.unionAll(all).orderBy(col("scope"))
+    }),
+
     // Portable count-min twin: the SAME d×w estimator replayed
     // relationally with the md5 hash family (graft.ops.Portable), so
     // DuckDB reproduces every counter and every min() bit-for-bit —
@@ -853,6 +872,30 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
         |FROM orders
+        |ORDER BY scope""".stripMargin,
+
+    "a23_kll_rollup" ->
+      """WITH b AS (
+        |  SELECT CAST(s_nationkey AS VARCHAR) AS scope,
+        |         CAST(s_acctbal AS DOUBLE) AS bal
+        |  FROM supplier),
+        |g AS (
+        |  SELECT scope, bal,
+        |    ROW_NUMBER() OVER (PARTITION BY scope ORDER BY bal) AS rn,
+        |    COUNT(*) OVER (PARTITION BY scope) AS n
+        |  FROM b),
+        |per AS (
+        |  SELECT scope, ROUND(bal, 2) AS median_bal FROM g
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+        |ga AS (
+        |  SELECT bal, ROW_NUMBER() OVER (ORDER BY bal) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM b),
+        |alla AS (
+        |  SELECT 'ALL' AS scope, ROUND(bal, 2) AS median_bal FROM ga
+        |  WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+        |SELECT scope, median_bal FROM per
+        |UNION ALL SELECT scope, median_bal FROM alla
         |ORDER BY scope""".stripMargin,
 
     "a21b_cms_portable" ->

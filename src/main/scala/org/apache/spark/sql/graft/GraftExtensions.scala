@@ -141,6 +141,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ThetaSetEstExpr(exprs(0), exprs(1), op)
         }))
     }
+    // Stored-KLL surface: kll_sketch(col[, k]) builds the binary,
+    // kll_merge(bin[, k]) re-aggregates stored sketches, kll_value(bin,
+    // rank) reads a quantile off one.
+    extensions.injectFunction((
+      new FunctionIdentifier("kll_sketch"),
+      new ExpressionInfo(classOf[KllSketchBinAgg].getName, null, "kll_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("kll_sketch", exprs, Set(1, 2))
+        if (exprs.length > 1)
+          KllSketchBinAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        else KllSketchBinAgg(exprs(0))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kll_merge"),
+      new ExpressionInfo(classOf[KllMergeBinAgg].getName, null, "kll_merge"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("kll_merge", exprs, Set(1, 2))
+        if (exprs.length > 1)
+          KllMergeBinAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+        else KllMergeBinAgg(exprs(0))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kll_value"),
+      new ExpressionInfo(classOf[KllValueExpr].getName, null, "kll_value"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        arity("kll_value", exprs, Set(2))
+        KllValueExpr(exprs(0), exprs(1))
+      }))
     // Read side of Spark's own count_min_sketch aggregate: the builtin
     // builds the binary but offers no estimator function.
     extensions.injectFunction((

@@ -126,6 +126,24 @@ class ExprSpec extends SparkSpec {
       }
       assert(cmsErr.getMessage.contains("cms_estimate expects 2"),
         s"unexpected cms arity error: ${cmsErr.getMessage}")
+      // Stored-KLL family end-to-end through SQL: per-group binaries →
+      // kll_merge → kll_value (exact regime: median of {1..5} = 3, of
+      // {1..10} = 5 under the INCLUSIVE ⌈r·n⌉ convention).
+      val kll = ext.sql(
+        """SELECT kll_value(kll_merge(sk), 0.5d) AS m_all,
+          |  min(m_per) AS m_low
+          |FROM (SELECT g, kll_sketch(v) AS sk,
+          |        kll_value(kll_sketch(v), 0.5d) AS m_per
+          |      FROM VALUES (0, 1.0d),(0, 2.0d),(0, 3.0d),(0, 4.0d),(0, 5.0d),
+          |        (1, 6.0d),(1, 7.0d),(1, 8.0d),(1, 9.0d),(1, 10.0d) AS t(g, v)
+          |      GROUP BY g)""".stripMargin).collect().head
+      assert((kll.getDouble(0), kll.getDouble(1)) == ((5.0, 3.0)),
+        s"kll SQL rollup returned $kll")
+      val kllErr = intercept[Exception] {
+        ext.sql("SELECT kll_value(cast(null as binary))").collect()
+      }
+      assert(kllErr.getMessage.contains("kll_value expects 2"),
+        s"unexpected kll arity error: ${kllErr.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)

@@ -119,6 +119,32 @@ class SketchSpec extends SparkSpec {
       s"estimation-regime error too large: $unioned vs 500000")
   }
 
+  test("stored KLL: merge-of-binaries = one-shot sketch, rank error bounded at 200k") {
+    import org.apache.spark.sql.graft.KllStoreFns._
+    // Estimation regime: 200k values in 8 shards, stored per-shard
+    // binaries merged afterwards must give the SAME sketch as one global
+    // build (KLL merge is deterministic given identical inputs per
+    // shard), and the merged median's true rank must sit inside the
+    // k=200 error envelope (~2.9% at 99%; assert 5%).
+    val vals = spark.range(200000)
+      .select((col("id") % 8).as("g"), col("id").cast("double").as("v"))
+    val merged = vals.groupBy(col("g")).agg(kllSketch(col("v")).as("sk"))
+      .agg(kllMerge(col("sk")).as("u"))
+      .select(kllValue(col("u"), lit(0.5))).head().getDouble(0)
+    assert(math.abs(merged - 100000.0) / 200000.0 < 0.05,
+      s"merged median rank error too large: $merged")
+    // Exact regime parity with the evaluate-now aggregate.
+    val small = spark.range(100).select(col("id").cast("double").as("v"))
+    val viaStore = small.agg(kllSketch(col("v")).as("sk"))
+      .select(kllValue(col("sk"), lit(0.5))).head().getDouble(0)
+    val viaDirect = small
+      .agg(org.apache.spark.sql.graft.KllQuantilesAgg.kllQuantiles(
+        col("v"), Seq(0.5)).as("q"))
+      .head().getSeq[Double](0).head
+    assert(viaStore == viaDirect,
+      s"stored path $viaStore != direct path $viaDirect")
+  }
+
   test("cms_estimate expression matches driver-side readFrom on both key types") {
     import org.apache.spark.sql.graft.CmsFns.cmsEstimate
     // Long keys: the expression must probe the same addLong path the
