@@ -518,6 +518,20 @@ object Streams {
       org.apache.spark.sql.graft.ThetaSketchAgg
         .thetaSketch(col(keyCol), 16).as("theta"))
 
+  /** Streaming per-group QUANTILE state: the stored-KLL twin of
+    * [[distinctSketchStream]] — one serialized KLL buffer per group in
+    * the state store, folded by merge every micro-batch. The emitted
+    * column is the stored BINARY, not an evaluated quantile, so
+    * snapshots stay re-aggregatable downstream (`kll_merge` across
+    * groups/streams/days, `kll_value` at any rank later) — the same
+    * store-now/ask-later contract as the theta column. Parity +
+    * cross-batch state survival in StreamsSpec.
+    */
+  def quantileSketchStream(
+      stream: DataFrame, groupCol: String, valCol: String): DataFrame =
+    stream.groupBy(col(groupCol)).agg(
+      org.apache.spark.sql.graft.KllStoreFns.kllSketch(col(valCol)).as("kll"))
+
   /** Continuous PageRank materialization over an edge-arrival stream —
     * the reference's defining fixpoint (SURVEY §2.9) meeting its §2.10
     * streaming extension: each micro-batch folds the new edges into the

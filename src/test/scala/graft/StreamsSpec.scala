@@ -129,6 +129,28 @@ class StreamsSpec extends SparkSpec {
     assert(got == Map("g1" -> ((3L, 3.0)), "g2" -> ((2L, 2.0))), s"got=$got")
   }
 
+  test("streaming quantile sketches carry KLL state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    mem.addData(("g1", 1.0), ("g1", 2.0), ("g2", 10.0))
+    val q = Streams.quantileSketchStream(mem.toDF().toDF("g", "v"), "g", "v")
+      .select(col("g"),
+        org.apache.spark.sql.graft.KllStoreFns.kllValue(col("kll"), lit(0.5))
+          .as("median"))
+      .writeStream.format("memory").queryName("kll_stream")
+      .outputMode("complete").trigger(Trigger.ProcessingTime(0))
+      .start()
+    q.processAllAvailable()
+    mem.addData(("g1", 3.0), ("g1", 4.0), ("g1", 5.0), ("g2", 20.0))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("kll_stream")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // Exact regime: whole-stream medians (g1 over {1..5} → 3, g2 over
+    // {10,20} → INCLUSIVE ⌈0.5·2⌉ = 1st value = 10) only appear if the
+    // KLL buffers survived batch 1 inside the state store.
+    assert(got == Map("g1" -> 3.0, "g2" -> 10.0), s"got=$got")
+  }
+
   test("sketch aggregation state survives a query RESTART from checkpoint") {
     // The TypedImperativeAggregate buffers (HLL + theta) live in the
     // state store between micro-batches; a restart additionally
