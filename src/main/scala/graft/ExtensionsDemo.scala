@@ -90,6 +90,17 @@ object ExtensionsDemo {
         |FROM t, s""".stripMargin).collect().head
     println(s"cms undercounts=${cms.getLong(0)}/${cms.getLong(1)} keys")
     require(cms.getLong(0) == 0L, "count-min sketch undercounted a key")
+
+    // Stored-KLL rollup: per-priority quantile sketches merged to a
+    // global median without rescanning orders.
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .createOrReplaceTempView("orders")
+    val kllStored = spark.sql(
+      """SELECT kll_value(kll_merge(sk), 0.5d) AS med
+        |FROM (SELECT o_orderpriority, kll_sketch(o_totalprice) AS sk
+        |      FROM orders GROUP BY 1)""".stripMargin).collect().head
+    println(s"kll merged median totalprice=${kllStored.getDouble(0)}")
+    require(!kllStored.getDouble(0).isNaN, "kll merged median is NaN")
     spark.stop()
   }
 }
