@@ -145,6 +145,85 @@ object OpsProperties extends Properties("Ops") {
         (Prop(gotS.keySet == Set("X", "Y")) :| s"empty source in $gotS")
     }
 
+  property("jaccardPairsPrefix == jaccardPairs on random corpora and thresholds") =
+    forAll(
+      Gen.choose(6, 16).flatMap(n => Gen.listOfN(n,
+        Gen.choose(3, 10).flatMap(m => Gen.listOfN(m, Gen.oneOf(
+          "alpha", "beta", "gamma", "delta", "eps", "zeta"))))),
+      Gen.oneOf(0.25, 0.4, 0.5, 0.6, 0.75, 0.8, 0.9)) { (texts, t) =>
+      import spark.implicits._
+      val docs = texts.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      def key(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = key(graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 2, t))
+      val pref = key(graft.dedup.Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 2, t))
+      Prop(pref == full) :|
+        s"t=$t missing=${(full -- pref).take(3)} extra=${(pref -- full).take(3)}"
+    }
+
+  property("builtin session_window groups == island sessionization on random events") =
+    forAll(
+      Gen.choose(4, 25).flatMap(n => Gen.listOfN(n, Gen.zip(
+        Gen.choose(1L, 3L), Gen.choose(0L, 400L)))),
+      Gen.choose(10L, 120L)) { (evs, gapSec) =>
+      import spark.implicits._
+      val fixture = evs.zipWithIndex.map { case ((u, sec), i) =>
+        graft.streaming.Streams.Event(i.toLong + 1,
+          new java.sql.Timestamp(1700000000000L + sec * 1000L), u, "e", 1.0)
+      }
+      val gapMs = gapSec * 1000L
+      val builtin = graft.streaming.Streams
+        .sessionWindows(fixture.toDF(), gapMs)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val island = graft.streaming.Streams
+        .sessionizeBatch(fixture.toDS(), gapMs)
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+        .toSet
+      Prop(builtin == island) :|
+        s"gap=${gapMs}ms builtin=$builtin island=$island"
+    }
+
+  property("RandomWalks.walk == md5-reference walk on random graphs") =
+    forAll(
+      Gen.choose(4, 12).flatMap(nv => Gen.choose(nv, 3 * nv).flatMap(ne =>
+        Gen.listOfN(ne, Gen.zip(Gen.choose(0, nv - 1), Gen.choose(0, nv - 1))))),
+      Gen.choose(1, 4)) { (rawEdges, steps) =>
+      import spark.implicits._
+      val edges = rawEdges.map { case (a, b) => (s"v$a", s"v$b") }
+      val seedIds = edges.map(_._1).distinct.sorted.take(3)
+      val got = graft.graph.RandomWalks
+        .walk(edges.toDF("src", "dst"), seedIds.toDF("id"), steps)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      def md5Long(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8"))
+        java.lang.Long.parseLong(
+          d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+      }
+      val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val ok = seedIds.forall { seed =>
+        val w = s"$seed#0"
+        var cur = seed
+        val expected = scala.collection.mutable.ArrayBuffer(seed)
+        var j = 1
+        var live = true
+        while (j <= steps && live) {
+          adj.get(cur) match {
+            case Some(ns) =>
+              cur = ns.minBy(d => (md5Long(s"$w:$j:$cur:$d"), d))
+              expected += cur
+            case None => live = false
+          }
+          j += 1
+        }
+        got(w) == expected.toSeq
+      }
+      Prop(ok) :| s"walk divergence: got=$got"
+    }
+
   property("ZOrder.interleave == reference Morton bit interleave") =
     forAll(
       Gen.listOfN(6, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))) { pts =>
