@@ -519,8 +519,12 @@ object RelationalQueries {
     // distincts), so per-group AND unioned estimates hash-oracle against
     // COUNT(DISTINCT); the estimation-regime error is HllSpec territory.
     "a22_hll_rollup" -> ((s, d) => {
+      // The per-group sketch relation is the "stored" table: checkpoint
+      // it (5 tiny rows) so the ALL branch re-aggregates the SKETCHES,
+      // not the facts — one fact scan, exactly the warehouse shape.
       val per = orders(s, d).groupBy(col("o_orderpriority"))
         .agg(hll_sketch_agg(col("o_custkey"), lit(14)).as("sk"))
+        .localCheckpoint(true)
       val perOut = per.select(col("o_orderpriority").as("scope"),
         hll_sketch_estimate(col("sk")).as("apx_distinct"))
       val all = per.select(hll_union_agg(col("sk")).as("u"))
@@ -540,6 +544,7 @@ object RelationalQueries {
       val sup = supplier(s, d)
         .select(col("s_nationkey"), col("s_acctbal").cast("double").as("bal"))
       val per = sup.groupBy(col("s_nationkey")).agg(kllSketch(col("bal")).as("sk"))
+        .localCheckpoint(true) // the "stored" sketch table — see a22
       val perOut = per.select(col("s_nationkey").cast("string").as("scope"),
         round(kllValue(col("sk"), lit(0.5)), 2).as("median_bal"))
       val all = per.agg(kllMerge(col("sk")).as("u"))
