@@ -533,6 +533,34 @@ object RelationalQueries {
       perOut.unionAll(all).orderBy(col("scope"))
     }),
 
+    // JOIN-SIZE ESTIMATION from count-min sketches (Cormode &
+    // Muthukrishnan §4.2: the inner product of two CMS rows bounds the
+    // join size Σ_k fA(k)·fB(k) from above; min over depths tightens
+    // it). Demonstrated on the classic hard case — self-join size / F2
+    // of lineitem on l_partkey — the statistic a 100 TB optimizer wants
+    // BEFORE running the join, computable from stored per-table
+    // sketches alone. Portable md5 hash family (a21b's), so the DuckDB
+    // oracle reproduces the estimate bit-for-bit; the true F2 rides
+    // along for the accuracy story (est ≥ true always).
+    "a24_cms_selfjoin_est" -> ((s, d) => {
+      val w = 2048
+      val depth = 4
+      val raw = lineitem(s, d).select(col("l_partkey").cast("string").as("k"))
+      val depths = explode(array((0 until depth).map(lit(_)): _*)).as("i")
+      val cells = raw.select(col("k"), depths)
+        .withColumn("b", pmod(graft.ops.Portable.md5Long(
+          concat_ws(":", col("i"), col("k"))), lit(w.toLong)))
+        .groupBy(col("i"), col("b")).agg(count(lit(1)).as("c"))
+      val est = cells.groupBy(col("i"))
+        .agg(sum(col("c") * col("c")).as("dot"))
+        .agg(min(col("dot")).as("est_selfjoin"))
+      val truth = raw.groupBy(col("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("true_selfjoin"))
+      truth.crossJoin(broadcast(est))
+        .select(col("true_selfjoin"), col("est_selfjoin"),
+          (col("est_selfjoin") - col("true_selfjoin")).as("overcount"))
+    }),
+
     // Stored-KLL rollup — quantiles join the sketch warehouse: binary
     // sketch per nation, kll_merge re-aggregates the STORED binaries to
     // a global row, kll_value reads medians off both. Exact regime
@@ -878,6 +906,23 @@ object RelationalQueries {
         |SELECT 'ALL', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
         |FROM orders
         |ORDER BY scope""".stripMargin,
+
+    "a24_cms_selfjoin_est" ->
+      """WITH raw AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+        |h AS (
+        |  SELECT k, i,
+        |    CAST('0x' || substr(md5(i || ':' || k), 1, 15) AS BIGINT) % 2048 AS b
+        |  FROM raw, UNNEST([0, 1, 2, 3]) AS u(i)),
+        |cells AS (SELECT i, b, COUNT(*) AS c FROM h GROUP BY i, b),
+        |est AS (
+        |  SELECT MIN(dot) AS est_selfjoin FROM (
+        |    SELECT i, CAST(SUM(c * c) AS BIGINT) AS dot FROM cells GROUP BY i)),
+        |truth AS (
+        |  SELECT CAST(SUM(f * f) AS BIGINT) AS true_selfjoin FROM (
+        |    SELECT k, COUNT(*) AS f FROM raw GROUP BY k))
+        |SELECT true_selfjoin, est_selfjoin,
+        |  est_selfjoin - true_selfjoin AS overcount
+        |FROM truth, est""".stripMargin,
 
     "a23_kll_rollup" ->
       """WITH b AS (
