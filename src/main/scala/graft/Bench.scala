@@ -133,6 +133,9 @@ object Bench {
     "g15_random_walks",
     "a20_theta_ops",
     "a21_cms",
+    "a22_hll_rollup",
+    "a23_kll_rollup",
+    "a24_cms_selfjoin_est",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",
