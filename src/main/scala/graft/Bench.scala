@@ -136,6 +136,7 @@ object Bench {
     "a22_hll_rollup",
     "a23_kll_rollup",
     "a24_cms_selfjoin_est",
+    "m4_phash_pairs",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",
@@ -517,7 +518,14 @@ object Bench {
     // walls swing ±30% with box state. The auto A/B notes below now carry
     // the per-round adjudication that used to be manual.
     val staticNotes = Seq(
-      "\"in-session cpu_s for codegen/JIT-heavy queries (n2, PR loop family, GraphX) is JIT-position-dependent; walls swing ±30% with box state — see auto A/B notes for this round's adjudication\"")
+      "\"in-session cpu_s for codegen/JIT-heavy queries (n2, PR loop family, GraphX) is JIT-position-dependent; walls swing ±30% with box state — see auto A/B notes for this round's adjudication\"",
+      // r9 bisect of the four r8-verdict regression candidates, quiet box
+      // (load1 0.1), r7 TREE (239094b) vs HEAD under the same fresh-JVM
+      // harness: identical floors on both trees, so nothing regressed —
+      // the quoted r7 'floors' were warm-JVM in-session minima below the
+      // fresh-JVM floor (the g7_kcore pattern).
+      "\"r9 bisect (fresh-JVM QBench, r7 tree vs HEAD): p8_pack_chunks 0.64 vs 0.63 s, t9_quality_gopher 0.47 vs 0.52 s, d6_decontaminate 0.84 vs 0.81 s — identical floors, exonerated; r7 in-session mins (0.32/0.28/0.67) were warm-JVM artifacts\"",
+      "\"r9 bisect (AbScaledXl 2M/10it, quiet box): pagerank_scaled_graphx r7 tree 12.29 s cpu 246 vs HEAD 12.39 s cpu 243 (code git-identical since r7); i6_weighted_pagerank isolated floor 2.60 s vs r7 2.48 s — both exonerated, r8's 13.28 s ran at load1 10.35\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -37,4 +37,38 @@ object SparkEntry {
       api.EventQueries.oracleSql ++
       api.PipelineQueries.oracleSql ++
       api.BenchmarkQueries.oracleSql
+
+  /** Scale-regime preconditions for oracles that are exact only below a
+    * documented data size. The sketch rollups hash-match COUNT(DISTINCT)/
+    * row_number oracles because their sketches stay in the EXACT
+    * (coupon/set/capacity) regime at gate scales; past that regime the
+    * estimates are approximate BY DESIGN and a hash compare would fail
+    * spuriously (r8 ADVICE). [[Verify]] probes each guard against the
+    * actual data and demotes a violated entry to rows-only — loudly, with
+    * the reason — instead of letting a scale bump read as a correctness
+    * regression. Returns None when the regime holds, Some(reason) when
+    * not.
+    */
+  def oracleRegimeGuards: Map[String, (SparkSession, String) => Option[String]] = Map(
+    // a22: per-group and unioned HLL (lgK=14) estimates are exact while
+    // the sketch holds a coupon LIST/SET — safe through ~10k distincts
+    // (SketchSpec pins the property). Probe the global distinct custkey
+    // count: per-group counts are bounded by it, and the union sees
+    // exactly it.
+    "a22_hll_rollup" -> ((s, d) => {
+      val n = Tables.orders(s, d).select(countDistinct(col("o_custkey")))
+        .head().getLong(0)
+      if (n <= 10000L) None
+      else Some(s"a22 exact-regime violated: $n distinct o_custkey > 10000 " +
+        "(HLL lgK=14 leaves its coupon/set regime; estimates approximate by design)")
+    }),
+    // a23: a KLL(k=200) sketch is exact while it has seen n <= k items —
+    // required per nation AND for the merged ALL sketch, so the global
+    // supplier row count is the binding probe.
+    "a23_kll_rollup" -> ((s, d) => {
+      val n = Tables.supplier(s, d).count()
+      if (n <= 200L) None
+      else Some(s"a23 exact-regime violated: $n supplier rows > k=200 " +
+        "(merged KLL sketch compacts; quantiles approximate by design)")
+    }))
 }

@@ -47,7 +47,20 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // Scale-regime guards: an oracle that is exact only below a documented
+    // data size (the sketch rollups) is probed against the ACTUAL data; a
+    // violated guard demotes the entry to rows-only — loudly — instead of
+    // hash-failing on a scale bump (r8 ADVICE).
+    val demoted = SparkEntry.oracleRegimeGuards.flatMap { case (name, probe) =>
+      try probe(spark, sfDir).map { reason =>
+        System.err.println(s"[verify] $name oracle DEMOTED to rows-only: $reason")
+        name
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] $name regime probe failed (${e.getMessage}); keeping oracle")
+        None
+      }
+    }.toSet
+    val json = (SparkEntry.oracleSql -- demoted)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -24,6 +24,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         s"$name expects ${allowed.toSeq.sorted.mkString(" or ")} argument(s); " +
           s"got ${exprs.length}")
 
+  /** Fold a tuning argument (k, lgK, items, bits) to an integral value
+    * with a NAMED planning-time error. Without the guard, a column
+    * reference reaches `eval()` and dies with an unbound-attribute
+    * internal error, and a fractional/string literal with a
+    * ClassCastException — neither tells the user which argument of which
+    * function is wrong (r8 ADVICE).
+    */
+  private def intLit(
+      fn: String, what: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal, not a column or non-foldable expression")
+    e.eval() match {
+      case n: java.lang.Integer => n.longValue()
+      case n: java.lang.Long => n.longValue()
+      case n: java.lang.Short => n.longValue()
+      case n: java.lang.Byte => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an integer literal; got " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName} ($other)")
+    }
+  }
+
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       new FunctionIdentifier("cosine_sim"),
@@ -38,8 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("hll_distinct", exprs, Set(1, 2))
         if (exprs.length > 1)
-          HllSketchAgg(exprs(0),
-            exprs(1).eval().asInstanceOf[Number].intValue())
+          HllSketchAgg(exprs(0), intLit("hll_distinct", "lgK", exprs(1)).toInt)
         else HllSketchAgg(exprs(0))
       }))
     extensions.injectFunction((
@@ -47,8 +70,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, null, "misra_gries"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("misra_gries", exprs, Set(2))
-        MisraGriesAgg(exprs(0),
-          exprs(1).eval().asInstanceOf[Number].intValue())
+        MisraGriesAgg(exprs(0), intLit("misra_gries", "k", exprs(1)).toInt)
       }))
     extensions.injectFunction((
       new FunctionIdentifier("kll_quantiles"),
@@ -79,7 +101,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         KllQuantilesAgg(
           exprs(0),
           ranks,
-          if (exprs.length > 2) exprs(2).eval().asInstanceOf[Number].intValue()
+          if (exprs.length > 2) intLit("kll_quantiles", "k", exprs(2)).toInt
           else 200)
       }))
     // Spark's own bloom machinery (the InjectRuntimeFilter expressions),
@@ -98,9 +120,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(exprs(0))),
           org.apache.spark.sql.catalyst.expressions.Literal(
-            exprs(1).eval().asInstanceOf[Number].longValue()),
+            intLit("bloom_agg", "items", exprs(1))),
           org.apache.spark.sql.catalyst.expressions.Literal(
-            exprs(2).eval().asInstanceOf[Number].longValue()))
+            intLit("bloom_agg", "bits", exprs(2))))
       }))
     extensions.injectFunction((
       new FunctionIdentifier("bloom_contains"),
@@ -122,7 +144,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("theta_sketch", exprs, Set(1, 2))
         if (exprs.length > 1)
-          ThetaSketchAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+          ThetaSketchAgg(exprs(0), intLit("theta_sketch", "lgK", exprs(1)).toInt)
         else ThetaSketchAgg(exprs(0))
       }))
     extensions.injectFunction((
@@ -150,7 +172,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("kll_sketch", exprs, Set(1, 2))
         if (exprs.length > 1)
-          KllSketchBinAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+          KllSketchBinAgg(exprs(0), intLit("kll_sketch", "k", exprs(1)).toInt)
         else KllSketchBinAgg(exprs(0))
       }))
     extensions.injectFunction((
@@ -159,7 +181,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         arity("kll_merge", exprs, Set(1, 2))
         if (exprs.length > 1)
-          KllMergeBinAgg(exprs(0), exprs(1).eval().asInstanceOf[Number].intValue())
+          KllMergeBinAgg(exprs(0), intLit("kll_merge", "k", exprs(1)).toInt)
         else KllMergeBinAgg(exprs(0))
       }))
     extensions.injectFunction((

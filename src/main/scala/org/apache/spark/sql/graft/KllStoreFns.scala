@@ -38,11 +38,16 @@ case class KllSketchBinAgg(
     k: Int = 200,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[KllDoublesSketch] {
+  extends TypedImperativeAggregate[KllDoublesSketch]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
 
   require(k >= 8 && k <= 65535, s"KLL k must be in [8, 65535]; got $k")
 
   override def children: Seq[Expression] = Seq(child)
+  // Numerics implicitly widen to double at analysis; a non-castable input
+  // (timestamp, array, …) fails analysis with a typed error instead of a
+  // MatchError mid-task in update() (r8 ADVICE).
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
   override def nullable: Boolean = false
   override def dataType: DataType = BinaryType
   override def prettyName: String = "kll_sketch"

@@ -75,6 +75,33 @@ class BpeSpec extends SparkSpec {
     assert(vocab == nVocab)
   }
 
+  test("1000+ merges equal the naive reference (un-capped driver-local loop)") {
+    // The r8 tree capped numMerges at 64 (one distributed pair-count +
+    // regexp rewrite per merge); the collect-once trainer must track the
+    // recount-everything reference through a production-scale merge
+    // budget. The testdata corpus has only 31 distinct words (BPE
+    // exhausts at 89 merges — covered by the corpus test above), so this
+    // generates a deterministic 2000-type vocabulary with skewed
+    // frequencies: enough pair mass that all 1000 merges actually fire,
+    // exercising thousands of incremental pair-count updates, heap
+    // invalidations, and tie-breaks.
+    val rnd = new scala.util.Random(42)
+    val types = (0 until 2000).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val wordStream = types.zipWithIndex.flatMap { case (w, i) =>
+      Seq.fill(1 + i % 17)(w)
+    }
+    val texts = wordStream.grouped(50).map(_.mkString(" ")).toSeq
+    val (merges, vocab) = distTrain(texts, 1000)
+    val (nMerges, nVocab) = naiveTrain(freqOf(texts), 1000)
+    assert(merges.length == 1000, s"merge budget not exercised: ${merges.length}")
+    assert(merges == nMerges,
+      s"merge sequences diverge at ${merges.zip(nMerges).indexWhere(p => p._1 != p._2)}")
+    assert(vocab == nVocab)
+  }
+
   test("tokenCounts: per-doc totals follow the segmentation map") {
     val docs = Seq((1L, "ab ab cd"), (2L, "cd")).toDF("doc_id", "text")
     val (_, vocab) = Bpe.train(docs, "text", 1) // merges the top pair only

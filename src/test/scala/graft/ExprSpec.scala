@@ -144,6 +144,28 @@ class ExprSpec extends SparkSpec {
       }
       assert(kllErr.getMessage.contains("kll_value expects 2"),
         s"unexpected kll arity error: ${kllErr.getMessage}")
+      // Non-literal k must fail with the NAMED planning error, not an
+      // unbound-attribute internal one (r9 intLit guard).
+      val kllKErr = intercept[Exception] {
+        ext.sql("SELECT kll_sketch(v, cast(v as int)) FROM VALUES (1.0d) AS t(v)")
+          .collect()
+      }
+      assert(kllKErr.getMessage.contains("kll_sketch: k must be an integer literal"),
+        s"unexpected non-literal-k error: ${kllKErr.getMessage}")
+      // Integers implicit-cast to double (analysis-time coercion) …
+      val kllInt = ext.sql(
+        "SELECT kll_value(kll_sketch(v), 0.5d) FROM VALUES (1),(2),(3) AS t(v)")
+        .collect().head.getDouble(0)
+      assert(kllInt == 2.0, s"kll_sketch over ints gave $kllInt")
+      // … while a non-numeric input fails AT ANALYSIS with a typed error
+      // instead of a MatchError mid-task (r8 ADVICE: inputTypes).
+      val kllTypeErr = intercept[org.apache.spark.sql.AnalysisException] {
+        ext.sql("SELECT kll_sketch(current_timestamp()) FROM VALUES (1) AS t(v)")
+          .collect()
+      }
+      assert(kllTypeErr.getMessage.toLowerCase.contains("mismatch") ||
+        kllTypeErr.getMessage.contains("DOUBLE"),
+        s"unexpected kll type error: ${kllTypeErr.getMessage}")
     } finally {
       org.apache.spark.sql.SparkSession.setDefaultSession(base)
       org.apache.spark.sql.SparkSession.setActiveSession(base)
