@@ -37,11 +37,11 @@ import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
   *  - `diag.<q>.load1`: max 1-min loadavg observed around the query's
   *    runs. A loaded box (load1 ≫ cores busy with Spark alone) is named
   *    directly in the artifact.
-  *  - `diag.<q>.leaked_rdds`: persistent RDDs left behind by the query,
-  *    swept (unpersisted) before the next query starts — leaked blocks are
-  *    both ruled out as a slowdown cause and quantified. Iterative results
-  *    are checkpoint-backed by design; their backing counts here and is
-  *    freed by the sweep.
+  *  - `diag.<q>.leaked_rdds`: persistent RDDs left behind by the query
+  *    EXCLUDING checkpoint backings of its own result (those are the
+  *    result by design — QueriesSpec enforces the same contract), all
+  *    swept (unpersisted) before the next query starts. Non-zero here is
+  *    a genuine stray persist; the r9 bar is zeros across the board.
   *  - top-level `cores`, `load1_start`/`load1_end`: session-wide context.
   *  - AUTO A/B: any query whose min wall moved >3× vs the previous round's
   *    committed `bench_diag.json` is re-measured on a fresh JVM (forked
@@ -121,6 +121,7 @@ object Bench {
     "n5_sq_encode",
     "n8_ann_pq",
     "n11_ann_ivf_multiprobe",
+    "n13_ann_ivf_tuned",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",
@@ -137,6 +138,7 @@ object Bench {
     "a23_kll_rollup",
     "a24_cms_selfjoin_est",
     "m4_phash_pairs",
+    "m5_image_decode",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",
@@ -278,27 +280,41 @@ object Bench {
 
     /** Unpersist EVERYTHING between queries/runs: cache-manager entries
       * and raw persistent RDDs (GraphX graphs, checkpoint backings —
-      * invisible to `clearCache`). Returns how many RDDs the previous
-      * query had left persisted.
+      * invisible to `clearCache`). Returns how many of them were LEAKS —
+      * persisted RDDs that are NOT checkpoint backings of the leg's own
+      * result. Iterative results are checkpoint-backed BY DESIGN (the
+      * backing IS the result; QueriesSpec enforces the same contract per
+      * query at sf0.001), so counting those as "leaked" buried the
+      * signal: r8's diag showed 28 legs leaking 1-4 RDDs, all but a
+      * handful of which were result backings. With `keep` excluded, a
+      * non-zero count here is a genuine stray persist.
       */
-    def sweep(): Int = {
+    def sweep(keep: Set[Int] = Set.empty): Int = {
       spark.catalog.clearCache()
-      val leaked = sc.getPersistentRDDs
-      leaked.values.foreach(_.unpersist(blocking = false))
-      leaked.size
+      val persisted = sc.getPersistentRDDs
+      val leaked = persisted.values.count(r => !keep(r.id))
+      persisted.values.foreach(_.unpersist(blocking = false))
+      leaked
     }
 
-    def timeOnce(body: => Unit): Sample = {
+    /** `body` returns the leg's result DataFrame when it has one (query
+      * legs) so its checkpoint backings can be excluded from the leak
+      * count; sink/flagship legs release their own state and return None.
+      */
+    def timeOnce(body: => Option[org.apache.spark.sql.DataFrame]): Sample = {
       val l0 = load1()
       cpuNs.set(0L)
       val t0 = System.nanoTime()
-      val ok = try { body; true } catch { case _: Throwable => false }
+      val res = try Some(body) catch { case _: Throwable => None }
       val wall = (System.nanoTime() - t0) / 1e9
       GraftInternals.drainListenerBus(spark)
       val cpu = cpuNs.get() / 1e9
       val l1 = math.max(l0, load1())
-      val leaked = sweep()
-      if (ok) Sample(wall, cpu, l1, leaked) else Sample(-1.0, -1.0, l1, leaked)
+      val keep = res.flatten.map(GraftInternals.checkpointRddIds)
+        .getOrElse(Set.empty[Int])
+      val leaked = sweep(keep)
+      if (res.isDefined) Sample(wall, cpu, l1, leaked)
+      else Sample(-1.0, -1.0, l1, leaked)
     }
 
     // min/mean over `runs` executions; diagnostics ride with the min-wall
@@ -306,7 +322,8 @@ object Bench {
     // absorbs whole-stage-codegen compilation and JIT warm-up (measured
     // 3-8x inflation on a cold JVM); the reference's 6.35 s baseline
     // likewise excludes interpreter start-up.
-    def time(runs: Int)(body: => Unit): (Sample, Double) = {
+    def time(runs: Int)(body: => Option[org.apache.spark.sql.DataFrame])
+        : (Sample, Double) = {
       val ss = (1 to runs).map(_ => timeOnce(body)).filter(_.wall >= 0)
       if (ss.isEmpty) (Sample(-1.0, -1.0, -1.0, 0), -1.0)
       else (ss.minBy(_.wall).copy(
@@ -333,7 +350,11 @@ object Bench {
     }
 
     val results: Seq[(String, (Sample, Double))] = Headline.map { name =>
-      name -> time(2)(SparkEntry.queries(name)(spark, sfDir).count())
+      name -> time(2) {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        df.count()
+        Some(df)
+      }
     } :+ ("sinks_training_shards" -> time(2) {
       val dir = sinksDir()
       try {
@@ -343,6 +364,7 @@ object Bench {
         val manifest = graft.io.Sinks.trainingShards(
           docs, dir.resolve("shards").toString, "doc_id", shards = 8)
         require(manifest.count() == 8L)
+        None
       } finally rmTree(dir)
     }) :+ ("sinks_partitioned" -> time(2) {
       val dir = sinksDir()
@@ -352,6 +374,7 @@ object Bench {
         val en = graft.io.Sinks.readPruned(spark, dir.resolve("bylang").toString,
           "lang", "en").count()
         require(en > 0L)
+        None
       } finally rmTree(dir)
     }) :+ ("pagerank_wikidata" -> time(3) { // 3 runs: this leg is THE
       // baseline-bar artifact (<= 2x of BASELINE.md 6.35 s); one extra
@@ -361,6 +384,7 @@ object Bench {
       val n = PageRank.topK(res.ranks, 100).count()
       require(n == 100)
       res.release()
+      None
     }) :+ ("pagerank_wikidata_graphx" -> time(2) {
       // Scale-path twin of the flagship: identical semantics/iterations
       // (GraphXSpec asserts 1e-9 L1 parity), Pregel-style execution.
@@ -369,18 +393,21 @@ object Bench {
         spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
+      None
     }) :+ ("pagerank_scaled" -> time(1) {
       val edges = SyntheticGraph.powerLaw(spark, ScaledVerts, ScaledEdges)
       val res = PageRank.run(spark, edges, ScaledParams)
       require(res.iterations == ScaledParams.maxIter)
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
+      None
     }) :+ ("pagerank_scaled_graphx" -> time(1) {
       val edges = SyntheticGraph.powerLaw(spark, ScaledVerts, ScaledEdges)
       val res = PageRankGraphX.run(spark, edges, ScaledParams)
       require(res.iterations == ScaledParams.maxIter)
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
+      None
     })
 
     // ANN recall for the TRAINED approximate paths — their centroids are
@@ -405,12 +432,18 @@ object Bench {
       sweep()
       val gotN11 = pairSet(SparkEntry.queries("n11_ann_ivf_multiprobe")(spark, sfDir))
       sweep()
+      val gotN13 = pairSet(SparkEntry.queries("n13_ann_ivf_tuned")(spark, sfDir))
+      sweep()
       def r(got: Set[(Long, Long)], exact: Set[(Long, Long)]): Double =
         if (exact.isEmpty) -1.0
         else got.intersect(exact).size.toDouble / exact.size
+      // n4 -> n11 -> n13 is the published recall-vs-probe-effort curve:
+      // nprobe=1 (0.33) -> nprobe=3 (0.66) -> nCells=32 x 8 probes x
+      // 3-way candidate assignment (>=0.9, the shipped default).
       Seq("n9_pq_trained@10" -> r(gotN9, exactN1),
         "n4_ann_ivf@5" -> r(gotN4, exactAll),
-        "n11_ann_ivf_multiprobe@5" -> r(gotN11, exactAll))
+        "n11_ann_ivf_multiprobe@5" -> r(gotN11, exactAll),
+        "n13_ann_ivf_tuned@5" -> r(gotN13, exactAll))
     } catch {
       case t: Throwable =>
         System.err.println(s"recall stage failed: ${t.getClass.getSimpleName}: ${t.getMessage}")

@@ -758,6 +758,21 @@ object PipelineQueries {
     "n11b_ann_multiprobe_portable" -> ((s, d) =>
       Similarity.annIvfStaticMultiProbe(vecs(s, d), dims = 3, k = 5)),
 
+    // RECALL-TUNED IVF — the configuration a retrieval service would
+    // ship (r8 verdict: n11's 0.66 recall@5 is below a usable default;
+    // faiss practice tunes to >=0.9). Finer cells (32), 8 probes AND
+    // 3-way candidate assignment: recall@5 = 0.94 on the sf0.1
+    // embeddings (published per round in bench_diag.recall; full
+    // (nCells, probes, assign) grid in AbAnnRecall/README). Honest cost
+    // accounting: per-query candidate coverage is probes/nCells×assign
+    // ≈ 75% here — this weakly-clustered synthetic corpus is near the
+    // IVF worst case, and at these tiny cell counts recall is bought
+    // with coverage; production nCells ∝ √N drives the fraction down.
+    // Approximate -> rows-only.
+    "n13_ann_ivf_tuned" -> ((s, d) =>
+      Similarity.annIvfMultiProbe(s, vecs(s, d), nCells = 32, probes = 8,
+        k = 5, assign = 3)),
+
     // kNN label-consistency screen: for each labeled query vector, the
     // majority label among its k=5 cosine-nearest neighbors and the
     // agreement fraction — the standard embedding-space mislabel
@@ -957,6 +972,41 @@ object PipelineQueries {
       val media = Multimodal.fromDocuments(s, documents(s, d))
       Multimodal.phashPairs(
         Multimodal.extractFeaturesPortable(media, dims = 16).toDF(), radius = 2)
+    }),
+
+    // REAL image decode, hash-oracled: per doc a deterministic 16×16
+    // gray PNG is ENCODED (BufferedImage + ImageIO) and then DECODED
+    // back through javax.imageio, band-mean luminance features computed
+    // from the actual pixels. PNG gray is lossless, so the DuckDB oracle
+    // reproduces the expected dimensions and features from the pixel
+    // formula alone — a genuine codec round trip inside the correctness
+    // gate, not a stub (closes the r8 "decode is stubbed" gap for image
+    // payloads; audio/video remain stubbed).
+    "m5_image_decode" -> ((s, d) => {
+      val media = Multimodal.synthGrayPng(s, documents(s, d), "doc_id")
+      Multimodal.extractImageFeatures(media, bands = 8).toDF()
+        .select(col("media_id"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("j"), round(col("feat"), 6).as("feat"))
+        .orderBy(col("media_id"), col("j"))
+    }),
+
+    // Decoded-pixel perceptual dedup — m5's REAL codec round trip feeding
+    // m4's fingerprint algebra in ONE plan: encode (PNG) → decode
+    // (javax.imageio) → 16 band-mean features from actual pixels → sign
+    // quantization → the banded Hamming join shared with d4c/m4. The
+    // pixel formula makes near-dup structure deterministic (ids congruent
+    // mod 256 render IDENTICAL images → Hamming 0), so the oracle
+    // reproduces the whole chain — including which images collide —
+    // from closed-form SQL. The sign threshold is integer-exact in both
+    // engines: feat ≥ 0 ⟺ row-sum ≥ 2040 (and 2040/16/255 − 0.5 is
+    // exactly 0.0 in IEEE doubles).
+    "m6_phash_decoded" -> ((s, d) => {
+      val media = Multimodal.synthGrayPng(s, documents(s, d), "doc_id")
+      Multimodal.phashPairs(
+        Multimodal.extractImageFeatures(media, bands = 16).toDF()
+          .select(col("media_id"), col("j"), col("feat")), radius = 2)
     })
   )
 
@@ -2166,6 +2216,53 @@ object PipelineQueries {
         |    CAST(SUM(CASE WHEN b >= 128 THEN (CAST(1 AS BIGINT) << j)
         |             ELSE 0 END) AS BIGINT) AS fp
         |  FROM f GROUP BY media_id),
+        |bnd AS (
+        |  SELECT media_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.media_id < b2.media_id)
+        |SELECT c.media_a, c.media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |FROM c
+        |JOIN fp fa ON fa.media_id = c.media_a
+        |JOIN fp fb ON fb.media_id = c.media_b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2
+        |ORDER BY media_a, media_b""".stripMargin,
+
+    // The m5 oracle KNOWS the pixels (deterministic formula + lossless
+    // gray PNG), so it checks the real ImageIO round trip bit-for-bit:
+    // band j covers rows 2j..2j+1 of the 16x16 image, mean = SUM/32.
+    "m5_image_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, yy.y // 2 AS j,
+        |    (doc_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS g
+        |  FROM documents,
+        |    UNNEST(generate_series(0, 15)) AS xx(x),
+        |    UNNEST(generate_series(0, 15)) AS yy(y))
+        |SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS width,
+        |  CAST(16 AS BIGINT) AS height, CAST(j AS BIGINT) AS j,
+        |  ROUND(SUM(g) / 32.0 / 255.0 - 0.5, 6) AS feat
+        |FROM px GROUP BY doc_id, j ORDER BY media_id, j""".stripMargin,
+
+    // m6: the m5 pixel CTE (bands = 16 → band j IS row j, mean = SUM/16)
+    // quantized to the m4 fingerprint/banding algebra. feat >= 0 over
+    // doubles ⟺ integer row-sum >= 2040 (see the query's scaladoc).
+    "m6_phash_decoded" ->
+      """WITH px AS (
+        |  SELECT doc_id, yy.y AS j,
+        |    (doc_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS g
+        |  FROM documents,
+        |    UNNEST(generate_series(0, 15)) AS xx(x),
+        |    UNNEST(generate_series(0, 15)) AS yy(y)),
+        |rowsum AS (
+        |  SELECT doc_id, j, SUM(g) AS s FROM px GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN s >= 2040 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM rowsum GROUP BY doc_id),
         |bnd AS (
         |  SELECT media_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
         |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(band)),

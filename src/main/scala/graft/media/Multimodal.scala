@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `BINARY` columns with typed metadata travelling alongside. The Spark
   * side — schema, partition-friendly batch shape, per-partition decode
-  * loop — is real; the codec itself is STUBBED with a deterministic fake
-  * (this container has no image/audio libraries), clearly marked below.
-  * Swapping in a real decoder changes only `decodeStub`.
+  * loop — is real. IMAGE decode is real too ([[decodeImageBands]]:
+  * `javax.imageio` PNG/BMP/GIF/JPEG, pure JVM); audio/video codecs are
+  * still STUBBED with deterministic fakes (this container has no
+  * ffmpeg-class libraries), clearly marked below — swapping one in
+  * changes only `decodeStub`.
   */
 object Multimodal {
 
@@ -119,6 +121,123 @@ object Multimodal {
     graft.dedup.Dedup.hamming16Pairs(
       phash16(features).select(col("media_id").as("id"), col("fp")),
       radius, "media_a", "media_b")
+
+  /** One decoded-image feature element: real dimensions + one band-mean
+    * luminance value, exploded for engine-portable comparison.
+    */
+  case class ImageFeatureRow(
+      media_id: Long, width: Int, height: Int, j: Long, feat: Double)
+
+  /** ===== REAL image decode (pure JVM) ===== `javax.imageio` reads
+    * PNG/BMP/GIF/JPEG in any stock JRE — no container codecs needed, so
+    * this closes the "decode is stubbed" gap for those formats
+    * (r8 verdict ask #6). Returns (width, height, per-band mean
+    * luminance scaled to [-0.5, 0.5]); None for undecodable payloads
+    * (ImageIO yields null/throws — a real pipeline drops or quarantines
+    * those rows).
+    *
+    * Luminance: single-band (gray) images read the raster SAMPLE
+    * directly — the sample IS the stored luminance, and going through
+    * `getRGB` would apply the linear-gray→sRGB colorspace (gamma)
+    * conversion and corrupt the round trip — so a lossless GRAY image's
+    * band means are exact integer sums, which is what lets
+    * [[graft.api.PipelineQueries]] m5 hash-oracle a genuine
+    * encode→decode round trip against closed-form SQL. Multi-band
+    * images use Rec.601 (0.299 R + 0.587 G + 0.114 B) over `getRGB`.
+    * A band with no rows (height < bands) reads as mean 0 → -0.5.
+    */
+  def decodeImageBands(bytes: Array[Byte], bands: Int)
+      : Option[(Int, Int, Array[Double])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth <= 0 || img.getHeight <= 0) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val gray = img.getRaster.getNumBands == 1
+      val sums = new Array[Double](bands)
+      val cnts = new Array[Long](bands)
+      var y = 0
+      while (y < h) {
+        val b = math.min(bands - 1, (y.toLong * bands / h).toInt)
+        var x = 0
+        while (x < w) {
+          val lum =
+            if (gray) img.getRaster.getSample(x, y, 0).toDouble
+            else {
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff
+              val g = (rgb >> 8) & 0xff
+              val bl = rgb & 0xff
+              if (r == g && g == bl) r.toDouble
+              else 0.299 * r + 0.587 * g + 0.114 * bl
+            }
+          sums(b) += lum
+          cnts(b) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = Array.tabulate(bands) { j =>
+        if (cnts(j) == 0L) -0.5 else sums(j) / cnts(j) / 255.0 - 0.5
+      }
+      Some((w, h, feats))
+    }
+  }
+
+  /** Distributed REAL decode: the same mapPartitions shape as the stub
+    * path, but the codec is `javax.imageio` and the dimensions/features
+    * come from actual pixels. Undecodable payloads are dropped (flatMap),
+    * so mixed/corrupt corpora survive the pass.
+    */
+  def extractImageFeatures(media: Dataset[MediaRecord], bands: Int = 8)
+      : Dataset[ImageFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeImageBands(r.bytes, bands) match {
+          case None => Iterator.empty
+          case Some((w, h, feats)) =>
+            feats.iterator.zipWithIndex.map { case (f, j) =>
+              ImageFeatureRow(r.media_id, w, h, j.toLong, f)
+            }
+        }
+      }
+    }
+  }
+
+  /** Deterministic 16×16 8-bit gray PNG per id — REAL encoded image
+    * bytes (BufferedImage + ImageIO), pixel (x, y) = (id·31 + x·7 +
+    * y·13) mod 256. PNG gray is lossless, so a decode of these bytes
+    * recovers the closed-form pixels exactly: the m5 query encodes,
+    * decodes, and band-averages through the real codec while the DuckDB
+    * oracle reproduces the expected features from the formula alone.
+    */
+  def synthGrayPng(spark: SparkSession, docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(
+          16, 16, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < 16) {
+          var x = 0
+          while (x < 16) {
+            raster.setSample(x, y, 0,
+              java.lang.Math.floorMod(id * 31 + x * 7 + y * 13, 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        MediaRecord(id, "image/png", bos.toByteArray)
+      }
+    }
+  }
 
   /** Frame sampling plumbing: per media row, the deterministic frame
     * indices a video decoder would be asked for — uniform stride so that

@@ -1,7 +1,6 @@
 package graft.sim
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Persisted ANN index lifecycle — build once, SAVE, reload and search
@@ -59,11 +58,6 @@ object IndexStore {
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("cand_id"),
         round(Similarity.cosine(col("qv"), col("v")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    Similarity.rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 }

@@ -15,6 +15,27 @@ object Similarity {
   /** Element-wise cast float→double so all accumulation is in doubles. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
+  /** Rank stage shared by every ANN operator: exact top-k per query over
+    * (cosine desc, cand_id asc), distinct pairs. Spelled as the bounded
+    * map-side-combinable [[org.apache.spark.sql.graft.TopKPairsAgg]]
+    * rather than a `row_number` window: the window must shuffle AND sort
+    * the entire candidate-pair stream (the r9 XL probe measured 217 s in
+    * that sort alone at 443 M pairs — more than the whole scan), while
+    * the aggregate consumes pairs where they are produced and shuffles
+    * only ≤ |queries|·k summary entries. Exact-duplicate pairs (multi-
+    * assignment IVF meeting a pair through two shared cells) collapse at
+    * insert, which is exactly the dedup the window spelling needed extra
+    * passes for. Output: (query_id, cand_id, rnk, cosine), unordered —
+    * callers add their ORDER BY.
+    */
+  private[sim] def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(org.apache.spark.sql.graft.TopKPairsAgg
+        .topkPairs(col("cand_id"), col("cosine"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.cand_id").as("cand_id"),
+        (col("i") + 1).as("rnk"), col("e.score").as("cosine"))
+
   /** Exact cosine similarity of two double-array columns — a native
     * codegen'd Catalyst expression (single fused loop, no intermediate
     * arrays); left-to-right double accumulation, so results are identical
@@ -48,13 +69,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** Exact all-pairs top-k with self excluded — the ground-truth baseline
@@ -71,12 +86,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
+    rankTopK(scored, k)
   }
 
   /** Pseudo-random hyperplane coefficient in [−1, 1] for (plane `p`,
@@ -181,13 +191,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** IVF (inverted-file) ANN: a coarse k-means quantizer assigns every
@@ -224,13 +228,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** Multi-probe IVF (the standard recall knob on [[annIvf]], which the
@@ -241,41 +239,72 @@ object Similarity {
     * ≪ brute force (faiss `nprobe`; Lv et al., "Multi-Probe LSH", VLDB
     * 2007 for the perturbation idea).
     *
-    * Scale shape: candidates are stored ONCE, keyed by their single home
-    * cell; only the query side fans out (×probes) before the same
-    * per-cell equi-join as [[annIvf]]. Cell choice is a broadcast
+    * Scale shape: by default candidates are stored ONCE, keyed by their
+    * single home cell; only the query side fans out (×probes) before the
+    * same per-cell equi-join as [[annIvf]]. Cell choice is a broadcast
     * crossJoin against the O(nCells) centroid table (nCells ∝ √N at
     * production scale — tiny) + a per-query top-probes window over
-    * nCells rows. No candidate row is ever duplicated, so the probe
-    * fan-out never touches the corpus-sized side.
+    * nCells rows, so the probe fan-out never touches the corpus-sized
+    * side.
+    *
+    * `assign` > 1 additionally replicates each CANDIDATE into its
+    * `assign` nearest cells — redundant/multi-assignment IVF, the other
+    * standard recall lever (index is ×assign larger; query probe count
+    * can then stay low). A true neighbor is found when the query's
+    * probed cells intersect the candidate's assigned cells, so
+    * probes×assign boundary coverage is bought for assign× index storage
+    * instead of probes× query scan — the right trade when queries far
+    * outnumber index rebuilds. The r9 sweep on the sf0.1 embeddings
+    * (weakly clustered, unit-norm 64-d; AbAnnRecall): assign=1 recall@5
+    * tracks coverage (0.66 at 3/8), while (nCells=32, probes=8,
+    * assign=2) reaches ≥0.9. Per-query candidate coverage is
+    * probes/nCells × assign — ≈ 50-75% for the shipped configs on this
+    * near-worst-case (noise-dominated) corpus; the asymptotic IVF win
+    * needs nCells ∝ √N so the fraction falls as the corpus grows.
     */
   def annIvfMultiProbe(
       spark: org.apache.spark.sql.SparkSession,
       vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
       nCells: Int,
       probes: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      assign: Int = 1): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(probes >= 1 && probes <= nCells,
       s"probes must be in [1, nCells=$nCells]; got $probes")
+    require(assign >= 1 && assign <= nCells,
+      s"assign must be in [1, nCells=$nCells]; got $assign")
     val withFeat = vectors.withColumn("features", array_to_vector(col("v")))
       .localCheckpoint(true)
     val model = new KMeans()
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features")
       .fit(withFeat)
-    val cand = model.transform(withFeat)
-      .select(col("prediction").as("cell_b"),
-        col("vec_id").as("cand_id"), col("v").as("cv"))
     import spark.implicits._
     val cents = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("cell", "centroid")
     // KMeans assigns by squared Euclidean distance; rank cells the same
-    // way so probe #1 is always the home cell.
+    // way so probe #1 / home assignment is always the KMeans cell.
     val d2 = aggregate(
       zip_with(col("qv"), col("centroid"), (x, c) => (x - c) * (x - c)),
       lit(0.0), (a, x) => a + x)
+    val cand =
+      if (assign == 1)
+        model.transform(withFeat)
+          .select(col("prediction").as("cell_b"),
+            col("vec_id").as("cand_id"), col("v").as("cv"))
+      else {
+        val cw = Window.partitionBy(col("cand_id")).orderBy(col("d2"), col("cell"))
+        vectors
+          .select(col("vec_id").as("cand_id"), col("v").as("qv"))
+          .crossJoin(broadcast(cents))
+          .withColumn("d2", d2)
+          .withColumn("ar", row_number().over(cw))
+          .filter(col("ar") <= assign)
+          .select(col("cell").as("cell_b"), col("cand_id"),
+            col("qv").as("cv"))
+      }
     val pw = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cell"))
     val qcells = vectors
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -283,19 +312,37 @@ object Similarity {
       .withColumn("d2", d2)
       .withColumn("pr", row_number().over(pw))
       .filter(col("pr") <= probes)
-      .select(col("query_id"), col("qv"), col("cell"))
-    val scored = qcells.join(cand,
+      .select(col("query_id"), col("cell"))
+    // BROADCAST the probe side: `cell` has only nCells distinct values,
+    // so a shuffled join would collapse the corpus-sized candidate scan
+    // into ≤ nCells effective groups (the r9 XL probe measured the
+    // shuffled variant at 3x BRUTE at N=24k — worse than no index). ANN's
+    // contract is a bounded query batch (the IndexStore premise), so the
+    // probe list broadcasts and candidates stream through the join at
+    // full input parallelism, never shuffled.
+    //
+    // Two SLIM broadcasts, not one fat one: with qv riding in the probe
+    // list the hash relation was |queries|·probes × (key + vector) rows
+    // — 200 MB at the r9 XL probe — and every bucket-chain walk
+    // (≈ |queries|·probes/nCells matches per candidate) cache-missed
+    // through it, measured at ~3× brute's per-pair cost. Probe list as
+    // bare (query_id, cell) plus a second, unique-key broadcast of
+    // (query_id, qv) keeps the chain walk inside a few MB and fetches
+    // each query vector once per OUTPUT pair, restoring per-pair parity
+    // with the brute kernel.
+    val qvecs = vectors.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val joined = broadcast(qcells).join(cand,
         col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .join(broadcast(qvecs), "query_id")
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    // With replicated candidates a pair can meet through every shared
+    // cell; a twice-found neighbor must not occupy two ranks. The
+    // duplicate rows are bit-identical (cosine is deterministic in the
+    // pair), so rankTopK's insert-time dedup yields exactly the top k
+    // DISTINCT pairs — no extra dedup pass, no pair-stream shuffle.
+    rankTopK(joined, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** Portable multi-probe twin of [[annIvfStatic]] (probes = 2): each
@@ -335,13 +382,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** IVF with a DATA-INDEPENDENT quantizer: cells are the sign pattern of
@@ -371,13 +412,7 @@ object Similarity {
       .select(
         col("query_id"), col("cand_id"),
         round(cosine(col("qv"), col("cv")), 4).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** Production embedding near-duplicate pairs: hyperplane-LSH blocking
@@ -658,13 +693,7 @@ object Similarity {
         round(col("dot").cast("double")
             / (col("qnorm") * sqrt(col("cn2").cast("double"))), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
   /** IVFPQ — the composed faiss flagship index: a COARSE quantizer prunes
@@ -731,12 +760,6 @@ object Similarity {
         round(col("dot").cast("double")
             / (col("qnorm") * sqrt(col("cn2").cast("double"))), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("cand_id"))
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("cand_id"), col("rnk"), col("cosine"))
-      .orderBy(col("query_id"), col("rnk"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 }

@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer over (score desc, id asc) with exact-duplicate
+  * dedup — the per-group state behind [[TopKPairsAgg]]. Parallel arrays +
+  * insertion sort: k is user-tiny (5..100), the hot path is the O(1)
+  * reject against the current k-th entry, and an exact (score, id)
+  * duplicate (a multi-assigned IVF candidate met through a second shared
+  * cell — bit-identical because the score is a deterministic function of
+  * the pair) is dropped at insert, so ranks are over DISTINCT pairs.
+  */
+final class TopKPairsBuffer(val k: Int) extends Serializable {
+  var size: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val ids: Array[Long] = new Array[Long](k)
+
+  /** (s1, i1) strictly better than (s2, i2) in (score desc, id asc). */
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def add(id: Long, s: Double): Unit = {
+    if (size == k && !better(s, id, scores(k - 1), ids(k - 1))) return
+    // Insertion point: first slot the newcomer beats.
+    var j = size
+    while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) j -= 1
+    // Exact duplicate of the entry just above the slot → already ranked.
+    if (j > 0 && scores(j - 1) == s && ids(j - 1) == id) return
+    val last = math.min(size, k - 1)
+    var m = last
+    while (m > j) { scores(m) = scores(m - 1); ids(m) = ids(m - 1); m -= 1 }
+    scores(j) = s
+    ids(j) = id
+    if (size < k) size += 1
+  }
+
+  def merge(other: TopKPairsBuffer): Unit = {
+    var i = 0
+    while (i < other.size) { add(other.ids(i), other.scores(i)); i += 1 }
+  }
+}
+
+/** Custom `TypedImperativeAggregate`: exact top-k (score desc, id asc)
+  * pairs per group with constant-size (≤ k entries) partial state —
+  * map-side combinable, so ranking N·scanfrac candidate pairs shuffles
+  * only |groups|·k summary entries instead of sorting the whole pair
+  * stream.
+  *
+  * This is the rank stage every ANN operator needs, and the window
+  * formulation (`row_number() over (partition by query order by score)`)
+  * is its scale-killer: the r9 XL probe (N = 24 000, 64-d, 443 M
+  * candidate pairs) measured 217 s in the window's full shuffle+sort —
+  * more than the whole brute-force scan — because Spark must move and
+  * sort every pair even though ≤ k per query survive. With this
+  * aggregate the pair stream is consumed where it is produced
+  * (ObjectHashAggregate partial mode), and only ≤ queries×k rows cross
+  * the wire. Exact duplicates — the same (query, cand) met through two
+  * shared cells under multi-assignment IVF — collapse at insert, so the
+  * result is the top k DISTINCT pairs: precisely the rank-dedup-rerank
+  * semantics the window spelling needed three passes for.
+  *
+  * Returns `array<struct<cand_id bigint, score double>>` in rank order;
+  * callers `posexplode` to (rnk, cand_id, score).
+  */
+case class TopKPairsAgg(
+    idChild: Expression,
+    scoreChild: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKPairsBuffer]
+  with org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+
+  require(k >= 1, s"k must be positive; got $k")
+
+  override def children: Seq[Expression] = Seq(idChild, scoreChild)
+  override def inputTypes: Seq[AbstractDataType] = Seq(LongType, DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("cand_id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "topk_pairs"
+
+  override def createAggregationBuffer(): TopKPairsBuffer = new TopKPairsBuffer(k)
+
+  override def update(buf: TopKPairsBuffer, input: InternalRow): TopKPairsBuffer = {
+    val id = idChild.eval(input)
+    val s = scoreChild.eval(input)
+    if (id != null && s != null)
+      buf.add(id.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKPairsBuffer, other: TopKPairsBuffer): TopKPairsBuffer = {
+    buf.merge(other)
+    buf
+  }
+
+  override def eval(buf: TopKPairsBuffer): Any = {
+    val out = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out(i) = new GenericInternalRow(Array[Any](buf.ids(i), buf.scores(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: TopKPairsBuffer): Array[Byte] = {
+    val bytes = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bytes)
+    out.writeInt(buf.k)
+    out.writeInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      out.writeLong(buf.ids(i))
+      out.writeDouble(buf.scores(i))
+      i += 1
+    }
+    out.flush()
+    bytes.toByteArray
+  }
+
+  override def deserialize(b: Array[Byte]): TopKPairsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(b))
+    val buf = new TopKPairsBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      // Entries were serialized in rank order, so add() appends without
+      // shifting.
+      buf.add(in.readLong(), in.readDouble())
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKPairsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(idChild = newChildren(0), scoreChild = newChildren(1))
+}
+
+object TopKPairsAgg {
+  /** Column-API entry point: top-k (score desc, id asc) distinct pairs,
+    * as `array<struct<cand_id, score>>` in rank order.
+    */
+  def topkPairs(id: Column, score: Column, k: Int): Column =
+    ExpressionUtils.column(
+      TopKPairsAgg(
+        ExpressionUtils.expression(id),
+        ExpressionUtils.expression(score), k).toAggregateExpression())
+}

@@ -35,6 +35,17 @@ class PlanShapeSpec extends SparkSpec {
       plan.take(2000))
   }
 
+  test("n13: the probe list broadcasts; candidates are never shuffled for the join") {
+    // `cell` has only nCells distinct values, so a shuffled cell-join
+    // would collapse the candidate scan into <= nCells effective groups
+    // (the r9 XL probe measured that variant at 3x BRUTE at N=24k). The
+    // bounded query batch must broadcast instead — candidates stream
+    // through a BroadcastHashJoin at full input parallelism.
+    val plan = planOf(SparkEntry.queries("n13_ann_ivf_tuned")(spark, Sf01))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("g3: the wedge self-join keys on the salt columns, closing join hash-shuffles") {
     // The hub-split contract at plan level: the wedge self-join must key
     // on (u, bx, by) — NOT u alone — so a power-law hub's wedge pairs
