@@ -49,11 +49,17 @@ object Verify {
     } + "\""
     // Scale-regime guards: an oracle that is exact only below a documented
     // data size (the sketch rollups) is probed against the ACTUAL data; a
-    // violated guard demotes the entry to rows-only — loudly — instead of
-    // hash-failing on a scale bump (r8 ADVICE).
+    // violated guard WITHDRAWS the oracle — loudly — instead of
+    // hash-failing on a scale bump (r8 ADVICE). Note the precise effect:
+    // a missing key makes the driver record `no_oracle` (rows_match=null),
+    // i.e. the entry is UNCHECKED that run, not rows-only — the driver has
+    // no rows-only compare mode, and any sentinel SQL would hash-FAIL.
+    // The parquet dump still happens, so the row count is inspectable.
     val demoted = SparkEntry.oracleRegimeGuards.flatMap { case (name, probe) =>
       try probe(spark, sfDir).map { reason =>
-        System.err.println(s"[verify] $name oracle DEMOTED to rows-only: $reason")
+        System.err.println(
+          s"[verify] $name oracle WITHDRAWN (driver will record no_oracle; " +
+            s"entry unchecked this run): $reason")
         name
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name regime probe failed (${e.getMessage}); keeping oracle")

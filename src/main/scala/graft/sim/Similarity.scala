@@ -12,6 +12,14 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
+  /** Upper bound on the estimated query-side size for which ANN probe
+    * relations may be broadcast (well under Spark's 8 GB broadcast hard
+    * cap, leaving headroom for the ×probes fan-out of the probe list and
+    * hash-relation overhead). Past it, [[annIvfMultiProbe]] falls back
+    * to shuffled joins — the corpus-scale regime.
+    */
+  private[sim] val MaxProbeBroadcastBytes: BigInt = BigInt(512L << 20)
+
   /** Element-wise cast float→double so all accumulation is in doubles. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
@@ -295,6 +303,13 @@ object Similarity {
           .select(col("prediction").as("cell_b"),
             col("vec_id").as("cand_id"), col("v").as("cv"))
       else {
+        // In this branch withFeat's eager localCheckpoint fed ONLY the
+        // KMeans fit above — the candidate/probe relations are rebuilt
+        // from `vectors` (they don't need the ml Vector column), so the
+        // checkpoint backing would be unreachable from the result plan
+        // and the caller's standard post-consumption sweep could never
+        // free it. Release it here, where its last consumer (fit) is done.
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(withFeat)
         val cw = Window.partitionBy(col("cand_id")).orderBy(col("d2"), col("cell"))
         vectors
           .select(col("vec_id").as("cand_id"), col("v").as("qv"))
@@ -331,12 +346,31 @@ object Similarity {
     // each query vector once per OUTPUT pair, restoring per-pair parity
     // with the brute kernel.
     val qvecs = vectors.select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val joined = broadcast(qcells).join(cand,
-        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
-      .join(broadcast(qvecs), "query_id")
-      .select(
-        col("query_id"), col("cand_id"),
-        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    // GATE the broadcast on the estimated query-side size: this function
+    // self-joins (queries == corpus), so at production N the "bounded
+    // query batch" premise does NOT hold and a hinted broadcast of the
+    // whole vector table would blow Spark's 8 GB broadcast cap / driver
+    // heap. Under the threshold (batch-query regime) the broadcast
+    // spelling streams candidates at full input parallelism; over it
+    // (corpus-scale regime) fall back to plain shuffled joins — safe
+    // because at scale nCells ∝ √N ≫ task count, so hashing on `cell`
+    // no longer collapses parallelism the way it does at small nCells.
+    val qSideBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
+    val joined =
+      if (qSideBytes <= MaxProbeBroadcastBytes)
+        broadcast(qcells).join(cand,
+            col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+          .join(broadcast(qvecs), "query_id")
+          .select(
+            col("query_id"), col("cand_id"),
+            round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+      else
+        qcells.join(cand,
+            col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+          .join(qvecs, "query_id")
+          .select(
+            col("query_id"), col("cand_id"),
+            round(cosine(col("qv"), col("cv")), 4).as("cosine"))
     // With replicated candidates a pair can meet through every shared
     // cell; a twice-found neighbor must not occupy two ranks. The
     // duplicate rows are bit-identical (cosine is deterministic in the

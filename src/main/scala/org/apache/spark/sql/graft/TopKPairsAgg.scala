@@ -24,9 +24,19 @@ final class TopKPairsBuffer(val k: Int) extends Serializable {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  /** (s1, i1) strictly better than (s2, i2) in (score desc, id asc). */
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  /** (s1, i1) strictly better than (s2, i2) in (score desc, id asc).
+    * Scores compare under `java.lang.Double.compare`'s TOTAL order, not
+    * raw `>`/`==`: a NaN score (cosine of a zero-norm vector) under raw
+    * comparison is never "better" AND never equal, which would let NaN
+    * entries land mid-array, break the sorted invariant, and defeat the
+    * j-1 duplicate check. Total order ranks NaN above +Inf — the same
+    * ordering the replaced `row_number` window (Spark sorts NaN largest)
+    * gave, so degenerate inputs rank identically.
+    */
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def add(id: Long, s: Double): Unit = {
     if (size == k && !better(s, id, scores(k - 1), ids(k - 1))) return
@@ -34,7 +44,7 @@ final class TopKPairsBuffer(val k: Int) extends Serializable {
     var j = size
     while (j > 0 && better(s, id, scores(j - 1), ids(j - 1))) j -= 1
     // Exact duplicate of the entry just above the slot → already ranked.
-    if (j > 0 && scores(j - 1) == s && ids(j - 1) == id) return
+    if (j > 0 && java.lang.Double.compare(scores(j - 1), s) == 0 && ids(j - 1) == id) return
     val last = math.min(size, k - 1)
     var m = last
     while (m > j) { scores(m) = scores(m - 1); ids(m) = ids(m - 1); m -= 1 }

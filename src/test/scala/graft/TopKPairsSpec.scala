@@ -58,4 +58,32 @@ class TopKPairsSpec extends SparkSpec {
       .map { case (id, s) => (s, id) }
     assert(dump(one) == exp)
   }
+
+  test("buffer: NaN scores rank largest (window parity) and keep the invariant") {
+    // A zero-norm vector yields cosine = NaN. The replaced row_number
+    // window (Spark double ordering) sorts NaN ABOVE +Inf; the buffer
+    // must match under its total order, keep the array sorted, and still
+    // dedup bit-identical (NaN, id) repeats.
+    val nan = Double.NaN
+    val items = Seq(
+      (5L, 0.9), (2L, nan), (9L, 0.3), (2L, nan), // duplicate NaN pair
+      (7L, nan), (1L, 0.9), (3L, Double.PositiveInfinity))
+    val buf = new TopKPairsBuffer(5)
+    items.foreach { case (id, s) => buf.add(id, s) }
+    val got = (0 until buf.size).map(i => (buf.ids(i), buf.scores(i)))
+    // Expected: NaN pairs first (id asc), then +Inf, then finite desc.
+    val exp = Seq((2L, nan), (7L, nan), (3L, Double.PositiveInfinity),
+      (1L, 0.9), (5L, 0.9))
+    assert(got.map(_._1) == exp.map(_._1))
+    assert(got.zip(exp).forall { case ((_, a), (_, b)) =>
+      java.lang.Double.compare(a, b) == 0
+    })
+    // Split/merge parity holds with NaN in both halves.
+    val (a, b) = items.splitAt(3)
+    val ba = new TopKPairsBuffer(5); a.foreach { case (id, s) => ba.add(id, s) }
+    val bb = new TopKPairsBuffer(5); b.foreach { case (id, s) => bb.add(id, s) }
+    ba.merge(bb)
+    val merged = (0 until ba.size).map(i => (ba.ids(i), ba.scores(i)))
+    assert(merged.map(_._1) == got.map(_._1))
+  }
 }
