@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   * the join operators in the executed plan; plus the estimator's
   * accuracy (HLL estimate vs true distinct) and its decision trail.
   *
+  * The corpus is AMPLIFIED ×`AB_AMP` (default 64: replicated doc_ids,
+  * text unchanged — distinct bigram/unigram KEYS stay constant, stream
+  * rows scale) so the regime is the production one at the DEFAULT 10 MB
+  * broadcast threshold: the r10 first run at plain sf0.1 measured the
+  * whole stream at ~3 MB — under the threshold, so stock Catalyst
+  * already broadcast both count relations and the A/B was a wash. The
+  * interesting regime — static child-sized estimate ≫ threshold ≫ true
+  * aggregate size — needs a stream bigger than the threshold, which at
+  * sf0.1 means amplification (at sf10+ it holds naturally).
+  *
   *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt "runMain graft.AbCmsJoin"
   */
 object AbCmsJoin {
@@ -48,8 +58,13 @@ object AbCmsJoin {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val amp = sys.env.getOrElse("AB_AMP", "64").toInt
     def bigrams: DataFrame = {
-      val tok = Tables.documents(spark, sfDir)
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id"), col("text"))
+        .crossJoin(spark.range(amp).select(col("id").as("rep")))
+        .select((col("doc_id") * amp + col("rep")).as("doc_id"), col("text"))
+      val tok = docs
         .select(col("doc_id"),
           posexplode(text.TextFns.tokens(col("text"))).as(Seq("pos", "t")))
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -61,32 +76,22 @@ object AbCmsJoin {
     // ---- OFFLINE: one corpus pass writes the stored-stats relation ----
     // (in the warehouse this row lives next to the a22/a24 sketches and
     // is refreshed with the corpus, amortized over every later plan).
+    // The profile/decide/hint machinery is the first-class
+    // [[graft.stats.SketchStats]] API; this harness measures it.
     val statsPath = "/tmp/abcmsjoin_stats"
-    bigrams.agg(
-        hll_sketch_agg(concat_ws(" ", col("w1"), col("w2")), lit(14)).as("sk2"),
-        hll_sketch_agg(col("w1"), lit(14)).as("sk1"),
-        avg(length(col("w1")) + length(col("w2")) + lit(1)).as("key2_bytes"),
-        avg(length(col("w1"))).as("key1_bytes"),
-        count(lit(1)).as("stream_rows"))
+    graft.stats.SketchStats.profile(bigrams, Map(
+        "c2" -> concat_ws(" ", col("w1"), col("w2")),
+        "c1" -> col("w1")))
       .write.mode("overwrite").parquet(statsPath)
 
     // ---- PLANNING: reads ONLY the stored stats (kilobytes) ----
-    val st = spark.read.parquet(statsPath)
-      .select(hll_sketch_estimate(col("sk2")).as("est2"),
-        hll_sketch_estimate(col("sk1")).as("est1"),
-        col("key2_bytes"), col("key1_bytes"), col("stream_rows"))
-      .head()
-    val (est2, est1) = (st.getLong(0), st.getLong(1))
-    // Hash-relation row ≈ key bytes + 8B count + ~24B object/offset
-    // overhead — deliberately generous so the decision errs toward NOT
-    // broadcasting.
-    val estBytes2 = (est2 * (st.getDouble(2) + 32)).toLong
-    val estBytes1 = (est1 * (st.getDouble(3) + 32)).toLong
-    val threshold = 10L << 20 // spark.sql.autoBroadcastJoinThreshold default
-    val hint2 = estBytes2 < threshold
-    val hint1 = estBytes1 < threshold
-    println(s"AB-CMSJOIN plan est_c2_rows=$est2 est_c2_bytes=$estBytes2 " +
-      s"est_c1_rows=$est1 est_c1_bytes=$estBytes1 threshold=$threshold " +
+    val dec = graft.stats.SketchStats.decide(
+      spark.read.parquet(statsPath), Seq("c2", "c1"))
+    val (d2, d1) = (dec("c2"), dec("c1"))
+    val (est2, est1) = (d2.estRows, d1.estRows)
+    val (hint2, hint1) = (d2.broadcast, d1.broadcast)
+    println(s"AB-CMSJOIN plan est_c2_rows=$est2 est_c2_bytes=${d2.estBytes} " +
+      s"est_c1_rows=$est1 est_c1_bytes=${d1.estBytes} threshold=${10L << 20} " +
       s"decision_c2=${if (hint2) "broadcast" else "shuffle"} " +
       s"decision_c1=${if (hint1) "broadcast" else "shuffle"}")
 
@@ -103,8 +108,8 @@ object AbCmsJoin {
       val big = bigrams
       val c2r = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
       val c1r = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val c2 = if (hinted && hint2) broadcast(c2r) else c2r
-      val c1 = if (hinted && hint1) broadcast(c1r) else c1r
+      val c2 = if (hinted) graft.stats.SketchStats.hinted(c2r, d2) else c2r
+      val c1 = if (hinted) graft.stats.SketchStats.hinted(c1r, d1) else c1r
       big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
         .groupBy(col("doc_id"))
         .agg(round(avg(log(col("c1").cast("double") / col("c2"))), 6)

@@ -122,6 +122,7 @@ object Bench {
     "n8_ann_pq",
     "n11_ann_ivf_multiprobe",
     "n13_ann_ivf_tuned",
+    "n13b_ann_tuned_portable",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",
@@ -139,6 +140,7 @@ object Bench {
     "a24_cms_selfjoin_est",
     "m4_phash_pairs",
     "m5_image_decode",
+    "m7_audio_decode",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",
@@ -558,7 +560,18 @@ object Bench {
       // the quoted r7 'floors' were warm-JVM in-session minima below the
       // fresh-JVM floor (the g7_kcore pattern).
       "\"r9 bisect (fresh-JVM QBench, r7 tree vs HEAD): p8_pack_chunks 0.64 vs 0.63 s, t9_quality_gopher 0.47 vs 0.52 s, d6_decontaminate 0.84 vs 0.81 s — identical floors, exonerated; r7 in-session mins (0.32/0.28/0.67) were warm-JVM artifacts\"",
-      "\"r9 bisect (AbScaledXl 2M/10it, quiet box): pagerank_scaled_graphx r7 tree 12.29 s cpu 246 vs HEAD 12.39 s cpu 243 (code git-identical since r7); i6_weighted_pagerank isolated floor 2.60 s vs r7 2.48 s — both exonerated, r8's 13.28 s ran at load1 10.35\"")
+      "\"r9 bisect (AbScaledXl 2M/10it, quiet box): pagerank_scaled_graphx r7 tree 12.29 s cpu 246 vs HEAD 12.39 s cpu 243 (code git-identical since r7); i6_weighted_pagerank isolated floor 2.60 s vs r7 2.48 s — both exonerated, r8's 13.28 s ran at load1 10.35\"",
+      // r10 bisect of the four r9-verdict cpu_s jumps, quiet box (load1
+      // ~1), r8 TREE (a9ec68a) vs HEAD, fresh-JVM QBench per query:
+      // identical-or-better floors on HEAD, so TopKPairsAgg costs nothing
+      // at sf0.1 and the PR-loop pair's in-session jump was leg-order JIT.
+      "\"r10 bisect (fresh-JVM QBench, r8 tree vs HEAD, wall/cpu floors): n2_ann_lsh 3.42/8.73 vs 2.32/6.61 (HEAD faster), n8_ann_pq 4.26-4.53/3.48-3.55 vs 4.21-4.86/3.40-3.81 (identical), pr_renorm 4.68/21.89 vs 4.17/20.83, pr_graphx 1.65/3.03 vs 1.69/3.03 — all four exonerated; r9 in-session cpu_s (28.7/14.1/14.0/6.1) were leg-position warm-JVM artifacts\"",
+      // r10 sketch-statistics A/B published (AbCmsJoin, x64-amplified
+      // sf0.1 corpus so the stream's child-sized static estimate honestly
+      // exceeds the default 10 MB broadcast threshold; AQE ON both legs).
+      "\"r10 AbCmsJoin (stored-sketch planner stats, quiet box): stock AQE wall 15.59 s / 346.5 MiB shuffle-write / SortMergeJoin=2 vs sketch-hinted 9.65 s / 163.2 MiB / BroadcastHashJoin=2 — 1.6x wall, 2.1x shuffle bytes; HLL lgK=14 estimates exact (931/931 bigram keys, 31/31 unigram keys); residual 163 MiB is the doc_id window + two groupBy shuffles common to both legs\"",
+      // r10 rank-stage A/B pinned as a leg (AbAnnRankXl): see README.
+      "\"r10 AbAnnRankXl (2x64M duplicate-bearing pairs, N=8000, quiet box): topk_agg wall 6.20 s / cpu 149 s / 24.5 MiB shuffle-write vs distinct+row_number window 20.15 s / cpu 538 s / 1653 MiB — 3.2x wall, 67x shuffle bytes; on a duplicate-FREE stream Spark 4's WindowGroupLimit closes most of the wall gap (4.28 vs 3.38 s), so the structural win is the insert-time dedup replacing the full-stream distinct shuffle\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -773,6 +773,15 @@ object PipelineQueries {
       Similarity.annIvfMultiProbe(s, vecs(s, d), nCells = 32, probes = 8,
         k = 5, assign = 3)),
 
+    // Portable twin of the TUNED config at the same scale parameters
+    // (32 cells, 8 query probes, 3-way candidate assignment): sign-
+    // pattern quantizer + confidence-ordered Hamming perturbations, so
+    // the shipped configuration's plan shape — probe fan-out, candidate
+    // replication, duplicate-collapsing rank — carries a full DuckDB
+    // hash oracle (r9 verdict ask #3).
+    "n13b_ann_tuned_portable" -> ((s, d) =>
+      Similarity.annIvfStaticTuned(vecs(s, d), k = 5)),
+
     // kNN label-consistency screen: for each labeled query vector, the
     // majority label among its k=5 cosine-nearest neighbors and the
     // agreement fraction — the standard embedding-space mislabel
@@ -1007,6 +1016,24 @@ object PipelineQueries {
       Multimodal.phashPairs(
         Multimodal.extractImageFeatures(media, bands = 16).toDF()
           .select(col("media_id"), col("j"), col("feat")), radius = 2)
+    }),
+
+    // REAL audio decode, hash-oracled: per doc a deterministic 256-sample
+    // 16-bit mono PCM WAV is ENCODED (javax.sound.sampled write) and then
+    // DECODED back through the same API, band-mean amplitude features
+    // computed from the actual samples. WAV PCM is lossless and every
+    // band mean divides integer sums by powers of two, so the DuckDB
+    // oracle reproduces the expected rate/length/features bit-for-bit
+    // from the sample formula alone — m5's codec-round-trip gate, audio
+    // edition (closes the r9 "audio is still a stub" gap; video stays
+    // stubbed: no container codecs in a stock JRE).
+    "m7_audio_decode" -> ((s, d) => {
+      val media = Multimodal.synthPcmWav(s, documents(s, d), "doc_id")
+      Multimodal.extractAudioFeatures(media, bands = 8).toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"), col("j"), round(col("feat"), 6).as("feat"))
+        .orderBy(col("media_id"), col("j"))
     })
   )
 
@@ -2086,6 +2113,50 @@ object PipelineQueries {
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // n13b: the tuned-config twin. s1..s5 = coordinates by |v| asc via
+    // sorted-value first-position lookup (identical tie semantics to
+    // Spark's array_sort + array_position); bit of coord j is 2^(5-j).
+    // DISTINCT in scored mirrors rankTopK's insert-time dedup of pairs
+    // met through several shared probe/assign cells.
+    "n13b_ann_tuned_portable" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a0 AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN v[2] >= 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN v[4] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN v[5] >= 0 THEN 1 ELSE 0 END) AS cell,
+        |    [abs(v[1]), abs(v[2]), abs(v[3]), abs(v[4]), abs(v[5])] AS la
+        |  FROM e),
+        |a1 AS (
+        |  SELECT vec_id, v, cell,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[1])] AS b1,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[2])] AS b2,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[3])] AS b3,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[4])] AS b4,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[5])] AS b5
+        |  FROM a0),
+        |qc AS (
+        |  SELECT vec_id AS query_id, v AS qv, xor(cell, mm.m) AS cell
+        |  FROM a1, UNNEST([0, b1, b2, b3, b4, b5,
+        |                   xor(b1, b2), xor(b1, b3)]) AS mm(m)),
+        |cc AS (
+        |  SELECT vec_id AS cand_id, v AS cv, xor(cell, mm.m) AS cell
+        |  FROM a1, UNNEST([0, b1, b2]) AS mm(m)),
+        |scored AS (
+        |  SELECT DISTINCT q.query_id, c.cand_id,
+        |    ROUND(list_cosine_similarity(q.qv, c.cv), 4) AS cosine
+        |  FROM qc q JOIN cc c
+        |    ON q.cell = c.cell AND q.query_id <> c.cand_id),
+        |ranked AS (
+        |  SELECT query_id, cand_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, cand_id) AS rnk
+        |  FROM scored)
+        |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
+        |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "d14_semantic_contamination" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |b AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE vec_id % 25 = 0),
@@ -2277,6 +2348,20 @@ object PipelineQueries {
         |JOIN fp fb ON fb.media_id = c.media_b
         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2
         |ORDER BY media_a, media_b""".stripMargin,
+
+    // The m7 oracle KNOWS the samples (deterministic formula + lossless
+    // WAV PCM), so it checks the real javax.sound round trip bit-for-bit:
+    // band j covers samples 32j..32j+31, mean = SUM/32, scale /32768.
+    "m7_audio_decode" ->
+      """WITH smp AS (
+        |  SELECT doc_id, tt.t // 32 AS j,
+        |    (doc_id * 31 + tt.t * 7) % 65536 - 32768 AS s
+        |  FROM documents,
+        |    UNNEST(generate_series(0, 255)) AS tt(t))
+        |SELECT doc_id AS media_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(256 AS BIGINT) AS n_samples, CAST(j AS BIGINT) AS j,
+        |  ROUND(SUM(s) / 32.0 / 32768.0, 6) AS feat
+        |FROM smp GROUP BY doc_id, j ORDER BY media_id, j""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

@@ -6,11 +6,12 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads are opaque
   * `BINARY` columns with typed metadata travelling alongside. The Spark
   * side — schema, partition-friendly batch shape, per-partition decode
-  * loop — is real. IMAGE decode is real too ([[decodeImageBands]]:
-  * `javax.imageio` PNG/BMP/GIF/JPEG, pure JVM); audio/video codecs are
-  * still STUBBED with deterministic fakes (this container has no
-  * ffmpeg-class libraries), clearly marked below — swapping one in
-  * changes only `decodeStub`.
+  * loop — is real. IMAGE decode is real ([[decodeImageBands]]:
+  * `javax.imageio` PNG/BMP/GIF/JPEG, pure JVM) and so is AUDIO decode
+  * ([[decodeAudioBands]]: `javax.sound.sampled` WAV/AIFF/AU PCM, pure
+  * JVM); VIDEO genuinely needs container codecs (ffmpeg-class, absent
+  * here) and remains STUBBED with deterministic fakes, clearly marked
+  * below — swapping a codec in changes only `decodeStub`.
   */
 object Multimodal {
 
@@ -235,6 +236,133 @@ object Multimodal {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         MediaRecord(id, "image/png", bos.toByteArray)
+      }
+    }
+  }
+
+  /** One decoded-audio feature element: real sample rate + sample count +
+    * one band-mean amplitude, exploded for engine-portable comparison.
+    */
+  case class AudioFeatureRow(
+      media_id: Long, sample_rate: Int, n_samples: Long, j: Long, feat: Double)
+
+  /** ===== REAL audio decode (pure JVM) ===== `javax.sound.sampled` reads
+    * WAV/AIFF/AU PCM in any stock JRE — the same no-container-codecs
+    * trick that made image decode real (r9 verdict ask #6: "the
+    * synthGrayPng pattern transfers directly"). Returns (sample rate,
+    * frame count, per-band mean amplitude scaled to [-1, 1)); None for
+    * undecodable payloads or non-16-bit encodings (a real pipeline drops
+    * or transcodes those rows). Compressed containers (mp3/ogg/aac)
+    * genuinely need external codecs and stay out of scope, like video.
+    *
+    * Band j covers frames [j·n/bands, (j+1)·n/bands) (the image-decode
+    * row-band scheme applied to time); multi-channel frames average
+    * across channels BEFORE banding (the standard mono mixdown), in
+    * exact integer arithmetic scaled by the channel count so lossless
+    * fixtures stay closed-form. PCM in a WAV container is lossless, so a
+    * decode of [[synthPcmWav]] bytes recovers the synthesized samples
+    * exactly — which is what lets the m7 query hash-oracle a genuine
+    * encode→decode round trip against closed-form SQL.
+    */
+  def decodeAudioBands(bytes: Array[Byte], bands: Int)
+      : Option[(Int, Long, Array[Double])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Throwable => null }
+    if (ais == null) return None
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      if ((!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) ||
+        fmt.getSampleSizeInBits != 16) return None
+      val ch = fmt.getChannels
+      val bytesPerFrame = fmt.getFrameSize // = 2 * ch for 16-bit PCM
+      val data = ais.readAllBytes()
+      val n = (data.length / bytesPerFrame).toLong
+      if (n <= 0L) return None
+      val big = fmt.isBigEndian
+      val sums = new Array[Double](bands)
+      val cnts = new Array[Long](bands)
+      var t = 0L
+      while (t < n) {
+        val b = math.min(bands - 1, (t * bands / n).toInt)
+        val base = (t * bytesPerFrame).toInt
+        // Mono mixdown in integer space: sum channels, divide by ch once.
+        var acc = 0L
+        var c = 0
+        while (c < ch) {
+          val o = base + 2 * c
+          val raw =
+            if (big) ((data(o) & 0xff) << 8) | (data(o + 1) & 0xff)
+            else ((data(o + 1) & 0xff) << 8) | (data(o) & 0xff)
+          acc += (if (signed) raw.toShort.toLong else raw.toLong - 32768L)
+          c += 1
+        }
+        sums(b) += acc.toDouble / ch
+        cnts(b) += 1
+        t += 1
+      }
+      val feats = Array.tabulate(bands) { j =>
+        if (cnts(j) == 0L) 0.0 else sums(j) / cnts(j) / 32768.0
+      }
+      Some((fmt.getSampleRate.toInt, n, feats))
+    } catch { case _: Throwable => None } finally ais.close()
+  }
+
+  /** Distributed REAL audio decode: same mapPartitions shape as
+    * [[extractImageFeatures]] — codec init amortizes per partition,
+    * undecodable payloads drop (flatMap), no shuffle introduced.
+    */
+  def extractAudioFeatures(media: Dataset[MediaRecord], bands: Int = 8)
+      : Dataset[AudioFeatureRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeAudioBands(r.bytes, bands) match {
+          case None => Iterator.empty
+          case Some((sr, n, feats)) =>
+            feats.iterator.zipWithIndex.map { case (f, j) =>
+              AudioFeatureRow(r.media_id, sr, n, j.toLong, f)
+            }
+        }
+      }
+    }
+  }
+
+  /** Deterministic 256-sample 16-bit mono PCM WAV per id — REAL encoded
+    * audio bytes (`javax.sound.sampled.AudioSystem.write`), sample t =
+    * (id·31 + t·7) mod 65536 − 32768 at 8 kHz. WAV PCM is lossless, so a
+    * decode of these bytes recovers the closed-form samples exactly: the
+    * m7 query encodes, decodes, and band-averages through the real codec
+    * while the DuckDB oracle reproduces the expected features from the
+    * formula alone — [[synthGrayPng]]'s pattern, audio edition. All band
+    * means are sums of ≤ 2^20-scale integers divided by powers of two
+    * (32 then 32768), so every feature value is IEEE-exact in both
+    * engines.
+    */
+  def synthPcmWav(spark: SparkSession, docs: DataFrame, idCol: String)
+      : Dataset[MediaRecord] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      val fmt = new AudioFormat(8000f, 16, 1, true, false) // signed, little-endian
+      it.map { id =>
+        val n = 256
+        val pcm = new Array[Byte](n * 2)
+        var t = 0
+        while (t < n) {
+          val s = (java.lang.Math.floorMod(id * 31 + t * 7, 65536L) - 32768L).toInt
+          pcm(2 * t) = (s & 0xff).toByte
+          pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
+          t += 1
+        }
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+        MediaRecord(id, "audio/wav", bos.toByteArray)
       }
     }
   }

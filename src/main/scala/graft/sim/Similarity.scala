@@ -20,6 +20,12 @@ object Similarity {
     */
   private[sim] val MaxProbeBroadcastBytes: BigInt = BigInt(512L << 20)
 
+  /** The gate itself, factored for testability: true iff Catalyst's
+    * estimated size of `df` fits the probe-broadcast budget.
+    */
+  private[graft] def probeBroadcastOk(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= MaxProbeBroadcastBytes
+
   /** Element-wise cast float→double so all accumulation is in doubles. */
   def asDouble(vec: Column): Column = transform(vec, x => x.cast("double"))
 
@@ -355,9 +361,8 @@ object Similarity {
     // (corpus-scale regime) fall back to plain shuffled joins — safe
     // because at scale nCells ∝ √N ≫ task count, so hashing on `cell`
     // no longer collapses parallelism the way it does at small nCells.
-    val qSideBytes = vectors.queryExecution.optimizedPlan.stats.sizeInBytes
     val joined =
-      if (qSideBytes <= MaxProbeBroadcastBytes)
+      if (probeBroadcastOk(vectors))
         broadcast(qcells).join(cand,
             col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
           .join(broadcast(qvecs), "query_id")
@@ -411,6 +416,61 @@ object Similarity {
         col("vec_id").as("query_id"), col("v").as("qv"),
         explode(array(col("cell"),
           col("cell").bitwiseXOR(flip))).as("cell"))
+    val scored = qcells.join(cand,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .select(
+        col("query_id"), col("cand_id"),
+        round(cosine(col("qv"), col("cv")), 4).as("cosine"))
+    rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Portable twin of the TUNED multi-probe config ([[annIvfMultiProbe]]
+    * at nCells=32, probes=8, assign=3 — the n13 parameters a retrieval
+    * service would ship): 32 sign-pattern cells (first 5 coordinates),
+    * every query probes 8 cells, every candidate is assigned to 3 —
+    * the same query-side ×8 fan-out, candidate ×3 replication, per-cell
+    * equi-join, and duplicate-collapsing bounded rank stage as the
+    * KMeans variant, but fully deterministic so the configuration
+    * carries a complete DuckDB hash oracle (the r9 verdict ask: n13
+    * itself is rows-only because trained centroids are engine-specific).
+    *
+    * Probe/assign sets are confidence-ordered Hamming perturbations
+    * (Multi-Probe LSH): with s₁..s₅ the coordinates by |v| ascending
+    * (ties → first index; both engines spell this as sorted-value
+    * first-position lookup, so tie behavior is identical), the query
+    * probes {home, flip s₁, …, flip s₅, flip s₁s₂, flip s₁s₃} and a
+    * candidate is assigned to {home, flip s₁, flip s₂}. A pair can meet
+    * through several shared cells (probe ∩ assign overlap) — exactly the
+    * multi-assignment duplicate shape whose insert-time dedup
+    * [[rankTopK]] provides and the oracle mirrors with DISTINCT.
+    */
+  def annIvfStaticTuned(vectors: DataFrame, k: Int): DataFrame = {
+    val dims = 5
+    val bits = array((0 until dims).map(j => lit(1 << (dims - 1 - j))): _*)
+    val cell = (0 until dims).map { j =>
+      when(element_at(col("v"), j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    val la = array((0 until dims).map(j => abs(element_at(col("v"), j + 1))): _*)
+    val srt = array_sort(la)
+    def b(kth: Int): Column = element_at(bits,
+      array_position(col("la"), element_at(col("srt"), kth)).cast("int"))
+    val assigned = vectors
+      .select(col("vec_id"), col("v"), cell.as("cell"), la.as("la"), srt.as("srt"))
+      .select(col("vec_id"), col("v"), col("cell"),
+        b(1).as("b1"), b(2).as("b2"), b(3).as("b3"), b(4).as("b4"), b(5).as("b5"))
+    val qMasks = array(lit(0), col("b1"), col("b2"), col("b3"), col("b4"),
+      col("b5"), col("b1").bitwiseXOR(col("b2")), col("b1").bitwiseXOR(col("b3")))
+    val cMasks = array(lit(0), col("b1"), col("b2"))
+    val qcells = assigned
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"),
+        explode(qMasks).as("m"))
+      .select(col("query_id"), col("qv"),
+        col("cell").bitwiseXOR(col("m")).as("cell"))
+    val cand = assigned
+      .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cell"),
+        explode(cMasks).as("m"))
+      .select(col("cand_id"), col("cv"),
+        col("cell").bitwiseXOR(col("m")).as("cell_b"))
     val scored = qcells.join(cand,
         col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
       .select(

@@ -221,10 +221,13 @@ object Bpe {
 
   /** Per-document BPE token counts under a trained vocabulary: each doc's
     * words join the (broadcast, vocabulary-sized) segmentation map — the
-    * corpus scans once; no per-doc merge replay. In-corpus training means
-    * no OOV here; a production tokenizer would byte-fallback unknown
-    * words (segment to characters), which is exactly what an outer join
-    * + char-count default would add.
+    * corpus scans once; no per-doc merge replay. Out-of-vocabulary words
+    * (text not seen at training time) CHARACTER-FALLBACK instead of
+    * silently dropping: the LEFT outer join defaults a missing `n_sym` to
+    * the word's code-point count — exactly the token count a tokenizer
+    * that segments unknown words to single characters (the BPE base
+    * alphabet, before any merge applies) would produce. Spark's `length`
+    * counts code points, matching training's `codePoints()` split.
     */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String,
       vocab: DataFrame): DataFrame = {
@@ -233,7 +236,9 @@ object Bpe {
     docs
       .select(col(idCol), explode(TextFns.tokens(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
-      .join(broadcast(seg), "word")
+      .join(broadcast(seg), Seq("word"), "left")
+      .withColumn("n_sym",
+        coalesce(col("n_sym"), length(col("word")).cast("long")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe_tokens"))
       .orderBy(col(idCol))

@@ -112,4 +112,21 @@ class BpeSpec extends SparkSpec {
     // So 'ab' → [ab] (1 symbol), 'cd' → [c, d] (2 symbols).
     assert(counts == List((1L, 3L, 4L), (2L, 1L, 2L)))
   }
+
+  test("tokenCounts: out-of-vocabulary words character-fallback, not vanish") {
+    val trainDocs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val (_, vocab) = Bpe.train(trainDocs, "text", 1)
+    // Apply to a corpus containing words never seen at training time.
+    val applyDocs = Seq(
+      (1L, "ab zzz"),       // 'zzz' is OOV → 3 chars
+      (2L, "unseen")        // fully OOV doc → 6 chars
+    ).toDF("doc_id", "text")
+    val counts = Bpe.tokenCounts(applyDocs, "doc_id", "text", vocab)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(vocab)
+    // doc 1: 'ab' → [ab] (merged, 1 sym) + 'zzz' → [z,z,z] = 2 words, 4 toks.
+    // doc 2: 'unseen' → 6 single-char tokens; the word COUNTS (n_words=1)
+    // — the inner-join spelling dropped it from both columns.
+    assert(counts == List((1L, 2L, 4L), (2L, 1L, 6L)))
+  }
 }

@@ -46,6 +46,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
+  test("ANN probe-broadcast gate: small batches broadcast, corpus-scale estimates do not") {
+    // The broadcast above is safe ONLY under a bounded query batch; the
+    // self-join usage makes queries == corpus, and at production N a
+    // hinted broadcast of the vector table blows the 8 GB cap. The gate
+    // reads Catalyst's size estimate: LocalRelation/Range stats let us
+    // pin both regimes without materializing 512 MB.
+    import spark.implicits._
+    assert(graft.sim.Similarity.probeBroadcastOk(
+      Seq((1L, Seq(0.1, 0.2))).toDF("vec_id", "v")))
+    // range(2^27) estimates 8B/row * 128M rows = 1 GiB > the 512 MB gate.
+    assert(!graft.sim.Similarity.probeBroadcastOk(
+      spark.range(1L << 27).toDF("vec_id")))
+  }
+
   test("g3: the wedge self-join keys on the salt columns, closing join hash-shuffles") {
     // The hub-split contract at plan level: the wedge self-join must key
     // on (u, bx, by) — NOT u alone — so a power-law hub's wedge pairs

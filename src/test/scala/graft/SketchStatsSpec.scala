@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.stats.SketchStats
+
+/** graft.stats.SketchStats: stored-sketch optimizer statistics. The
+  * estimates must track truth on real testdata, the decisions must flip
+  * at the threshold, and a hint made from a stored profile must change
+  * the EXECUTED plan (BroadcastHashJoin where stock planning sort-merges
+  * under a tight threshold) — the end-to-end claim AbCmsJoin measures.
+  */
+class SketchStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tokens = Tables.documents(spark, Sf001)
+    .select(col("doc_id"), explode(text.TextFns.tokens(col("text"))).as("t"))
+    .filter(length(col("t")) > 0)
+
+  test("profile estimates track exact distinct counts on the token stream") {
+    val prof = SketchStats.profile(tokens, Map(
+      "tok" -> col("t"),
+      "doc_tok" -> concat_ws(" ", col("doc_id"), col("t"))))
+    val dec = SketchStats.decide(prof, Seq("tok", "doc_tok"))
+    val truth = tokens.agg(
+      count_distinct(col("t")).as("c1"),
+      count_distinct(col("doc_id"), col("t")).as("c2")).head()
+    // lgK=14 HLL is near-exact at these cardinalities (<2% rel error).
+    assert(math.abs(dec("tok").estRows - truth.getLong(0)).toDouble /
+      truth.getLong(0) < 0.02, s"${dec("tok")} vs ${truth.getLong(0)}")
+    assert(math.abs(dec("doc_tok").estRows - truth.getLong(1)).toDouble /
+      truth.getLong(1) < 0.02, s"${dec("doc_tok")} vs ${truth.getLong(1)}")
+    // Composite-key width ≥ single-key width; both positive.
+    assert(dec("doc_tok").estBytes > dec("tok").estBytes)
+  }
+
+  test("decisions flip at the threshold and err toward not broadcasting") {
+    val prof = SketchStats.profile(tokens, Map("tok" -> col("t")))
+    val open = SketchStats.decide(prof, Seq("tok"), thresholdBytes = 10L << 20)
+    val tight = SketchStats.decide(prof, Seq("tok"), thresholdBytes = 1L)
+    assert(open("tok").broadcast)
+    assert(!tight("tok").broadcast)
+    // The overhead term makes estBytes strictly exceed est rows x width.
+    assert(open("tok").estBytes > open("tok").estRows)
+  }
+
+  test("a stored-profile hint flips the executed join to broadcast-hash") {
+    // Emulate the production regime at test scale: a threshold so small
+    // that stock planning cannot broadcast (the child-sized static
+    // estimate always exceeds it), while the sketch knows the true
+    // aggregate is tiny. spark.conf is session-wide; restore after.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val counts = tokens.groupBy(col("t")).agg(count(lit(1)).as("n"))
+      def planOf(hintIt: Boolean): String = {
+        val prof = SketchStats.profile(tokens, Map("tok" -> col("t")))
+        val dec = SketchStats.decide(prof, Seq("tok"),
+          thresholdBytes = 10L << 20)("tok")
+        val rel = if (hintIt) SketchStats.hinted(counts, dec) else counts
+        tokens.join(rel, "t").groupBy(col("doc_id"))
+          .agg(sum(col("n")).as("s"))
+          .queryExecution.executedPlan.toString
+      }
+      assert(!planOf(false).contains("BroadcastHashJoin"))
+      assert(planOf(true).contains("BroadcastHashJoin"))
+    } finally spark.conf.set(key, prev)
+  }
+}
