@@ -60,4 +60,46 @@ object IndexStore {
         round(Similarity.cosine(col("qv"), col("v")), 4).as("cosine"))
     Similarity.rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
+
+  /** Persist the TUNED layout ([[Similarity.annIvfStaticTuned]]'s
+    * parameters — 32 cells, 3-way redundant assignment): every vector is
+    * written into its home cell AND its two least-confident-flip cells,
+    * so the store is ×3 larger and queries buy boundary recall with
+    * probe count instead of scan fraction. Same Hive `cell=K` partition
+    * layout as [[saveIvfStatic]] — probing prunes directories at
+    * planning time.
+    */
+  def saveIvfTuned(vectors: DataFrame, path: String): Unit =
+    Similarity.tunedAssigned(vectors)
+      .select(col("vec_id"), col("v"), col("cell").as("home"),
+        explode(Similarity.tunedCandMasks).as("m"))
+      .select(col("vec_id"), col("v"),
+        col("home").bitwiseXOR(col("m")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search the persisted tuned store with the 8-probe perturbation set.
+    * Result-identical to [[Similarity.annIvfStaticTuned]] when `queries`
+    * is the corpus itself (pinned in IndexStoreSpec): a pair met through
+    * several shared cells collapses in the rank stage's insert-time
+    * dedup, exactly as in the one-plan spelling.
+    */
+  def searchIvfTuned(
+      spark: SparkSession, path: String, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = Similarity.tunedAssigned(
+        queries.select(col("query_id").as("vec_id"), col("qv").as("v")))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"),
+        explode(Similarity.tunedQueryMasks).as("m"))
+      .select(col("query_id"), col("qv"),
+        col("cell").bitwiseXOR(col("m")).as("cell"))
+    val probeCells = q.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val store = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val scored = q.join(store, "cell")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("cand_id"),
+        round(Similarity.cosine(col("qv"), col("v")), 4).as("cosine"))
+    Similarity.rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
+  }
 }

@@ -444,7 +444,12 @@ object Similarity {
     * multi-assignment duplicate shape whose insert-time dedup
     * [[rankTopK]] provides and the oracle mirrors with DISTINCT.
     */
-  def annIvfStaticTuned(vectors: DataFrame, k: Int): DataFrame = {
+  /** The tuned static quantizer's per-vector state: home `cell` plus
+    * `b1..b5`, the flip-bit values of the coordinates ordered by |v|
+    * ascending (confidence ascending) — shared by [[annIvfStaticTuned]]
+    * and the persisted layout ([[IndexStore.saveIvfTuned]]).
+    */
+  private[sim] def tunedAssigned(vectors: DataFrame): DataFrame = {
     val dims = 5
     val bits = array((0 until dims).map(j => lit(1 << (dims - 1 - j))): _*)
     val cell = (0 until dims).map { j =>
@@ -454,21 +459,30 @@ object Similarity {
     val srt = array_sort(la)
     def b(kth: Int): Column = element_at(bits,
       array_position(col("la"), element_at(col("srt"), kth)).cast("int"))
-    val assigned = vectors
+    vectors
       .select(col("vec_id"), col("v"), cell.as("cell"), la.as("la"), srt.as("srt"))
       .select(col("vec_id"), col("v"), col("cell"),
         b(1).as("b1"), b(2).as("b2"), b(3).as("b3"), b(4).as("b4"), b(5).as("b5"))
-    val qMasks = array(lit(0), col("b1"), col("b2"), col("b3"), col("b4"),
+  }
+
+  /** Query-side probe masks (8: home, 5 single flips, 2 double flips) and
+    * candidate-side assignment masks (3: home, 2 single flips).
+    */
+  private[sim] val tunedQueryMasks: Column =
+    array(lit(0), col("b1"), col("b2"), col("b3"), col("b4"),
       col("b5"), col("b1").bitwiseXOR(col("b2")), col("b1").bitwiseXOR(col("b3")))
-    val cMasks = array(lit(0), col("b1"), col("b2"))
+  private[sim] val tunedCandMasks: Column = array(lit(0), col("b1"), col("b2"))
+
+  def annIvfStaticTuned(vectors: DataFrame, k: Int): DataFrame = {
+    val assigned = tunedAssigned(vectors)
     val qcells = assigned
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"),
-        explode(qMasks).as("m"))
+        explode(tunedQueryMasks).as("m"))
       .select(col("query_id"), col("qv"),
         col("cell").bitwiseXOR(col("m")).as("cell"))
     val cand = assigned
       .select(col("vec_id").as("cand_id"), col("v").as("cv"), col("cell"),
-        explode(cMasks).as("m"))
+        explode(tunedCandMasks).as("m"))
       .select(col("cand_id"), col("cv"),
         col("cell").bitwiseXOR(col("m")).as("cell_b"))
     val scored = qcells.join(cand,

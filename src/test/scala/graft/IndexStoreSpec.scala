@@ -51,4 +51,21 @@ class IndexStoreSpec extends SparkSpec {
     // other cells and are never read.
     assert(rows.map(_._2).toSet == Set(1L, 2L), rows.mkString(","))
   }
+
+  test("tuned store (x3 assignment, 8-probe search) equals the one-plan tuned ANN") {
+    val dir = Files.createTempDirectory("graft_ivf_tuned").toString
+    IndexStore.saveIvfTuned(vecs, path = s"$dir/ivf")
+    // The store holds each vector exactly 3 times (home + 2 flips, masks
+    // are distinct bits so the 3 cells are distinct).
+    val stored = spark.read.parquet(s"$dir/ivf")
+    assert(stored.count() == vecs.count() * 3)
+    val queries = vecs
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = IndexStore.searchIvfTuned(spark, s"$dir/ivf", queries, k = 5)
+      .collect()
+    val exp = Similarity.annIvfStaticTuned(vecs, k = 5).collect()
+    assert(got.sameElements(exp),
+      s"tuned store search diverged: got ${got.take(3).mkString(",")} " +
+        s"exp ${exp.take(3).mkString(",")}")
+  }
 }
