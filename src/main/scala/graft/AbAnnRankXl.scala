@@ -38,6 +38,14 @@ import org.apache.spark.sql.graft.{GraftInternals, TopKPairsAgg}
   *
   *   sbt "runMain graft.AbAnnRankXl"            # N=8000 -> 2x64M pairs
   *   XL_N=24000 sbt "runMain graft.AbAnnRankXl" # r9-probe scale
+  *
+  * r10 XL results (24000 vectors, 2×576M pairs, quiet box): the
+  * aggregate completes on the default 8 GB heap (36.9 s / 1030 cpu-s /
+  * 74.8 MiB shuffle-write at fallbackThreshold=65536; 60.6 s at the
+  * 128-group default — the sort-based partial fallback is worth 1.6×
+  * cpu here, which is why the threshold is session-config below); the
+  * window spelling OOMs the 8 GB heap outright and needs
+  * SPARK_DRIVER_MEM=48g to finish at 169.4 s / 4814 cpu-s / 14 782 MiB.
   */
 object AbAnnRankXl {
   def main(args: Array[String]): Unit = {
@@ -47,6 +55,14 @@ object AbAnnRankXl {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate falls back to SORT-BASED partial aggregation
+      // after 128 distinct groups per task (the Spark default) — with
+      // thousands of query groups per partition that re-introduces the
+      // per-partition pair sort the aggregate exists to avoid. The
+      // buffers are k-entry-tiny, so holding every group is cheap.
+      // Env-tunable here to A/B the threshold itself.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("XL_FALLBACK", "131072"))
       .getOrCreate()
     val sc = spark.sparkContext
     sc.setLogLevel("ERROR")

@@ -263,6 +263,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Many-group ObjectHashAggregate stages (every ANN rank via
+      // TopKPairsAgg: one tiny k-entry buffer per query) fall back to
+      // SORT-BASED partial aggregation after 128 groups per task at the
+      // Spark default, silently re-introducing a per-partition pair sort
+      // (measured 1.6x cpu on the XL rank leg, AbAnnRankXl r10). 64k
+      // groups of the engine's largest grouped buffers (KB-scale
+      // sketches) stay under ~1 GB/task; corpus-scale group counts
+      // beyond that SHOULD fall back - that is the threshold's job.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .getOrCreate()
     val sc = spark.sparkContext
     // ERROR: the iterative queries' lineage-truncation emits a benign WARN
@@ -571,7 +581,8 @@ object Bench {
       // exceeds the default 10 MB broadcast threshold; AQE ON both legs).
       "\"r10 AbCmsJoin (stored-sketch planner stats, quiet box): stock AQE wall 15.59 s / 346.5 MiB shuffle-write / SortMergeJoin=2 vs sketch-hinted 9.65 s / 163.2 MiB / BroadcastHashJoin=2 — 1.6x wall, 2.1x shuffle bytes; HLL lgK=14 estimates exact (931/931 bigram keys, 31/31 unigram keys); residual 163 MiB is the doc_id window + two groupBy shuffles common to both legs\"",
       // r10 rank-stage A/B pinned as a leg (AbAnnRankXl): see README.
-      "\"r10 AbAnnRankXl (2x64M duplicate-bearing pairs, N=8000, quiet box): topk_agg wall 6.20 s / cpu 149 s / 24.5 MiB shuffle-write vs distinct+row_number window 20.15 s / cpu 538 s / 1653 MiB — 3.2x wall, 67x shuffle bytes; on a duplicate-FREE stream Spark 4's WindowGroupLimit closes most of the wall gap (4.28 vs 3.38 s), so the structural win is the insert-time dedup replacing the full-stream distinct shuffle\"")
+      "\"r10 AbAnnRankXl (2x64M duplicate-bearing pairs, N=8000, quiet box): topk_agg wall 6.20 s / cpu 149 s / 24.5 MiB shuffle-write vs distinct+row_number window 20.15 s / cpu 538 s / 1653 MiB — 3.2x wall, 67x shuffle bytes; on a duplicate-FREE stream Spark 4's WindowGroupLimit closes most of the wall gap (4.28 vs 3.38 s), so the structural win is the insert-time dedup replacing the full-stream distinct shuffle\"",
+      "\"r10 AbAnnRankXl at XL_N=24000 (2x576M pairs): topk_agg completes on the default 8 GB heap at 36.9 s / 1030 cpu-s / 74.8 MiB shuffle-write; distinct+window OOMs 8 GB and needs 48 GB to finish 169.4 s / 4814 cpu-s / 14782 MiB. Also surfaced: ObjectHashAggregate's 128-group sort-based fallback cost the rank stage 1.6x cpu (60.6 s at the default threshold) — bench/QBench sessions now run fallbackThreshold=65536; Verify/tests keep the default so the fallback path stays correctness-covered\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

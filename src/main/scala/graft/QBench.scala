@@ -25,6 +25,16 @@ object QBench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Many-group ObjectHashAggregate stages (every ANN rank via
+      // TopKPairsAgg: one tiny k-entry buffer per query) fall back to
+      // SORT-BASED partial aggregation after 128 groups per task at the
+      // Spark default, silently re-introducing a per-partition pair sort
+      // (measured 1.6x cpu on the XL rank leg, AbAnnRankXl r10). 64k
+      // groups of the engine's largest grouped buffers (KB-scale
+      // sketches) stay under ~1 GB/task; corpus-scale group counts
+      // beyond that SHOULD fall back - that is the threshold's job.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "65536")
       .getOrCreate()
     val sc = spark.sparkContext
     sc.setLogLevel("ERROR")
