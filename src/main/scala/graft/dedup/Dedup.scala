@@ -324,7 +324,7 @@ object Dedup {
     * candidates only, never the all-co-shingled-pairs join. Shared by every
     * blocked dedup path (MinHash bands, portable bands, DF-capped index).
     */
-  private def refineJaccard(
+  private[dedup] def refineJaccard(
       candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
     val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val common = candidates
@@ -379,9 +379,18 @@ object Dedup {
     * the OUTPUT deterministic (a subset of [[jaccardPairs]]); recall is
     * asserted in ScalaTest.
     */
-  def minhashLshPairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+  /** The banding stage of [[minhashLshPairs]], factored so the persisted
+    * index ([[DedupStore]]) shares it bit-for-bit: (id, band, bucket),
+    * one row per document per band. The hash family (xxhash64 of the
+    * shingle, seeded by k; bucket = xxhash64 of the band's minima in k
+    * order) is deterministic across BATCHES — a document hashes to the
+    * same buckets whenever it is indexed, which is what makes an
+    * incremental probe against stored bands equal to re-running the
+    * batch operator on the union.
+    */
+  def minhashBanded(
+      sh: DataFrame, // (id, s) shingle relation
+      bands: Int, rowsPerBand: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Fully relational AND single-pass: ONE hash aggregation computes all
     // `numHashes` signature minima as combinable agg columns — no
@@ -389,7 +398,6 @@ object Dedup {
     // same shape as Similarity's hyperplane buckets; the array
     // higher-order formulation would be CodegenFallback, the exploded one
     // multiplies shuffled rows by the signature length).
-    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     val minCols = (0 until numHashes).map(k =>
       min(xxhash64(col("s"), lit(k))).as(s"m$k"))
     val sig = sh.groupBy(col("id")).agg(minCols.head, minCols.tail: _*)
@@ -399,11 +407,18 @@ object Dedup {
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => col(s"m$k")): _*).as(s"b$b")
     }
-    val banded = sig.select((col("id") +: bandCols): _*)
+    sig.select((col("id") +: bandCols): _*)
       .select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
       .select(col("id"), col("e.band").as("band"), col("e.bucket").as("bucket"))
+  }
+
+  def minhashLshPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
+    val banded = minhashBanded(sh, bands, rowsPerBand)
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
       .join(banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
         col("id").as("doc_b")),
