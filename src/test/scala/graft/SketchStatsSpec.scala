@@ -66,4 +66,38 @@ class SketchStatsSpec extends SparkSpec {
       assert(planOf(true).contains("BroadcastHashJoin"))
     } finally spark.conf.set(key, prev)
   }
+
+  test("merge(profile(half1), profile(half2)) tracks profile(full) and truth") {
+    val keys = Seq("tok", "doc_tok")
+    def prof(df: org.apache.spark.sql.DataFrame) = SketchStats.profile(df,
+      Map("tok" -> col("t"), "doc_tok" -> concat_ws(" ", col("doc_id"), col("t"))))
+    val full = prof(tokens)
+    val merged = SketchStats.merge(
+      prof(tokens.filter(col("doc_id") < 250)),
+      prof(tokens.filter(col("doc_id") >= 250)), keys)
+    val df = SketchStats.decide(full, keys)
+    val dm = SketchStats.decide(merged, keys)
+    val truth = tokens.agg(
+      count_distinct(col("t")).as("c1"),
+      count_distinct(col("doc_id"), col("t")).as("c2")).head()
+    val truthOf = Map("tok" -> truth.getLong(0), "doc_tok" -> truth.getLong(1))
+    keys.foreach { k =>
+      // DataSketches' union gadget is not bit-identical to a directly
+      // built sketch; both must sit within the lgK=14 error bound of
+      // each other AND of the exact count (measured divergence 0.2%).
+      assert(math.abs(dm(k).estRows - df(k).estRows).toDouble /
+        df(k).estRows < 0.01, s"$k: ${dm(k)} vs ${df(k)}")
+      assert(math.abs(dm(k).estRows - truthOf(k)).toDouble /
+        truthOf(k) < 0.02, s"$k: ${dm(k)} vs truth ${truthOf(k)}")
+      assert(dm(k).broadcast == df(k).broadcast)
+    }
+    // Row count and width-weighting are exact arithmetic, not sketches.
+    val rows = merged.select(col("stream_rows")).head().getLong(0)
+    assert(rows == tokens.count())
+    keys.foreach { k =>
+      val wFull = full.select(col(s"${k}_width")).head().getDouble(0)
+      val wMerged = merged.select(col(s"${k}_width")).head().getDouble(0)
+      assert(math.abs(wFull - wMerged) < 1e-9, s"$k width: $wMerged vs $wFull")
+    }
+  }
 }
