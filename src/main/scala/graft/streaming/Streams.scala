@@ -420,6 +420,82 @@ object Streams {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Streaming near-duplicate detection against a STORED corpus — the
+    * stream-static twin of [[graft.dedup.DedupStore.searchNew]]:
+    * documents arrive as a stream, the persisted MinHash band/shingle
+    * relations are static, and each micro-batch emits the arriving
+    * docs' near-dup pairs (train_id, old_id, jaccard) in update mode.
+    *
+    * Per-row (stateless) signature: the batch banding's hash family
+    * computed over the in-row shingle ARRAY (`array_min(transform(...))`
+    * ≡ the batch `min(xxhash64(s, k))` over exploded rows — duplicates
+    * cannot change a min, and `TextFns.shingles` is the same distinct
+    * shingle set DedupSimSpec pins against `shingleIndex`), so a doc
+    * hashes to exactly the buckets [[graft.dedup.Dedup.minhashBanded]]
+    * would store for it. Candidates come from a stream-static equi-join
+    * on (band, bucket); the exact-Jaccard refine joins the stored
+    * shingles of matched OLD docs and tests membership against the
+    * stream row's own array. A pair met through several bands is
+    * deduplicated by `collect_set` inside the single streaming
+    * aggregation (streaming forbids count_distinct and stacked aggs;
+    * the set is bounded by the doc's shingle count). Like
+    * [[decontaminateStream]], state is kept only for pairs that share a
+    * bucket — the near-dup hits, a vanishing fraction of the stream.
+    *
+    * Within-batch (new×new) duplication is deliberately NOT this
+    * operator's job — that is `dropDuplicatesWithinWatermark` /
+    * [[curateStream]] stage 1; this is the batch-vs-corpus check.
+    */
+  def nearDupStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
+      storedShingles: DataFrame, // static (id, s)
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSh = docs.select(
+        col(idCol).as("train_id"),
+        graft.text.TextFns.shingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val minCols = (0 until numHashes).map { k =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(k)))).as(s"m$k")
+    }
+    val sig = withSh.select(col("train_id") +: col("sh") +: minCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"m$k")): _*).as(s"b$b")
+    }
+    val banded = sig
+      .select(col("train_id") +: col("sh") +: bandCols: _*)
+      .select(col("train_id"), col("sh"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
+      .select(col("train_id"), col("sh"),
+        col("e.band").as("band"), col("e.bucket").as("bucket"))
+    val cand = banded
+      .join(storedBands.select(col("band"), col("bucket"), col("id").as("old_id")),
+        Seq("band", "bucket"))
+      .select(col("train_id"), col("old_id"), col("sh"))
+    // Static per-old-doc shingle counts, joined BEFORE the aggregation
+    // (a stream-static join after a streaming agg is not allowed in
+    // update mode).
+    val nbRel = storedShingles.groupBy(col("id").as("old_id"))
+      .agg(count(lit(1)).as("nb"))
+    cand
+      .join(storedShingles.select(col("id").as("old_id"), col("s")), "old_id")
+      .filter(array_contains(col("sh"), col("s")))
+      .join(nbRel, "old_id")
+      .groupBy(col("train_id"), col("old_id"))
+      .agg(
+        size(collect_set(col("s"))).cast("long").as("common"),
+        first(size(col("sh"))).cast("long").as("na"),
+        first(col("nb")).as("nb"))
+      .withColumn("j_raw",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")))
+      .filter(col("j_raw") >= threshold)
+      .select(col("train_id"), col("old_id"), round(col("j_raw"), 6).as("jaccard"))
+  }
+
   /** Streaming corpus curation — the batch `p7_curate` pipeline as a live
     * ingest, each stage the streaming analogue of its batch twin:
     *

@@ -642,6 +642,43 @@ class StreamsSpec extends SparkSpec {
     assert(want.map(_._1) === Set(1L, 3L)) // doc 2 is clean
   }
 
+  test("streaming near-dup vs stored index matches DedupStore cross-batch pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val (n, bnd, rpb, thr) = (3, 16, 4, 0.5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_neardup_stream").toString
+    val docs = Tables.documents(spark, Sf001).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") < 300)
+    val freshRows = docs.filter(col("doc_id") >= 300)
+      .as[(Long, String)].collect().toSeq
+    graft.dedup.DedupStore.save(old, "doc_id", "text", n, bnd, rpb, s"$dir/ix")
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(freshRows: _*)
+    val q = Streams.nearDupStream(
+        mem.toDF().toDF("doc_id", "text"),
+        spark.read.parquet(s"$dir/ix/bands"),
+        spark.read.parquet(s"$dir/ix/shingles"),
+        "doc_id", "text", n, bnd, rpb, thr)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("neardup")
+      .as[(Long, Long, Double)].collect().toSet
+    // Batch truth: the persisted-index probe, restricted to CROSS pairs
+    // (within-batch dup handling is curateStream stage 1, not this op),
+    // reoriented to (new, old).
+    val want = graft.dedup.DedupStore.searchNew(
+        spark, s"$dir/ix", freshRows.toDF("doc_id", "text"),
+        "doc_id", "text", n, bnd, rpb, thr)
+      .as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => (a < 300) != (b < 300) }
+      .map { case (a, b, j) => if (a >= 300) (a, b, j) else (b, a, j) }
+      .toSet
+    assert(got == want,
+      s"got ${got.size} vs want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "split yields no cross-batch near-dups")
+  }
+
   test("stream-static enrichment join decorates events with customer dims") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
