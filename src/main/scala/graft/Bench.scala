@@ -141,6 +141,7 @@ object Bench {
     "m4_phash_pairs",
     "m5_image_decode",
     "m7_audio_decode",
+    "m8_phash_audio",
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",

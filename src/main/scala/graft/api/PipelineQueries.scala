@@ -1039,6 +1039,28 @@ object PipelineQueries {
           col("sample_rate").cast("long").as("sample_rate"),
           col("n_samples"), col("j"), round(col("feat"), 6).as("feat"))
         .orderBy(col("media_id"), col("j"))
+    }),
+
+    // Decoded-AUDIO perceptual dedup — m6's chain with the WAV codec:
+    // encode (javax.sound WAV) → decode → 16 band-mean amplitudes from
+    // actual samples → sign quantization → the same banded Hamming join
+    // every fingerprint family shares (d4c/m4/m6). Audio instance of the
+    // claim that everything downstream of decode is modality-agnostic
+    // fingerprint algebra. The sign threshold is integer-exact in both
+    // engines (feat ≥ 0 ⟺ band sample-sum ≥ 0 — division by powers of
+    // two preserves sign and zero), so the oracle reproduces the whole
+    // chain including which clips collide. The fixture adds bandSalt
+    // 7919 (see synthPcmWav's scaladoc): a plain sawtooth's band-sign
+    // pattern is PERIODIC, so the first spellings collapsed to 73
+    // distinct fingerprints over 500 clips (all pairs within radius);
+    // the per-(id, block) multiplicative-hash offset decorrelates band
+    // signs and the collision structure becomes non-degenerate.
+    "m8_phash_audio" -> ((s, d) => {
+      val media = Multimodal.synthPcmWav(s, documents(s, d), "doc_id",
+        stride = 7, bandSalt = 7919L)
+      Multimodal.phashPairs(
+        Multimodal.extractAudioFeatures(media, bands = 16).toDF()
+          .select(col("media_id"), col("j"), col("feat")), radius = 2)
     })
   )
 
@@ -2367,6 +2389,38 @@ object PipelineQueries {
         |  CAST(256 AS BIGINT) AS n_samples, CAST(j AS BIGINT) AS j,
         |  ROUND(SUM(s) / 32.0 / 32768.0, 6) AS feat
         |FROM smp GROUP BY doc_id, j ORDER BY media_id, j""".stripMargin,
+
+    // m8: the m7 sample CTE (bands = 16 → band j covers samples
+    // 16j..16j+15) quantized to the m4/m6 fingerprint/banding algebra;
+    // feat >= 0 over doubles ⟺ integer band sum >= 0.
+    "m8_phash_audio" ->
+      """WITH smp AS (
+        |  SELECT doc_id, tt.t // 16 AS j,
+        |    (doc_id * 31 + (tt.t // 16) * 7919 * doc_id + tt.t * 7) % 65536
+        |      - 32768 AS s
+        |  FROM documents,
+        |    UNNEST(generate_series(0, 255)) AS tt(t)),
+        |bandsum AS (
+        |  SELECT doc_id, j, SUM(s) AS bs FROM smp GROUP BY doc_id, j),
+        |fp AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(SUM(CASE WHEN bs >= 0 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bandsum GROUP BY doc_id),
+        |bnd AS (
+        |  SELECT media_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.media_id < b2.media_id)
+        |SELECT c.media_a, c.media_b,
+        |  CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |FROM c
+        |JOIN fp fa ON fa.media_id = c.media_a
+        |JOIN fp fb ON fb.media_id = c.media_b
+        |WHERE bit_count(xor(fa.fp, fb.fp)) <= 2
+        |ORDER BY media_a, media_b""".stripMargin,
 
     "m1_media_meta" ->
       """SELECT doc_id,

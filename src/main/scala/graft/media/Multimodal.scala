@@ -333,7 +333,15 @@ object Multimodal {
 
   /** Deterministic 256-sample 16-bit mono PCM WAV per id — REAL encoded
     * audio bytes (`javax.sound.sampled.AudioSystem.write`), sample t =
-    * (id·31 + t·7) mod 65536 − 32768 at 8 kHz. WAV PCM is lossless, so a
+    * (id·31 + (t div 16)·bandSalt·id + t·stride) mod 65536 − 32768 at
+    * 8 kHz. The default (stride 7, bandSalt 0) keeps band means
+    * near-constant within a clip — right for checking decode exactness
+    * (m7). Fingerprint fixtures (m8) pass a bandSalt: the per-16-sample
+    * block offset becomes a multiplicative hash of (id, block), so band
+    * SIGNS decorrelate across clips and bands — a plain sawtooth's
+    * band-sign pattern is periodic (the first m8 spellings measured 73
+    * distinct fingerprints over 500 clips, 0xCCCC alone covering 100)
+    * and degenerate collision structure proves nothing. WAV PCM is lossless, so a
     * decode of these bytes recovers the closed-form samples exactly: the
     * m7 query encodes, decodes, and band-averages through the real codec
     * while the DuckDB oracle reproduces the expected features from the
@@ -342,8 +350,8 @@ object Multimodal {
     * (32 then 32768), so every feature value is IEEE-exact in both
     * engines.
     */
-  def synthPcmWav(spark: SparkSession, docs: DataFrame, idCol: String)
-      : Dataset[MediaRecord] = {
+  def synthPcmWav(spark: SparkSession, docs: DataFrame, idCol: String,
+      stride: Int = 7, bandSalt: Long = 0L): Dataset[MediaRecord] = {
     import spark.implicits._
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
@@ -353,7 +361,9 @@ object Multimodal {
         val pcm = new Array[Byte](n * 2)
         var t = 0
         while (t < n) {
-          val s = (java.lang.Math.floorMod(id * 31 + t * 7, 65536L) - 32768L).toInt
+          val s = (java.lang.Math.floorMod(
+            id * 31 + (t / 16).toLong * bandSalt * id + t.toLong * stride,
+            65536L) - 32768L).toInt
           pcm(2 * t) = (s & 0xff).toByte
           pcm(2 * t + 1) = ((s >> 8) & 0xff).toByte
           t += 1
