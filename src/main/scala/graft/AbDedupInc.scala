@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B: INCREMENTAL vs BATCH near-dup at corpus scale — the number
+  * behind [[graft.dedup.DedupStore]]'s reason to exist. A curation
+  * pipeline admitting a daily batch can either re-run the batch
+  * operator over (corpus ∪ batch) — re-shingling and re-hashing the
+  * whole corpus for every increment — or probe the stored band/shingle
+  * relations with just the batch. Work differs by O(|corpus| / |batch|);
+  * this harness measures it on an AMPLIFIED corpus (×`AB_AMP`
+  * replicated doc_ids, default 32) with the sf-dir documents as the
+  * arriving batch.
+  *
+  * Reported: store build wall (one-time, amortized), incremental
+  * searchNew wall, batch-operator-on-union wall, and the pair counts
+  * (the incremental result is the union result restricted to
+  * batch-touching pairs — equality is spec-pinned in DedupStoreSpec at
+  * sf0.001; here the counts are printed as a sanity line).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.AbDedupInc"
+  */
+object AbDedupInc {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val amp = sys.env.getOrElse("AB_AMP", "32").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val (n, bands, rpb, thr) = (3, 16, 4, 0.5)
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // Corpus: amp replicas with distinct ids AND rep-prefixed tokens, so
+    // replicas are NOT near-dups of each other or of the batch (every
+    // shingle carries the prefix) while each replica keeps the original
+    // corpus's internal near-dup structure. The first spelling used raw
+    // replicas: 32x mutual near-dups made the run output-bound (291k
+    // pairs) and hid the asymmetry this harness exists to measure —
+    // the corpus-sized shingle+hash work the incremental path skips.
+    val corpus = base
+      .crossJoin(spark.range(amp).select(col("id").as("rep")))
+      .select((col("doc_id") * amp + col("rep") + 1000000L).as("doc_id"),
+        concat_ws(" ", transform(graft.text.TextFns.tokens(col("text")),
+          tk => concat(lit("r"), col("rep"), lit("_"), tk))).as("text"))
+    val batch = base // arriving increment, original ids < 1000000
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab_dedupinc").toString
+    val (_, buildWall) = timed {
+      graft.dedup.DedupStore.save(corpus, "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    }
+    sweep()
+    val (incPairs, incWall) = timed {
+      graft.dedup.DedupStore.searchNew(
+        spark, s"$dir/ix", batch, "doc_id", "text", n, bands, rpb, thr).count()
+    }
+    sweep()
+    val (unionPairs, unionWall) = timed {
+      graft.dedup.Dedup.minhashLshPairs(
+        corpus.unionAll(batch), "doc_id", "text", n, bands, rpb, thr).count()
+    }
+    sweep()
+    println(f"AB-DEDUPINC amp=$amp corpus=${amp}x batch=1x " +
+      f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
+      f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
+      f"x inc_pairs=$incPairs union_pairs=$unionPairs")
+    spark.stop()
+  }
+}

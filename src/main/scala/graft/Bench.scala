@@ -583,7 +583,10 @@ object Bench {
       "\"r10 AbCmsJoin (stored-sketch planner stats, quiet box): stock AQE wall 15.59 s / 346.5 MiB shuffle-write / SortMergeJoin=2 vs sketch-hinted 9.65 s / 163.2 MiB / BroadcastHashJoin=2 — 1.6x wall, 2.1x shuffle bytes; HLL lgK=14 estimates exact (931/931 bigram keys, 31/31 unigram keys); residual 163 MiB is the doc_id window + two groupBy shuffles common to both legs\"",
       // r10 rank-stage A/B pinned as a leg (AbAnnRankXl): see README.
       "\"r10 AbAnnRankXl (2x64M duplicate-bearing pairs, N=8000, quiet box): topk_agg wall 6.20 s / cpu 149 s / 24.5 MiB shuffle-write vs distinct+row_number window 20.15 s / cpu 538 s / 1653 MiB — 3.2x wall, 67x shuffle bytes; on a duplicate-FREE stream Spark 4's WindowGroupLimit closes most of the wall gap (4.28 vs 3.38 s), so the structural win is the insert-time dedup replacing the full-stream distinct shuffle\"",
-      "\"r10 AbAnnRankXl at XL_N=24000 (2x576M pairs): topk_agg completes on the default 8 GB heap at 36.9 s / 1030 cpu-s / 74.8 MiB shuffle-write; distinct+window OOMs 8 GB and needs 48 GB to finish 169.4 s / 4814 cpu-s / 14782 MiB. Also surfaced: ObjectHashAggregate's 128-group sort-based fallback cost the rank stage 1.6x cpu (60.6 s at the default threshold) — bench/QBench sessions now run fallbackThreshold=65536; Verify/tests keep the default so the fallback path stays correctness-covered\"")
+      "\"r10 AbAnnRankXl at XL_N=24000 (2x576M pairs): topk_agg completes on the default 8 GB heap at 36.9 s / 1030 cpu-s / 74.8 MiB shuffle-write; distinct+window OOMs 8 GB and needs 48 GB to finish 169.4 s / 4814 cpu-s / 14782 MiB. Also surfaced: ObjectHashAggregate's 128-group sort-based fallback cost the rank stage 1.6x cpu (60.6 s at the default threshold) — bench/QBench sessions now run fallbackThreshold=65536; Verify/tests keep the default so the fallback path stays correctness-covered\"",
+      // r10 incremental-dedup A/B (AbDedupInc, distinct-replica corpus,
+      // sf0.01 batch): the asymptotic point of DedupStore.
+      "\"r10 AbDedupInc (adjudicate a 500-doc batch vs an Nx corpus): incremental searchNew wall nearly flat 3.5/4.4/6.5 s at corpus 32x/128x/512x while the batch operator on the union grows linearly 3.9/12.0/29.9 s (4.6x at 512x, widening); one-time store build 10.5/17.3/41.1 s amortizes across increments. Incremental residual growth is the stored band/shingle parquet scans - id-bucketed layout would prune further on a cluster\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

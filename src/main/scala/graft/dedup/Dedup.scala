@@ -325,8 +325,18 @@ object Dedup {
     * blocked dedup path (MinHash bands, portable bands, DF-capped index).
     */
   private[dedup] def refineJaccard(
-      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      candidates: DataFrame, sh: DataFrame, threshold: Double): DataFrame =
+    refineJaccardCounted(candidates, sh,
+      sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh")), threshold)
+
+  /** [[refineJaccard]] with the per-doc shingle counts supplied by the
+    * caller — the incremental path ([[DedupStore.searchNew]]) reads them
+    * from the store instead of re-aggregating the corpus-sized shingle
+    * relation per probe.
+    */
+  private[dedup] def refineJaccardCounted(
+      candidates: DataFrame, sh: DataFrame, counts: DataFrame,
+      threshold: Double): DataFrame = {
     val common = candidates
       .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
       .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))

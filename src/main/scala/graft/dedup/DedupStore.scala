@@ -30,29 +30,34 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
+  private def write(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, path: String,
+      mode: String): Unit = {
+    val sh = Dedup.shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
+    Dedup.minhashBanded(sh, bands, rowsPerBand)
+      .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
+    sh.write.mode(mode).parquet(s"$path/shingles")
+    // Per-doc shingle counts, stored so the refine never re-aggregates
+    // the corpus-sized shingle relation per probe.
+    sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      .write.mode(mode).parquet(s"$path/counts")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(sh)
+  }
+
   /** Build + persist the index for an initial corpus. */
   def save(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
-    val sh = Dedup.shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
-    Dedup.minhashBanded(sh, bands, rowsPerBand)
-      .write.mode("overwrite").partitionBy("band").parquet(s"$path/bands")
-    sh.write.mode("overwrite").parquet(s"$path/shingles")
-    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(sh)
-  }
+      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
+    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "overwrite")
 
   /** Add a new batch to the stored index (call AFTER [[searchNew]] has
     * adjudicated it). Append-only: old state is untouched.
     */
   def append(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit = {
-    val sh = Dedup.shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
-    Dedup.minhashBanded(sh, bands, rowsPerBand)
-      .write.mode("append").partitionBy("band").parquet(s"$path/bands")
-    sh.write.mode("append").parquet(s"$path/shingles")
-    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(sh)
-  }
+      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
+    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "append")
 
   /** Near-duplicate pairs of a NEW batch against the stored corpus AND
     * within the batch itself, exact-Jaccard-refined at `threshold` —
@@ -83,7 +88,20 @@ object DedupStore {
       .unionAll(pairsOf(stored, newBands))
       .unionAll(pairsOf(newBands, newBands))
       .dropDuplicates("doc_a", "doc_b")
+      // Consumed three times below (id restriction + both refine joins).
+      .localCheckpoint(true)
+    // Refine touches only candidate-involved docs: restrict the stored
+    // shingle scan to those ids (a batch-hit-sized set), and read the
+    // per-doc counts from the store instead of re-aggregating the
+    // corpus-sized shingle relation — the two O(corpus) stages the first
+    // spelling of this probe still paid per increment.
+    val candIds = candidates.select(col("doc_a").as("id"))
+      .unionAll(candidates.select(col("doc_b").as("id")))
+      .distinct()
     val allSh = spark.read.parquet(s"$path/shingles").unionAll(newSh)
-    Dedup.refineJaccard(candidates, allSh, threshold)
+      .join(candIds, Seq("id"), "left_semi")
+    val counts = spark.read.parquet(s"$path/counts")
+      .unionAll(newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh")))
+    Dedup.refineJaccardCounted(candidates, allSh, counts, threshold)
   }
 }

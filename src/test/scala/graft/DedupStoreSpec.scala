@@ -51,5 +51,8 @@ class DedupStoreSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(rel(s"$dir/inc/bands") == rel(s"$dir/full/bands"))
     assert(rel(s"$dir/inc/shingles") == rel(s"$dir/full/shingles"))
+    // Per-batch count rows union to the full corpus counts because ids
+    // never repeat across batches (the caller contract).
+    assert(rel(s"$dir/inc/counts") == rel(s"$dir/full/counts"))
   }
 }
