@@ -1871,8 +1871,17 @@ object PipelineQueries {
         |    MAX(pa) - MIN(pa) + 6 AS span_len
         |  FROM isl GROUP BY doc_a, doc_b, diag, island),
         |ranges AS (
+        |  -- set UNION, not UNION ALL: a doc repeating the same span
+        |  -- against several partners yields bit-identical (id, s, e)
+        |  -- rows, and the islanding windows below then order TIES —
+        |  -- observed nondeterministic under DuckDB's parallel window
+        |  -- evaluation at full-plan complexity (doc with three dup
+        |  -- (0,75) ranges flaked to covered=150 of 75 tokens ~1 in 6
+        |  -- runs at sf0.001). Interval union is duplicate-insensitive,
+        |  -- so dedup changes nothing semantically and makes ORDER BY
+        |  -- (s, e) a strict total order per id.
         |  SELECT doc_a AS id, start_a AS s, start_a + span_len AS e FROM spans
-        |  UNION ALL
+        |  UNION
         |  SELECT doc_b, start_b, start_b + span_len FROM spans),
         |brk AS (
         |  SELECT id, s, e,
