@@ -90,6 +90,13 @@ object DedupStore {
       .dropDuplicates("doc_a", "doc_b")
       // Consumed three times below (id restriction + both refine joins).
       .localCheckpoint(true)
+    // candidates' EAGER checkpoint just truncated lineage above newBands,
+    // so newBands' backing is no longer reachable from the result plan
+    // and the caller's standard post-consumption sweep could never free
+    // it (the round-10 n13 leak class). Its last consumer ran inside the
+    // checkpoint materialization — release it now. newSh stays: allSh
+    // below keeps it reachable.
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newBands)
     // Refine touches only candidate-involved docs: restrict the stored
     // shingle scan to those ids (a batch-hit-sized set), and read the
     // per-doc counts from the store instead of re-aggregating the

@@ -40,6 +40,25 @@ class DedupStoreSpec extends SparkSpec {
       "sf0.001 split yields no cross-batch near-dups; pick another split")
   }
 
+  test("searchNew is leak-neutral (QueriesSpec contract for store probes)") {
+    val dir = Files.createTempDirectory("graft_dedup_leak").toString
+    DedupStore.save(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    val before = RddScope.persisted(spark)
+    val df = DedupStore.searchNew(spark, s"$dir/ix",
+      docs.filter(col("doc_id") >= 300), "doc_id", "text", n, bands, rpb, thr)
+    assert(df.count() >= 0)
+    // Only checkpoint backings REACHABLE from the result plan may remain
+    // (the caller frees those via the standard sweep). An intermediate
+    // checkpoint orphaned by a later lineage truncation fails here — the
+    // round-10 n13 leak class.
+    val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(df)
+    val leaked = RddScope.persisted(spark) -- before -- keep
+    assert(leaked.isEmpty,
+      s"searchNew left persisted RDDs $leaked unreachable from its result")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
   test("append lifecycle: save(old) + append(new) == save(all)") {
     val dir = Files.createTempDirectory("graft_dedup_append").toString
     val old = docs.filter(col("doc_id") < 300)

@@ -61,11 +61,16 @@ class IndexStoreSpec extends SparkSpec {
     assert(stored.count() == vecs.count() * 3)
     val queries = vecs
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val got = IndexStore.searchIvfTuned(spark, s"$dir/ivf", queries, k = 5)
-      .collect()
+    val searched = IndexStore.searchIvfTuned(spark, s"$dir/ivf", queries, k = 5)
+    val got = searched.collect()
     val exp = Similarity.annIvfStaticTuned(vecs, k = 5).collect()
     assert(got.sameElements(exp),
       s"tuned store search diverged: got ${got.take(3).mkString(",")} " +
         s"exp ${exp.take(3).mkString(",")}")
+    // Same layout contract as the static store: probe cells must prune
+    // at the partition level, before any file opens.
+    val plan = searched.queryExecution.executedPlan.toString
+    assert("PartitionFilters:\\s*\\[cell#\\d+ IN ".r.findFirstIn(plan).isDefined,
+      s"tuned probe cells not pushed as a partition filter:\n${plan.take(2000)}")
   }
 }
