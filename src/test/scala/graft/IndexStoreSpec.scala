@@ -68,9 +68,10 @@ class IndexStoreSpec extends SparkSpec {
       s"tuned store search diverged: got ${got.take(3).mkString(",")} " +
         s"exp ${exp.take(3).mkString(",")}")
     // Same layout contract as the static store: probe cells must prune
-    // at the partition level, before any file opens.
+    // at the partition level, before any file opens. With > 10 probed
+    // cells Spark renders the predicate as INSET, not IN.
     val plan = searched.queryExecution.executedPlan.toString
-    assert("PartitionFilters:\\s*\\[cell#\\d+ IN ".r.findFirstIn(plan).isDefined,
+    assert("PartitionFilters:\\s*\\[cell#\\d+ IN(SET)? ".r.findFirstIn(plan).isDefined,
       s"tuned probe cells not pushed as a partition filter:\n${plan.take(2000)}")
   }
 }
