@@ -133,6 +133,7 @@ object Bench {
     "g13_scc",
     "g14_path_load",
     "g15_random_walks",
+    "g16_biased_walks",
     "a20_theta_ops",
     "a21_cms",
     "a22_hll_rollup",

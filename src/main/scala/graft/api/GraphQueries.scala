@@ -702,6 +702,25 @@ ke$i AS MATERIALIZED (
       val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
         .select(concat(lit("p"), col("p_partkey")).as("id"))
       graft.graph.RandomWalks.walk(e, seeds, steps = 4, nWalks = 2)
+    }),
+
+    // node2vec-BIASED walks over the same graph/seeds as g15: transition
+    // weights (return, triangle, outward) = (1, 2, 4) ≡ (p, q) = (2, ½),
+    // sampled EXACTLY via integer-weight replica argmin (each candidate
+    // explodes into `weight` iid md5 draws; the global argmin is uniform
+    // over replicas, so win probability is precisely weight/Σweights —
+    // no float pow/ln, so unlike classic A-ES keys the whole biased
+    // sampler is engine-portable and the oracle replays every unrolled
+    // step bit-for-bit).
+    "g16_biased_walks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      graft.graph.RandomWalks.walkBiased(e, seeds, steps = 4, nWalks = 2)
     })
   )
 
@@ -740,7 +759,58 @@ ke$i AS MATERIALIZED (
        |ORDER BY walk_id, step""".stripMargin
   }
 
+  /** Unrolled DuckDB replay of [[graft.graph.RandomWalks.walkBiased]]:
+    * each step tracks (walk_id, prev, cur), candidates come from the
+    * DEDUPLICATED edge relation (parallel edges are one weight class —
+    * simple-graph node2vec semantics, and value-identical to Spark's
+    * raw-edge join since duplicate replicas share bit-identical draws),
+    * the weight CASE replicates via generate_series, and rn=1 under
+    * (draw, dst, r) is the argmin.
+    */
+  private def biasedWalksSql(steps: Int): String = {
+    def stepCte(j: Int): String = {
+      val prev = if (j == 1) "w0" else s"s${j - 1}"
+      s"""s$j AS (
+         |  SELECT walk_id, cur AS prev, dst AS cur FROM (
+         |    SELECT f.walk_id, f.cur, e.dst,
+         |      ROW_NUMBER() OVER (PARTITION BY f.walk_id ORDER BY
+         |        CAST('0x' || substr(md5(f.walk_id || ':' || $j || ':' ||
+         |          f.cur || ':' || e.dst || ':' || rr.r), 1, 15) AS BIGINT),
+         |        e.dst, rr.r) AS rn
+         |    FROM $prev f
+         |    JOIN adje e ON f.cur = e.src
+         |    LEFT JOIN adje a ON a.src = f.prev AND a.dst = e.dst,
+         |    UNNEST(generate_series(1,
+         |      CASE WHEN f.prev IS NULL THEN 1
+         |           WHEN e.dst = f.prev THEN 1
+         |           WHEN a.src IS NOT NULL THEN 2
+         |           ELSE 4 END)) AS rr(r))
+         |  WHERE rn = 1)""".stripMargin
+    }
+    val unions = (1 to steps)
+      .map(j => s"  UNION ALL SELECT walk_id, $j AS step, cur AS node FROM s$j")
+      .mkString("\n")
+    s"""WITH p2s AS (
+       |  SELECT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+       |edges AS (SELECT src, dst FROM p2s
+       |          UNION ALL SELECT dst, src FROM p2s),
+       |adje AS (SELECT DISTINCT src, dst FROM edges),
+       |w0 AS (
+       |  SELECT 'p' || CAST(p_partkey AS VARCHAR) || '#' || w AS walk_id,
+       |         CAST(NULL AS VARCHAR) AS prev,
+       |         'p' || CAST(p_partkey AS VARCHAR) AS cur
+       |  FROM part, UNNEST([0, 1]) AS u(w) WHERE p_partkey <= 10),
+       |${(1 to steps).map(stepCte).mkString(",\n")}
+       |SELECT walk_id, step, node FROM (
+       |  SELECT walk_id, 0 AS step, cur AS node FROM w0
+       |$unions)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "g16_biased_walks" -> biasedWalksSql(4),
+
     "i1_pagerank_fixed" ->
       (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +
         s"\nSELECT id, ROUND(rank, 9) AS rank FROM i_r$Iters ORDER BY id"),

@@ -115,6 +115,73 @@ object RandomWalks {
     result
   }
 
+  /** node2vec-BIASED walk (Grover & Leskovec, KDD 2016): the transition
+    * out of `cur` is weighted by where the walk just came from — return
+    * edges (dst = prev) by 1/p, triangle edges (dst adjacent to prev)
+    * by 1, outward edges by 1/q. Shipped at integer weight classes
+    * (`retW`, `inW`, `outW`) = (1, 2, 4) ≡ (p, q) = (2, ½): the
+    * DFS-leaning setting that makes walk corpora capture structural
+    * roles. The first step has no previous node and is uniform.
+    *
+    * EXACT portable weighted sampling with no RNG and no float pow/ln:
+    * each candidate edge replicates into `weight` iid md5 draws
+    * (`md5(walk ':' step ':' dst ':' r)`) and the step takes the global
+    * argmin. The argmin of iid uniforms is uniform over REPLICAS, so a
+    * candidate wins with probability exactly weight/Σweights — and the
+    * walk stays a pure function of (graph, walk_id, step), reproducible
+    * across reruns, retries, AND engines (the g16 DuckDB oracle replays
+    * every unrolled step bit-for-bit; Efraimidis–Spirakis keys would
+    * need u^(1/w), whose last-ulp rounding differs between engines).
+    *
+    * The adjacency test joins candidates against the DEDUPLICATED edge
+    * relation (one dropDuplicates, checkpointed once outside the loop —
+    * reachable from the result plan, so the caller's standard sweep
+    * frees it); parallel edges therefore contribute ONE weight class,
+    * i.e. simple-graph node2vec semantics, and duplicate candidate rows
+    * collapse in the argmin exactly as in the uniform walk. Frontier
+    * stays one row per walk per step; the extra per-step cost over
+    * [[walk]] is the (prev, dst) adjacency probe — at cluster scale that
+    * relation is the bucketed-by-src edge layout `walkShuffled` already
+    * maintains.
+    */
+  def walkBiased(
+      edges: DataFrame, seeds: DataFrame, steps: Int, nWalks: Int = 1,
+      retW: Int = 1, inW: Int = 2, outW: Int = 4): DataFrame = {
+    require(retW >= 1 && inW >= 1 && outW >= 1, "weights must be >= 1")
+    val (walkIds, e) = prepare(edges, seeds, steps, nWalks)
+    val aRel = e.select(col("src").as("a_src"), col("dst").as("a_dst"))
+      .dropDuplicates("a_src", "a_dst")
+      .withColumn("adj", lit(1))
+      .localCheckpoint(true)
+    var frontier = walkIds.withColumn("prev", lit(null).cast("string"))
+    var out = frontier.select(col("walk_id"), lit(0).as("step"),
+      col("cur").as("node"))
+    var j = 1
+    while (j <= steps) {
+      val w = when(col("prev").isNull, lit(1))
+        .when(col("dst") === col("prev"), lit(retW))
+        .when(col("adj") === 1, lit(inW))
+        .otherwise(lit(outW))
+      val drawB = graft.ops.Portable.md5Long(
+        concat_ws(":", col("walk_id"), lit(j), col("cur"), col("dst"), col("r")))
+      frontier = broadcast(frontier)
+        .join(e, col("cur") === col("src"))
+        .join(aRel,
+          col("prev") === col("a_src") && col("dst") === col("a_dst"), "left")
+        .select(col("walk_id"), col("cur"), col("dst"),
+          explode(sequence(lit(1), w)).as("r"))
+        .groupBy(col("walk_id"))
+        .agg(min(struct(drawB.as("h"), col("dst"), col("r"))).as("pick"),
+          first(col("cur")).as("was"))
+        .select(col("walk_id"), col("was").as("prev"),
+          col("pick.dst").as("cur"))
+      out = out.unionAll(frontier.select(col("walk_id"), lit(j).as("step"),
+        col("cur").as("node")))
+      j += 1
+    }
+    out.orderBy(col("walk_id"), col("step"))
+  }
+
   private def draw(step: Int): Column =
     graft.ops.Portable.md5Long(
       concat_ws(":", col("walk_id"), lit(step), col("cur"), col("dst")))

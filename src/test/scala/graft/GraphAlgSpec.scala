@@ -56,6 +56,65 @@ class GraphAlgSpec extends SparkSpec {
     }
   }
 
+  test("biased walks: md5-replica reference parity, forced return, bias is active") {
+    import graft.graph.RandomWalks
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    // Degenerate mechanics: on the single undirected edge a-b every step
+    // after the first is a forced RETURN, whatever the weights are.
+    val path = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val pw = RandomWalks.walkBiased(path, Seq("a").toDF("id"), steps = 4)
+      .collect().map(_.getString(2)).toSeq
+    assert(pw == Seq("a", "b", "a", "b", "a"), pw)
+
+    // Reference parity on a denser graph: an independent implementation
+    // of the replica-argmin sampler (weight classes 1/2/4, draw
+    // "walk:step:cur:dst:r", argmin with (dst, r) tie-break) must
+    // reproduce every transition — the same lockstep contract the
+    // uniform-walk test pins, extended with prev-dependent weights.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("c", "d"), ("b", "a"), ("a", "d")).toDF("src", "dst")
+    val seeds = Seq("a", "b", "c", "d").toDF("id")
+    val got = RandomWalks.walkBiased(edges, seeds, steps = 5, nWalks = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val edgeSet = Set("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c",
+      "d" -> "a", "c" -> "d", "b" -> "a", "a" -> "d")
+    val adj = edgeSet.toSeq.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    got.keys.foreach { w =>
+      var prev: Option[String] = None
+      var cur = w.takeWhile(_ != '#')
+      val expected = Seq(cur) ++ (1 to 5).flatMap { j =>
+        adj.get(cur) match {
+          case None => None
+          case Some(ns) =>
+            val picked = ns.flatMap { d =>
+              val wgt =
+                if (prev.isEmpty) 1
+                else if (prev.contains(d)) 1
+                else if (edgeSet(prev.get -> d)) 2
+                else 4
+              (1 to wgt).map(r => ((md5Long(s"$w:$j:$cur:$d:$r"), d, r), d))
+            }.minBy(_._1)._2
+            prev = Some(cur); cur = picked
+            Some(picked)
+        }
+      }
+      assert(got(w) == expected,
+        s"$w diverged from the biased md5 reference: got ${got(w)}, want $expected")
+    }
+    // The bias must actually change something vs the uniform walk on
+    // this graph (different draws AND different weights).
+    val uni = RandomWalks.walk(edges, seeds, steps = 5, nWalks = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(got != uni, "biased walk identical to uniform — bias inactive?")
+  }
+
   test("walkShuffled (co-partitioned shape) = walk (broadcast shape), leak-neutral") {
     import graft.graph.RandomWalks
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
