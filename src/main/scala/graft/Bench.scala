@@ -134,6 +134,7 @@ object Bench {
     "g14_path_load",
     "g15_random_walks",
     "g16_biased_walks",
+    "g17_walk_skipgrams",
     "a20_theta_ops",
     "a21_cms",
     "a22_hll_rollup",

@@ -721,6 +721,30 @@ ke$i AS MATERIALIZED (
       val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
         .select(concat(lit("p"), col("p_partkey")).as("id"))
       graft.graph.RandomWalks.walkBiased(e, seeds, steps = 4, nWalks = 2)
+    }),
+
+    // The walk corpus's training-data emission: skip-gram (center,
+    // context) pair counts at window 2 over the g16 biased walks — what
+    // a DeepWalk/node2vec pipeline actually feeds the embedding trainer.
+    // The walk relation is eagerly checkpointed (the skip-gram self-join
+    // consumes the 4-step iterative plan twice); that truncation orphans
+    // walkBiased's internal adjacency checkpoint, so everything except
+    // the walks backing is swept here — the walks backing itself stays
+    // reachable from the result and sweeps normally at the caller.
+    "g17_walk_skipgrams" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      val before = graft.RddScope.persisted(s)
+      val walks = graft.graph.RandomWalks
+        .walkBiased(e, seeds, steps = 4, nWalks = 2)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, walks)
+      graft.graph.RandomWalks.skipGrams(walks, window = 2)
     })
   )
 
@@ -767,7 +791,7 @@ ke$i AS MATERIALIZED (
     * the weight CASE replicates via generate_series, and rn=1 under
     * (draw, dst, r) is the argmin.
     */
-  private def biasedWalksSql(steps: Int): String = {
+  private def biasedWalkCtes(steps: Int): String = {
     def stepCte(j: Int): String = {
       val prev = if (j == 1) "w0" else s"s${j - 1}"
       s"""s$j AS (
@@ -801,15 +825,28 @@ ke$i AS MATERIALIZED (
        |         CAST(NULL AS VARCHAR) AS prev,
        |         'p' || CAST(p_partkey AS VARCHAR) AS cur
        |  FROM part, UNNEST([0, 1]) AS u(w) WHERE p_partkey <= 10),
-       |${(1 to steps).map(stepCte).mkString(",\n")}
-       |SELECT walk_id, step, node FROM (
+       |${(1 to steps).map(stepCte).mkString(",\n")},
+       |walks AS (
        |  SELECT walk_id, 0 AS step, cur AS node FROM w0
-       |$unions)
-       |ORDER BY walk_id, step""".stripMargin
+       |$unions)""".stripMargin
   }
+
+  private def biasedWalksSql(steps: Int): String =
+    s"""${biasedWalkCtes(steps)}
+       |SELECT walk_id, step, node FROM walks
+       |ORDER BY walk_id, step""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "g16_biased_walks" -> biasedWalksSql(4),
+
+    "g17_walk_skipgrams" ->
+      s"""${biasedWalkCtes(4)}
+         |SELECT a.node AS center, b.node AS context,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM walks a JOIN walks b
+         |  ON a.walk_id = b.walk_id AND a.step <> b.step
+         |  AND abs(a.step - b.step) <= 2
+         |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
 
     "i1_pagerank_fixed" ->
       (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +

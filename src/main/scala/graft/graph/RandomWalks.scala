@@ -182,6 +182,28 @@ object RandomWalks {
     out.orderBy(col("walk_id"), col("step"))
   }
 
+  /** Skip-gram (center, context) pair counts over a walk corpus — the
+    * training-data emission step of DeepWalk/node2vec: within each
+    * walk, every ordered pair of nodes at step distance 1..`window`
+    * becomes one example; counts aggregate corpus-wide. One self-equi-
+    * join on walk_id (bounded fan-out: ≤ 2·window matches per row since
+    * walks are ≤ steps+1 long) + one map-side-combinable count. Pass an
+    * eagerly-checkpointed walk relation when the walk itself is an
+    * iterative plan — the self-join consumes it twice.
+    */
+  def skipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1; got $window")
+    walks
+      .select(col("walk_id"), col("step").as("sa"), col("node").as("center"))
+      .join(walks.select(col("walk_id"), col("step").as("sb"),
+        col("node").as("context")), "walk_id")
+      .filter(col("sa") =!= col("sb") &&
+        abs(col("sa") - col("sb")) <= window)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("center"), col("context"))
+  }
+
   private def draw(step: Int): Column =
     graft.ops.Portable.md5Long(
       concat_ws(":", col("walk_id"), lit(step), col("cur"), col("dst")))
