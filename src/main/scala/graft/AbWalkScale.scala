@@ -74,7 +74,17 @@ object AbWalkScale {
       // from the uniform walks by design (different picks can hit
       // different dead-ends), so it is excluded from the equality
       // requires below, which compare the two uniform SHAPES.
-      "biased" -> (() => RandomWalks.walkBiased(edges, seeds, steps, perSeed)))
+      "biased" -> (() => RandomWalks.walkBiased(edges, seeds, steps, perSeed)),
+      // The biased walk's co-partitioned twin (same output, spec-pinned):
+      // edges + dedup'd adjacency parked hash-partitioned by src once,
+      // each step exchanging only the frontier / candidate stream. Like
+      // uniform-shuffled it LOSES on local[32] (broadcast is a free
+      // shared hash table here) — the leg prices the insurance premium a
+      // cluster pays to escape the per-step frontier-broadcast ceiling,
+      // which the biased frontier (extra prev column, degree-multiplied
+      // candidates) hits sooner than the uniform one.
+      "biased_shuffled" -> (() =>
+        RandomWalks.walkBiasedShuffled(edges, seeds, steps, perSeed)))
     val counts = legs.map { case (name, run) =>
       val ts = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
@@ -93,11 +103,17 @@ object AbWalkScale {
     }
     require(counts.take(2).map(_._2).distinct.size == 1,
       s"row-count divergence between uniform shapes: $counts")
-    // Full-output equality (not just counts) on the final runs.
+    require(counts.drop(2).map(_._2).distinct.size == 1,
+      s"row-count divergence between biased shapes: $counts")
+    // Full-output equality (not just counts) on the final runs, for both
+    // the uniform pair and the biased pair.
     val a = legs(0)._2().collect().toSeq
     val b = legs(1)._2().collect().toSeq
     require(a == b, "output divergence between broadcast and shuffled walks")
-    println("AB-WALK outputs identical across shapes")
+    val ba = legs(2)._2().collect().toSeq
+    val bb = legs(3)._2().collect().toSeq
+    require(ba == bb, "output divergence between biased broadcast and shuffled walks")
+    println("AB-WALK outputs identical across shapes (uniform pair, biased pair)")
     spark.stop()
   }
 }

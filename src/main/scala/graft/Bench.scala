@@ -162,31 +162,67 @@ object Bench {
   private val ScaledEdges = 2000000L
   private val ScaledParams = PageRank.Params(beta = 0.85, delta = 0.0, maxIter = 10)
 
-  /** Previous round's per-query min walls, read from the committed
-    * `bench_diag.json` sidecar BEFORE this run overwrites it. Empty when
-    * absent or unparseable (first round, renamed queries) — auto-A/B is
-    * then skipped with a note.
+  /** Previous ROUND's per-query min walls — the auto-A/B baseline.
+    *
+    * Primary source: the highest-numbered `BENCH_r{N}.json` driver
+    * artifact, which is written exactly once per round at judging time.
+    * The r10 detector instead read the working-dir `bench_diag.json`,
+    * which this harness OVERWRITES on every run — so after the first
+    * in-round bench, the comparator was diffing against an interim
+    * same-round floor and a genuine 8.01 → 29.59 s mover
+    * (pagerank_scaled_graphx, r10) sailed through unflagged. Round
+    * artifacts can't be overwritten mid-round, so they are the floors
+    * that make "moved >3× vs last round" mean what it says.
+    *
+    * Fallback (no BENCH_r artifact yet, e.g. round 1 local runs): the
+    * committed `bench_diag.json` sidecar, as before. Either way a
+    * same-scale check guards against an sf0.001 smoke baseline flagging
+    * every sf0.1 query. Returns (floors, sourceName) so the notes can
+    * state which baseline adjudicated the round.
     */
-  private def previousMinWalls(sfDir: String): Map[String, Double] =
-    try {
-      val p = java.nio.file.Paths.get("bench_diag.json")
-      if (!java.nio.file.Files.exists(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        // A sidecar from a DIFFERENT scale factor is not a baseline: a
-        // local sf0.001 smoke run would otherwise flag every sf0.1 query
-        // as a >3x mover and burn the whole A/B budget on noise.
-        val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
-          .findFirstMatchIn(txt).map(_.group(1))
-        if (!prevSf.contains(sfDir)) Map.empty
-        else "\"queries_min\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(txt) match {
+  private def previousMinWalls(sfDir: String): (Map[String, Double], String) = {
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
+    def parseQueriesMap(txt: String, key: String): Map[String, Double] =
+      ("\"" + key + "\"\\s*:\\s*\\{([^}]*)\\}").r.findAllMatchIn(txt).toSeq
+        .lastOption match { // last: BENCH_r's raw-tail echo precedes `parsed`
           case None => Map.empty
           case Some(m) =>
-            "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
+            "\"([^\"\\\\]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
               .map(g => g.group(1) -> g.group(2).toDouble).toMap
         }
-      }
-    } catch { case _: Throwable => Map.empty }
+    def fromBenchArtifact(): Option[(Map[String, Double], String)] =
+      try {
+        val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap { f =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+              .map(m => (m.group(1).toInt, f))
+          }
+        files.sortBy(-_._1).headOption.flatMap { case (n, f) =>
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val prevSf = "\"sf\"\\s*:\\s*([0-9.]+)".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val qs = parseQueriesMap(txt, "queries")
+          if (qs.nonEmpty && prevSf == sfNum) Some((qs, f.getName)) else None
+        }
+      } catch { case _: Throwable => None }
+    def fromSidecar(): Option[(Map[String, Double], String)] =
+      try {
+        val p = java.nio.file.Paths.get("bench_diag.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          val qs = parseQueriesMap(txt, "queries_min")
+          if (qs.nonEmpty && prevSf.contains(sfDir))
+            Some((qs, "bench_diag.json (no same-sf BENCH_r artifact)"))
+          else None
+        }
+      } catch { case _: Throwable => None }
+    fromBenchArtifact().orElse(fromSidecar())
+      .getOrElse((Map.empty[String, Double], "none"))
+  }
 
   // Spark 4.x on JDK 17 module options for the forked A/B child (the same
   // list build.sbt passes to this JVM; spark-submit would inject them).
@@ -258,8 +294,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Must be read before this run overwrites the sidecar at the end.
-    val prevMin = previousMinWalls(sfDir)
+    // Read before this run overwrites the sidecar at the end (and
+    // preferentially from the per-round BENCH_r artifact — see scaladoc).
+    val (prevMin, prevSource) = previousMinWalls(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -530,10 +567,10 @@ object Bench {
         s""""auto A/B $k: flagged (prev ${fmtN(p)}s -> session ${fmtN(w)}s) but not a SparkEntry query — A/B manually via BenchFlagship/AbScaledXl""""
       }
       if (prevMin.isEmpty)
-        Seq(""""auto A/B: no previous bench_diag.json queries_min — mover detection skipped this run"""")
+        Seq(""""auto A/B: no previous-round baseline (no same-sf BENCH_r artifact or bench_diag sidecar) — mover detection skipped this run"""")
       else if (flagged.isEmpty)
-        Seq(""""auto A/B: no query moved >3x vs previous round (floors: prev>=0.25s, session>=1s)"""")
-      else measured ++ skipped
+        Seq(s""""auto A/B: no query moved >3x vs previous round (baseline: $prevSource; floors: prev>=0.25s, session>=1s)"""")
+      else s""""auto A/B baseline: $prevSource"""" +: (measured ++ skipped)
     }
     val autoAbJson = autoAb.map { case (k, p, w, walls, cpuSamples, err) =>
       "\"" + k + "\":{\"prev\":" + fmtN(p) + ",\"session\":" + fmtN(w) +
@@ -586,6 +623,11 @@ object Bench {
       // r10 rank-stage A/B pinned as a leg (AbAnnRankXl): see README.
       "\"r10 AbAnnRankXl (2x64M duplicate-bearing pairs, N=8000, quiet box): topk_agg wall 6.20 s / cpu 149 s / 24.5 MiB shuffle-write vs distinct+row_number window 20.15 s / cpu 538 s / 1653 MiB — 3.2x wall, 67x shuffle bytes; on a duplicate-FREE stream Spark 4's WindowGroupLimit closes most of the wall gap (4.28 vs 3.38 s), so the structural win is the insert-time dedup replacing the full-stream distinct shuffle\"",
       "\"r10 AbAnnRankXl at XL_N=24000 (2x576M pairs): topk_agg completes on the default 8 GB heap at 36.9 s / 1030 cpu-s / 74.8 MiB shuffle-write; distinct+window OOMs 8 GB and needs 48 GB to finish 169.4 s / 4814 cpu-s / 14782 MiB. Also surfaced: ObjectHashAggregate's 128-group sort-based fallback cost the rank stage 1.6x cpu (60.6 s at the default threshold) — bench/QBench sessions now run fallbackThreshold=65536; Verify/tests keep the default so the fallback path stays correctness-covered\"",
+      // r11 adjudication of the r10 verdict's one unadjudicated mover
+      // (quiet box, load1 0.8, fresh-JVM AbScaledXl 2M edges/10 iters,
+      // two runs) + the detector fix that let it slip.
+      "\"r11 adjudication pagerank_scaled_graphx (r10 session 29.59 s, cpu 570.9, load1 12.58): fresh-JVM quiet-box floors 13.21 s/cpu 221 and 14.82 s/cpu 247 — consistent with the r9 bisect (12.3 s, cpu 246; code git-identical since r7), so the r10 leg was box contention, exonerated\"",
+      "\"r11 detector fix: auto A/B floors now come from the previous ROUND's committed BENCH_r{n-1}.json artifact (written once per round) instead of the working-dir bench_diag.json this harness overwrites per run — mid-round sidecar commits masked the r10 mover; the baseline source is named in the auto A/B note each run\"",
       // r10 incremental-dedup A/B (AbDedupInc, distinct-replica corpus,
       // sf0.01 batch): the asymptotic point of DedupStore.
       "\"r10 AbDedupInc (adjudicate a 500-doc batch vs an Nx corpus): incremental searchNew wall nearly flat 3.5/4.4/6.5 s at corpus 32x/128x/512x while the batch operator on the union grows linearly 3.9/12.0/29.9 s (4.6x at 512x, widening); one-time store build 10.5/17.3/41.1 s amortizes across increments. Incremental residual growth is the stored band/shingle parquet scans - id-bucketed layout would prune further on a cluster\"")

@@ -182,6 +182,98 @@ object RandomWalks {
     out.orderBy(col("walk_id"), col("step"))
   }
 
+  /** [[walkBiased]]'s at-scale twin — the co-partitioned biased walk the
+    * scaladoc above promises. Identical output (spec-asserted, the
+    * `walk`/`walkShuffled` equality pattern); execution differs:
+    *
+    *  - the edge relation is persisted hash-partitioned by `src` ONCE
+    *    (the `walkShuffled`/`PageRank.prepare` idiom) — each step's
+    *    frontier probe exchanges only the |walks|-row frontier onto that
+    *    fixed layout, never the edges;
+    *  - the (prev, dst) adjacency relation is DERIVED from that same
+    *    layout: `dropDuplicates(src, dst)` on a src-partitioned relation
+    *    needs no new exchange (src-clustering satisfies the (src, dst)
+    *    distribution), so the dedup'd adjacency inherits the bucketed-
+    *    by-src layout and is persisted once. The per-step candidate
+    *    stream (|walks| × avg-degree rows) shuffles on (prev, dst) to
+    *    meet it — a co-partitioned hash join against a parked relation,
+    *    NOT a per-step broadcast of a growing frontier hash table;
+    *  - step 1 skips the adjacency probe entirely: with no previous node
+    *    every candidate weighs 1 (exactly [[walkBiased]]'s `prev IS
+    *    NULL` arm, same draw at r = 1, so picks are bit-identical) —
+    *    which also keeps the all-null `prev` key of step 1 from hashing
+    *    the whole candidate stream into one partition;
+    *  - frontier checkpointed per step (lineage stays flat); result
+    *    eagerly checkpointed, all other backings swept (leak-neutral).
+    *
+    * This removes the broadcast-frontier ceiling (~8 GB / replicated
+    * per-executor build) the uniform walk already documents, which the
+    * biased walk hits SOONER: its frontier carries the extra `prev`
+    * column (more bytes/walk) and its candidate stream is degree-
+    * multiplied before the argmin.
+    */
+  def walkBiasedShuffled(
+      edges: DataFrame, seeds: DataFrame, steps: Int, nWalks: Int = 1,
+      retW: Int = 1, inW: Int = 2, outW: Int = 4): DataFrame = {
+    require(retW >= 1 && inW >= 1 && outW >= 1, "weights must be >= 1")
+    val (walkIds, e0) = prepare(edges, seeds, steps, nWalks)
+    val spark = edges.sparkSession
+    val before = graft.RddScope.persisted(spark)
+    val pre = e0.persist(StorageLevel.MEMORY_AND_DISK)
+    val m = pre.count()
+    val parts = PageRank.loopPartitions(spark, m)
+    val result = PageRank.withLoopConf(spark, parts) {
+      val e = pre.repartition(parts, col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      e.count()
+      pre.unpersist()
+      val aRel = e.dropDuplicates("src", "dst")
+        .select(col("src").as("a_src"), col("dst").as("a_dst"),
+          lit(1).as("adj"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      aRel.count()
+      var frontier = walkIds
+        .withColumn("prev", lit(null).cast("string")).localCheckpoint(true)
+      var out = frontier.select(col("walk_id"), lit(0).as("step"),
+        col("cur").as("node"))
+      var j = 1
+      while (j <= steps) {
+        val drawB = graft.ops.Portable.md5Long(
+          concat_ws(":", col("walk_id"), lit(j), col("cur"), col("dst"),
+            col("r")))
+        val cands = e.join(frontier, col("cur") === col("src"))
+        val weighted =
+          if (j == 1)
+            // no previous node: every neighbor weighs 1 (r = 1 only)
+            cands.select(col("walk_id"), col("cur"), col("dst"),
+              lit(1).as("r"))
+          else {
+            val w = when(col("dst") === col("prev"), lit(retW))
+              .when(col("adj") === 1, lit(inW))
+              .otherwise(lit(outW))
+            cands
+              .join(aRel, col("prev") === col("a_src") &&
+                col("dst") === col("a_dst"), "left")
+              .select(col("walk_id"), col("cur"), col("dst"),
+                explode(sequence(lit(1), w)).as("r"))
+          }
+        frontier = weighted
+          .groupBy(col("walk_id"))
+          .agg(min(struct(drawB.as("h"), col("dst"), col("r"))).as("pick"),
+            first(col("cur")).as("was"))
+          .select(col("walk_id"), col("was").as("prev"),
+            col("pick.dst").as("cur"))
+          .localCheckpoint(true)
+        out = out.unionAll(frontier.select(col("walk_id"), lit(j).as("step"),
+          col("cur").as("node")))
+        j += 1
+      }
+      out.orderBy(col("walk_id"), col("step")).localCheckpoint(true)
+    }
+    graft.RddScope.sweepExcept(spark, before, result)
+    result
+  }
+
   /** Skip-gram (center, context) pair counts over a walk corpus — the
     * training-data emission step of DeepWalk/node2vec: within each
     * walk, every ordered pair of nodes at step distance 1..`window`

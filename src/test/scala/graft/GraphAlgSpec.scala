@@ -134,6 +134,39 @@ class GraphAlgSpec extends SparkSpec {
     assert(leaked.isEmpty, s"walkShuffled leaked RDDs: $leaked")
   }
 
+  test("walkBiasedShuffled (co-partitioned shape) = walkBiased (broadcast shape), leak-neutral") {
+    import graft.graph.RandomWalks
+    // Dense enough that all three weight classes (return / triangle /
+    // outward) occur, plus a dead-end (e has no out-edge) so the early-
+    // stop path is exercised in both shapes.
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("c", "d"), ("b", "a"), ("a", "d"), ("d", "e")).toDF("src", "dst")
+    val seeds = Seq("a", "b", "c", "d").toDF("id")
+    val bc = RandomWalks.walkBiased(edges, seeds, steps = 5, nWalks = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val before = RddScope.persisted(spark)
+    val sh = RandomWalks.walkBiasedShuffled(edges, seeds, steps = 5, nWalks = 2)
+    val got = sh.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(got == bc, s"shapes diverge: ${got.diff(bc).take(5)}")
+    // Leak contract: the only persisted blocks the call left behind are
+    // the result's own checkpoint backing.
+    val leaked = RddScope.persisted(spark) -- before --
+      org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(sh)
+    assert(leaked.isEmpty, s"walkBiasedShuffled leaked RDDs: $leaked")
+    // Non-default weights must agree too (the j==1 fast path and the
+    // weight arms are shape-independent, not tuned to (1, 2, 4)).
+    val bcW = RandomWalks.walkBiased(edges, seeds, steps = 4, nWalks = 1,
+      retW = 3, inW = 1, outW = 5)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val shW = RandomWalks.walkBiasedShuffled(edges, seeds, steps = 4, nWalks = 1,
+      retW = 3, inW = 1, outW = 5)
+    val gotW = shW.collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(gotW == bcW, s"non-default-weight shapes diverge: ${gotW.diff(bcW).take(5)}")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(shW)
+  }
+
   test("personalized PR with S = V equals uniform fixed-iteration PR") {
     val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
     val allIds = Seq(1, 2, 3, 4).toDF("id")
