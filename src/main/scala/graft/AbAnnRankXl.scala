@@ -62,7 +62,9 @@ object AbAnnRankXl {
       // buffers are k-entry-tiny, so holding every group is cheap.
       // Env-tunable here to A/B the threshold itself.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("XL_FALLBACK", "131072"))
+        // default matches the 65536 the Bench/QBench sessions run and the
+        // scaladoc results quote, so a plain run reproduces them
+        sys.env.getOrElse("XL_FALLBACK", "65536"))
       .getOrCreate()
     val sc = spark.sparkContext
     sc.setLogLevel("ERROR")

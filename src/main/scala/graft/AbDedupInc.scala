@@ -80,6 +80,55 @@ object AbDedupInc {
       f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
       f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
       f"x inc_pairs=$incPairs union_pairs=$unionPairs")
+
+    // COMPACTION leg: the same corpus arriving as AB_CHUNKS increments —
+    // every append leaves its own file set in all three relations, so
+    // the probe pays a file-count tax that one save never shows (the
+    // "residual scan growth" named in the r10 notes). Measure the probe
+    // against the fragmented store, compact, re-probe: the delta is what
+    // one bounded rewrite buys back, and compact-probe ≈ the single-save
+    // probe above is the flatness claim.
+    val chunks = sys.env.getOrElse("AB_CHUNKS", "16").toInt
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ab_dedupfrag").toString
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      Seq("bands", "shingles", "counts")
+        .map(r => walk(new java.io.File(s"$p/$r"))
+          .count(_.getName.endsWith(".parquet"))).sum
+    }
+    val (_, fragBuild) = timed {
+      (0 until chunks).foreach { i =>
+        val chunk = corpus.filter(pmod(col("doc_id"), lit(chunks)) === i)
+        if (i == 0)
+          graft.dedup.DedupStore.save(chunk, "doc_id", "text", n, bands, rpb, s"$dir2/ix")
+        else
+          graft.dedup.DedupStore.append(chunk, "doc_id", "text", n, bands, rpb, s"$dir2/ix")
+      }
+    }
+    sweep()
+    val filesFrag = parquetFiles(s"$dir2/ix")
+    val (fragPairs, fragWall) = timed {
+      graft.dedup.DedupStore.searchNew(
+        spark, s"$dir2/ix", batch, "doc_id", "text", n, bands, rpb, thr).count()
+    }
+    sweep()
+    val (_, compactWall) = timed {
+      graft.dedup.DedupStore.compact(spark, s"$dir2/ix")
+    }
+    sweep()
+    val filesCompact = parquetFiles(s"$dir2/ix")
+    val (compPairs, compWall) = timed {
+      graft.dedup.DedupStore.searchNew(
+        spark, s"$dir2/ix", batch, "doc_id", "text", n, bands, rpb, thr).count()
+    }
+    require(compPairs == fragPairs && compPairs == incPairs,
+      s"probe diverged across layouts: one-save=$incPairs fragmented=$fragPairs compacted=$compPairs")
+    println(f"AB-DEDUPINC-COMPACT chunks=$chunks frag_build=$fragBuild%.1f s " +
+      f"files=$filesFrag probe_frag=$fragWall%.1f s " +
+      f"compact=$compactWall%.1f s files_after=$filesCompact " +
+      f"probe_compacted=$compWall%.1f s probe_onesave=$incWall%.1f s")
     spark.stop()
   }
 }

@@ -102,6 +102,7 @@ object Bench {
     "p12_winsorize",
     "t11_tfidf",
     "t13_bigram_surprisal",
+    "t13b_surprisal_hinted",
     "t16_repetition",
     "e14_zscore_outliers",
     "e16_scd2",
@@ -135,6 +136,7 @@ object Bench {
     "g15_random_walks",
     "g16_biased_walks",
     "g17_walk_skipgrams",
+    "g18_negative_sampling",
     "a20_theta_ops",
     "a21_cms",
     "a22_hll_rollup",
@@ -144,6 +146,12 @@ object Bench {
     "m5_image_decode",
     "m7_audio_decode",
     "m8_phash_audio",
+    // m9_phash_video_frames is correctness-gated only, like m6: the
+    // deterministic mod-256 still formula is fingerprint-degenerate by
+    // design (it is what makes the oracle closed-form), so at sf0.1's
+    // 40k frames the 64 nibble buckets each hold ~2.5k rows and the
+    // candidate join is quadratic-in-bucket — a fixture artifact, not
+    // an operator property (real pHashes spread over 2^16 like m4's).
     "e21_mad_outliers",
     "t19_bpe_tokens",
     "i4_personalized",
@@ -630,7 +638,10 @@ object Bench {
       "\"r11 detector fix: auto A/B floors now come from the previous ROUND's committed BENCH_r{n-1}.json artifact (written once per round) instead of the working-dir bench_diag.json this harness overwrites per run — mid-round sidecar commits masked the r10 mover; the baseline source is named in the auto A/B note each run\"",
       // r10 incremental-dedup A/B (AbDedupInc, distinct-replica corpus,
       // sf0.01 batch): the asymptotic point of DedupStore.
-      "\"r10 AbDedupInc (adjudicate a 500-doc batch vs an Nx corpus): incremental searchNew wall nearly flat 3.5/4.4/6.5 s at corpus 32x/128x/512x while the batch operator on the union grows linearly 3.9/12.0/29.9 s (4.6x at 512x, widening); one-time store build 10.5/17.3/41.1 s amortizes across increments. Incremental residual growth is the stored band/shingle parquet scans - id-bucketed layout would prune further on a cluster\"")
+      "\"r10 AbDedupInc (adjudicate a 500-doc batch vs an Nx corpus): incremental searchNew wall nearly flat 3.5/4.4/6.5 s at corpus 32x/128x/512x while the batch operator on the union grows linearly 3.9/12.0/29.9 s (4.6x at 512x, widening); one-time store build 10.5/17.3/41.1 s amortizes across increments. Incremental residual growth is the stored band/shingle parquet scans - id-bucketed layout would prune further on a cluster\"",
+      // r11 DedupStore.compact measured (the maintenance path the r10
+      // note asked for): 512x corpus arriving as 16 increments.
+      "\"r11 AbDedupInc compaction leg (512x corpus, 16 appends): fragmented store 2192 files / probe 5.8 s; compact() one-time 7.5 s collapses to 32 id-clustered files and the probe drops to 3.6 s - below even the single-save store's 6.1 s floor (a save itself leaves shuffle-parallelism x bands files). Residual scan growth flattened; searchNew results spec-pinned identical across layouts\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -22,7 +22,12 @@ object PlanAudit {
         // round-8 third-session additions: prefix-filtered set-sim join,
         // broadcast sketch probe, walk frontier loop, builtin sessions
         "d16_jaccard_prefix", "a21_cms", "a21b_cms_portable",
-        "g15_random_walks", "e23_session_window")
+        "g15_random_walks", "e23_session_window",
+        // round-10/11 additions: biased walk + skip-gram emission (the
+        // node2vec corpus pair), decoded-audio perceptual dedup, and the
+        // skip-gram negative-sampling table
+        "g16_biased_walks", "g17_walk_skipgrams", "m8_phash_audio",
+        "g18_negative_sampling")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

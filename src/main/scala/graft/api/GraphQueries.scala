@@ -745,6 +745,48 @@ ke$i AS MATERIALIZED (
         .localCheckpoint(true)
       graft.RddScope.sweepExcept(s, before, walks)
       graft.graph.RandomWalks.skipGrams(walks, window = 2)
+    }),
+
+    // Skip-gram NEGATIVE-sampling table (word2vec, Mikolov et al.
+    // NeurIPS 2013 §2.2): the third artifact an embedding trainer
+    // consumes next to g16's walks and g17's (center, context) pairs.
+    // Noise weight per node = corpus-frequency^(3/4) (the word2vec
+    // smoothing exponent), noise probability = w/Σw over the walk-corpus
+    // vocabulary, and the emitted noise POOL is a deterministic weighted
+    // sample without replacement — Efraimidis–Spirakis A-RES exactly as
+    // p10 (rank by ln(u)/w descending, u the md5-portable draw over
+    // "neg:" || node, an independent hash stream from the walk draws) —
+    // so reruns, retries, and the DuckDB oracle reproduce both the
+    // selection and the probabilities. Scale shape: one count over the
+    // walk corpus, a broadcast scalar for Σw, one top-k
+    // (TakeOrderedAndProject) — no global sort, no self-join.
+    "g18_negative_sampling" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      val before = graft.RddScope.persisted(s)
+      val walks = graft.graph.RandomWalks
+        .walkBiased(e, seeds, steps = 4, nWalks = 2)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, walks)
+      val freq = walks.groupBy(col("node")).agg(count(lit(1)).as("freq"))
+      val w = pow(col("freq").cast("double"), lit(0.75))
+      val tot = freq.select(
+        sum(pow(col("freq").cast("double"), lit(0.75))).as("tot"))
+      val x = graft.ops.Portable.md5Long(
+        concat(lit("neg:"), col("node"))).cast("double")
+      val u = (x + lit(1.0)) / lit(1.152921504606846976e18) // 2^60
+      freq.crossJoin(broadcast(tot))
+        .select(col("node"), col("freq"),
+          round(w / col("tot"), 9).as("noise_p"),
+          (log(u) / w).as("k"))
+        .orderBy(col("k").desc, col("node"))
+        .limit(25)
+        .select(col("node"), col("freq"), col("noise_p"))
     })
   )
 
@@ -847,6 +889,22 @@ ke$i AS MATERIALIZED (
          |  ON a.walk_id = b.walk_id AND a.step <> b.step
          |  AND abs(a.step - b.step) <= 2
          |GROUP BY 1, 2 ORDER BY center, context""".stripMargin,
+
+    // word2vec negative-sampling pool: node frequencies over the replayed
+    // biased-walk corpus, freq^0.75 noise weights, A-RES top-25 under the
+    // "neg:"-salted portable draw (the p10 key, ln(u)/w descending).
+    "g18_negative_sampling" ->
+      s"""${biasedWalkCtes(4)},
+         |freq AS (
+         |  SELECT node, CAST(COUNT(*) AS BIGINT) AS freq FROM walks GROUP BY 1),
+         |tot AS (SELECT SUM(pow(freq, 0.75)) AS tot FROM freq)
+         |SELECT node, freq,
+         |  ROUND(pow(freq, 0.75) / tot, 9) AS noise_p
+         |FROM freq, tot
+         |ORDER BY
+         |  ln((CAST(CAST('0x' || substr(md5('neg:' || node), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+         |    / 1152921504606846976.0) / pow(freq, 0.75) DESC, node
+         |LIMIT 25""".stripMargin,
 
     "i1_pagerank_fixed" ->
       (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +

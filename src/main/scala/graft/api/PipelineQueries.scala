@@ -363,6 +363,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // t13 with the STORED-SKETCH planner hint applied end to end
+    // ([[graft.stats.SketchStats]], the AbCmsJoin-measured shape: 1.6×
+    // wall / 2.1× shuffle bytes at 64× amplification): the bigram stream
+    // is profiled (HLL per join key + avg width + rows — in a warehouse
+    // that row is stored next to the corpus and amortized over every
+    // later plan; the query is self-contained, so the profile pass runs
+    // inline), the broadcast decision for BOTH count relations is made
+    // from the profile alone, and under the hints the stream is never
+    // shuffled for the joins — Catalyst's child-sized static estimate
+    // for the aggregates would sort-merge at production scale.
+    // Value-identical to t13 (same oracle); the plan flip is pinned in
+    // SketchStatsSpec under a disabled auto-broadcast threshold.
+    "t13b_surprisal_hinted" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val big = tok
+        .withColumn("w2", lead(col("t"), 1).over(w))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("t").as("w1"), col("w2"))
+      val prof = graft.stats.SketchStats.profile(big, Map(
+        "c2" -> concat_ws(" ", col("w1"), col("w2")),
+        "c1" -> col("w1")))
+      val dec = graft.stats.SketchStats.decide(prof, Seq("c2", "c1"))
+      val c2 = graft.stats.SketchStats.hinted(
+        big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2")), dec("c2"))
+      val c1 = graft.stats.SketchStats.hinted(
+        big.groupBy(col("w1")).agg(count(lit(1)).as("c1")), dec("c1"))
+      big.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(round(avg(log(col("c1").cast("double") / col("c2"))), 6)
+          .as("mean_bigram_surprisal"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-distribution Shannon entropy per document:
     //   H = ln n − (Σ c·ln c)/n   (nats; c = per-token count, n = Σ c)
     // — the information-theoretic sibling of t9's distinct-token fraction:
@@ -1061,6 +1096,36 @@ object PipelineQueries {
       Multimodal.phashPairs(
         Multimodal.extractAudioFeatures(media, bands = 16).toDF()
           .select(col("media_id"), col("j"), col("feat")), radius = 2)
+    }),
+
+    // VIDEO-shaped perceptual dedup without container codecs: m3's frame
+    // sampler picks ≤8 deterministic frame indices per clip; each
+    // (clip, frame) renders the m5 real-codec still with the frame as
+    // the image id (frame_id = media_id·1009 + frame_idx — the sampler
+    // caps indices at 999, so frame ids never collide), goes through the
+    // genuine ImageIO encode→decode round trip, fingerprints via the
+    // shared sign quantization, and frame-level Hamming pairs aggregate
+    // to CLIP pairs with shared-near-frame counts — the decision input
+    // an actual video dedup consumes. Frames whose frame_id is congruent
+    // mod 256 render identical stills, so cross-clip collision structure
+    // is deterministic and the oracle replays the entire chain (m3's
+    // index CTE ∘ m6's pixel/fingerprint CTEs ∘ the m4 band join) in
+    // closed form. Only the decode stays missing for real videos —
+    // everything downstream is this exact plan.
+    "m9_phash_video_frames" -> ((s, d) => {
+      val frames = Multimodal.frameSample(
+          documents(s, d), "doc_id", "n_chars", maxFrames = 8)
+        .select((col("media_id") * 1009 + col("frame_idx")).as("frame_id"))
+      val media = Multimodal.synthGrayPng(s, frames, "frame_id")
+      Multimodal.phashPairs(
+        Multimodal.extractImageFeatures(media, bands = 16).toDF()
+          .select(col("media_id"), col("j"), col("feat")), radius = 2)
+        .select(expr("media_a div 1009").as("video_a"),
+          expr("media_b div 1009").as("video_b"))
+        .filter(col("video_a") =!= col("video_b"))
+        .groupBy(col("video_a"), col("video_b"))
+        .agg(count(lit(1)).as("n_frame_pairs"))
+        .orderBy(col("video_a"), col("video_b"))
     })
   )
 
@@ -1447,6 +1512,25 @@ object PipelineQueries {
         |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t13_bigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, arr[i] AS t, i
+        |  FROM toks, UNNEST(generate_series(1, len(arr))) AS u(i)),
+        |big AS (
+        |  SELECT doc_id, t AS w1,
+        |    LEAD(t) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+        |  FROM tok QUALIFY w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1 FROM big GROUP BY 1)
+        |SELECT big.doc_id,
+        |  ROUND(AVG(ln(CAST(c1.c1 AS DOUBLE) / c2.c2)), 6) AS mean_bigram_surprisal
+        |FROM big JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY big.doc_id ORDER BY big.doc_id""".stripMargin,
+
+    // Same semantics as t13 — the hint changes only the physical plan.
+    "t13b_surprisal_hinted" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
         |  FROM documents),
@@ -2437,6 +2521,50 @@ object PipelineQueries {
         |  md5(text) AS content_hash,
         |  CAST(640 + n_chars % 1280 AS BIGINT) AS fake_width,
         |  CAST(360 + (n_chars * 7) % 720 AS BIGINT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // m9: m3's frame-index CTE feeding m6's pixel/fingerprint CTEs per
+    // frame_id = media_id·1009 + frame_idx, the m4 band join, then the
+    // frame→clip aggregation (integer // keeps ids exact in both engines).
+    "m9_phash_video_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(n_chars % 991 + 10 AS BIGINT) AS n_frames
+        |  FROM documents),
+        |fr AS (
+        |  SELECT media_id * 1009 + frame_idx AS frame_id
+        |  FROM f, UNNEST(generate_series(0, n_frames - 1,
+        |    CAST(ceil(CAST(n_frames AS DOUBLE) / 8) AS BIGINT))) AS u(frame_idx)),
+        |px AS (
+        |  SELECT frame_id, yy.y AS j,
+        |    (frame_id * 31 + xx.x * 7 + yy.y * 13) % 256 AS g
+        |  FROM fr,
+        |    UNNEST(generate_series(0, 15)) AS xx(x),
+        |    UNNEST(generate_series(0, 15)) AS yy(y)),
+        |rowsum AS (
+        |  SELECT frame_id, j, SUM(g) AS s FROM px GROUP BY frame_id, j),
+        |fp AS (
+        |  SELECT frame_id AS media_id,
+        |    CAST(SUM(CASE WHEN s >= 2040 THEN (CAST(1 AS BIGINT) << j)
+        |             ELSE 0 END) AS BIGINT) AS fp
+        |  FROM rowsum GROUP BY frame_id),
+        |bnd AS (
+        |  SELECT media_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM fp, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.media_id AS media_a, b2.media_id AS media_b
+        |  FROM bnd a JOIN bnd b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.media_id < b2.media_id),
+        |hp AS (
+        |  SELECT c.media_a, c.media_b
+        |  FROM c
+        |  JOIN fp fa ON fa.media_id = c.media_a
+        |  JOIN fp fb ON fb.media_id = c.media_b
+        |  WHERE bit_count(xor(fa.fp, fb.fp)) <= 2)
+        |SELECT media_a // 1009 AS video_a, media_b // 1009 AS video_b,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frame_pairs
+        |FROM hp
+        |WHERE media_a // 1009 <> media_b // 1009
+        |GROUP BY 1, 2 ORDER BY video_a, video_b""".stripMargin
   )
 }

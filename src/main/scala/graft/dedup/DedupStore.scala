@@ -59,6 +59,85 @@ object DedupStore {
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
     write(docs, idCol, textCol, n, bands, rowsPerBand, path, "append")
 
+  /** Maintenance: rewrite the store's three relations into few large,
+    * clustered files. Append-only increments each leave their own file
+    * splatter (every [[append]] writes shuffle-parallelism × |bands|
+    * band files plus a shingle/count file set), so a many-increment
+    * store's probe cost grows with FILE COUNT even while its row count
+    * is stable — the residual growth the AbDedupInc notes name. One
+    * compaction pays a bounded rewrite to restore the fresh-store scan:
+    *
+    *   - `bands`: one task per band (hash-repartition on the Hive
+    *     partition key), rows sorted by (bucket, id) — each band
+    *     directory collapses to a single bucket-clustered file, so the
+    *     probe's band equi-join reads sequentially;
+    *   - `shingles`/`counts`: range-repartitioned and sorted by `id`
+    *     into `idFiles` files — each file carries a TIGHT min/max id
+    *     range in its parquet footer (the id-bucketed layout the store
+    *     notes promise), which clusters the refine's id-restricted scan
+    *     and positions the layout for row-group skipping.
+    *
+    * [[searchNew]] results are byte-identical before/after (the store
+    * holds the same rows; DedupStoreSpec pins it). The rewrite stages
+    * into `<path>/.compact.tmp` and swaps by rename — on a crash
+    * mid-swap the tmp dir is simply re-derivable from a fresh
+    * [[save]]; a production deployment would front this with a
+    * manifest/transaction log (Delta/Iceberg-style), which is out of
+    * scope for the path-based store.
+    */
+  def compact(spark: SparkSession, path: String, idFiles: Int = 8): Unit = {
+    require(idFiles >= 1, s"idFiles must be >= 1; got $idFiles")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(s"$path/bands")
+      .repartition(col("band"))
+      .sortWithinPartitions(col("bucket"), col("id"))
+      .write.partitionBy("band").parquet(s"$tmp/bands")
+    spark.read.parquet(s"$path/shingles")
+      .repartitionByRange(idFiles, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$path/counts")
+      .repartitionByRange(idFiles, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.parquet(s"$tmp/counts")
+    Seq("bands", "shingles", "counts").foreach { rel =>
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      fs.delete(live, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live),
+        s"compact: rename of $rel into place failed")
+    }
+    fs.delete(tmp, true)
+    ()
+  }
+
+  /** [[searchNew]]'s candidate stage: (doc_a, doc_b) bucket-collision
+    * pairs of a new batch's banded minhashes vs the stored band relation
+    * (both orientations) and within the batch itself — exactly the
+    * (stored ∪ new) candidate set minus stored×stored. Every arm is an
+    * equi hash join on (band, bucket); the stored corpus appears only as
+    * one SIDE of the new-vs-stored joins, never in a self-join — the
+    * property that keeps an increment O(batch), pinned in PlanShapeSpec.
+    */
+  private[graft] def candidatePairs(
+      spark: SparkSession, path: String, newBands: DataFrame): DataFrame = {
+    val stored = spark.read.parquet(s"$path/bands")
+    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("band"), col("bucket"), col("id").as("doc_a"))
+        .join(b.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
+          col("id").as("doc_b")),
+          col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+            col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+    pairsOf(newBands, stored)
+      .unionAll(pairsOf(stored, newBands))
+      .unionAll(pairsOf(newBands, newBands))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   /** Near-duplicate pairs of a NEW batch against the stored corpus AND
     * within the batch itself, exact-Jaccard-refined at `threshold` —
     * without touching the stored corpus beyond the band equi-join and
@@ -74,20 +153,7 @@ object DedupStore {
       .localCheckpoint(true)
     val newBands = Dedup.minhashBanded(newSh, bands, rowsPerBand)
       .localCheckpoint(true) // probed twice (vs store, vs itself)
-    val stored = spark.read.parquet(s"$path/bands")
-    // Candidates: new×stored (both orientations) ∪ new×new — exactly the
-    // (stored ∪ new) candidate set minus stored×stored.
-    def pairsOf(a: DataFrame, b: DataFrame): DataFrame =
-      a.select(col("band"), col("bucket"), col("id").as("doc_a"))
-        .join(b.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
-          col("id").as("doc_b")),
-          col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
-            col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"))
-    val candidates = pairsOf(newBands, stored)
-      .unionAll(pairsOf(stored, newBands))
-      .unionAll(pairsOf(newBands, newBands))
-      .dropDuplicates("doc_a", "doc_b")
+    val candidates = candidatePairs(spark, path, newBands)
       // Consumed three times below (id restriction + both refine joins).
       .localCheckpoint(true)
     // candidates' EAGER checkpoint just truncated lineage above newBands,

@@ -75,6 +75,12 @@ object IndexStore {
         explode(Similarity.tunedCandMasks).as("m"))
       .select(col("vec_id"), col("v"),
         col("home").bitwiseXOR(col("m")).as("cell"))
+      // The 3 assignment cells (home, flip b1, flip b2) coincide when two
+      // coordinates tie on |v| (b1 == b2) — dedup so the store never
+      // carries duplicate (vec_id, cell) rows; search results are
+      // unchanged either way (rankTopK's insert-time dedup), this keeps
+      // the LAYOUT canonical: ≤3 rows per vector, exactly 3 absent ties.
+      .dropDuplicates("vec_id", "cell")
       .write.mode("overwrite").partitionBy("cell").parquet(path)
 
   /** Search the persisted tuned store with the 8-probe perturbation set.

@@ -63,10 +63,19 @@ object SketchStats {
     }
     val row: Row = profileDf.select(cols: _*).head()
     keys.zipWithIndex.map { case (k, i) =>
-      val est = row.getLong(2 * i)
-      val width = row.getDouble(2 * i + 1)
-      val bytes = (est * (width + rowOverhead)).toLong
-      k -> Decision(k, est, bytes, bytes < thresholdBytes)
+      // A profile built over an EMPTY stream (stream_rows = 0) has null
+      // sketch and width columns: its aggregate is empty, which is the
+      // most broadcastable relation there is — answer estRows = 0 rather
+      // than tripping an opaque NPE on getLong (same for an all-null key
+      // expression, whose aggregate is one group).
+      if (row.isNullAt(2 * i) || row.isNullAt(2 * i + 1))
+        k -> Decision(k, 0L, 0L, broadcast = true)
+      else {
+        val est = row.getLong(2 * i)
+        val width = row.getDouble(2 * i + 1)
+        val bytes = (est * (width + rowOverhead)).toLong
+        k -> Decision(k, est, bytes, bytes < thresholdBytes)
+      }
     }.toMap
   }
 

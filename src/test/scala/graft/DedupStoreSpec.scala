@@ -59,6 +59,53 @@ class DedupStoreSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("compact: searchNew results unchanged, file splatter collapsed") {
+    val dir = Files.createTempDirectory("graft_dedup_compact").toString
+    // Build a deliberately fragmented store: one save + three appends,
+    // each leaving its own file set in every relation.
+    val chunks = Seq(
+      docs.filter(col("doc_id") < 150),
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      docs.filter(col("doc_id") >= 300 && col("doc_id") < 400),
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 450))
+    DedupStore.save(chunks.head, "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    chunks.tail.foreach(c =>
+      DedupStore.append(c, "doc_id", "text", n, bands, rpb, s"$dir/ix"))
+    val probe = docs.filter(col("doc_id") >= 450)
+    val beforePairs = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = Seq("bands", "shingles", "counts")
+      .map(r => parquetFiles(s"$dir/ix/$r")).sum
+    DedupStore.compact(spark, s"$dir/ix", idFiles = 2)
+    val filesAfter = Seq("bands", "shingles", "counts")
+      .map(r => parquetFiles(s"$dir/ix/$r")).sum
+    assert(filesAfter < filesBefore,
+      s"compaction did not reduce files: $filesBefore -> $filesAfter")
+    // The store holds the same rows, so the probe is value-identical.
+    val afterPairs = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    assert(afterPairs == beforePairs,
+      s"probe changed across compact: missing=${(beforePairs -- afterPairs).take(3)} " +
+        s"extra=${(afterPairs -- beforePairs).take(3)}")
+    // And the compacted store still appends cleanly (the lifecycle is
+    // save/append* -> compact -> append* ...).
+    DedupStore.append(probe, "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    val full = pairs(Dedup.minhashLshPairs(docs, "doc_id", "text", n, bands, rpb, thr))
+    val afterAppend = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 500),
+      "doc_id", "text", n, bands, rpb, thr))
+    val expected = full.filter { case (a, b, _) => a >= 500 || b >= 500 }
+    assert(afterAppend == expected,
+      s"post-compact append diverged: missing=${(expected -- afterAppend).take(3)} " +
+        s"extra=${(afterAppend -- expected).take(3)}")
+  }
+
   test("append lifecycle: save(old) + append(new) == save(all)") {
     val dir = Files.createTempDirectory("graft_dedup_append").toString
     val old = docs.filter(col("doc_id") < 300)

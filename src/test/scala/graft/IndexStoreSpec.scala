@@ -55,10 +55,12 @@ class IndexStoreSpec extends SparkSpec {
   test("tuned store (x3 assignment, 8-probe search) equals the one-plan tuned ANN") {
     val dir = Files.createTempDirectory("graft_ivf_tuned").toString
     IndexStore.saveIvfTuned(vecs, path = s"$dir/ivf")
-    // The store holds each vector exactly 3 times (home + 2 flips, masks
-    // are distinct bits so the 3 cells are distinct).
+    // The store holds each vector AT MOST 3 times (home + 2 flips); the
+    // write dedups (vec_id, cell), so with this fixture's tie-free |v|
+    // coordinates the 3 cells are distinct and the count is exactly 3N.
     val stored = spark.read.parquet(s"$dir/ivf")
     assert(stored.count() == vecs.count() * 3)
+    assert(stored.select("vec_id", "cell").distinct().count() == stored.count())
     val queries = vecs
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val searched = IndexStore.searchIvfTuned(spark, s"$dir/ivf", queries, k = 5)

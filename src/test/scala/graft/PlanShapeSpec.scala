@@ -329,4 +329,125 @@ class PlanShapeSpec extends SparkSpec {
     val plan = planOf(SparkEntry.queries("g11_link_prediction")(spark, Sf001))
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
+
+  test("g16: biased walk is equi-joins end to end; frontier drives every step, edges never shuffle") {
+    // Per step the biased walk runs TWO joins — the frontier⋈edges probe
+    // (explicit broadcast hint, like g15) and the (prev, dst) adjacency
+    // probe against the dedup'd checkpointed edge relation — except step
+    // 1, whose adjacency probe Catalyst constant-folds away entirely
+    // (prev is literal null, so the left join is provably all-null).
+    // Neither may degenerate to a cartesian product, and the edge
+    // relation must never exchange by src inside the loop (the dedup's
+    // own exchange happened once, inside the eager checkpoint, before
+    // this plan). collect() (not count(), which builds a separate plan)
+    // so AQE finalizes THIS df's join strategies.
+    val df = SparkEntry.queries("g16_biased_walks")(spark, Sf001)
+    df.collect()
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The only nested-loop allowed is the bounded seeds×nWalks Cross fan
+    // that mints walk ids (nWalks = 2 rows on the broadcast side; the
+    // plan string repeats it per union branch). A LeftOuter/Inner BNLJ
+    // would mean the adjacency or edge probe degenerated to a product.
+    val nljTypes = "BroadcastNestedLoopJoin Build\\w+, (\\w+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(nljTypes.subsetOf(Set("Cross")),
+      s"non-Cross nested-loop joins $nljTypes:\n" + plan.take(3000))
+    // The frontier-broadcast edge probes and the steps-2+ adjacency
+    // probes all resolve to broadcast hash joins at this scale.
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n" +
+      plan.take(3000))
+    assert(!("Exchange hashpartitioning\\(src".r.findFirstIn(plan).isDefined),
+      plan.take(3000))
+  }
+
+  test("g17: skip-gram counts shuffle once on (center, context), partial-aggregated") {
+    // The walk relation arrives eagerly checkpointed (RDD scan); the
+    // emission is the bounded-fanout walk_id self-join plus ONE
+    // map-side-combinable count — exactly one hash exchange keyed by the
+    // (center, context) group, with partial_count running below it. The
+    // only other exchanges permitted: the walk_id self-join's (≤2, and
+    // AQE may broadcast one side instead) and the final orderBy's range
+    // partitioning.
+    val df = SparkEntry.queries("g17_walk_skipgrams")(spark, Sf001)
+    df.collect() // finalize THIS df's AQE plan (count() builds its own)
+    val physical: SparkPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val s = physical.toString
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s.take(3000))
+    // Post-execution the exchanges sit under materialized
+    // ShuffleQueryStage LEAF nodes (collect cannot descend), so count
+    // them in the plan text: exactly one hash exchange keyed by the
+    // (center, context) group.
+    val byGroup = "Exchange hashpartitioning\\(center".r.findAllIn(s).size
+    assert(byGroup == 1,
+      s"expected exactly 1 (center, context) hash exchange, got $byGroup:\n" +
+        s.take(3000))
+    assert(s.contains("partial_count"), s.take(3000))
+  }
+
+  test("searchNew: candidates are (band, bucket) equi-joins, stored bands never self-join") {
+    // The incremental-dedup scale contract: candidate pairs come from
+    // hash equi-joins of the NEW batch's bands against the stored band
+    // relation (two orientations) plus new×new — the stored relation is
+    // never on both sides of one join, so an increment's work is
+    // O(batch), not O(corpus²).
+    import graft.dedup.{Dedup, DedupStore}
+    val dir = java.nio.file.Files.createTempDirectory("graft_plan_store").toString
+    val docs = Tables.documents(spark, Sf001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    DedupStore.save(docs.filter(org.apache.spark.sql.functions.col("doc_id") < 300),
+      "doc_id", "text", 3, 16, 4, s"$dir/ix")
+    val newBands = Dedup.minhashBanded(
+      Dedup.shingleIndex(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 300),
+        "doc_id", "text", 3), 16, 4)
+    val cand = DedupStore.candidatePairs(spark, s"$dir/ix", newBands)
+    val candPlan = planOf(cand)
+    assert(!candPlan.contains("CartesianProduct") &&
+      !candPlan.contains("BroadcastNestedLoopJoin"), candPlan.take(3000))
+    // every candidate join keys on the band column (equi, not a filter
+    // over a product)
+    assert("Join.*\\[band".r.findFirstIn(candPlan.replace("\n", " ")).isDefined ||
+      candPlan.contains("band_b"), candPlan.take(3000))
+    // the stored band relation is scanned once per orientation — twice —
+    // never more (a stored×stored arm would make it 4)
+    val physical: SparkPlan = cand.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val storedScans = physical.collectWithSubqueries { case f: FileSourceScanExec => f }
+      .count(_.metadata("Location").contains("/ix/bands"))
+    assert(storedScans == 2,
+      s"expected 2 stored-band scans (new×stored, stored×new), got $storedScans")
+    // and the probe's refine stage restricts the stored shingle scan to
+    // candidate-involved ids (left-semi) — the O(corpus) refine guard
+    val probe = DedupStore.searchNew(spark, s"$dir/ix",
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") >= 300),
+      "doc_id", "text", 3, 16, 4, 0.5)
+    val probePlan = planOf(probe)
+    assert(probePlan.contains("LeftSemi"), probePlan.take(3000))
+    assert(!probePlan.contains("CartesianProduct"), probePlan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(probe)
+  }
+
+  test("m8: decoded-audio dedup is mapPartitions decode into a banded equi-join") {
+    // The multimodal scale contract: decode runs distributed
+    // (mapPartitions over the media rows — object serialization appears
+    // as SerializeFromObject), and the perceptual-hash candidate stage
+    // is the 4-band nibble equi-join — never an all-pairs product.
+    val df = SparkEntry.queries("m8_phash_audio")(spark, Sf001)
+    val plan = planOf(df)
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the banded candidate join keys on the nibble band/bkey columns
+    assert(plan.contains("bkey"), plan.take(3000))
+  }
 }

@@ -67,6 +67,28 @@ class SketchStatsSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("t13b: the shipped query broadcasts both count joins from its profile, even when stock planning cannot") {
+    // Under autoBroadcastJoinThreshold=1 stock Catalyst can never
+    // broadcast (every static estimate exceeds 1 byte), so BHJs in the
+    // executed plan can ONLY come from the stored-profile hints — this
+    // is the production regime (child-sized static estimates ≫
+    // threshold ≫ true aggregate size) reproduced at test scale.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "1")
+      val stock = SparkEntry.queries("t13_bigram_surprisal")(spark, Sf001)
+      val hinted = SparkEntry.queries("t13b_surprisal_hinted")(spark, Sf001)
+      val a = stock.collect()
+      val b = hinted.collect()
+      assert(a.sameElements(b), "t13b diverged from t13")
+      assert(!stock.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"))
+      val plan = hinted.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(3000))
+    } finally spark.conf.set(key, prev)
+  }
+
   test("merge(profile(half1), profile(half2)) tracks profile(full) and truth") {
     val keys = Seq("tok", "doc_tok")
     def prof(df: org.apache.spark.sql.DataFrame) = SketchStats.profile(df,
