@@ -20,6 +20,21 @@ import org.apache.spark.sql.functions._
   *   1M walks:    broadcast  8.7 s | shuffled  18.9 s
   *   2M walks:    broadcast 44.8 s | shuffled 193.0 s
   *
+  * Biased (node2vec) pair, round 11 (same harness; the same session's
+  * uniform pair re-ran at 5.1/11.6 s @100k and 22.3/95.2 s @1M, so
+  * compare within-session, not against the quieter-box table above):
+  *
+  *   100k walks:  biased 16.6 s | biased_shuffled  23.9 s (1.44×)
+  *   1M walks:    biased 77.6 s | biased_shuffled 195.7 s (2.52×)
+  *
+  * Same reading as the uniform pair: on local[32] the broadcast shape
+  * always wins (a local broadcast is a free shared hash table), and the
+  * shuffled twin's bounded constant factor (1.4–2.5× here, matching the
+  * uniform pair's 2.25–4.3× envelope) is the premium a cluster pays to
+  * escape the per-step frontier-broadcast ceiling — which the biased
+  * walk hits SOONER (wider frontier rows, degree-multiplied candidate
+  * stream through the adjacency probe).
+  *
   * The broadcast shape wins EVERY local point — in local mode a
   * "broadcast" is one shared in-process hash table with zero network
   * cost, while the shuffled shape pays a real per-step sort/exchange
