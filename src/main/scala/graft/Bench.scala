@@ -104,6 +104,10 @@ object Bench {
     "t13_bigram_surprisal",
     "t13b_surprisal_hinted",
     "t16_repetition",
+    "t20_nb_langid",
+    "t21_ccnet_buckets",
+    "p16_dsir_resample",
+    "d17_ngram_boilerplate",
     "e14_zscore_outliers",
     "e16_scd2",
     "e17_hopping_window",

@@ -1126,6 +1126,165 @@ object PipelineQueries {
         .groupBy(col("video_a"), col("video_b"))
         .agg(count(lit(1)).as("n_frame_pairs"))
         .orderBy(col("video_a"), col("video_b"))
+    }),
+
+    // Multinomial Naive Bayes language ID, trained AND applied in one
+    // declarative plan (McCallum & Nigam 1998 — the event model; Laplace
+    // add-one smoothing). Unlike iterative classifiers, NB is closed-form
+    // counts, so the whole train+score pipeline is joins/aggregations and
+    // carries a full DuckDB oracle. Scale shape: the class dimension is
+    // tiny (|langs|) → broadcast; token↔count joins shuffle on the
+    // Zipf-skewed token key (AQE skew-join handles hot heads); scoring
+    // runs over the per-doc token MULTISET (doc_id, t, k) — |distinct
+    // tokens per doc| rows, not |tokens| — and every aggregate is
+    // map-side combinable. Scores are rounded to 6 digits BEFORE the
+    // per-doc argmax so the winner (ties broken by class name) is
+    // engine-independent.
+    "t20_nb_langid" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      val dtc = tok.groupBy(col("doc_id"), col("lang"), col("t"))
+        .agg(count(lit(1)).as("k"))
+      val classes = docs.groupBy(col("lang").as("cls"))
+        .agg(count(lit(1)).as("n_docs"))
+      val tot = docs.agg(count(lit(1)).as("n_total"))
+      val c2 = tok.groupBy(col("lang").as("cls"), col("t"))
+        .agg(count(lit(1)).as("c"))
+      val nc = c2.groupBy(col("cls")).agg(sum(col("c")).as("n_c"))
+      val vocab = tok.agg(countDistinct(col("t")).as("v"))
+      val ll = dtc
+        .crossJoin(broadcast(classes))
+        .join(c2, Seq("cls", "t"), "left")
+        .join(broadcast(nc), "cls")
+        .crossJoin(broadcast(vocab))
+        .groupBy(col("doc_id"), col("lang"), col("cls"))
+        .agg(sum(col("k") * log(
+          (coalesce(col("c"), lit(0L)) + lit(1.0)) /
+            (col("n_c") + col("v")))).as("ll"))
+      val scored = ll
+        .join(broadcast(classes), "cls")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("lang"), col("cls"),
+          round(col("ll") +
+            log(col("n_docs").cast("double") / col("n_total")), 6).as("score"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("cls"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("cls").as("pred_lang"),
+          col("score"), (col("lang") === col("cls")).as("correct"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    // importance weight log w(x) = Σ_b k_b·(ln p_target(b) − ln p_raw(b))
+    // under hashed-unigram bag-of-words LMs (the t15 1024-bucket feature
+    // space, add-one smoothed), target domain = source 'src0', raw = the
+    // whole corpus; then Gumbel-top-k sampling WITHOUT replacement ∝ w
+    // (key = log w + Gumbel noise from the portable md5 draw — the same
+    // distribution-exact trick as p10's A-RES, Vieira 2014). Scale shape:
+    // both LMs are 1024-row relations → broadcast to the per-doc bucket
+    // counts (map-side combinable); the top-k is a driver TakeOrdered,
+    // never a full sort. The selection IS the published method end to
+    // end — only the target corpus is a stand-in.
+    "p16_dsir_resample" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(TextFns.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("source"),
+          (graft.ops.Portable.md5Long(col("t")) % 1024).as("b"))
+      val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("c_raw"))
+      val tgtTok = tok.filter(col("source") === "src0")
+      val tgt = tgtTok.groupBy(col("b")).agg(count(lit(1)).as("c_tgt"))
+      val nRaw = tok.agg(count(lit(1)).as("n_raw"))
+      val nTgt = tgtTok.agg(count(lit(1)).as("n_tgt"))
+      val lm = raw.join(tgt, Seq("b"), "left")
+        .crossJoin(broadcast(nRaw)).crossJoin(broadcast(nTgt))
+        .select(col("b"),
+          (log((coalesce(col("c_tgt"), lit(0L)) + lit(1.0)) /
+            (col("n_tgt") + lit(1024.0))) -
+            log((col("c_raw") + lit(1.0)) /
+              (col("n_raw") + lit(1024.0)))).as("lr"))
+      val dbc = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("k"))
+      val logw = dbc.join(broadcast(lm), "b")
+        .groupBy(col("doc_id")).agg(sum(col("k") * col("lr")).as("logw"))
+      val x = graft.ops.Portable.md5Long(
+        concat(lit("dsir:"), col("doc_id").cast("string"))).cast("double")
+      val u = (x + 1.0) / 1.152921504606846976e18 // 2^60: 15 hex digits
+      logw
+        .select(col("doc_id"), col("logw"),
+          (col("logw") - log(-log(u))).as("gk"))
+        .orderBy(col("gk").desc, col("doc_id"))
+        .limit(100)
+        .select(col("doc_id"), round(col("logw"), 6).as("logw"))
+    }),
+
+    // Cross-document boilerplate detection at 5-gram granularity — the
+    // word-n-gram spelling of C4's "three-sentence" / RefinedWeb's
+    // line-frequency rule (Raffel et al. 2020 §2.2, Penedo et al. 2023
+    // §4.2; these synthetic documents are single-line, so the gram is the
+    // repetition unit, as in t16). A 5-gram shared by ≥3 DISTINCT
+    // documents is boilerplate; each doc reports its gram count,
+    // boilerplate-gram count, and ratio — the filter signal a curation
+    // pass consumes. Integer arithmetic until the final rounded ratio →
+    // exact hash oracle. Scale shape: the per-doc window is bounded by
+    // document length; (gram, doc) distinct + document-frequency count
+    // are two-level partial aggregations; the gram join back is
+    // Zipf-skewed on hot boilerplate keys → AQE skew-join.
+    "d17_ngram_boilerplate" -> ((s, d) => {
+      val tok = documents(s, d)
+        .select(col("doc_id"),
+          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val g5 = tok
+        .withColumn("w2", lead(col("t"), 1).over(w))
+        .withColumn("w3", lead(col("t"), 2).over(w))
+        .withColumn("w4", lead(col("t"), 3).over(w))
+        .withColumn("w5", lead(col("t"), 4).over(w))
+        .filter(col("w5").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("t"), col("w2"),
+          col("w3"), col("w4"), col("w5")).as("g"))
+      val df = g5.select(col("g"), col("doc_id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      g5.join(df, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") >= 3, lit(1L)).otherwise(lit(0L))).as("n_boiler"))
+        .withColumn("boiler_ratio",
+          round(col("n_boiler").cast("double") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet perplexity bucketing (Wenzek et al. 2020 §4.3): score every
+    // document under its OWN language's unigram LM (per-lang corpus
+    // frequencies — the t12 surprisal, conditioned on lang), then split
+    // each language into head/middle/tail terciles — the quality tiers
+    // CCNet publishes and trainers mix from. The tercile here is the
+    // exact NTILE(3) over (score, doc_id) — oracle-able and deterministic;
+    // at 100 TB a per-lang window is a single sorted partition, so the
+    // cluster path fits tercile THRESHOLDS on a p3-style deterministic
+    // sample (exactly what CCNet does) and assigns by broadcast
+    // comparison — same output tiers, no global sort. Scale shape
+    // otherwise: per-(lang, token) counts are map-side combinable, the
+    // lang dimension (5 rows) broadcasts, the freq join shuffles on the
+    // skewed token key under AQE.
+    "t21_ccnet_buckets" -> ((s, d) => {
+      val tok = documents(s, d).select(col("doc_id"), col("lang"),
+        explode(TextFns.tokens(col("text"))).as("t"))
+      val freq = tok.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("f"))
+      val nl = tok.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      val scoreD = tok.join(freq, Seq("lang", "t")).join(broadcast(nl), "lang")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(round(avg(log(col("n_lang").cast("double") / col("f"))), 6)
+          .as("logppl"))
+      val wl = Window.partitionBy(col("lang"))
+        .orderBy(col("logppl"), col("doc_id"))
+      scoreD.withColumn("tercile", ntile(3).over(wl))
+        .select(col("doc_id"), col("lang"), col("logppl"),
+          when(col("tercile") === 1, "head")
+            .when(col("tercile") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2565,6 +2724,113 @@ object PipelineQueries {
         |  CAST(COUNT(*) AS BIGINT) AS n_frame_pairs
         |FROM hp
         |WHERE media_a // 1009 <> media_b // 1009
-        |GROUP BY 1, 2 ORDER BY video_a, video_b""".stripMargin
+        |GROUP BY 1, 2 ORDER BY video_a, video_b""".stripMargin,
+
+    "t20_nb_langid" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, lang, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |dtc AS (
+        |  SELECT doc_id, lang, t, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM tok GROUP BY 1, 2, 3),
+        |classes AS (SELECT lang AS cls, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents),
+        |c2 AS (SELECT lang AS cls, t, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, SUM(c) AS n_c FROM c2 GROUP BY 1),
+        |vocab AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tok),
+        |ll AS (
+        |  SELECT dtc.doc_id, dtc.lang, classes.cls,
+        |    SUM(dtc.k * ln((COALESCE(c2.c, 0) + 1.0) / (nc.n_c + vocab.v))) AS ll
+        |  FROM dtc CROSS JOIN classes
+        |  LEFT JOIN c2 ON c2.t = dtc.t AND c2.cls = classes.cls
+        |  JOIN nc ON nc.cls = classes.cls
+        |  CROSS JOIN tot CROSS JOIN vocab
+        |  GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT ll.doc_id, ll.lang, ll.cls,
+        |    ROUND(ll.ll + ln(CAST(classes.n_docs AS DOUBLE) / tot.n_total), 6) AS score
+        |  FROM ll JOIN classes ON classes.cls = ll.cls CROSS JOIN tot),
+        |ranked AS (
+        |  SELECT doc_id, lang, cls, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rn
+        |  FROM scored)
+        |SELECT doc_id, lang, cls AS pred_lang, score, (lang = cls) AS correct
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "p16_dsir_resample" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |    FROM documents)),
+        |raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw FROM tok GROUP BY 1),
+        |tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c_tgt
+        |  FROM tok WHERE source = 'src0' GROUP BY 1),
+        |nraw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_raw FROM tok),
+        |ntgt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tgt
+        |  FROM tok WHERE source = 'src0'),
+        |lm AS (
+        |  SELECT raw.b,
+        |    ln((COALESCE(tgt.c_tgt, 0) + 1.0) / (ntgt.n_tgt + 1024.0)) -
+        |    ln((raw.c_raw + 1.0) / (nraw.n_raw + 1024.0)) AS lr
+        |  FROM raw LEFT JOIN tgt ON tgt.b = raw.b
+        |  CROSS JOIN nraw CROSS JOIN ntgt),
+        |dbc AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k
+        |  FROM tok GROUP BY 1, 2),
+        |logw AS (
+        |  SELECT dbc.doc_id, SUM(dbc.k * lm.lr) AS logw
+        |  FROM dbc JOIN lm ON lm.b = dbc.b GROUP BY 1),
+        |keyed AS (
+        |  SELECT doc_id, logw,
+        |    logw - ln(-ln((CAST(CAST('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
+        |      / 1152921504606846976.0)) AS gk
+        |  FROM logw)
+        |SELECT doc_id, ROUND(logw, 6) AS logw FROM keyed
+        |ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
+
+    "d17_ngram_boilerplate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |g5 AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] AS g
+        |  FROM toks, UNNEST(generate_series(1, len(arr) - 4)) AS u(i)
+        |  WHERE len(arr) >= 5),
+        |df AS (
+        |  SELECT g, CAST(COUNT(*) AS BIGINT) AS df FROM (
+        |    SELECT DISTINCT g, doc_id FROM g5) GROUP BY 1)
+        |SELECT g5.doc_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  ROUND(CAST(SUM(CASE WHEN df.df >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS boiler_ratio
+        |FROM g5 JOIN df ON df.g = g5.g
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "t21_ccnet_buckets" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, lang, UNNEST(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents),
+        |freq AS (SELECT lang, t, CAST(COUNT(*) AS BIGINT) AS f FROM tok GROUP BY 1, 2),
+        |nl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_lang FROM tok GROUP BY 1),
+        |scored AS (
+        |  SELECT tok.doc_id, tok.lang,
+        |    ROUND(AVG(ln(CAST(nl.n_lang AS DOUBLE) / freq.f)), 6) AS logppl
+        |  FROM tok
+        |  JOIN freq ON freq.lang = tok.lang AND freq.t = tok.t
+        |  JOIN nl ON nl.lang = tok.lang
+        |  GROUP BY 1, 2),
+        |tiled AS (
+        |  SELECT doc_id, lang, logppl,
+        |    NTILE(3) OVER (PARTITION BY lang ORDER BY logppl, doc_id) AS tercile
+        |  FROM scored)
+        |SELECT doc_id, lang, logppl,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM tiled ORDER BY doc_id""".stripMargin
   )
 }
