@@ -108,6 +108,9 @@ object Bench {
     "t21_ccnet_buckets",
     "p16_dsir_resample",
     "d17_ngram_boilerplate",
+    "p17_leakage_safe_split",
+    "d18_semdedup",
+    "d18b_semdedup_portable",
     "e14_zscore_outliers",
     "e16_scd2",
     "e17_hopping_window",
@@ -141,6 +144,7 @@ object Bench {
     "g16_biased_walks",
     "g17_walk_skipgrams",
     "g18_negative_sampling",
+    "g19_walk_pmi",
     "a20_theta_ops",
     "a21_cms",
     "a22_hll_rollup",
@@ -186,11 +190,24 @@ object Bench {
     * artifacts can't be overwritten mid-round, so they are the floors
     * that make "moved >3× vs last round" mean what it says.
     *
-    * Fallback (no BENCH_r artifact yet, e.g. round 1 local runs): the
-    * committed `bench_diag.json` sidecar, as before. Either way a
-    * same-scale check guards against an sf0.001 smoke baseline flagging
-    * every sf0.1 query. Returns (floors, sourceName) so the notes can
-    * state which baseline adjudicated the round.
+    * The artifact alone is NOT a complete floor set: when the bench line
+    * overflows the driver's 2000-char tail, the emitted queries map is a
+    * slowest-legs subset marked `"_dropped_fastest": N` (r11 dropped 39
+    * legs that way), so a fast leg regressing 3× would have no floor and
+    * sail through — the same failure mode the artifact move was meant to
+    * eliminate. And the artifact records single-run session walls taken
+    * under whatever load that round ran at, where the sidecar stores
+    * per-query MIN walls. So: merge BOTH sources — the `_dropped_fastest`
+    * marker is skipped, keys present in only one source use that source,
+    * and keys present in both take the per-query min (an inflated noisy-
+    * round artifact wall can't mask a mover the sidecar floor would
+    * catch). The sidecar can be a mid-round overwrite for keys the
+    * artifact also has — min() is immune to that (a slow mid-round value
+    * loses to the artifact; a fast one only lowers the floor, which flags
+    * MORE, never less). Residual exposure is only the dropped-fastest
+    * keys, whose floors come from the sidecar alone — annotated in the
+    * source name so the notes say what adjudicated the round. Returns
+    * (floors, sourceName).
     */
   private def previousMinWalls(sfDir: String): (Map[String, Double], String) = {
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble)
@@ -201,6 +218,7 @@ object Bench {
           case Some(m) =>
             "\"([^\"\\\\]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(m.group(1))
               .map(g => g.group(1) -> g.group(2).toDouble).toMap
+              .filterNot(_._1.startsWith("_")) // "_dropped_fastest" is a count, not a leg
         }
     def fromBenchArtifact(): Option[(Map[String, Double], String)] =
       try {
@@ -214,8 +232,11 @@ object Bench {
             java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
           val prevSf = "\"sf\"\\s*:\\s*([0-9.]+)".r
             .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val truncated = txt.contains("_dropped_fastest")
           val qs = parseQueriesMap(txt, "queries")
-          if (qs.nonEmpty && prevSf == sfNum) Some((qs, f.getName)) else None
+          val name = if (truncated) s"${f.getName} (truncated slowest-legs subset)"
+                     else f.getName
+          if (qs.nonEmpty && prevSf == sfNum) Some((qs, name)) else None
         }
       } catch { case _: Throwable => None }
     def fromSidecar(): Option[(Map[String, Double], String)] =
@@ -228,12 +249,20 @@ object Bench {
             .findFirstMatchIn(txt).map(_.group(1))
           val qs = parseQueriesMap(txt, "queries_min")
           if (qs.nonEmpty && prevSf.contains(sfDir))
-            Some((qs, "bench_diag.json (no same-sf BENCH_r artifact)"))
+            Some((qs, "bench_diag.json queries_min"))
           else None
         }
       } catch { case _: Throwable => None }
-    fromBenchArtifact().orElse(fromSidecar())
-      .getOrElse((Map.empty[String, Double], "none"))
+    (fromBenchArtifact(), fromSidecar()) match {
+      case (Some((a, an)), Some((s, sn))) =>
+        val merged = (a.keySet ++ s.keySet).map { k =>
+          k -> math.min(a.getOrElse(k, Double.MaxValue), s.getOrElse(k, Double.MaxValue))
+        }.toMap
+        (merged, s"min($an, $sn)")
+      case (Some(as), None) => as
+      case (None, Some(ss)) => (ss._1, ss._2 + " (no same-sf BENCH_r artifact)")
+      case (None, None)     => (Map.empty[String, Double], "none")
+    }
   }
 
   // Spark 4.x on JDK 17 module options for the forked A/B child (the same
@@ -645,7 +674,16 @@ object Bench {
       "\"r10 AbDedupInc (adjudicate a 500-doc batch vs an Nx corpus): incremental searchNew wall nearly flat 3.5/4.4/6.5 s at corpus 32x/128x/512x while the batch operator on the union grows linearly 3.9/12.0/29.9 s (4.6x at 512x, widening); one-time store build 10.5/17.3/41.1 s amortizes across increments. Incremental residual growth is the stored band/shingle parquet scans - id-bucketed layout would prune further on a cluster\"",
       // r11 DedupStore.compact measured (the maintenance path the r10
       // note asked for): 512x corpus arriving as 16 increments.
-      "\"r11 AbDedupInc compaction leg (512x corpus, 16 appends): fragmented store 2192 files / probe 5.8 s; compact() one-time 7.5 s collapses to 32 id-clustered files and the probe drops to 3.6 s - below even the single-save store's 6.1 s floor (a save itself leaves shuffle-parallelism x bands files). Residual scan growth flattened; searchNew results spec-pinned identical across layouts\"")
+      "\"r11 AbDedupInc compaction leg (512x corpus, 16 appends): fragmented store 2192 files / probe 5.8 s; compact() one-time 7.5 s collapses to 32 id-clustered files and the probe drops to 3.6 s - below even the single-save store's 6.1 s floor (a save itself leaves shuffle-parallelism x bands files). Residual scan growth flattened; searchNew results spec-pinned identical across layouts\"",
+      // r12 adjudication of the r11 auto-A/B's one regression candidate
+      // (quiet box load1 0.7, fresh-JVM QBench, two interleaved reps per
+      // tree): g14's code path is git-identical since its creation, and
+      // both trees floor far below the flagged session wall.
+      "\"r12 adjudication g14_path_load (r11 session 12.27 s at load1 4.7; r10 'prev' 3.85 was an in-session warm-JVM wall): fresh-JVM quiet-box floors HEAD 4.46/5.09 s vs r10 tree 3.64/4.03 s, cpu floors 3.99 vs 3.22 - Centrality.pathLoad and the g14 entry are git-identical since r9 (only sibling map entries and oracle strings changed), so the 12.27 s leg was box state and the residual 0.8 s tree delta is fresh-JVM JIT variance; exonerated, no mover\"",
+      // r12 detector hardening (the r11 ADVICE items): artifact floors
+      // can be a truncated slowest-legs subset, so the baseline now
+      // merges artifact + sidecar per-query minima.
+      "\"r12 detector fix: BENCH_r artifacts that overflow the driver tail carry only a slowest-legs subset (_dropped_fastest: 39 in r11), so artifact-only floors silently unguarded the 39 fastest legs; previousMinWalls now merges the artifact with the sidecar's queries_min taking per-query min (min() is immune to mid-round sidecar overwrites for shared keys: a slow mid-round value loses to the artifact, a fast one only flags more) and skips the _dropped_fastest marker\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

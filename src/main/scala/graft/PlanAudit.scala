@@ -27,7 +27,14 @@ object PlanAudit {
         // node2vec corpus pair), decoded-audio perceptual dedup, and the
         // skip-gram negative-sampling table
         "g16_biased_walks", "g17_walk_skipgrams", "m8_phash_audio",
-        "g18_negative_sampling")
+        "g18_negative_sampling",
+        // round-11 snapshot additions: NB language ID, CCNet perplexity
+        // terciles, DSIR importance resampling, cross-doc boilerplate,
+        // video-frame perceptual dedup
+        "t20_nb_langid", "t21_ccnet_buckets", "p16_dsir_resample",
+        "d17_ngram_boilerplate", "m9_phash_video_frames",
+        // round-12 additions: PPMI matrix, leakage-safe split, SemDeDup
+        "g19_walk_pmi", "p17_leakage_safe_split", "d18b_semdedup_portable")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

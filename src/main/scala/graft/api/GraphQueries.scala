@@ -787,6 +787,49 @@ ke$i AS MATERIALIZED (
         .orderBy(col("k").desc, col("node"))
         .limit(25)
         .select(col("node"), col("freq"), col("noise_p"))
+    }),
+
+    // Shifted-PPMI co-occurrence matrix over the walk corpus (Levy &
+    // Goldberg, NeurIPS 2014: SGNS with k negatives implicitly
+    // factorizes the word-context PMI matrix shifted by ln k) — the
+    // EMBEDDING-FREE artifact a count-based trainer (SVD / GloVe-style)
+    // consumes instead of running SGD over g17's pairs:
+    //   pmi(c, x)  = ln( n(c,x) · N / (n(c) · n(x)) )
+    //   sppmi      = max(0, pmi − ln k),  k = 5
+    // over the g17 skip-gram counts. All inputs are exact integers (the
+    // oracled walk replay + counts), so a single ln of an integer ratio
+    // rounded at 9 digits is engine-stable. Scale shape: the marginals
+    // are map-side-combinable re-aggregations of the (center, context)
+    // count relation; N is one broadcast scalar; the two marginal joins
+    // key on center resp. context (vocabulary-sized relations — they
+    // broadcast at any realistic vocab, and degrade to hash joins past
+    // that). Nothing touches the walk relation a second time.
+    "g19_walk_pmi" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p2s = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+      val e = p2s.unionAll(p2s.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = Tables.part(s, d).filter(col("p_partkey") <= 10)
+        .select(concat(lit("p"), col("p_partkey")).as("id"))
+      val before = graft.RddScope.persisted(s)
+      val walks = graft.graph.RandomWalks
+        .walkBiased(e, seeds, steps = 4, nWalks = 2)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, walks)
+      val sg = graft.graph.RandomWalks.skipGrams(walks, window = 2)
+      val nC = sg.groupBy(col("center")).agg(sum(col("n")).as("n_c"))
+      val nX = sg.groupBy(col("context")).agg(sum(col("n")).as("n_x"))
+      val tot = sg.agg(sum(col("n")).as("nn"))
+      val pmi = log(col("n").cast("double") * col("nn") /
+        (col("n_c") * col("n_x")))
+      sg.join(broadcast(nC), "center")
+        .join(broadcast(nX), "context")
+        .crossJoin(broadcast(tot))
+        .select(col("center"), col("context"), col("n"),
+          round(pmi, 9).as("pmi"),
+          round(greatest(pmi - log(lit(5.0)), lit(0.0)), 9).as("sppmi"))
+        .orderBy(col("center"), col("context"))
     })
   )
 
@@ -905,6 +948,31 @@ ke$i AS MATERIALIZED (
          |  ln((CAST(CAST('0x' || substr(md5('neg:' || node), 1, 15) AS BIGINT) AS DOUBLE) + 1.0)
          |    / 1152921504606846976.0) / pow(freq, 0.75) DESC, node
          |LIMIT 25""".stripMargin,
+
+    // Shifted-PPMI over the replayed walk corpus: g17's skip-gram CTE +
+    // integer marginals; ln of an exact integer ratio, rounded at 9.
+    "g19_walk_pmi" ->
+      s"""${biasedWalkCtes(4)},
+         |sg AS (
+         |  SELECT a.node AS center, b.node AS context,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM walks a JOIN walks b
+         |    ON a.walk_id = b.walk_id AND a.step <> b.step
+         |    AND abs(a.step - b.step) <= 2
+         |  GROUP BY 1, 2),
+         |nc AS (SELECT center, SUM(n) AS n_c FROM sg GROUP BY 1),
+         |nx AS (SELECT context, SUM(n) AS n_x FROM sg GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS nn FROM sg)
+         |SELECT sg.center AS center, sg.context AS context, sg.n AS n,
+         |  ROUND(ln(CAST(sg.n AS DOUBLE) * tot.nn / (nc.n_c * nx.n_x)), 9) AS pmi,
+         |  ROUND(GREATEST(
+         |    ln(CAST(sg.n AS DOUBLE) * tot.nn / (nc.n_c * nx.n_x)) - ln(5.0),
+         |    0.0), 9) AS sppmi
+         |FROM sg
+         |JOIN nc ON nc.center = sg.center
+         |JOIN nx ON nx.context = sg.context
+         |CROSS JOIN tot
+         |ORDER BY 1, 2""".stripMargin,
 
     "i1_pagerank_fixed" ->
       (headerSql(EdgesSql) + chainSql("i_", 0.85, Iters) +

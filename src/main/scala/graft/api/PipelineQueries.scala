@@ -603,6 +603,26 @@ object PipelineQueries {
         .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023) under the paper's own configuration —
+    // KMeans coarse quantizer, within-cluster ε-pairs, keep the group
+    // member LEAST similar to its cluster centroid. Trained centroids
+    // are engine-specific → rows-only; DedupSimSpec pins the contract
+    // (exactly one keeper per group, kept ⇒ no kept ε-neighbor in-cell,
+    // and group agreement with the portable twin where their candidate
+    // sets coincide). ε = the corpus design-point threshold (the paper
+    // runs 0.95+ on CLIP embeddings; these synthetic vectors are
+    // near-orthogonal, so the d5 threshold keeps the group structure
+    // non-trivial).
+    "d18_semdedup" -> ((s, d) =>
+      Similarity.semDedupTrained(vecs(s, d), nCells = 8, eps = CosineThreshold)),
+
+    // Portable twin: static sign-quantizer cells + per-cell means as
+    // centroids — the full SemDeDup decision chain (cluster-scoped
+    // pairs → duplicate groups → keep-least-central) hash-oracled end
+    // to end in DuckDB.
+    "d18b_semdedup_portable" -> ((s, d) =>
+      Similarity.semDedupPortable(vecs(s, d), dims = 3, eps = CosineThreshold)),
+
     // Portable 16-bit SimHash — full SQL oracle.
     "d4b_simhash_portable" -> ((s, d) =>
       Dedup.simhash16Portable(documents(s, d), "doc_id", "text")),
@@ -1219,6 +1239,47 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("logw"), 6).as("logw"))
     }),
 
+    // Leakage-safe train/val/test split: near-duplicate documents must
+    // land on the SAME side of an evaluation split, or the held-out set
+    // silently scores memorization (the train/test overlap mechanism Lee
+    // et al. 2022 §6.2 and Gao et al. 2021 §4 measure in real corpora —
+    // both dedup/decontaminate ACROSS the split for exactly this
+    // reason). Mechanism: connected components over the d3b portable
+    // MinHash-LSH pair graph give each doc a near-dup cluster rep;
+    // the split is assigned to the REP (portable md5 draw mod 10 →
+    // 80/10/10), and every member inherits it — so no τ-near pair can
+    // straddle splits BY CONSTRUCTION (pair ⇒ same component ⇒ same
+    // rep ⇒ same split; DedupSimSpec pins it). Fully deterministic →
+    // hash oracle (the d7 recursive-CTE component replay + the md5
+    // split draw). Scale shape: the pair graph is the d3 banded
+    // equi-join (never all-pairs), CC is the structure-independent
+    // HCC+shortcut fixpoint, the rep decoration is one join, and the
+    // split draw is a narrow map — nothing new shuffles at 100 TB
+    // beyond what d7b already pays.
+    "p17_leakage_safe_split" -> ((s, d) => {
+      // The pair generator's shingle checkpoint is consumed entirely by
+      // the CC fixpoint (the component relation replaces its lineage),
+      // so sweep it once the components are materialized — the g17/g18
+      // walk idiom.
+      val before = graft.RddScope.persisted(s)
+      val pairs = Dedup.minhashLshPairsPortable(documents(s, d), "doc_id",
+          "text", n = 3, bands = 8, rowsPerBand = 4,
+          threshold = JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = ConnectedComponents.run(pairs)
+      graft.RddScope.sweepExcept(s, before, cl)
+      val rep = documents(s, d).select(col("doc_id"))
+        .join(cl, col("doc_id") === col("member_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      val bucket = pmod(graft.ops.Portable.md5Long(
+        concat(lit("split:"), col("rep_id").cast("string"))), lit(10L))
+      rep.select(col("doc_id"), col("rep_id"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Cross-document boilerplate detection at 5-gram granularity — the
     // word-n-gram spelling of C4's "three-sentence" / RefinedWeb's
     // line-frequency rule (Raffel et al. 2020 §2.2, Penedo et al. 2023
@@ -1227,23 +1288,22 @@ object PipelineQueries {
     // documents is boilerplate; each doc reports its gram count,
     // boilerplate-gram count, and ratio — the filter signal a curation
     // pass consumes. Integer arithmetic until the final rounded ratio →
-    // exact hash oracle. Scale shape: the per-doc window is bounded by
-    // document length; (gram, doc) distinct + document-frequency count
-    // are two-level partial aggregations; the gram join back is
-    // Zipf-skewed on hot boilerplate keys → AQE skew-join.
+    // exact hash oracle. Scale shape: gram assembly is ARRAY-SIDE — a
+    // higher-order transform over each document's own token array, so it
+    // is a narrow map with ZERO exchanges (the first spelling built
+    // grams with four lead() windows, which planned as a full (doc_id,
+    // pos) sort-shuffle of the token relation executed TWICE, once per
+    // side of the df join — the r12 plan pin caught it); (gram, doc)
+    // distinct + document-frequency count are two-level partial
+    // aggregations; the gram join back is Zipf-skewed on hot boilerplate
+    // keys → AQE skew-join.
     "d17_ngram_boilerplate" -> ((s, d) => {
-      val tok = documents(s, d)
-        .select(col("doc_id"),
-          posexplode(TextFns.tokens(col("text"))).as(Seq("pos", "t")))
-      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-      val g5 = tok
-        .withColumn("w2", lead(col("t"), 1).over(w))
-        .withColumn("w3", lead(col("t"), 2).over(w))
-        .withColumn("w4", lead(col("t"), 3).over(w))
-        .withColumn("w5", lead(col("t"), 4).over(w))
-        .filter(col("w5").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("t"), col("w2"),
-          col("w3"), col("w4"), col("w5")).as("g"))
+      val g5 = documents(s, d)
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("arr"))
+        .filter(size(col("arr")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr) - 5)," +
+            " i -> array_join(slice(arr, i + 1, 5), ' '))")).as("g"))
       val df = g5.select(col("g"), col("doc_id")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("df"))
       g5.join(df, "g")
@@ -2248,6 +2308,53 @@ object PipelineQueries {
         |WHERE list_cosine_similarity(ea.v, eb.v) >= $CosineThreshold
         |ORDER BY vec_a, vec_b""".stripMargin,
 
+    // SemDeDup portable twin: static sign cells, per-cell means rounded
+    // at 9 digits BEFORE the centroid cosine (bit-identical inputs in
+    // both engines regardless of partial-sum order), component replay
+    // via the recursive reach CTE, keep = ROW_NUMBER over the strict
+    // (centroid_cos, vec_id) total order.
+    "d18b_semdedup_portable" ->
+      s"""WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 4 ELSE 0 END) +
+        |    (CASE WHEN v[2] >= 0 THEN 2 ELSE 0 END) +
+        |    (CASE WHEN v[3] >= 0 THEN 1 ELSE 0 END) AS cell
+        |  FROM e),
+        |cen AS (
+        |  SELECT cell, i, ROUND(AVG(v[i]), 9) AS c
+        |  FROM a, UNNEST(generate_series(1, len(v))) AS u(i)
+        |  GROUP BY cell, i),
+        |cenl AS (SELECT cell, list(c ORDER BY i) AS cv FROM cen GROUP BY cell),
+        |prs AS (
+        |  SELECT x.vec_id AS pa, y.vec_id AS pb
+        |  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= $CosineThreshold),
+        |und AS (SELECT pa, pb FROM prs UNION ALL SELECT pb, pa FROM prs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT pa, pa FROM und
+        |  UNION
+        |  SELECT und.pa, reach.r FROM und JOIN reach ON und.pb = reach.v),
+        |reps AS (SELECT v AS vec_id, MIN(r) AS rep_id FROM reach GROUP BY v),
+        |lab AS (
+        |  SELECT a.vec_id, a.cell,
+        |    COALESCE(reps.rep_id, a.vec_id) AS group_id,
+        |    ROUND(list_cosine_similarity(a.v, cenl.cv), 6) AS centroid_cos
+        |  FROM a
+        |  JOIN cenl ON cenl.cell = a.cell
+        |  LEFT JOIN reps ON reps.vec_id = a.vec_id),
+        |keep AS (
+        |  SELECT group_id, vec_id AS keep_id FROM (
+        |    SELECT group_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY group_id
+        |        ORDER BY centroid_cos, vec_id) AS rn
+        |    FROM lab) WHERE rn = 1)
+        |SELECT lab.vec_id, lab.cell, lab.group_id, lab.centroid_cos,
+        |  (lab.vec_id = keep.keep_id) AS kept
+        |FROM lab JOIN keep ON keep.group_id = lab.group_id
+        |ORDER BY lab.vec_id""".stripMargin,
+
     // Connected components as a recursive CTE: min id reachable over the
     // undirected refined pair graph = GraphX's component label.
     "d7_dedup_clusters" -> CcClustersOracle,
@@ -2791,6 +2898,29 @@ object PipelineQueries {
         |  FROM logw)
         |SELECT doc_id, ROUND(logw, 6) AS logw FROM keyed
         |ORDER BY gk DESC, doc_id LIMIT 100""".stripMargin,
+
+    // Component replay (the d7/d8 recursive reach CTE) over the d3b
+    // portable pair set, then the md5 split draw on each component rep.
+    "p17_leakage_safe_split" ->
+      s"""WITH RECURSIVE $D3bPairsCtes,
+        |und AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM mh_pairs),
+        |reach(v, r) AS (
+        |  SELECT DISTINCT a, a FROM und
+        |  UNION
+        |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+        |reps AS (SELECT v AS doc_id, MIN(r) AS rep_id FROM reach GROUP BY v),
+        |asg AS (
+        |  SELECT d.doc_id, COALESCE(reps.rep_id, d.doc_id) AS rep_id
+        |  FROM documents d LEFT JOIN reps ON reps.doc_id = d.doc_id)
+        |SELECT doc_id, rep_id,
+        |  CASE
+        |    WHEN CAST('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8 THEN 'train'
+        |    WHEN CAST('0x' || substr(md5('split:' || CAST(rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM asg ORDER BY doc_id""".stripMargin,
 
     "d17_ngram_boilerplate" ->
       """WITH toks AS (

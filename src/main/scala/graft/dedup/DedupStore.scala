@@ -79,11 +79,15 @@ object DedupStore {
     *
     * [[searchNew]] results are byte-identical before/after (the store
     * holds the same rows; DedupStoreSpec pins it). The rewrite stages
-    * into `<path>/.compact.tmp` and swaps by rename — on a crash
-    * mid-swap the tmp dir is simply re-derivable from a fresh
-    * [[save]]; a production deployment would front this with a
-    * manifest/transaction log (Delta/Iceberg-style), which is out of
-    * scope for the path-based store.
+    * into `<path>/.compact.tmp`, then swaps each relation with two
+    * renames: live → `<rel>.old`, tmp → live, delete `.old`. A crash
+    * anywhere in the swap leaves either the live dir or its `.old`
+    * copy intact — never a hole — and the worst case is recovered by
+    * renaming `.old` back (vs the naive delete-then-rename, whose
+    * crash window leaves the relation missing entirely and breaks
+    * [[searchNew]]). A production deployment would still front this
+    * with a manifest/transaction log (Delta/Iceberg-style), which is
+    * out of scope for the path-based store.
     */
   def compact(spark: SparkSession, path: String, idFiles: Int = 8): Unit = {
     require(idFiles >= 1, s"idFiles must be >= 1; got $idFiles")
@@ -106,9 +110,13 @@ object DedupStore {
       .write.parquet(s"$tmp/counts")
     Seq("bands", "shingles", "counts").foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)
-      fs.delete(live, true)
+      val old = new org.apache.hadoop.fs.Path(root, rel + ".old")
+      fs.delete(old, true) // leftover from a prior crashed compact
+      require(fs.rename(live, old),
+        s"compact: rename of live $rel aside failed")
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live),
         s"compact: rename of $rel into place failed")
+      fs.delete(old, true)
     }
     fs.delete(tmp, true)
     ()

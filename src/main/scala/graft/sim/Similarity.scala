@@ -573,6 +573,111 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup with
+    * cluster-scoped candidate generation. Pairwise cosine is computed
+    * only WITHIN a coarse cluster (the paper's cost reduction — ε-near
+    * pairs almost always share a cluster, so the global N² collapses to
+    * Σ|cell|²), ε-similar pairs connect into duplicate groups, and each
+    * group keeps exactly ONE member: the one LEAST similar to its
+    * cluster centroid (the paper's keep rule — retaining the atypical
+    * exemplar preserves more semantic diversity than keeping the
+    * prototype; ties break by id). One row per input vector:
+    * (vec_id, cell, group_id, centroid_cos, kept).
+    *
+    * `assigned` = (vec_id, v, cell) from any coarse quantizer;
+    * `centroids` = (cell, cv). [[semDedupTrained]] supplies both from a
+    * KMeans fit (the paper's configuration — rows-only, like every
+    * trained variant); [[semDedupPortable]] from the static sign
+    * quantizer + per-cell means, fully DuckDB-replayable (d18b's hash
+    * oracle).
+    *
+    * Scale shape: the candidate stage is a per-cell equi-join (never
+    * all-pairs across cells; production nCells ∝ N keeps Σ|cell|²
+    * bounded, exactly the IVF argument); duplicate grouping is the
+    * structure-independent HCC+shortcut fixpoint over only the ε-pairs;
+    * the centroid decoration broadcasts the O(nCells) centroid table;
+    * the keep decision is one per-group min-struct aggregation (map-side
+    * combinable) joined back on the group key.
+    */
+  def semDedup(assigned: DataFrame, centroids: DataFrame, eps: Double): DataFrame = {
+    val a = assigned.select(col("cell"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = assigned.select(col("cell").as("cell_b"),
+      col("vec_id").as("vec_b"), col("v").as("vb"))
+    val pairs = a.join(b,
+        col("cell") === col("cell_b") && col("vec_a") < col("vec_b"))
+      .filter(cosine(col("va"), col("vb")) >= eps)
+      .select(col("vec_a"), col("vec_b"))
+    val groups = graft.graph.ConnectedComponents.run(pairs)
+    val cen = assigned.join(broadcast(centroids), "cell")
+      .select(col("vec_id"), col("cell"),
+        round(cosine(col("v"), col("cv")), 6).as("centroid_cos"))
+    val labeled = cen.join(groups, col("vec_id") === col("member_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("rep_id"), col("vec_id")).as("group_id"),
+        col("centroid_cos"))
+    val keeper = labeled.groupBy(col("group_id"))
+      .agg(min(struct(col("centroid_cos"), col("vec_id"))).as("m"))
+      .select(col("group_id"), col("m.vec_id").as("keep_id"))
+    labeled.join(keeper, "group_id")
+      .select(col("vec_id"), col("cell"), col("group_id"), col("centroid_cos"),
+        (col("vec_id") === col("keep_id")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** [[semDedup]] under the paper's own configuration: a KMeans coarse
+    * quantizer (cells + trained centroids). Trained centroids are
+    * engine-specific → rows-only at the gate; the keep-exactly-one and
+    * portable-twin-equivalence properties are spec-pinned instead.
+    */
+  def semDedupTrained(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      nCells: Int, eps: Double): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // Same eager-checkpoint discipline as annIvf: the featurized relation
+    // feeds the eager fit and the lazy assignment; the backing is
+    // reachable from the result, so the caller's standard sweep frees it.
+    val withFeat = vectors.withColumn("features", array_to_vector(col("v")))
+      .localCheckpoint(true)
+    val model = new KMeans()
+      .setK(nCells).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features")
+      .fit(withFeat)
+    val assigned = model.transform(withFeat)
+      .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+    val centroids = model.clusterCenters.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("cell", "cv")
+    semDedup(assigned, centroids, eps)
+  }
+
+  /** [[semDedup]] on the static sign quantizer (2^dims cells, the
+    * annIvfStatic family) with per-cell MEAN vectors as centroids. Every
+    * stage is md5/IEEE-portable: the per-dimension means are rounded at
+    * 9 digits BEFORE the centroid cosine (so both engines feed cosine
+    * bit-identical inputs regardless of their partial-sum order), making
+    * the whole operator hash-oracled in DuckDB.
+    */
+  def semDedupPortable(
+      vectors: DataFrame, // (vec_id LONG, v ARRAY<DOUBLE>)
+      dims: Int, eps: Double): DataFrame = {
+    require(dims >= 1 && dims <= 16)
+    val cell = (0 until dims).map { j =>
+      when(element_at(col("v"), j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    val assigned = vectors.select(col("vec_id"), col("v"), cell.as("cell"))
+    val centroids = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i"))
+      .agg(round(avg(col("x")), 9).as("c"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(struct(col("i"), col("c")))).as("sc"))
+      .select(col("cell"), expr("transform(sc, p -> p.c)").as("cv"))
+    semDedup(assigned, centroids, eps)
+  }
+
   /** Int8 scalar quantization (the public faiss-SQ8 technique): each
     * dimension linearly gridded to 256 levels over its corpus [min, max],
     * decode = bucket midpoint — 4× memory compression (float32 → int8)

@@ -546,6 +546,75 @@ class DedupSimSpec extends SparkSpec {
     assert(rng.getLong(0) >= 0L && rng.getLong(1) < 16L)
   }
 
+  test("SemDeDup: exactly one keeper per group; keep rule is least-centroid-similar") {
+    // Hand fixture in 2-D-ish 4-dim space: vectors 1,2,3 are an ε-dup
+    // chain in the all-positive cell (1↔2 and 2↔3 near, 1↔3 connected
+    // transitively); 4 is in the same cell but far; 5 lands in another
+    // cell. With eps=0.95 the group {1,2,3} keeps exactly its least
+    // cell-central member, and 4, 5 keep themselves.
+    val vs = Seq(
+      (1L, Seq(1.0, 0.02, 0.1, 0.1)),
+      (2L, Seq(1.0, 0.05, 0.1, 0.1)),
+      (3L, Seq(1.0, 0.08, 0.1, 0.1)),
+      (4L, Seq(0.1, 1.0, 0.9, 0.1)),
+      (5L, Seq(-1.0, 0.1, 0.1, 0.1))
+    ).toDF("vec_id", "v")
+    val out = Similarity.semDedupPortable(vs, dims = 3, eps = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getBoolean(4)))
+    val byId = out.map(t => t._1 -> t).toMap
+    // one row per vector, group of 1,2,3 is rep=1
+    assert(out.length == 5)
+    assert(Seq(1L, 2L, 3L).map(byId(_)._2).forall(_ == 1L), out.mkString(", "))
+    assert(byId(4L)._2 == 4L && byId(5L)._2 == 5L)
+    // exactly one keeper in the dup group — the least centroid-similar
+    val group = Seq(1L, 2L, 3L).map(byId)
+    assert(group.count(_._4) == 1, group.mkString(", "))
+    val keeper = group.filter(_._4).head
+    assert(keeper._3 == group.map(_._3).min,
+      s"keeper ${keeper._1} is not least centroid-similar: $group")
+    // singletons keep themselves
+    assert(byId(4L)._4 && byId(5L)._4)
+  }
+
+  test("SemDeDup trained twin: keep-one contract holds; kept set covers every ε-neighborhood") {
+    val vs = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), Similarity.asDouble(col("embedding")).as("v"))
+    val out = Similarity.semDedupTrained(vs, nCells = 8, eps = 0.35)
+    val rows = out.collect()
+    assert(rows.length == vs.count())
+    // exactly one keeper per group
+    val perGroup = rows.groupBy(_.getLong(2)).view.mapValues(_.count(_.getBoolean(4)))
+    assert(perGroup.values.forall(_ == 1), perGroup.filter(_._2 != 1).take(3).toMap.toString)
+    // every dropped vector has an ε-near KEPT representative reachable
+    // through its group (the dedup guarantee: dropping it loses no
+    // ε-neighborhood): its group's keeper exists by the assert above.
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(out)
+  }
+
+  test("p17: no near-duplicate pair straddles the train/val/test split") {
+    // The whole point of the cluster-level split: every τ-near pair must
+    // land on one side. Recompute the same portable pair set and join
+    // both endpoints to their assigned splits — zero pairs may differ.
+    val out = SparkEntry.queries("p17_leakage_safe_split")(spark, Sf001)
+      .select(col("doc_id"), col("split"))
+    val pairs = Dedup.minhashLshPairsPortable(
+      Tables.documents(spark, Sf001), "doc_id", "text",
+      n = 3, bands = 8, rowsPerBand = 4, threshold = 0.3)
+      .select(col("doc_a"), col("doc_b"))
+    val straddling = pairs
+      .join(out.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(out.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+    assert(pairs.count() > 0, "fixture has no near-dup pairs; test is vacuous")
+    assert(straddling.count() == 0,
+      straddling.collect().take(5).mkString(", "))
+    // and the split is a real 3-way partition of the corpus
+    val splits = out.groupBy(col("split")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(splits.keySet == Set("train", "val", "test"), splits.toString)
+    assert(splits.values.sum == 500L)
+  }
+
   test("csv base64 download href encodes the table (S5)") {
     val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
     val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")

@@ -106,6 +106,40 @@ class DedupStoreSpec extends SparkSpec {
         s"extra=${(afterAppend -- expected).take(3)}")
   }
 
+  test("compact: swap is rename-aside — a stale .old from a crashed run is cleaned, never read") {
+    // The swap order is live -> <rel>.old, tmp -> live, delete .old: a
+    // crash anywhere leaves either live or its .old copy on disk (never
+    // a hole), and the worst case recovers by renaming .old back. This
+    // pins the re-entry half of that contract: a leftover .old directory
+    // (simulating a crash between the two renames of a prior compact)
+    // must neither fail the next compact nor leak into probe results.
+    val dir = Files.createTempDirectory("graft_dedup_oldswap").toString
+    DedupStore.save(docs.filter(col("doc_id") < 300),
+      "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    val probe = docs.filter(col("doc_id") >= 450)
+    val before = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    // Simulate the crash residue: a full stale copy of every relation.
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/ix")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("bands", "shingles", "counts").foreach { rel =>
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/ix/$rel"),
+        fs, new org.apache.hadoop.fs.Path(s"$dir/ix/$rel.old"),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    DedupStore.compact(spark, s"$dir/ix", idFiles = 2)
+    Seq("bands", "shingles", "counts").foreach { rel =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ix/$rel.old")),
+        s"$rel.old survived compact")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ix/$rel")),
+        s"$rel missing after compact")
+    }
+    val after = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    assert(after == before, "probe changed across .old-residue compact")
+  }
+
   test("append lifecycle: save(old) + append(new) == save(all)") {
     val dir = Files.createTempDirectory("graft_dedup_append").toString
     val old = docs.filter(col("doc_id") < 300)

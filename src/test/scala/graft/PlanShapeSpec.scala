@@ -450,4 +450,109 @@ class PlanShapeSpec extends SparkSpec {
     // the banded candidate join keys on the nibble band/bkey columns
     assert(plan.contains("bkey"), plan.take(3000))
   }
+
+  private def unwrapped(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def windowCount(df: DataFrame): Int =
+    unwrapped(df).collectWithSubqueries {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }.count(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec])
+
+  test("t20: class/total/vocab dims attach by broadcast; argmax is a single window pass") {
+    // NB train+score scale contract: the |langs|-sized class dimension,
+    // the per-class totals, and the two scalar totals must all reach the
+    // per-doc token multiset as broadcasts (never shuffling the doc
+    // side); the only window is the per-doc argmax. A CartesianProduct
+    // would mean a scalar broadcast silently became an all-pairs product.
+    val df = SparkEntry.queries("t20_nb_langid")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(windowCount(df) == 1, plan.take(3000))
+  }
+
+  test("t21: the lang dimension broadcasts; tercile assignment is one per-lang window") {
+    val df = SparkEntry.queries("t21_ccnet_buckets")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(windowCount(df) == 1, plan.take(3000))
+  }
+
+  test("p16: the 1024-row LM broadcasts and the top-k is TakeOrdered, never a global sort") {
+    // DSIR's scale contract: the bucketed log-ratio LM is a bounded
+    // (1024-row) relation that must broadcast to the per-doc bucket
+    // counts, and the Gumbel-top-k selection must plan as
+    // TakeOrderedAndProject (driver-side k-heap) — a global Sort over
+    // every document would shuffle the corpus to rank 100 rows.
+    val df = SparkEntry.queries("p16_dsir_resample")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
+  test("d17: 5-gram assembly is array-side (no window, no sort); the df join back is an equi-join") {
+    // Gram assembly must be the higher-order transform over each doc's
+    // own token array — a narrow map, zero exchanges — not a windowed
+    // lead() chain: the window spelling planned a full (doc_id, pos)
+    // sort-shuffle of the token relation and, because the gram relation
+    // feeds both sides of the df join, executed it TWICE. The
+    // gram-frequency join back must be hash-keyed on the gram, never a
+    // product.
+    val df = SparkEntry.queries("d17_ngram_boilerplate")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(windowCount(df) == 0, plan.take(3000))
+  }
+
+  test("g19: PPMI marginal joins are broadcasts; nothing is a product") {
+    // The vocabulary-sized marginals and the scalar total must attach to
+    // the (center, context) count relation by broadcast — re-shuffling
+    // the pair counts for dimension joins would double the operator's
+    // exchange count for no reason.
+    val df = SparkEntry.queries("g19_walk_pmi")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("p17: split assignment adds no product on top of the CC fixpoint") {
+    val df = SparkEntry.queries("p17_leakage_safe_split")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("d18b: the candidate stage is a per-cell equi-join; centroids broadcast") {
+    // SemDeDup's scale contract: pairwise cosine only within a cell
+    // (equi-join on the quantizer cell — never all-pairs), and the
+    // O(nCells) centroid table reaches the corpus by broadcast.
+    val df = SparkEntry.queries("d18b_semdedup_portable")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
+    // Video-shaped pipeline contract: decode runs distributed
+    // (mapPartitions), frame candidates come from the shared 4-band
+    // nibble equi-join (bkey), and the frame→clip aggregation is a plain
+    // hash aggregation — no stage is all-pairs.
+    val df = SparkEntry.queries("m9_phash_video_frames")(spark, Sf001)
+    val plan = planOf(df)
+    assert(plan.contains("MapPartitions") || plan.contains("SerializeFromObject"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("bkey"), plan.take(3000))
+  }
 }
