@@ -680,6 +680,9 @@ object Bench {
       // tree): g14's code path is git-identical since its creation, and
       // both trees floor far below the flagged session wall.
       "\"r12 adjudication g14_path_load (r11 session 12.27 s at load1 4.7; r10 'prev' 3.85 was an in-session warm-JVM wall): fresh-JVM quiet-box floors HEAD 4.46/5.09 s vs r10 tree 3.64/4.03 s, cpu floors 3.99 vs 3.22 - Centrality.pathLoad and the g14 entry are git-identical since r9 (only sibling map entries and oracle strings changed), so the 12.27 s leg was box state and the residual 0.8 s tree delta is fresh-JVM JIT variance; exonerated, no mover\"",
+      // r12 SemDeDup candidate-stage A/B (AbSemDedup, planted-dup
+      // corpus, quiet box): the d18 scale claim measured.
+      "\"r12 AbSemDedup (131072x64-d vectors, 25% planted near-dups, eps 0.95, quiet box): exact all-pairs 42.3 s / 8.59B candidate cosines vs sign-cell-scoped dims=8 (256 cells) 1.17 s / 33.6M candidates - 36x wall, 256x less quadratic work, at eps-pair recall 0.998; dims=4 midpoint 7.1 s / 0.999. Full d18 operator at dims=8: 32699/32768 planted pairs land in one group (0.9979) - the boundary loss is pairs split by a quantizer hyperplane, the same trade the paper's k-means cells make; at 32768 vectors the same legs read 3.5/0.8/0.3 s\"",
       // r12 detector hardening (the r11 ADVICE items): artifact floors
       // can be a truncated slowest-legs subset, so the baseline now
       // merges artifact + sidecar per-query minima.
