@@ -61,6 +61,70 @@ object IndexStore {
     Similarity.rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Add a batch to the persisted IVF store (call AFTER
+    * [[dedupNewIvfStatic]] has adjudicated it). Append-only into the
+    * same Hive cell layout; stored state is never rewritten.
+    */
+  def appendIvfStatic(vectors: DataFrame, dims: Int, path: String): Unit =
+    vectors
+      .select(col("vec_id"), col("v"), cellOf(col("v"), dims).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+
+  /** Incremental SEMANTIC dedup against the persisted store —
+    * [[graft.dedup.DedupStore.searchNew]]'s embedding-space sibling and
+    * the d18/SemDeDup decision for an ARRIVING batch: each new vector
+    * probes only its own cell's stored members (planning-time partition
+    * pruning, exactly like [[searchIvfStatic]]) plus its own batch, and
+    * is flagged a duplicate if any stored neighbor — or any
+    * SMALLER-id batch neighbor, the deterministic arrival-greedy rule —
+    * reaches `eps` cosine. Returns one row per batch vector:
+    * (vec_id, cell, dup_of, dup_cos, is_dup), dup_of = the smallest
+    * qualifying neighbor id (its cosine rounded at 4), null when the
+    * vector is novel. The curation lifecycle is
+    * dedupNew → drop flagged → [[appendIvfStatic]] the survivors —
+    * O(batch × cell-slice) work per increment, never O(corpus²).
+    * IndexStoreSpec pins equivalence to the batch recomputation on
+    * (stored ∪ new) restricted to new-touching pairs, and the
+    * partition-pruned probe scan. The result carries a localCheckpoint
+    * backing (the batch feeds the cell collect and both probe arms);
+    * free it after consumption with the standard
+    * `GraftInternals.freeLocalCheckpoint` sweep, as with
+    * [[graft.dedup.DedupStore.searchNew]].
+    */
+  def dedupNewIvfStatic(
+      spark: SparkSession, path: String, newVecs: DataFrame,
+      dims: Int, eps: Double): DataFrame = {
+    val asg = newVecs
+      .select(col("vec_id"), col("v"), cellOf(col("v"), dims).as("cell"))
+      .localCheckpoint(true) // feeds the cell collect + both probe arms
+    val probeCells = asg.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by 2^dims, like search
+    val stored = spark.read.parquet(path)
+      .filter(col("cell").isin(probeCells: _*))
+    val storedArm = asg.join(
+        stored.select(col("cell"), col("vec_id").as("nbr_id"),
+          col("v").as("nv")), "cell")
+      .filter(Similarity.cosine(col("v"), col("nv")) >= eps)
+      .select(col("vec_id"), col("nbr_id"),
+        round(Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
+    val batchArm = asg.join(
+        asg.select(col("cell").as("cell_b"), col("vec_id").as("nbr_id"),
+          col("v").as("nv")),
+        col("cell") === col("cell_b") && col("nbr_id") < col("vec_id"))
+      .filter(Similarity.cosine(col("v"), col("nv")) >= eps)
+      .select(col("vec_id"), col("nbr_id"),
+        round(Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
+    val best = storedArm.unionAll(batchArm)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("nbr_id"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("m.nbr_id").as("dup_of"),
+        col("m.cos").as("dup_cos"))
+    asg.join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dup_of"), col("dup_cos"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Persist the TUNED layout ([[Similarity.annIvfStaticTuned]]'s
     * parameters — 32 cells, 3-way redundant assignment): every vector is
     * written into its home cell AND its two least-confident-flip cells,

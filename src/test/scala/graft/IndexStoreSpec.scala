@@ -76,4 +76,57 @@ class IndexStoreSpec extends SparkSpec {
     assert("PartitionFilters:\\s*\\[cell#\\d+ IN(SET)? ".r.findFirstIn(plan).isDefined,
       s"tuned probe cells not pushed as a partition filter:\n${plan.take(2000)}")
   }
+
+  test("dedupNew flags arriving near-dups vs stored + earlier-batch; probe prunes; append completes") {
+    val dir = Files.createTempDirectory("graft_ivf_dedupnew").toString
+    val eps = 0.35
+    val dims = 3
+    val old = vecs.filter(col("vec_id") < 300)
+    val batch = vecs.filter(col("vec_id") >= 300)
+    IndexStore.saveIvfStatic(old, dims = dims, path = s"$dir/ivf")
+    val out = IndexStore.dedupNewIvfStatic(spark, s"$dir/ivf", batch,
+      dims = dims, eps = eps)
+    val got = out.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(2)) -1L else r.getLong(2),
+        r.getBoolean(4))).toSeq
+    // Reference: recompute the decision directly on (stored ∪ batch) —
+    // a batch vector's qualifying neighbors are same-cell stored members
+    // plus same-cell SMALLER-id batch members at >= eps.
+    val cell = (0 until dims).map { j =>
+      when(element_at(col("v"), j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
+    }.reduce(_ + _)
+    val all = vecs.select(col("vec_id"), col("v"), cell.as("cell"))
+    val nbr = all.filter(col("vec_id") >= 300)
+      .join(all.select(col("cell").as("cell_b"), col("vec_id").as("nid"),
+        col("v").as("nv")),
+        col("cell") === col("cell_b") &&
+          (col("nid") < 300 || col("nid") < col("vec_id")))
+      .filter(Similarity.cosine(col("v"), col("nv")) >= eps)
+      .groupBy(col("vec_id")).agg(min(col("nid")).as("dup_of"))
+    val expMap = nbr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == batch.count())
+    got.foreach { case (id, dupOf, isDup) =>
+      val e = expMap.get(id)
+      assert(isDup == e.isDefined, s"vec $id flag mismatch (exp $e)")
+      assert(e.getOrElse(-1L) == dupOf, s"vec $id dup_of $dupOf != exp $e")
+    }
+    assert(got.exists(_._3) && got.exists(!_._3),
+      "fixture is vacuous: need both dups and novel vectors")
+    // Layout contract: the stored-corpus probe prunes at partition level.
+    val plan = out.queryExecution.executedPlan.toString
+    assert("PartitionFilters:\\s*\\[cell#\\d+ IN(SET)? ".r.findFirstIn(plan).isDefined,
+      s"dedupNew probe not partition-pruned:\n${plan.take(2000)}")
+    // Lifecycle: appending the surviving batch equals saving the union
+    // of old + survivors from scratch (same rows, same layout columns).
+    val survivors = batch.join(
+      out.filter(col("is_dup")).select(col("vec_id")), Seq("vec_id"),
+      "left_anti")
+    IndexStore.appendIvfStatic(survivors, dims = dims, path = s"$dir/ivf")
+    IndexStore.saveIvfStatic(old.unionAll(survivors), dims = dims,
+      path = s"$dir/full")
+    def rel(p: String) = spark.read.parquet(p)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(rel(s"$dir/ivf") == rel(s"$dir/full"))
+  }
 }
