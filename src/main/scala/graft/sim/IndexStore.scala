@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   */
 object IndexStore {
 
-  private def cellOf(v: org.apache.spark.sql.Column, dims: Int) =
+  private[graft] def cellOf(v: org.apache.spark.sql.Column, dims: Int) =
     (0 until dims).map { j =>
       when(element_at(v, j + 1) >= 0, 1 << (dims - 1 - j)).otherwise(0)
     }.reduce(_ + _)

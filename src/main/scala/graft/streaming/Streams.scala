@@ -496,6 +496,39 @@ object Streams {
       .select(col("train_id"), col("old_id"), round(col("j_raw"), 6).as("jaccard"))
   }
 
+  /** Live twin of [[graft.sim.IndexStore.dedupNewIvfStatic]]'s
+    * stored-corpus arm — SEMANTIC near-dup flagging of an arriving
+    * vector stream against the persisted IVF store: each stream vector
+    * computes its sign cell per row (stateless), candidates come from a
+    * stream-static equi-join on the cell, the ε-refine is the exact
+    * cosine, and the per-vector best (smallest-id) duplicate source
+    * collapses in ONE update-mode aggregation (min-struct — streaming
+    * forbids stacked aggs; state is held only for vectors that hit a
+    * stored ε-neighbor, a vanishing fraction of a deduplicated stream).
+    * Emits (vec_id, dup_of, dup_cos). Within-batch (new×new)
+    * duplication is deliberately NOT this operator's job — exactly as
+    * [[nearDupStream]]: that is `dropDuplicatesWithinWatermark` /
+    * [[curateStream]] stage 1; this is the batch-vs-corpus check.
+    * StreamsSpec pins parity with the batch probe's stored arm.
+    */
+  def semDedupStream(
+      vecs: DataFrame, // streaming (vec_id, v ARRAY<DOUBLE>)
+      store: DataFrame, // static (vec_id, v, cell) — IndexStore layout
+      dims: Int, eps: Double): DataFrame = {
+    val asg = vecs.select(col("vec_id"), col("v"),
+      graft.sim.IndexStore.cellOf(col("v"), dims).as("cell"))
+    asg
+      .join(store.select(col("cell"), col("vec_id").as("nbr_id"),
+        col("v").as("nv")), Seq("cell"))
+      .filter(graft.sim.Similarity.cosine(col("v"), col("nv")) >= eps)
+      .select(col("vec_id"), col("nbr_id"),
+        round(graft.sim.Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("nbr_id"), col("cos"))).as("m"))
+      .select(col("vec_id"), col("m.nbr_id").as("dup_of"),
+        col("m.cos").as("dup_cos"))
+  }
+
   /** Streaming corpus curation — the batch `p7_curate` pipeline as a live
     * ingest, each stage the streaming analogue of its batch twin:
     *

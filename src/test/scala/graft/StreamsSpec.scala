@@ -679,6 +679,42 @@ class StreamsSpec extends SparkSpec {
     assert(want.nonEmpty, "split yields no cross-batch near-dups")
   }
 
+  test("streaming semantic dedup vs stored IVF cells matches the batch probe's stored arm") {
+    implicit val sqlCtx = spark.sqlContext
+    val (dims, eps) = (3, 0.35)
+    val dir = java.nio.file.Files.createTempDirectory("graft_semdedup_stream").toString
+    val vecs = Tables.embeddings(spark, Sf001)
+      .select(col("vec_id"), graft.sim.Similarity.asDouble(col("embedding")).as("v"))
+    val old = vecs.filter(col("vec_id") < 300)
+    graft.sim.IndexStore.saveIvfStatic(old, dims, s"$dir/ivf")
+    val freshRows = vecs.filter(col("vec_id") >= 300)
+      .as[(Long, Seq[Double])].collect().toSeq
+    val mem = MemoryStream[(Long, Seq[Double])]
+    mem.addData(freshRows: _*)
+    val q = Streams.semDedupStream(
+        mem.toDF().toDF("vec_id", "v"),
+        spark.read.parquet(s"$dir/ivf"), dims, eps)
+      .writeStream.format("memory").queryName("semdedup")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("semdedup")
+      .as[(Long, Long, Double)].collect().toSet
+    // Batch truth: the persisted-probe decision restricted to its
+    // STORED arm. All stored ids < every batch id, so whenever a stored
+    // neighbor exists the batch min-struct picks it — the stream twin's
+    // rows are exactly the dup_of < 300 slice.
+    val batch = graft.sim.IndexStore.dedupNewIvfStatic(
+      spark, s"$dir/ivf", vecs.filter(col("vec_id") >= 300), dims, eps)
+    val want = batch.filter(col("is_dup") && col("dup_of") < 300)
+      .select(col("vec_id"), col("dup_of"), col("dup_cos"))
+      .as[(Long, Long, Double)].collect().toSet
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(batch)
+    assert(got == want,
+      s"got ${got.size} vs want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "split yields no cross-batch semantic dups")
+  }
+
   test("stream-static enrichment join decorates events with customer dims") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
