@@ -109,6 +109,7 @@ object Bench {
     "p16_dsir_resample",
     "d17_ngram_boilerplate",
     "p17_leakage_safe_split",
+    "d19_span_dedup_apply",
     "d18_semdedup",
     "d18b_semdedup_portable",
     "e14_zscore_outliers",

@@ -33,8 +33,10 @@ object PlanAudit {
         // video-frame perceptual dedup
         "t20_nb_langid", "t21_ccnet_buckets", "p16_dsir_resample",
         "d17_ngram_boilerplate", "m9_phash_video_frames",
-        // round-12 additions: PPMI matrix, leakage-safe split, SemDeDup
-        "g19_walk_pmi", "p17_leakage_safe_split", "d18b_semdedup_portable")
+        // round-12 additions: PPMI matrix, leakage-safe split, SemDeDup,
+        // span-dedup apply
+        "g19_walk_pmi", "p17_leakage_safe_split", "d18b_semdedup_portable",
+        "d19_span_dedup_apply")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -655,6 +655,16 @@ object PipelineQueries {
     "d11_span_coverage" -> ((s, d) =>
       Dedup.spanCoverage(documents(s, d), "doc_id", "text", minTokens = 6)),
 
+    // APPLY stage of span dedup — the deduplicated CORPUS itself (Lee et
+    // al. 2022 ExactSubstr §2.2: remove all but one occurrence of every
+    // long repeated substring; the surviving copy pinned to the earliest
+    // doc-id for determinism). Composes d10's span report, the d11
+    // interval union restricted to the larger-doc side, a ranged
+    // anti-join excision over the token stream, and a per-doc rebuild —
+    // string-exact in both engines, full hash oracle.
+    "d19_span_dedup_apply" -> ((s, d) =>
+      Dedup.spanDedupApply(documents(s, d), "doc_id", "text", minTokens = 6)),
+
     // Embedding-cosine near-duplicate pairs: hyperplane-LSH blocking
     // (portable md5 plane family — reproduced verbatim in the oracle) with
     // exact-cosine refine on candidates only. The all-pairs crossJoin
@@ -2210,6 +2220,56 @@ object PipelineQueries {
         |    ELSE CAST(COALESCE(covered, 0) AS DOUBLE) / n_tokens END, 6) AS coverage
         |FROM nt LEFT JOIN cov ON nt.doc_id = cov.id
         |ORDER BY doc_id""".stripMargin),
+
+    // Span-dedup APPLY: d10's span CTEs, removal ranges from the
+    // larger-doc side only (the earliest-doc copy survives), the d11
+    // interval-union islanding, then token excision + ordered rebuild.
+    "d19_span_dedup_apply" ->
+      (s"WITH $SpanIslandCtes,\n" +
+        """spans AS (
+        |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+        |    MAX(pa) - MIN(pa) + 6 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, island),
+        |ranges AS (
+        |  SELECT DISTINCT doc_b AS id, start_b AS s, start_b + span_len AS e
+        |  FROM spans),
+        |brk AS (
+        |  SELECT id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+        |  FROM ranges),
+        |isl2 AS (
+        |  SELECT id, s, e, SUM(b) OVER (PARTITION BY id ORDER BY s, e
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM brk),
+        |merged AS (
+        |  SELECT id, grp, MIN(s) AS rs, MAX(e) AS re FROM isl2 GROUP BY id, grp),
+        |removed AS (
+        |  SELECT id, CAST(SUM(re - rs) AS BIGINT) AS n_removed FROM merged GROUP BY id),
+        |tokrows AS (
+        |  SELECT doc_id AS id, i - 1 AS pos, t[i] AS tok
+        |  FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)),
+        |kept AS (
+        |  SELECT tr.id, tr.pos, tr.tok FROM tokrows tr
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM merged m
+        |    WHERE m.id = tr.id AND tr.pos >= m.rs AND tr.pos < m.re)),
+        |rebuilt AS (
+        |  SELECT id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+        |  FROM kept GROUP BY id),
+        |nt AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents)
+        |SELECT nt.doc_id, nt.n_tokens,
+        |  COALESCE(removed.n_removed, 0) AS n_removed,
+        |  COALESCE(rebuilt.text_dedup, '') AS text_dedup
+        |FROM nt
+        |LEFT JOIN rebuilt ON rebuilt.id = nt.doc_id
+        |LEFT JOIN removed ON removed.id = nt.doc_id
+        |ORDER BY nt.doc_id""".stripMargin),
 
     "d2_jaccard_pairs" -> JaccardPairsSql,
 

@@ -721,6 +721,72 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** APPLY stage of cross-document span dedup — the artifact Lee et
+    * al. 2022's ExactSubstr dedup actually emits (§2.2: when a long
+    * substring occurs in several places, "all but one" occurrence is
+    * removed): every repeated span is EXCISED from a document unless an
+    * EARLIER (smaller-id) document carries the same span, so exactly
+    * the earliest occurrence in doc-id order survives corpus-wide (the
+    * paper leaves which copy survives arbitrary; pinning earliest-doc
+    * makes the output deterministic and oracle-able). Within-document
+    * self-repeats are out of scope, as in [[spanDedup]] (its pair
+    * report is doc_a < doc_b). Operates on the normalized token stream
+    * (the lower/whitespace normal form every text operator here
+    * shares); surviving tokens rejoin with single spaces. Returns
+    * (doc_id, n_tokens, n_removed, text_dedup) — one row per document,
+    * untouched documents included with n_removed = 0.
+    *
+    * Scale shape, on top of [[spanDedup]]'s anchor-gram equi-join +
+    * diagonal islanding: the removal ranges are interval-merged per
+    * document with the [[spanCoverage]] window (one (id | s, e) sort of
+    * the SPAN relation — tiny vs the corpus); the excision join keys on
+    * the document id (ranges-per-doc is bounded), and the rebuild is
+    * one per-document aggregation — no stage touches more than the
+    * token relation once.
+    */
+  def spanDedupApply(
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = spanDedup(docs, idCol, textCol, minTokens)
+    // Removal side only: the larger-doc occurrence of each pair span
+    // (set-distinct — a doc repeating a span against several earlier
+    // partners yields identical ranges, and dedup makes the islanding
+    // window's ORDER BY a strict total order, the d11 lesson).
+    val ranges = spans
+      .select(col("doc_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+      .distinct()
+    val wOrd = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = ranges
+      .withColumn("brk", when(prevMax.isNull || col("s") > prevMax, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(wOrd))
+      .groupBy(col("id"), col("isl"))
+      .agg(min(col("s")).as("rs"), max(col("e")).as("re"))
+    val removedCnt = merged.groupBy(col("id"))
+      .agg(sum(col("re") - col("rs")).cast("long").as("n_removed"))
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(graft.text.TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(
+      merged.select(col("id").as("rid"), col("rs"), col("re")),
+      col("id") === col("rid") &&
+        col("pos") >= col("rs") && col("pos") < col("re"),
+      "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(array_join(expr(
+        "transform(sort_array(collect_list(struct(pos, tok))), p -> p.tok)"),
+        " ").as("text_dedup"))
+    val nTok = docs.select(col(idCol).as("id"),
+      graft.text.TextFns.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+    nTok
+      .join(rebuilt, Seq("id"), "left")
+      .join(removedCnt, Seq("id"), "left")
+      .select(col("id").as("doc_id"), col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-duplicate CLUSTERS from a pair relation — the step that turns
     * "these documents are similar" into "keep this one, drop those":
     * connected components over the undirected pair graph, each member

@@ -27,6 +27,23 @@ class DedupSimSpec extends SparkSpec {
     ), out.mkString(", "))
   }
 
+  test("span dedup APPLY keeps the earliest occurrence and excises the rest") {
+    // Same fixture as the span report test: docs 1 and 2 share "a b c d"
+    // and "x y z w"; doc 3 shares nothing of length >= 3. The apply must
+    // leave doc 1 (earliest) untouched, excise both spans from doc 2,
+    // and pass doc 3 through verbatim (normalized token stream).
+    val docs = Seq(
+      (1L, "a b c d q q x y z w"),
+      (2L, "p a b c d p p p x y z w"),
+      (3L, "a b q c d x q y z")
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDedupApply(docs, "doc_id", "text", minTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 10L, 0L, "a b c d q q x y z w")), out(0).toString)
+    assert(out(1) == ((2L, 12L, 8L, "p p p p")), out(1).toString)
+    assert(out(2) == ((3L, 9L, 0L, "a b q c d x q y z")), out(2).toString)
+  }
+
   test("span dedup: repeated gram inside one diagonal stays one span") {
     // Both docs are the same 6-token text with an internal repeat
     // ("a b a b"): every anchor matches on the main diagonal (one

@@ -542,6 +542,18 @@ class PlanShapeSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("d19: excision is an id-keyed ranged anti-join over the anchor-gram span machinery") {
+    // The apply stage must not add any product on top of d10's
+    // anchor-gram equi-join: removal ranges merge in per-doc windows and
+    // the token excision anti-joins on the document id with a bounded
+    // range condition.
+    val df = SparkEntry.queries("d19_span_dedup_apply")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band
