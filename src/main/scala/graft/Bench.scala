@@ -106,10 +106,13 @@ object Bench {
     "t16_repetition",
     "t20_nb_langid",
     "t21_ccnet_buckets",
+    "t22_classifier_train",
+    "t23_classifier_score",
     "p16_dsir_resample",
     "d17_ngram_boilerplate",
     "p17_leakage_safe_split",
     "d19_span_dedup_apply",
+    "d20_threshold_sweep",
     "d18_semdedup",
     "d18b_semdedup_portable",
     "e14_zscore_outliers",
@@ -132,6 +135,7 @@ object Bench {
     "n11_ann_ivf_multiprobe",
     "n13_ann_ivf_tuned",
     "n13b_ann_tuned_portable",
+    "n14_probe_sweep",
     "g3_triangles",
     "g4_khop",
     "g6_sssp",
@@ -146,6 +150,8 @@ object Bench {
     "g17_walk_skipgrams",
     "g18_negative_sampling",
     "g19_walk_pmi",
+    "g20_modularity",
+    "g21_conductance",
     "a20_theta_ops",
     "a21_cms",
     "a22_hll_rollup",
@@ -687,7 +693,13 @@ object Bench {
       // r12 detector hardening (the r11 ADVICE items): artifact floors
       // can be a truncated slowest-legs subset, so the baseline now
       // merges artifact + sidecar per-query minima.
-      "\"r12 detector fix: BENCH_r artifacts that overflow the driver tail carry only a slowest-legs subset (_dropped_fastest: 39 in r11), so artifact-only floors silently unguarded the 39 fastest legs; previousMinWalls now merges the artifact with the sidecar's queries_min taking per-query min (min() is immune to mid-round sidecar overwrites for shared keys: a slow mid-round value loses to the artifact, a fast one only flags more) and skips the _dropped_fastest marker\"")
+      "\"r12 detector fix: BENCH_r artifacts that overflow the driver tail carry only a slowest-legs subset (_dropped_fastest: 39 in r11), so artifact-only floors silently unguarded the 39 fastest legs; previousMinWalls now merges the artifact with the sidecar's queries_min taking per-query min (min() is immune to mid-round sidecar overwrites for shared keys: a slow mid-round value loses to the artifact, a fast one only flags more) and skips the _dropped_fastest marker\"",
+      // r12 classifier-trainer orchestration A/B (AbClassifier, 64k
+      // synthetic docs x 1.29M feature rows, dims=32, quiet box): the
+      // t22 sufficient-statistics design priced against MLlib-style
+      // per-iteration distributed gradients on the SAME exact integer
+      // trajectory (bit-identical weights asserted both runs).
+      "\"r12 AbClassifier (64k docs / 1.29M feature rows, dims=32, quiet box, identical integer trajectories asserted): T=32 summary-GD wall 1.10 s / 0.6 MiB shuffle-write vs per-iteration distributed GD 21.70 s / 278.8 MiB - 20x wall, 465x shuffle bytes (iterations are free once the (dims+1)^2 Gram is collected); honest flip side at T=1: 1.67 vs 1.50 s (6.1 MiB) - per-iteration only competes when T is tiny or dims too large to square, exactly the regime split the scaladoc claims\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -36,7 +36,9 @@ object PlanAudit {
         // round-12 additions: PPMI matrix, leakage-safe split, SemDeDup,
         // span-dedup apply
         "g19_walk_pmi", "p17_leakage_safe_split", "d18b_semdedup_portable",
-        "d19_span_dedup_apply")
+        "d19_span_dedup_apply", "d20_threshold_sweep", "g20_modularity",
+        "t22_classifier_train", "t23_classifier_score", "g21_conductance",
+        "n14_probe_sweep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

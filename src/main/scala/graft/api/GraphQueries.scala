@@ -830,6 +830,97 @@ ke$i AS MATERIALIZED (
           round(pmi, 9).as("pmi"),
           round(greatest(pmi - log(lit(5.0)), lit(0.0)), 9).as("sppmi"))
         .orderBy(col("center"), col("context"))
+    }),
+
+    // Modularity of the g8 LPA partition (Newman & Girvan 2004, eq. 5):
+    // per community c over the undirected part↔supplier graph,
+    //   contribution(c) = L_c/m − (D_c/2m)²,  Q = Σ_c contribution
+    // with L_c = intra-community edges, D_c = degree sum, m = |edges|.
+    // The quality score every community-detection run is judged by —
+    // emitted per community so the table is useful (which communities
+    // are cohesive) and Q is its sum. All inputs are exact integers from
+    // the oracled LPA replay; one division each at the end, rounded at
+    // 9 → hash oracle. Scale shape: the label relation joins the edge
+    // list twice on the vertex id (broadcast at dimension scale, hash
+    // past it); degrees and per-community sums are map-side combinable;
+    // m is one broadcast scalar.
+    "g20_modularity" -> ((s, d) => {
+      val p2s = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val swe = p2s.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(p2s.select(col("v").as("src"), col("u").as("dst")))
+      val lab = graft.graph.LabelPropagation.run(
+        p2s.select(col("u").as("src"), col("v").as("dst")), rounds = LpaRounds)
+      val deg = swe.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val m = p2s.agg(count(lit(1)).as("m"))
+      val intra = p2s
+        .join(lab.select(col("id").as("u"), col("label").as("la")), "u")
+        .join(lab.select(col("id").as("v"), col("label").as("lb")), "v")
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community")).agg(count(lit(1)).as("intra_edges"))
+      val comm = lab.join(deg, "id")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_vertices"), sum(col("deg")).as("d_c"))
+      comm.join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(
+          when(pmod(col("community"), lit(2)) === 0,
+            concat(lit("p"), expr("community div 2")))
+            .otherwise(concat(lit("s"), expr("(community - 1) div 2")))
+            .as("community"),
+          col("n_vertices"), col("d_c"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          round(coalesce(col("intra_edges"), lit(0L)).cast("double") / col("m") -
+            pow(col("d_c").cast("double") / (col("m") * 2), 2), 9)
+            .as("contribution"))
+        .orderBy(col("community"))
+    }),
+
+    // Conductance of the same LPA communities — modularity's complement
+    // (Leskovec et al. 2009, "Community Structure in Large Networks" use
+    // exactly this as the community-quality score): per community c,
+    //   φ(c) = cut(c) / min(vol(c), 2m − vol(c))
+    // with cut(c) = boundary edges (exactly one endpoint in c) and
+    // vol(c) = degree sum. Low φ = cohesive. All inputs exact integers
+    // from the oracled label replay; one guarded division (an isolated
+    // full-graph community has cut = vol-complement = 0 → φ defined 0).
+    // Scale shape identical to g20: two label joins on the vertex id,
+    // map-side-combinable counts, m one broadcast scalar.
+    "g21_conductance" -> ((s, d) => {
+      val p2s = Tables.lineitem(s, d)
+        .select((col("l_partkey") * 2).as("u"), (col("l_suppkey") * 2 + 1).as("v"))
+        .distinct()
+      val swe = p2s.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(p2s.select(col("v").as("src"), col("u").as("dst")))
+      val lab = graft.graph.LabelPropagation.run(
+        p2s.select(col("u").as("src"), col("v").as("dst")), rounds = LpaRounds)
+      val deg = swe.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+      val m = p2s.agg(count(lit(1)).as("m"))
+      val edgeLabels = p2s
+        .join(lab.select(col("id").as("u"), col("label").as("la")), "u")
+        .join(lab.select(col("id").as("v"), col("label").as("lb")), "v")
+      // A boundary edge contributes to BOTH endpoint communities.
+      val cut = edgeLabels.filter(col("la") =!= col("lb"))
+        .select(explode(array(col("la"), col("lb"))).as("community"))
+        .groupBy(col("community")).agg(count(lit(1)).as("cut_edges"))
+      val comm = lab.join(deg, "id")
+        .groupBy(col("label").as("community"))
+        .agg(sum(col("deg")).as("d_c"))
+      comm.join(cut, Seq("community"), "left")
+        .crossJoin(broadcast(m))
+        .select(
+          when(pmod(col("community"), lit(2)) === 0,
+            concat(lit("p"), expr("community div 2")))
+            .otherwise(concat(lit("s"), expr("(community - 1) div 2")))
+            .as("community"),
+          col("d_c"),
+          coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+          coalesce(
+            round(coalesce(col("cut_edges"), lit(0L)).cast("double") /
+              nullif(least(col("d_c"), col("m") * 2 - col("d_c")), lit(0L)), 9),
+            lit(0.0)).as("conductance"))
+        .orderBy(col("community"))
     })
   )
 
@@ -1287,6 +1378,82 @@ SELECT
   CASE WHEN label % 2 = 0 THEN 'p' || CAST(label // 2 AS VARCHAR)
        ELSE 's' || CAST((label - 1) // 2 AS VARCHAR) END AS community
 FROM l$LpaRounds ORDER BY id"""),
+
+    // Modularity over the replayed LPA labels: the g8 CTE prelude +
+    // label chain, then integer L_c/D_c/m aggregates and one rounded
+    // contribution expression mirroring the Spark operation order.
+    "g20_modularity" ->
+      ("""WITH p2s AS MATERIALIZED (
+        |  SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem),
+        |swe AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM p2s UNION ALL SELECT v, u FROM p2s),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM swe)""".stripMargin +
+        lpaChainSql(LpaRounds) +
+        s""",
+lab AS (SELECT id, label FROM l$LpaRounds),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM swe GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p2s),
+intra AS (
+  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS intra_edges
+  FROM p2s
+  JOIN lab la ON la.id = p2s.u
+  JOIN lab lb ON lb.id = p2s.v
+  WHERE la.label = lb.label
+  GROUP BY 1),
+comm AS (
+  SELECT lab.label AS community, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+    CAST(SUM(deg.deg) AS BIGINT) AS d_c
+  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1)
+SELECT
+  CASE WHEN comm.community % 2 = 0 THEN 'p' || CAST(comm.community // 2 AS VARCHAR)
+       ELSE 's' || CAST((comm.community - 1) // 2 AS VARCHAR) END AS community,
+  comm.n_vertices, comm.d_c,
+  COALESCE(intra.intra_edges, 0) AS intra_edges,
+  ROUND(CAST(COALESCE(intra.intra_edges, 0) AS DOUBLE) / mm.m -
+    pow(CAST(comm.d_c AS DOUBLE) / (mm.m * 2), 2), 9) AS contribution
+FROM comm
+LEFT JOIN intra ON intra.community = comm.community
+CROSS JOIN mm
+ORDER BY community"""),
+
+    // Conductance over the replayed LPA labels: same prelude as g20,
+    // boundary edges fanned to both endpoint communities, guarded
+    // division mirroring the Spark nullif/least spelling.
+    "g21_conductance" ->
+      ("""WITH p2s AS MATERIALIZED (
+        |  SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v FROM lineitem),
+        |swe AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM p2s UNION ALL SELECT v, u FROM p2s),
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM swe)""".stripMargin +
+        lpaChainSql(LpaRounds) +
+        s""",
+lab AS (SELECT id, label FROM l$LpaRounds),
+deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM swe GROUP BY 1),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p2s),
+el AS (
+  SELECT la.label AS la, lb.label AS lb
+  FROM p2s
+  JOIN lab la ON la.id = p2s.u
+  JOIN lab lb ON lb.id = p2s.v),
+cut AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS cut_edges
+  FROM (SELECT la AS community FROM el WHERE la <> lb
+        UNION ALL SELECT lb FROM el WHERE la <> lb) b
+  GROUP BY 1),
+comm AS (
+  SELECT lab.label AS community, CAST(SUM(deg.deg) AS BIGINT) AS d_c
+  FROM lab JOIN deg ON deg.id = lab.id GROUP BY 1)
+SELECT
+  CASE WHEN comm.community % 2 = 0 THEN 'p' || CAST(comm.community // 2 AS VARCHAR)
+       ELSE 's' || CAST((comm.community - 1) // 2 AS VARCHAR) END AS community,
+  comm.d_c,
+  COALESCE(cut.cut_edges, 0) AS cut_edges,
+  COALESCE(ROUND(CAST(COALESCE(cut.cut_edges, 0) AS DOUBLE) /
+    NULLIF(LEAST(comm.d_c, mm.m * 2 - comm.d_c), 0), 9), 0.0) AS conductance
+FROM comm
+LEFT JOIN cut ON cut.community = comm.community
+CROSS JOIN mm
+ORDER BY community"""),
 
     "g10_degree_hist" ->
       """WITH e AS (

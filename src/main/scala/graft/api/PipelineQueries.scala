@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables.{documents, embeddings}
 import graft.text.TextFns
 import graft.dedup.Dedup
+import graft.ml.LinearClassifier
 import graft.graph.ConnectedComponents
 import graft.sim.Similarity
 import graft.media.Multimodal
@@ -30,6 +31,15 @@ object PipelineQueries {
   private val PrefixJoinThreshold = 0.8
   private val CosineThreshold = 0.35
   private val MixtureTarget = 100.0
+
+  /** t22/t23 classifier hyperparameters: 32 hash buckets keep collisions
+    * common enough to exercise the hashing trick and the Gram summary
+    * trivially collectable; 32 exact integer GD iterations on the
+    * normal-equations summary recover the stopword signal
+    * (LinearClassifierSpec pins training accuracy ≥ 0.7 vs 0.54 majority).
+    */
+  private val ClassifierDims = 32
+  private val ClassifierIters = 32
 
   /** Shared oracle CTE chain for the p7 curation stage, ending in
     * `curated(doc_id)` — the quality-passing, exact-dup-representative,
@@ -655,6 +665,33 @@ object PipelineQueries {
     "d11_span_coverage" -> ((s, d) =>
       Dedup.spanCoverage(documents(s, d), "doc_id", "text", minTokens = 6)),
 
+    // Dedup-threshold SENSITIVITY sweep — the design table a curation
+    // engineer reads before picking τ (Lee et al. 2022 §4 publishes
+    // exactly this curve): ONE pass over the exact n-gram Jaccard pair
+    // relation at the loosest design point (τ = 0.3), fanned against the
+    // bounded threshold list (a ≤7× broadcast range join, never a
+    // corpus re-scan per τ), yields per-τ pair counts, docs-with-a-dup,
+    // dropped-doc counts under the keep-min-id policy, and the corpus
+    // removal fraction. Integer counts + one rounded division → hash
+    // oracle. Thresholds are integer percents so grouping never
+    // compares floats.
+    "d20_threshold_sweep" -> ((s, d) => {
+      val pairs = Dedup.jaccardPairs(documents(s, d), "doc_id", "text",
+        n = 3, threshold = 0.3)
+      val nDocs = documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val taus = s.range(3, 10).select((col("id") * 10).as("tau_pct"))
+      pairs
+        .join(broadcast(taus), col("jaccard") >= col("tau_pct") / 100.0)
+        .groupBy(col("tau_pct"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("doc_b")).as("n_dropped"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("tau_pct"), col("n_pairs"), col("n_dropped"),
+          round(col("n_dropped").cast("double") / col("n_docs"), 6)
+            .as("removal_frac"))
+        .orderBy(col("tau_pct"))
+    }),
+
     // APPLY stage of span dedup — the deduplicated CORPUS itself (Lee et
     // al. 2022 ExactSubstr §2.2: remove all but one occurrence of every
     // long repeated substring; the surviving copy pinned to the earliest
@@ -846,6 +883,14 @@ object PipelineQueries {
     // hash oracle (r9 verdict ask #3).
     "n13b_ann_tuned_portable" -> ((s, d) =>
       Similarity.annIvfStaticTuned(vecs(s, d), k = 5)),
+
+    // Probe-budget design table over the tuned quantizer — recall and
+    // candidate volume per nprobe ∈ 1..8 from ONE candidate pass (each
+    // pair tagged with the first probe rank that finds it) + a bounded
+    // broadcast budget fan; the retrieval-side twin of d20's dedup-τ
+    // sweep. See [[graft.sim.Similarity.annProbeSweep]].
+    "n14_probe_sweep" -> ((s, d) =>
+      Similarity.annProbeSweep(vecs(s, d), k = 5)),
 
     // kNN label-consistency screen: for each labeled query vector, the
     // majority label among its k=5 cosine-nearest neighbors and the
@@ -1355,6 +1400,41 @@ object PipelineQueries {
             .when(col("tercile") === 2, "middle")
             .otherwise("tail").as("bucket"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Distributed training of the fastText-style quality classifier (the
+    // CCNet/GPT-3 curation step): hashed bag-of-words features, weak
+    // stopword-heuristic labels, normal-equations summary built in ONE
+    // distributed corpus pass, then exact fixed-point integer GD on the
+    // (dims+1)² Gram — see [[graft.ml.LinearClassifier]] for why the
+    // integer trajectory makes the learned weights hash-oracle-able where
+    // float GD could never be. The feature relation is checkpointed so the
+    // gram/moment scans skip the tokenize/hash stage, and freed before
+    // return (training is eager; the weight relation doesn't reference it).
+    "t22_classifier_train" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(feat)
+      w.orderBy(col("dim"))
+    }),
+
+    // The trained classifier APPLIED back over the corpus: per-doc integer
+    // margin, sign prediction, and agreement with the weak label — the
+    // relation a curation pipeline thresholds to keep/drop documents.
+    "t23_classifier_score" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      LinearClassifier.score(feat, lab, w).orderBy(col("doc_id"))
     })
   )
 
@@ -2221,6 +2301,41 @@ object PipelineQueries {
         |FROM nt LEFT JOIN cov ON nt.doc_id = cov.id
         |ORDER BY doc_id""".stripMargin),
 
+    // Threshold sweep over the same exact-Jaccard pair CTEs at the 0.3
+    // design point; integer-percent thresholds so grouping is never a
+    // float compare.
+    "d20_threshold_sweep" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |prs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |jp AS (
+        |  SELECT doc_a, doc_b,
+        |    ROUND(CAST(common AS DOUBLE) / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM prs
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= 0.3),
+        |taus AS (SELECT UNNEST([30, 40, 50, 60, 70, 80, 90]) AS tau_pct),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT CAST(tau_pct AS BIGINT) AS tau_pct,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_dropped,
+        |  ROUND(CAST(COUNT(DISTINCT doc_b) AS DOUBLE) / nd.n_docs, 6)
+        |    AS removal_frac
+        |FROM jp JOIN taus ON jp.jaccard >= tau_pct / 100.0
+        |CROSS JOIN nd
+        |GROUP BY tau_pct, nd.n_docs
+        |ORDER BY tau_pct""".stripMargin,
+
     // Span-dedup APPLY: d10's span CTEs, removal ranges from the
     // larger-doc side only (the earliest-doc copy survives), the d11
     // interval-union islanding, then token excision + ordered rebuild.
@@ -2602,6 +2717,66 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT query_id, cand_id, CAST(rnk AS BIGINT) AS rnk, cosine
         |FROM ranked WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // Probe sweep: n13b's quantizer prelude, query cells fanned with an
+    // explicit probe rank (confidence order), candidate cells 3-assigned
+    // and deduped, first-discovery rank per pair, exact top-5 truth, and
+    // the cumulative per-budget aggregation.
+    "n14_probe_sweep" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a0 AS (
+        |  SELECT vec_id, v,
+        |    (CASE WHEN v[1] >= 0 THEN 16 ELSE 0 END
+        |   + CASE WHEN v[2] >= 0 THEN 8 ELSE 0 END
+        |   + CASE WHEN v[3] >= 0 THEN 4 ELSE 0 END
+        |   + CASE WHEN v[4] >= 0 THEN 2 ELSE 0 END
+        |   + CASE WHEN v[5] >= 0 THEN 1 ELSE 0 END) AS cell,
+        |    [abs(v[1]), abs(v[2]), abs(v[3]), abs(v[4]), abs(v[5])] AS la
+        |  FROM e),
+        |a1 AS (
+        |  SELECT vec_id, cell,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[1])] AS b1,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[2])] AS b2,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[3])] AS b3,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[4])] AS b4,
+        |    ([16, 8, 4, 2, 1])[list_position(la, list_sort(la)[5])] AS b5
+        |  FROM a0),
+        |qp AS (
+        |  SELECT vec_id AS query_id, p.prank,
+        |    xor(cell, CASE p.prank
+        |      WHEN 1 THEN 0 WHEN 2 THEN b1 WHEN 3 THEN b2 WHEN 4 THEN b3
+        |      WHEN 5 THEN b4 WHEN 6 THEN b5 WHEN 7 THEN xor(b1, b2)
+        |      ELSE xor(b1, b3) END) AS cell
+        |  FROM a1, (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) p(prank)),
+        |cc AS (
+        |  SELECT DISTINCT vec_id AS cand_id, xor(cell, mm.m) AS cell
+        |  FROM a1, UNNEST([0, b1, b2]) AS mm(m)),
+        |disc AS MATERIALIZED (
+        |  SELECT query_id, cand_id, MIN(prank) AS first_probe
+        |  FROM qp JOIN cc ON qp.cell = cc.cell AND qp.query_id <> cc.cand_id
+        |  GROUP BY 1, 2),
+        |truth AS MATERIALIZED (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |      ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+        |    FROM a0 a CROSS JOIN a0 b WHERE a.vec_id <> b.vec_id) s
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY cosine DESC, cand_id) <= 5),
+        |nq AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+        |bud AS (SELECT CAST(UNNEST(generate_series(1, 8)) AS BIGINT) AS probes)
+        |SELECT b.probes,
+        |  CAST(COUNT(*) AS BIGINT) AS n_cand_pairs,
+        |  CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hits,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / nq.n, 6) AS cands_per_query,
+        |  ROUND(CAST(SUM(CASE WHEN t.query_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / (nq.n * 5), 6) AS recall
+        |FROM disc d
+        |LEFT JOIN truth t ON t.query_id = d.query_id AND t.cand_id = d.cand_id
+        |JOIN bud b ON d.first_probe <= b.probes
+        |CROSS JOIN nq
+        |GROUP BY b.probes, nq.n
+        |ORDER BY b.probes""".stripMargin,
 
     "d14_semantic_contamination" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -3021,6 +3196,89 @@ object PipelineQueries {
         |  FROM scored)
         |SELECT doc_id, lang, logppl,
         |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM tiled ORDER BY doc_id""".stripMargin
+        |FROM tiled ORDER BY doc_id""".stripMargin,
+
+    // The quantized-GD training trajectory replayed exactly: every
+    // quantity (gram entries, moments, step exponent, weights) is an exact
+    // 64-bit integer, so the unrolled per-iteration CTEs reproduce the
+    // learned weights bit-for-bit.
+    "t22_classifier_train" ->
+      s"""$ClassifierCtes
+         |SELECT dim, CAST(w AS BIGINT) AS w
+         |FROM w$ClassifierIters ORDER BY dim""".stripMargin,
+
+    "t23_classifier_score" ->
+      s"""$ClassifierCtes,
+         |mf AS (
+         |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w USING (dim) GROUP BY 1)
+         |SELECT m.doc_id, l.y, CAST(m.margin AS BIGINT) AS margin,
+         |  CAST(CASE WHEN m.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |  CAST(CASE WHEN (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y
+         |       THEN 1 ELSE 0 END AS BIGINT) AS correct
+         |FROM mf m JOIN lab l USING (doc_id) ORDER BY doc_id""".stripMargin
   )
+
+  /** Shared oracle CTE chain for t22/t23: hashed features (the t15 md5
+    * bucket stream mod [[ClassifierDims]] + the bias pseudo-dim -1), the
+    * integer stopword weak label, the Gram/moment sufficient statistics,
+    * the data-adaptive step divisor 2^bitlen(trace), and
+    * [[ClassifierIters]] unrolled fixed-point GD iterations ending in
+    * `w$ClassifierIters(dim, w)`. Mirrors
+    * [[graft.ml.LinearClassifier.train]] operation for operation.
+    */
+  private lazy val ClassifierCtes: String = {
+    val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+    val scale = 1L << LinearClassifier.ScaleBits
+    val head =
+      s"""WITH toksarr AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toksarr),
+         |hf AS (
+         |  SELECT doc_id,
+         |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $ClassifierDims AS dim,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tok GROUP BY 1, 2),
+         |feat AS MATERIALIZED (
+         |  SELECT * FROM hf
+         |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+         |lab AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN 16 * len(list_filter(toks, x -> x IN ($stop))) > len(toks)
+         |         THEN 1 ELSE -1 END AS y
+         |  FROM toksarr),
+         |gram AS MATERIALIZED (
+         |  SELECT fa.dim AS i, fb.dim AS j, CAST(SUM(fa.n * fb.n) AS BIGINT) AS a
+         |  FROM feat fa JOIN feat fb USING (doc_id) GROUP BY 1, 2),
+         |bvec AS MATERIALIZED (
+         |  SELECT f.dim, CAST(SUM(f.n * l.y) AS BIGINT) AS bv
+         |  FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+         |kp AS MATERIALIZED (
+         |  SELECT CAST(pow(2, length(to_base(
+         |    CAST((SELECT SUM(a) FROM gram WHERE i = j) AS BIGINT), 2))) AS BIGINT) AS p),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(UNNEST(generate_series(-1, ${ClassifierDims - 1})) AS BIGINT) AS dim,
+         |         CAST(0 AS BIGINT) AS w)""".stripMargin
+    // Every per-iteration CTE is MATERIALIZED: each w$k is referenced three
+    // times by iteration k+1, so un-materialized inlining would expand the
+    // 32-iteration chain 3^32-fold (the same lesson as the LPA l$i chain).
+    val iters = (1 to ClassifierIters).map { k =>
+      s""",
+         |aw$k AS MATERIALIZED (
+         |  SELECT g.i AS dim, SUM(g.a * w.w) AS aw
+         |  FROM gram g JOIN w${k - 1} w ON w.dim = g.j GROUP BY 1),
+         |g$k AS MATERIALIZED (
+         |  SELECT w.dim,
+         |    COALESCE(a.aw, 0) - COALESCE(b.bv, 0) * $scale AS g
+         |  FROM w${k - 1} w LEFT JOIN aw$k a USING (dim)
+         |  LEFT JOIN bvec b USING (dim)),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.dim,
+         |    w.w - CASE WHEN g.g >= 0 THEN g.g // kp.p
+         |               ELSE -((-g.g) // kp.p) END AS w
+         |  FROM w${k - 1} w JOIN g$k g USING (dim) CROSS JOIN kp)""".stripMargin
+    }.mkString
+    head + iters
+  }
 }

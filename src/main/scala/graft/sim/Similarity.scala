@@ -493,6 +493,61 @@ object Similarity {
     rankTopK(scored, k).orderBy(col("query_id"), col("rnk"))
   }
 
+  /** Probe-budget DESIGN TABLE for the tuned static IVF — the retrieval
+    * twin of the dedup-τ sweep (d20): how much recall does each extra
+    * probe buy, and at what candidate volume? For every probe budget
+    * p ∈ 1..8 over [[annIvfStaticTuned]]'s confidence-ordered mask
+    * sequence: the cumulative candidate-pair count, mean candidates per
+    * query, exact-top-k pairs reachable (candidate recall — the metric
+    * ann-benchmarks reports, an upper bound on any re-rank's recall),
+    * and the recall fraction. This is the table a service reads to pick
+    * nprobe — produced WITHOUT re-running the search per budget: ONE
+    * candidate pass tags every (query, cand) pair with the FIRST probe
+    * rank that discovers it (min over mask positions), then a bounded
+    * ≤8× broadcast fan aggregates cumulative counts per budget — the
+    * same one-pass/fan-the-thresholds shape as d20. Ground truth is
+    * [[annBruteAll]] (|V|² exact — a design-time fixture cost, paid once
+    * per tuning run on a sampled slice, not a production path; the
+    * candidate pass itself stays the per-cell equi-join). Everything is
+    * deterministic (static quantizer, exact integer counts, one rounded
+    * division) → full DuckDB hash oracle.
+    */
+  def annProbeSweep(vectors: DataFrame, k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val assigned = tunedAssigned(vectors)
+    val qcells = assigned
+      .select(col("vec_id").as("query_id"), col("cell"),
+        posexplode(tunedQueryMasks).as(Seq("pos", "m")))
+      .select(col("query_id"), (col("pos") + 1).as("prank"),
+        col("cell").bitwiseXOR(col("m")).as("cell"))
+    // Distinct: |v|-ties can make two assignment masks coincide.
+    val cand = assigned
+      .select(col("vec_id").as("cand_id"), col("cell"),
+        explode(tunedCandMasks).as("m"))
+      .select(col("cand_id"), col("cell").bitwiseXOR(col("m")).as("cell_b"))
+      .distinct()
+    val discovered = qcells.join(cand,
+        col("cell") === col("cell_b") && col("query_id") =!= col("cand_id"))
+      .groupBy(col("query_id"), col("cand_id"))
+      .agg(min(col("prank")).as("first_probe"))
+    val truth = annBruteAll(vectors, k)
+      .select(col("query_id"), col("cand_id"), lit(1L).as("is_true"))
+    val nQ = vectors.agg(count(lit(1)).as("n_queries"))
+    val budgets = spark.range(1, 9).select(col("id").as("probes"))
+    discovered.join(truth, Seq("query_id", "cand_id"), "left")
+      .join(broadcast(budgets), col("first_probe") <= col("probes"))
+      .groupBy(col("probes"))
+      .agg(count(lit(1)).as("n_cand_pairs"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(nQ))
+      .select(col("probes"), col("n_cand_pairs"), col("n_hits"),
+        round(col("n_cand_pairs").cast("double") / col("n_queries"), 6)
+          .as("cands_per_query"),
+        round(col("n_hits").cast("double") / (col("n_queries") * k), 6)
+          .as("recall"))
+      .orderBy(col("probes"))
+  }
+
   /** IVF with a DATA-INDEPENDENT quantizer: cells are the sign pattern of
     * the first `dims` coordinates (2^dims cells) instead of trained
     * k-means centroids. Same physical shape as [[annIvf]] — cell

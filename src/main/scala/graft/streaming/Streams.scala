@@ -709,6 +709,40 @@ object Streams {
       dimKey: String): DataFrame =
     stream.join(broadcast(dim), stream(streamKey) === dim(dimKey), "left")
 
+  /** Streaming quality-classifier scoring — the live twin of the batch
+    * t23 apply stage: documents arrive as a stream and every row gets its
+    * margin under a TRAINED [[graft.ml.LinearClassifier]] weight relation
+    * — the online filter a curation front-door runs on arriving crawl
+    * data once the batch trainer has fit the model.
+    *
+    * The batch plan (explode → hashed-feature groupBy → weight join →
+    * per-doc sum) would need a doc-keyed stateful aggregation in
+    * streaming; the same margin is computed STATELESS here by folding the
+    * in-row token array against the weight vector shipped as a plan
+    * literal: margin = w_bias + Σ_tokens w[md5(token) mod dims]
+    * (grouping tokens per bucket first cannot change an integer sum, so
+    * per-token lookup ≡ the batch n·w form — StreamsSpec pins exact
+    * parity). The dims+1-row weight relation is driver-collected once at
+    * plan build — the same bounded collect the trainer itself makes; no
+    * join, no shuffle, no state: a pure projection that scales to any
+    * stream rate.
+    */
+  def classifierScoreStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
+      dims: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val w = weights.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val warr = array((0 until dims).map(j => lit(w.getOrElse(j.toLong, 0L))): _*)
+    val toks = graft.text.TextFns.tokens(col(textCol))
+    val margin = aggregate(toks, lit(w.getOrElse(-1L, 0L)),
+      (acc, t) => acc + element_at(warr,
+        (pmod(graft.ops.Portable.md5Long(t), lit(dims.toLong)) + 1).cast("int")))
+    docs.select(col(idCol).as("doc_id"), margin.as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+  }
+
   /** Batch reference for [[sessionize]] (same semantics, same rounding) —
     * used by tests to check stream/batch parity.
     */

@@ -554,6 +554,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(3000))
   }
 
+  test("d20: the threshold fan is a bounded broadcast nested-loop, never a corpus re-scan") {
+    // One pass over the pair relation fanned against the 7-row threshold
+    // list: the range join must plan as a BroadcastNestedLoopJoin with
+    // the tiny side built (bounded ≤7x fan-out) — NOT a CartesianProduct
+    // and NOT per-τ re-evaluation of the pair build (one shingle-join
+    // aggregation in the plan, not seven).
+    val df = SparkEntry.queries("d20_threshold_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("g20: modularity aggregates join labels twice by hash/broadcast; no product") {
+    val df = SparkEntry.queries("g20_modularity")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("g21: conductance keeps g20's label-join shape; no product") {
+    val df = SparkEntry.queries("g21_conductance")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("n14: probe sweep is one candidate pass + bounded broadcast budget fan") {
+    // The per-budget rows must come from ONE discovered-pair relation
+    // fanned against the 8-row budget list (broadcast nested loop), and
+    // the only unconditioned joins are the bounded broadcast fans (truth
+    // baseline + budgets + the scalar n_queries) — never an unbounded
+    // CartesianProduct. The cell candidate join itself must be an
+    // equi-join (hash or sort-merge on cell).
+    val df = SparkEntry.queries("n14_probe_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("t23: classifier scoring broadcasts the 33-row weight relation; no product") {
+    // The corpus-sized feature relation must never shuffle to meet the
+    // weights: the margin join plans as a BroadcastHashJoin with the
+    // dims+1-row weight side built.
+    val df = SparkEntry.queries("t23_classifier_score")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band

@@ -715,6 +715,34 @@ class StreamsSpec extends SparkSpec {
     assert(want.nonEmpty, "split yields no cross-batch semantic dups")
   }
 
+  test("streaming classifier scoring matches the batch t23 margins exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ml.LinearClassifier
+    val dims = 32
+    val docs = Tables.documents(spark, Sf001).select(col("doc_id"), col("text"))
+    val feat = LinearClassifier.features(docs, "doc_id", "text", dims)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    val weights = LinearClassifier.train(spark, feat, lab, dims, 16)
+    // Batch truth: the t23 apply stage under the same weights.
+    val want = LinearClassifier.score(feat, lab, weights)
+      .select(col("doc_id"), col("margin"), col("pred"))
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = docs.as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val q = Streams.classifierScoreStream(
+        mem.toDF().toDF("doc_id", "text"), weights, dims, "doc_id", "text")
+      .writeStream.format("memory").queryName("clf_scored")
+      .outputMode("append").start()
+    mem.addData(rows.take(200)); mem.addData(rows.drop(200))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("clf_scored")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"got ${got.size} vs want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty)
+  }
+
   test("stream-static enrichment join decorates events with customer dims") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
