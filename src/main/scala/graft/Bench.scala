@@ -108,11 +108,14 @@ object Bench {
     "t21_ccnet_buckets",
     "t22_classifier_train",
     "t23_classifier_score",
+    "t24_classifier_calibration",
     "p16_dsir_resample",
+    "p18_temperature_sweep",
     "d17_ngram_boilerplate",
     "p17_leakage_safe_split",
     "d19_span_dedup_apply",
     "d20_threshold_sweep",
+    "d21_lsh_band_sweep",
     "d18_semdedup",
     "d18b_semdedup_portable",
     "e14_zscore_outliers",
@@ -699,7 +702,12 @@ object Bench {
       // t22 sufficient-statistics design priced against MLlib-style
       // per-iteration distributed gradients on the SAME exact integer
       // trajectory (bit-identical weights asserted both runs).
-      "\"r12 AbClassifier (64k docs / 1.29M feature rows, dims=32, quiet box, identical integer trajectories asserted): T=32 summary-GD wall 1.10 s / 0.6 MiB shuffle-write vs per-iteration distributed GD 21.70 s / 278.8 MiB - 20x wall, 465x shuffle bytes (iterations are free once the (dims+1)^2 Gram is collected); honest flip side at T=1: 1.67 vs 1.50 s (6.1 MiB) - per-iteration only competes when T is tiny or dims too large to square, exactly the regime split the scaladoc claims\"")
+      "\"r12 AbClassifier (64k docs / 1.29M feature rows, dims=32, quiet box, identical integer trajectories asserted): T=32 summary-GD wall 1.10 s / 0.6 MiB shuffle-write vs per-iteration distributed GD 21.70 s / 278.8 MiB - 20x wall, 465x shuffle bytes (iterations are free once the (dims+1)^2 Gram is collected); honest flip side at T=1: 1.67 vs 1.50 s (6.1 MiB) - per-iteration only competes when T is tiny or dims too large to square, exactly the regime split the scaladoc claims\"",
+      // r12 incremental classifier retraining (AbClassifierInc, 4k-doc
+      // batch against an Nx-batch corpus): the ClassifierStore
+      // asymptotic point, with bit-identical weights asserted at every
+      // scale (statistics additivity, not approximation).
+      "\"r12 AbClassifierInc (4k-doc batch, dims=32, T=32): incremental append+trainStored stays flat 3.6/2.1/2.5 s at corpus 16x/64x/256x (64k/256k/1M docs) while the from-scratch retrain grows linearly 4.0/6.5/12.7 s (5.1x at 256x, widening); one-time store build 8.6/5.8/12.8 s amortizes across increments; weights bit-identical to the union train at every point (integer sufficient-statistics additivity)\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

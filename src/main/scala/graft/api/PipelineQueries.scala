@@ -518,6 +518,48 @@ object PipelineQueries {
         .orderBy(col("source"))
     }),
 
+    // Sampling-TEMPERATURE design table — p14 fixes α = 0.5; this is the
+    // table a pipeline reads to PICK α (the XLM-R §3.1 / mT5 §3 choice):
+    // per α ∈ {0.2, 0.4, 0.6, 0.8, 1.0} and source, the temperature
+    // weight share w_s = n_s^α / Σ n^α, the epoch count that share
+    // implies at the p14 4×-corpus budget (capped 16), and per α the
+    // EFFECTIVE SOURCE COUNT 1/Σ share² (inverse Simpson index — the
+    // diversity headline: α→0 is uniform over sources, α=1 is
+    // proportional). One corpus scan → per-source integer token sums →
+    // bounded 5-row broadcast α fan; every cross-partition float sum
+    // goes through rounded DECIMALS so the aggregation order can never
+    // shift a digit (the d15 discipline). Fourth member of the sweep
+    // family (d20 τ, n14 nprobe, d21 bands).
+    "p18_temperature_sweep" -> ((s, d) => {
+      val toks = documents(s, d).select(col("source"),
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(TextFns.tokens(col("text"))).cast("long")).as("n_tok"))
+      val per = toks.groupBy(col("source")).agg(sum(col("n_tok")).as("n_tokens"))
+      val alphas = s.range(1, 6).select((col("id") * 20).as("alpha_pct"))
+      val w = per.crossJoin(broadcast(alphas))
+        .select(col("alpha_pct"), col("source"), col("n_tokens"),
+          round(pow(col("n_tokens").cast("double"),
+            col("alpha_pct").cast("double") / 100.0), 9)
+            .cast("decimal(38,12)").as("w"))
+      val z = w.groupBy(col("alpha_pct")).agg(sum(col("w")).as("z"))
+      val tot = per.agg(sum(col("n_tokens")).as("tot"))
+      val sh = w.join(z, "alpha_pct")
+        .select(col("alpha_pct"), col("source"), col("n_tokens"),
+          round(col("w").cast("double") / col("z").cast("double"), 6).as("share"))
+      val eff = sh
+        .select(col("alpha_pct"), col("share").cast("decimal(18,6)").as("s6"))
+        .groupBy(col("alpha_pct"))
+        .agg(sum(col("s6") * col("s6")).as("ss"))
+        .select(col("alpha_pct"),
+          round(lit(1.0) / col("ss").cast("double"), 6).as("eff_sources"))
+      sh.join(broadcast(eff), "alpha_pct").crossJoin(broadcast(tot))
+        .select(col("alpha_pct"), col("source"), col("n_tokens"), col("share"),
+          round(least(col("tot").cast("double") * 4 * col("share") /
+            col("n_tokens"), lit(16.0)), 4).as("epochs"),
+          col("eff_sources"))
+        .orderBy(col("alpha_pct"), col("source"))
+    }),
+
     // ---- deduplication ----
     "d1_dedup_exact" -> ((s, d) =>
       Dedup.exact(documents(s, d), "doc_id", "text")),
@@ -691,6 +733,18 @@ object PipelineQueries {
             .as("removal_frac"))
         .orderBy(col("tau_pct"))
     }),
+
+    // The BANDING design table for MinHash-LSH — given the d3b signature
+    // budget (32 hashes), which (bands, rowsPerBand) split to run: per
+    // config, empirical candidate volume / precision / recall against
+    // exact Jaccard ≥ τ, next to the theoretical S-curve catch
+    // probability. One signature pass + one per-seed match join shared by
+    // ALL configs (bounded 5× broadcast fan regroups the same match rows)
+    // — never an LSH re-run per config. The third tuning table next to
+    // d20 (τ) and n14 (nprobe). See [[graft.dedup.Dedup.lshBandSweep]].
+    "d21_lsh_band_sweep" -> ((s, d) =>
+      Dedup.lshBandSweep(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32, threshold = JaccardThreshold)),
 
     // APPLY stage of span dedup — the deduplicated CORPUS itself (Lee et
     // al. 2022 ExactSubstr §2.2: remove all but one occurrence of every
@@ -1435,6 +1489,34 @@ object PipelineQueries {
       val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
       val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
       LinearClassifier.score(feat, lab, w).orderBy(col("doc_id"))
+    }),
+
+    // Calibration / reliability table for the trained classifier — does
+    // a bigger margin actually mean a more trustworthy prediction (the
+    // question a curation engineer answers before picking the keep
+    // threshold)? Documents are banded by margin MAGNITUDE =
+    // bitlength(|margin|) — an integer, engine-portable confidence band
+    // (the same to_base spelling as the trainer's step divisor) — and per
+    // (band, predicted sign) the table reports volume and weak-label
+    // agreement. No global sort/ntile: the band is a pure projection and
+    // the aggregation is map-side combinable — the 100 TB-safe spelling
+    // of a reliability diagram (bounded ≤64 bands × 2 signs output).
+    "t24_classifier_calibration" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      LinearClassifier.score(feat, lab, w)
+        .select(col("pred"), col("correct"),
+          length(bin(abs(col("margin")))).cast("long").as("margin_band"))
+        .groupBy(col("margin_band"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+        .select(col("margin_band"), col("pred"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"))
+        .orderBy(col("margin_band"), col("pred"))
     })
   )
 
@@ -2336,6 +2418,62 @@ object PipelineQueries {
         |GROUP BY tau_pct, nd.n_docs
         |ORDER BY tau_pct""".stripMargin,
 
+    // Banding sweep: the d3b signature/match CTEs generalized — one
+    // 32-seed signature, one per-seed match relation, regrouped under
+    // every config's band width; truth is the exact-Jaccard pair pass.
+    "d21_lsh_band_sweep" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, k,
+        |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
+        |mt AS MATERIALIZED (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.k AS k
+        |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id),
+        |confs AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS rows_per_band),
+        |cand AS (
+        |  SELECT DISTINCT doc_a, doc_b, rows_per_band FROM (
+        |    SELECT doc_a, doc_b, rows_per_band, k // rows_per_band AS band,
+        |      COUNT(*) AS c
+        |    FROM mt CROSS JOIN confs GROUP BY 1, 2, 3, 4) g
+        |  WHERE c = rows_per_band),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |truth AS MATERIALIZED (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |    FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |    GROUP BY 1, 2) p
+        |  JOIN cnt ca ON doc_a = ca.doc_id
+        |  JOIN cnt cb ON doc_b = cb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+        |agg AS (
+        |  SELECT rows_per_band, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        |    CAST(SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hits
+        |  FROM cand c LEFT JOIN truth t USING (doc_a, doc_b) GROUP BY 1)
+        |SELECT CAST(32 // c.rows_per_band AS BIGINT) AS bands,
+        |  CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+        |  COALESCE(a.n_candidates, 0) AS n_candidates,
+        |  COALESCE(a.n_hits, 0) AS n_hits,
+        |  nt.n_true_pairs,
+        |  COALESCE(ROUND(CAST(COALESCE(a.n_hits, 0) AS DOUBLE) /
+        |    NULLIF(a.n_candidates, 0), 6), 0.0) AS precision,
+        |  COALESCE(ROUND(CAST(COALESCE(a.n_hits, 0) AS DOUBLE) /
+        |    NULLIF(nt.n_true_pairs, 0), 6), 0.0) AS recall,
+        |  ROUND(1.0 - POWER(1.0 - POWER($JaccardThreshold,
+        |    CAST(c.rows_per_band AS DOUBLE)),
+        |    CAST(32 // c.rows_per_band AS DOUBLE)), 6) AS catch_prob_at_tau
+        |FROM confs c LEFT JOIN agg a USING (rows_per_band) CROSS JOIN nt
+        |ORDER BY rows_per_band""".stripMargin,
+
     // Span-dedup APPLY: d10's span CTEs, removal ranges from the
     // larger-doc side only (the earliest-doc copy survives), the d11
     // interval-union islanding, then token excision + ordered rebuild.
@@ -2865,6 +3003,42 @@ object PipelineQueries {
         |  CAST(FLOOR(LEAST(e, 16.0) * n_tokens) AS BIGINT) AS planned_tokens
         |FROM calc ORDER BY source""".stripMargin,
 
+    // Temperature sweep: p13's token CTEs, a 5-row α fan, and every
+    // cross-partition float sum routed through rounded decimals so both
+    // engines aggregate bit-identical inputs in any order.
+    "p18_temperature_sweep" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END
+        |      AS BIGINT) AS n_tok
+        |  FROM documents),
+        |per AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |        FROM t GROUP BY source),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM per),
+        |alphas AS (SELECT CAST(UNNEST([20, 40, 60, 80, 100]) AS BIGINT) AS alpha_pct),
+        |w AS (
+        |  SELECT alpha_pct, source, n_tokens,
+        |    CAST(ROUND(POWER(CAST(n_tokens AS DOUBLE),
+        |      CAST(alpha_pct AS DOUBLE) / 100.0), 9) AS DECIMAL(38,12)) AS w
+        |  FROM per CROSS JOIN alphas),
+        |z AS (SELECT alpha_pct, SUM(w) AS z FROM w GROUP BY alpha_pct),
+        |sh AS (
+        |  SELECT w.alpha_pct, source, n_tokens,
+        |    ROUND(CAST(w.w AS DOUBLE) / CAST(z.z AS DOUBLE), 6) AS share
+        |  FROM w JOIN z ON w.alpha_pct = z.alpha_pct),
+        |eff AS (
+        |  SELECT alpha_pct,
+        |    ROUND(1.0 / CAST(SUM(CAST(share AS DECIMAL(18,6)) *
+        |      CAST(share AS DECIMAL(18,6))) AS DOUBLE), 6) AS eff_sources
+        |  FROM sh GROUP BY alpha_pct)
+        |SELECT sh.alpha_pct, sh.source, sh.n_tokens, sh.share,
+        |  ROUND(LEAST(CAST(tot.tot AS DOUBLE) * 4 * sh.share / sh.n_tokens,
+        |    16.0), 4) AS epochs,
+        |  eff.eff_sources
+        |FROM sh JOIN eff ON sh.alpha_pct = eff.alpha_pct CROSS JOIN tot
+        |ORDER BY sh.alpha_pct, sh.source""".stripMargin,
+
     "n1_ann_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
@@ -3216,7 +3390,30 @@ object PipelineQueries {
          |  CAST(CASE WHEN m.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
          |  CAST(CASE WHEN (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y
          |       THEN 1 ELSE 0 END AS BIGINT) AS correct
-         |FROM mf m JOIN lab l USING (doc_id) ORDER BY doc_id""".stripMargin
+         |FROM mf m JOIN lab l USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Calibration table: the t23 margin CTEs, banded by integer
+    // bitlength(|margin|) (the trainer's own to_base spelling) — no
+    // window, no sort, a pure GROUP BY.
+    "t24_classifier_calibration" ->
+      s"""$ClassifierCtes,
+         |mf AS (
+         |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w USING (dim) GROUP BY 1),
+         |sc AS (
+         |  SELECT m.doc_id,
+         |    CAST(CASE WHEN m.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+         |    CASE WHEN (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y
+         |         THEN 1 ELSE 0 END AS correct,
+         |    CAST(length(to_base(abs(CAST(m.margin AS BIGINT)), 2)) AS BIGINT)
+         |      AS margin_band
+         |  FROM mf m JOIN lab l USING (doc_id))
+         |SELECT margin_band, pred,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(correct) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy
+         |FROM sc GROUP BY margin_band, pred
+         |ORDER BY margin_band, pred""".stripMargin
   )
 
   /** Shared oracle CTE chain for t22/t23: hashed features (the t15 md5

@@ -478,6 +478,92 @@ object Dedup {
     refineJaccard(matches, sh, threshold)
   }
 
+  /** MinHash-LSH BANDING design table — the third member of the tuning
+    * trilogy next to the dedup-τ sweep (d20) and the ANN probe sweep
+    * (n14): which (bands, rowsPerBand) split of a fixed signature budget
+    * should a dedup run use? For every config r ∈ {1, 2, 4, …,
+    * numHashes/2} with b = numHashes / r, the empirical candidate-pair
+    * count, the true-pair hits (exact n-gram Jaccard ≥ threshold — the
+    * same ground truth the LSH approximates), precision, recall, and the
+    * theoretical S-curve catch probability 1 − (1 − τ^r)^b at the design
+    * threshold (Leskovec/Rajaraman/Ullman MMDS §3.4.2 — the curve whose
+    * empirical columns this table IS).
+    *
+    * Computed WITHOUT re-running LSH per config: the numHashes portable
+    * md5 minima are computed ONCE (the d3b signature shape), the per-seed
+    * match relation (doc_a, doc_b, k) once (one equi-join on (k, min) —
+    * the same join every portable banding makes), then a bounded
+    * |configs|× broadcast fan regroups the SAME match rows under each
+    * config's band width (a band fires iff all r of its seeds match —
+    * count == r). Ground truth is one exact-Jaccard pass over the shared
+    * shingle relation — the design-time fixture cost, same as d20's. All
+    * counts exact integers; three rounded divisions + one rounded
+    * pow-of-exact-inputs → full DuckDB hash oracle.
+    */
+  def lshBandSweep(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int, threshold: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
+    val sig = sh
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"),
+        graft.ops.Portable.md5Long(
+          concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("m"))
+    val matches = sig.select(col("id").as("doc_a"), col("k"), col("m"))
+      .join(sig.select(col("id").as("doc_b"), col("k").as("k2"), col("m").as("m2")),
+        col("k") === col("k2") && col("m") === col("m2") &&
+          col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("k"))
+    val rs = Iterator.iterate(1L)(_ * 2).takeWhile(_ <= numHashes / 2).toSeq
+    val confs = rs.map(r => (r, numHashes / r)).toDF("rows_per_band", "bands")
+    // One bounded fan of the shared match rows across configs; a band of
+    // width r fires iff all r of its seeds matched for the pair.
+    val cand = matches.crossJoin(broadcast(confs))
+      .groupBy(col("doc_a"), col("doc_b"), col("rows_per_band"),
+        expr("k div rows_per_band").as("band"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") === col("rows_per_band"))
+      .select(col("doc_a"), col("doc_b"), col("rows_per_band"))
+      .distinct()
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val truth = sh.select(col("id").as("doc_a"), col("s"))
+      .join(sh.select(col("id").as("doc_b"), col("s")), "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(counts.select(col("id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .filter(col("common").cast("double") /
+        (col("na") + col("nb") - col("common")) >= threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("is_true"))
+    val nTrue = truth.agg(count(lit(1)).as("n_true_pairs"))
+    val perConf = cand.join(truth, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("rows_per_band"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("is_true"), lit(0L))).as("n_hits"))
+    // Right-join back onto the config list so a config with ZERO
+    // candidates still gets its row (the design table must show it).
+    confs.join(perConf, Seq("rows_per_band"), "left")
+      .crossJoin(broadcast(nTrue))
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("n_true_pairs"),
+        coalesce(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          nullif(col("n_candidates"), lit(0L)), 6), lit(0.0)).as("precision"),
+        coalesce(round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          nullif(col("n_true_pairs"), lit(0L)), 6), lit(0.0)).as("recall"),
+        round(lit(1.0) - pow(lit(1.0) - pow(lit(threshold),
+          col("rows_per_band").cast("double")), col("bands").cast("double")), 6)
+          .as("catch_prob_at_tau"))
+      .orderBy(col("rows_per_band"))
+  }
+
   /** Portable 16-bit SimHash over md5-derived token hashes — same
     * engine-independence rationale as [[minhashLshPairsPortable]]; the
     * 64-bit xxhash64 variant ([[simhash64]]) is the production path.

@@ -1,0 +1,68 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted sufficient statistics for [[LinearClassifier]] — the
+  * INCREMENTAL training shape (the classifier twin of
+  * [[graft.dedup.DedupStore]]'s incremental dedup). A production curation
+  * pipeline retrains its quality filter as crawl batches arrive; rerunning
+  * the Gram pass over the accumulated corpus is O(corpus) work for an
+  * O(batch) update. This store exploits that the trainer's sufficient
+  * statistics are ADDITIVE — Gram(A ∪ B) = Gram(A) + Gram(B) and likewise
+  * the moment vector (disjoint doc sums) — so an arriving batch costs ONE
+  * pass over the batch plus a driver solve on the (dims+1)²-bounded sum:
+  *
+  *   `<path>/gram`:    (i, j, a)   — per-increment partial Gram rows
+  *   `<path>/moments`: (dim, by)   — per-increment partial moment rows
+  *
+  * [[append]] writes the new batch's partial rows append-only (nothing old
+  * is read or rewritten — the same discipline as DedupStore.append);
+  * [[trainStored]] reads all increments, sums duplicate keys (a bounded
+  * ≤(dims+1)²·increments-row aggregation of a dims-bounded relation — KB,
+  * not corpus), and runs the identical exact integer GD. Because every
+  * statistic is an exact 64-bit integer, incremental-trained weights are
+  * BIT-IDENTICAL to a from-scratch train on the union — pinned in
+  * ClassifierStoreSpec, not assumed. (A float trainer could never make
+  * this guarantee: its parallel sums differ between the union pass and
+  * the per-batch passes.)
+  *
+  * Scale shape: append touches only the batch (one map-side-combinable
+  * aggregation, dims²-bounded output); trainStored's scan is dims-bounded
+  * regardless of corpus size or increment count; no stored row is ever
+  * shuffled by corpus size. The step divisor 2^bitlen(trace) re-adapts to
+  * the GROWN corpus automatically because the trace is summed with the
+  * rest of the diagonal.
+  */
+object ClassifierStore {
+
+  private def write(feat: DataFrame, lab: DataFrame, path: String,
+                    mode: String): Unit = {
+    LinearClassifier.gram(feat).write.mode(mode).parquet(s"$path/gram")
+    LinearClassifier.moments(feat, lab).write.mode(mode).parquet(s"$path/moments")
+  }
+
+  /** Build + persist the statistics for an initial corpus. */
+  def save(feat: DataFrame, lab: DataFrame, path: String): Unit =
+    write(feat, lab, path, "overwrite")
+
+  /** Add a new batch's partial statistics. Append-only; O(batch). */
+  def append(feat: DataFrame, lab: DataFrame, path: String): Unit =
+    write(feat, lab, path, "append")
+
+  /** Train on everything the store has seen: sum the per-increment
+    * partial rows per key, then the exact integer GD ([[LinearClassifier
+    * .gdSolve]] — the same trajectory the batch trainer runs). Returns
+    * the weight relation (dim, w), dims+1 rows, dim -1 = bias.
+    */
+  def trainStored(spark: SparkSession, path: String,
+                  dims: Int, iters: Int): DataFrame = {
+    val aRows = spark.read.parquet(s"$path/gram")
+      .groupBy(col("i"), col("j")).agg(sum(col("a")).as("a"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bRows = spark.read.parquet(s"$path/moments")
+      .groupBy(col("dim")).agg(sum(col("by")).as("by"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    LinearClassifier.weightsDf(spark, LinearClassifier.gdSolve(aRows, bRows, dims, iters))
+  }
+}

@@ -98,13 +98,28 @@ object LinearClassifier {
   def train(spark: SparkSession, feat: DataFrame, lab: DataFrame,
             dims: Int, iters: Int): DataFrame = {
     val aRows = gram(feat).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val bRows = moments(feat, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    weightsDf(spark, gdSolve(aRows, bRows, dims, iters))
+  }
+
+  /** The exact fixed-point GD on collected (i, j, a) / (dim, by) rows —
+    * shared by [[train]] and [[ClassifierStore.trainStored]] so the two
+    * paths run the IDENTICAL integer trajectory by construction (the
+    * additivity of the distributed statistics is what the store's spec
+    * pins). Duplicate (i, j) / (dim) keys are summed, so callers may pass
+    * per-increment partial statistics directly.
+    */
+  private[ml] def gdSolve(
+      aRows: Seq[(Long, Long, Long)], bRows: Seq[(Long, Long)],
+      dims: Int, iters: Int): Array[Long] = {
     val idx = (d: Long) => (d + 1).toInt
     val n = dims + 1
     val a = Array.ofDim[Long](n, n)
-    aRows.foreach(r => a(idx(r.getLong(0)))(idx(r.getLong(1))) = r.getLong(2))
+    aRows.foreach { case (i, j, v) => a(idx(i))(idx(j)) += v }
     val b = Array.ofDim[Long](n)
-    bRows.foreach(r => b(idx(r.getLong(0))) = r.getLong(1))
+    bRows.foreach { case (d, v) => b(idx(d)) += v }
     val trace = (0 until n).map(i => a(i)(i)).sum
     val k = java.lang.Long.toBinaryString(trace).length
     val w = Array.ofDim[Long](n)
@@ -115,7 +130,11 @@ object LinearClassifier {
       for (i <- 0 until n)
         w(i) -= (if (g(i) >= 0) g(i) >> k else -((-g(i)) >> k))
     }
-    val rows = (0 until n).map(i => Row((i - 1).toLong, w(i)))
+    w
+  }
+
+  private[ml] def weightsDf(spark: SparkSession, w: Array[Long]): DataFrame = {
+    val rows = w.indices.map(i => Row((i - 1).toLong, w(i)))
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1),
       StructType(Seq(StructField("dim", LongType, nullable = false),

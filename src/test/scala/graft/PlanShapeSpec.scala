@@ -604,6 +604,41 @@ class PlanShapeSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("d21: band sweep is one match join + bounded config fan; no product") {
+    // The per-seed match relation must be an equi-join on (k, min) and
+    // the config regrouping a bounded 5-row broadcast fan
+    // (BroadcastNestedLoopJoin) — never a CartesianProduct and never a
+    // per-config signature recomputation (one signature aggregation in
+    // the plan, not five).
+    val df = SparkEntry.queries("d21_lsh_band_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("t24: calibration is a pure projection + combinable groupBy over the scored corpus") {
+    // Same weight-broadcast contract as t23 (the feature relation never
+    // shuffles to meet the 33-row weight side), and the band column must
+    // not introduce a window/sort — no Window node in the plan.
+    val df = SparkEntry.queries("t24_classifier_calibration")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("p18: temperature sweep is one corpus scan + bounded broadcast fans; no product") {
+    // The α fan and the 1-row total are bounded broadcast nested loops;
+    // after the per-source aggregation everything is dimension-sized.
+    // The corpus must be scanned once (one token aggregation), never
+    // once per α.
+    val df = SparkEntry.queries("p18_temperature_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band
