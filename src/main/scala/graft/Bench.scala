@@ -109,6 +109,7 @@ object Bench {
     "t22_classifier_train",
     "t23_classifier_score",
     "t24_classifier_calibration",
+    "t25_ridge_sweep",
     "p16_dsir_resample",
     "p18_temperature_sweep",
     "d17_ngram_boilerplate",

@@ -41,6 +41,11 @@ object PipelineQueries {
   private val ClassifierDims = 32
   private val ClassifierIters = 32
 
+  /** t25 ridge λ fan: λ = trace(A) >> shift — shift 63 is λ = 0 (the
+    * unregularized t22 trajectory), smaller shifts regularize harder.
+    */
+  private val RidgeShifts = Seq(63, 12, 8, 4)
+
   /** Shared oracle CTE chain for the p7 curation stage, ending in
     * `curated(doc_id)` — the quality-passing, exact-dup-representative,
     * decontaminated training ids. p7 selects it directly; p15 chains the
@@ -1517,6 +1522,45 @@ object PipelineQueries {
         .select(col("margin_band"), col("pred"), col("n_docs"), col("n_correct"),
           round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"))
         .orderBy(col("margin_band"), col("pred"))
+    }),
+
+    // Ridge-regularization sweep — the SECOND hyperparameter the
+    // sufficient-statistics trainer sweeps for free (after iteration
+    // count): every λ = trace >> shift reuses the ONE collected Gram;
+    // H λ values × T iterations cost zero extra cluster passes (the
+    // float-GD alternative pays H·T corpus-derived shuffles — measured
+    // per-iteration cost in AbClassifier). The corpus is touched exactly
+    // twice: the Gram pass and ONE scoring join against the 4×33-row
+    // broadcast weight relation, fanned per λ inside the aggregation.
+    // Output per λ: training accuracy and the shrinking L1 norm — the
+    // model-selection table. Fully integer trajectory → hash oracle
+    // (shift-keyed unrolled-GD CTEs).
+    "t25_ridge_sweep" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.trainRidgeSweep(s, feat, lab,
+        ClassifierDims, ClassifierIters, RidgeShifts)
+      val margins = feat
+        .join(broadcast(w.select(col("shift"), col("dim"), col("w"))), "dim")
+        .groupBy(col("doc_id"), col("shift"))
+        .agg(sum(col("n") * col("w")).as("margin"))
+      val pred = when(col("margin") > 0, 1L).otherwise(-1L)
+      val scored = margins.join(lab, "doc_id")
+        .select(col("shift"),
+          when(pred === col("y"), 1L).otherwise(0L).as("correct"))
+      val l1 = w.groupBy(col("shift"), col("lambda"))
+        .agg(sum(abs(col("w"))).as("w_l1"))
+      scored.groupBy(col("shift"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("correct")).as("n_correct"))
+        .join(broadcast(l1), "shift")
+        .select(col("shift"), col("lambda"), col("n_docs"), col("n_correct"),
+          round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"),
+          col("w_l1"))
+        .orderBy(col("shift").desc)
     })
   )
 
@@ -3413,7 +3457,33 @@ object PipelineQueries {
          |  CAST(SUM(correct) AS BIGINT) AS n_correct,
          |  ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy
          |FROM sc GROUP BY margin_band, pred
-         |ORDER BY margin_band, pred""".stripMargin
+         |ORDER BY margin_band, pred""".stripMargin,
+
+    // Ridge sweep: the shift-keyed unrolled-GD chain, margins per shift
+    // from one feature join, accuracy + L1 per λ.
+    "t25_ridge_sweep" ->
+      s"""$RidgeCtes,
+         |mf AS (
+         |  SELECT f.doc_id, w.shift, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w ON w.dim = f.dim GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT m.shift,
+         |    CASE WHEN (CASE WHEN m.margin > 0 THEN 1 ELSE -1 END) = l.y
+         |         THEN 1 ELSE 0 END AS correct
+         |  FROM mf m JOIN lab l USING (doc_id)),
+         |l1 AS (
+         |  SELECT shift, CAST(SUM(abs(w)) AS BIGINT) AS w_l1
+         |  FROM w$ClassifierIters GROUP BY shift)
+         |SELECT s.shift, lam.lambda,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(s.correct) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(s.correct) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+         |  l1.w_l1
+         |FROM sc s
+         |JOIN lam ON lam.shift = s.shift
+         |JOIN l1 ON l1.shift = s.shift
+         |GROUP BY s.shift, lam.lambda, l1.w_l1
+         |ORDER BY s.shift DESC""".stripMargin
   )
 
   /** Shared oracle CTE chain for t22/t23: hashed features (the t15 md5
@@ -3424,33 +3494,41 @@ object PipelineQueries {
     * `w$ClassifierIters(dim, w)`. Mirrors
     * [[graft.ml.LinearClassifier.train]] operation for operation.
     */
-  private lazy val ClassifierCtes: String = {
+  /** The statistics head shared by the unregularized chain
+    * ([[ClassifierCtes]]) and the ridge sweep chain ([[RidgeCtes]]):
+    * hashed features, weak labels, Gram, moments.
+    */
+  private lazy val ClassifierHeadCtes: String = {
     val stop = TextFns.Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH toksarr AS MATERIALIZED (
+       |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+       |  FROM documents),
+       |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toksarr),
+       |hf AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $ClassifierDims AS dim,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM tok GROUP BY 1, 2),
+       |feat AS MATERIALIZED (
+       |  SELECT * FROM hf
+       |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
+       |lab AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CASE WHEN 16 * len(list_filter(toks, x -> x IN ($stop))) > len(toks)
+       |         THEN 1 ELSE -1 END AS y
+       |  FROM toksarr),
+       |gram AS MATERIALIZED (
+       |  SELECT fa.dim AS i, fb.dim AS j, CAST(SUM(fa.n * fb.n) AS BIGINT) AS a
+       |  FROM feat fa JOIN feat fb USING (doc_id) GROUP BY 1, 2),
+       |bvec AS MATERIALIZED (
+       |  SELECT f.dim, CAST(SUM(f.n * l.y) AS BIGINT) AS bv
+       |  FROM feat f JOIN lab l USING (doc_id) GROUP BY 1)""".stripMargin
+  }
+
+  private lazy val ClassifierCtes: String = {
     val scale = 1L << LinearClassifier.ScaleBits
-    val head =
-      s"""WITH toksarr AS MATERIALIZED (
-         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
-         |  FROM documents),
-         |tok AS (SELECT doc_id, UNNEST(toks) AS t FROM toksarr),
-         |hf AS (
-         |  SELECT doc_id,
-         |    CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) % $ClassifierDims AS dim,
-         |    CAST(COUNT(*) AS BIGINT) AS n
-         |  FROM tok GROUP BY 1, 2),
-         |feat AS MATERIALIZED (
-         |  SELECT * FROM hf
-         |  UNION ALL SELECT doc_id, CAST(-1 AS BIGINT), CAST(1 AS BIGINT) FROM documents),
-         |lab AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CASE WHEN 16 * len(list_filter(toks, x -> x IN ($stop))) > len(toks)
-         |         THEN 1 ELSE -1 END AS y
-         |  FROM toksarr),
-         |gram AS MATERIALIZED (
-         |  SELECT fa.dim AS i, fb.dim AS j, CAST(SUM(fa.n * fb.n) AS BIGINT) AS a
-         |  FROM feat fa JOIN feat fb USING (doc_id) GROUP BY 1, 2),
-         |bvec AS MATERIALIZED (
-         |  SELECT f.dim, CAST(SUM(f.n * l.y) AS BIGINT) AS bv
-         |  FROM feat f JOIN lab l USING (doc_id) GROUP BY 1),
+    val head = ClassifierHeadCtes +
+      s""",
          |kp AS MATERIALIZED (
          |  SELECT CAST(pow(2, length(to_base(
          |    CAST((SELECT SUM(a) FROM gram WHERE i = j) AS BIGINT), 2))) AS BIGINT) AS p),
@@ -3475,6 +3553,59 @@ object PipelineQueries {
          |    w.w - CASE WHEN g.g >= 0 THEN g.g // kp.p
          |               ELSE -((-g.g) // kp.p) END AS w
          |  FROM w${k - 1} w JOIN g$k g USING (dim) CROSS JOIN kp)""".stripMargin
+    }.mkString
+    head + iters
+  }
+
+  /** Ridge-sweep oracle chain: the shared statistics head, the shift-keyed
+    * λ = trace >> shift fan, the λ-augmented Gram, a PER-λ step divisor
+    * (the augmented diagonal is its own trace), and the GD iterations run
+    * for every shift in one shift-keyed chain — ending in
+    * `w$ClassifierIters(shift, dim, w)` with `lam(shift, lambda)`.
+    * Mirrors [[graft.ml.LinearClassifier.trainRidgeSweep]].
+    */
+  private lazy val RidgeCtes: String = {
+    val scale = 1L << LinearClassifier.ScaleBits
+    val shifts = RidgeShifts.mkString(", ")
+    val head = ClassifierHeadCtes +
+      s""",
+         |tr AS (SELECT CAST(SUM(a) AS BIGINT) AS t FROM gram WHERE i = j),
+         |lam AS MATERIALIZED (
+         |  SELECT CAST(s.shift AS BIGINT) AS shift,
+         |    CAST(tr.t >> s.shift AS BIGINT) AS lambda
+         |  FROM (SELECT UNNEST([$shifts]) AS shift) s CROSS JOIN tr),
+         |gram_l AS MATERIALIZED (
+         |  SELECT l.shift, g.i, g.j,
+         |    g.a + CASE WHEN g.i = g.j THEN l.lambda ELSE 0 END AS a
+         |  FROM gram g CROSS JOIN lam l),
+         |kp AS MATERIALIZED (
+         |  SELECT shift, CAST(pow(2, length(to_base(
+         |    CAST(SUM(a) AS BIGINT), 2))) AS BIGINT) AS p
+         |  FROM gram_l WHERE i = j GROUP BY shift),
+         |w0 AS MATERIALIZED (
+         |  SELECT l.shift,
+         |    CAST(UNNEST(generate_series(-1, ${ClassifierDims - 1})) AS BIGINT) AS dim,
+         |    CAST(0 AS BIGINT) AS w
+         |  FROM lam l)""".stripMargin
+    val iters = (1 to ClassifierIters).map { k =>
+      s""",
+         |aw$k AS MATERIALIZED (
+         |  SELECT w.shift, g.i AS dim, SUM(g.a * w.w) AS aw
+         |  FROM gram_l g JOIN w${k - 1} w ON w.shift = g.shift AND w.dim = g.j
+         |  GROUP BY 1, 2),
+         |g$k AS MATERIALIZED (
+         |  SELECT w.shift, w.dim,
+         |    COALESCE(a.aw, 0) - COALESCE(b.bv, 0) * $scale AS g
+         |  FROM w${k - 1} w
+         |  LEFT JOIN aw$k a ON a.shift = w.shift AND a.dim = w.dim
+         |  LEFT JOIN bvec b ON b.dim = w.dim),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.shift, w.dim,
+         |    w.w - CASE WHEN g.g >= 0 THEN g.g // kp.p
+         |               ELSE -((-g.g) // kp.p) END AS w
+         |  FROM w${k - 1} w
+         |  JOIN g$k g ON g.shift = w.shift AND g.dim = w.dim
+         |  JOIN kp ON kp.shift = w.shift)""".stripMargin
     }.mkString
     head + iters
   }

@@ -133,6 +133,41 @@ object LinearClassifier {
     w
   }
 
+  /** RIDGE sweep from ONE collected summary — the second thing the
+    * sufficient-statistics design makes free (after iteration count):
+    * hyperparameter search. Ridge regression is GD on (A + λI)·w − b·2^S,
+    * i.e. exactly [[gdSolve]] with λ added to the Gram diagonal — the
+    * duplicate-key summing means the augmentation is literally extra
+    * (d, d, λ) rows, and the data-adaptive step divisor re-adapts per λ
+    * because the augmented diagonal IS the trace it measures. λ values
+    * are data-adaptive too: λ = trace(A) >> shift for the given shifts
+    * (shift 63 ⇒ λ = 0, the unregularized t22 trajectory) — integer,
+    * scale-free, oracle-able. Returns (shift, lambda, dim, w): one weight
+    * vector per λ, ALL from the same single corpus pass — H hyperparams
+    * × T iterations cost zero additional cluster work.
+    */
+  def trainRidgeSweep(spark: SparkSession, feat: DataFrame, lab: DataFrame,
+                      dims: Int, iters: Int, shifts: Seq[Int]): DataFrame = {
+    val aRows = gram(feat).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val bRows = moments(feat, lab).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val trace = aRows.collect { case (i, j, v) if i == j => v }.sum
+    val rows = shifts.flatMap { s =>
+      val lambda = trace >> s
+      val aug = aRows ++ (-1L until dims.toLong).map(d => (d, d, lambda))
+      gdSolve(aug, bRows, dims, iters).zipWithIndex.map { case (w, i) =>
+        Row(s.toLong, lambda, (i - 1).toLong, w)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(StructField("shift", LongType, nullable = false),
+        StructField("lambda", LongType, nullable = false),
+        StructField("dim", LongType, nullable = false),
+        StructField("w", LongType, nullable = false))))
+  }
+
   private[ml] def weightsDf(spark: SparkSession, w: Array[Long]): DataFrame = {
     val rows = w.indices.map(i => Row((i - 1).toLong, w(i)))
     spark.createDataFrame(

@@ -743,6 +743,54 @@ object Streams {
       .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
   }
 
+  /** Streaming quality-DRIFT monitor — the live tail of the classifier
+    * lifecycle (t22 train → t23 score → t24 calibrate → monitor): tumbling-
+    * window aggregates of the stateless margin scorer over arriving
+    * documents. Per window: volume, positive-prediction rate, weak-label
+    * agreement rate, and the exact integer margin sum — the signals a
+    * curation front-door alarms on when the crawl mix drifts away from
+    * the distribution the classifier was trained on (agreement falling =
+    * the weak heuristic and the model diverging; pos_rate moving = the
+    * accept fraction shifting). Margin and weak label are the same
+    * zero-state projections as [[classifierScoreStream]] (weights ship as
+    * plan literals; the weak label is the batch
+    * [[graft.ml.LinearClassifier.weakLabels]] spelling), so the ONLY
+    * state is the windowed aggregation under the watermark — bounded by
+    * the lateness horizon at any stream rate. StreamsSpec pins exact
+    * parity against the batch computation of the same windows.
+    */
+  def qualityDriftStream(
+      docs: DataFrame, // streaming (idCol, textCol, ts TIMESTAMP)
+      weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
+      dims: Int,
+      textCol: String,
+      watermark: String = "10 minutes",
+      windowLength: String = "10 minutes"): DataFrame = {
+    val w = weights.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val warr = array((0 until dims).map(j => lit(w.getOrElse(j.toLong, 0L))): _*)
+    val toks = graft.text.TextFns.tokens(col(textCol))
+    val margin = aggregate(toks, lit(w.getOrElse(-1L, 0L)),
+      (acc, t) => acc + element_at(warr,
+        (pmod(graft.ops.Portable.md5Long(t), lit(dims.toLong)) + 1).cast("int")))
+    val hits = size(filter(toks, tok =>
+      tok.isin(graft.text.TextFns.Stopwords: _*)))
+    val y = when(hits * 16 > size(toks), 1L).otherwise(-1L)
+    docs
+      .select(col("ts"), margin.as("margin"), y.as("y"))
+      .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLength).as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("margin")).as("margin_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_docs"), col("n_pos"), col("n_agree"), col("margin_sum"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6).as("agree_rate"))
+  }
+
   /** Batch reference for [[sessionize]] (same semantics, same rounding) —
     * used by tests to check stream/batch parity.
     */

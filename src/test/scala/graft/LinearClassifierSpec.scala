@@ -57,6 +57,23 @@ class LinearClassifierSpec extends SparkSpec {
     assert(a.values.forall(_ <= trace))
   }
 
+  test("ridge sweep: shift 63 reproduces the unregularized train; L1 shrinks with lambda") {
+    val sweep = LinearClassifier.trainRidgeSweep(spark, feat, lab, Dims, Iters,
+      Seq(63, 12, 8, 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val at63 = sweep.filter(_._1 == 63L).map(t => (t._3, t._4)).sortBy(_._1)
+    val plain = LinearClassifier.train(spark, feat, lab, Dims, Iters)
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(at63.sameElements(plain), "lambda=0 leg must equal the t22 trajectory")
+    assert(sweep.filter(_._1 == 63L).forall(_._2 == 0L), "shift 63 must mean lambda 0")
+    val l1 = Seq(63L, 12L, 8L, 4L).map(s =>
+      sweep.filter(_._1 == s).map(t => math.abs(t._4)).sum)
+    assert(l1 == l1.sorted.reverse, s"L1 must shrink monotonically with lambda: $l1")
+    // The lambda values themselves must ascend as the shift tightens.
+    val lams = Seq(63L, 12L, 8L, 4L).map(s => sweep.find(_._1 == s).get._2)
+    assert(lams == lams.sorted, s"lambda must grow as shift shrinks: $lams")
+  }
+
   test("empty-text docs still score via the bias pseudo-feature") {
     // split("") yields [""], so an empty doc carries one hashed row for
     // the empty token plus the bias row — and always gets a margin.

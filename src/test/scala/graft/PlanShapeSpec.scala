@@ -639,6 +639,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
   }
 
+  test("t25: ridge sweep scores all lambdas through one broadcast weight join") {
+    // The corpus-sized feature relation is scanned once for scoring and
+    // meets the 4-lambda x 33-row weight relation via BroadcastHashJoin;
+    // no per-lambda corpus re-scan, no window, no product.
+    val df = SparkEntry.queries("t25_ridge_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band

@@ -743,6 +743,52 @@ class StreamsSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("streaming quality-drift windows match the batch scoring exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.ml.LinearClassifier
+    val dims = 32
+    val docs = Tables.documents(spark, Sf001).select(col("doc_id"), col("text"))
+    val feat = LinearClassifier.features(docs, "doc_id", "text", dims)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    val weights = LinearClassifier.train(spark, feat, lab, dims, 16)
+    // Minute-spaced event times: 50 docs per 10-minute window.
+    val base = Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    val rows = docs.as[(Long, String)].collect().toSeq.map { case (id, t) =>
+      (id, t, new Timestamp(base + (id / 50) * 600000L))
+    }
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.qualityDriftStream(
+        mem.toDF().toDF("doc_id", "text", "ts"), weights, dims, "text",
+        watermark = "0 seconds", windowLength = "10 minutes")
+      .writeStream.format("memory").queryName("drift")
+      .outputMode("append").start()
+    mem.addData(rows: _*)
+    // A far-future sentinel advances the watermark past every fixture
+    // window so append mode emits them all (its own window stays open).
+    mem.addData((-1L, "sentinel", Timestamp.valueOf("2024-02-01 00:00:00")))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("drift")
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSet
+    val tsDf = rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "ts")
+    val exp = LinearClassifier.score(feat, lab, weights)
+      .join(tsDf, "doc_id")
+      .groupBy(window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1L, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(col("pred") === col("y"), 1L).otherwise(0L)).as("n_agree"),
+        sum(col("margin")).as("margin_sum"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_docs"), col("n_pos"), col("n_agree"), col("margin_sum"),
+        round(col("n_pos").cast("double") / col("n_docs"), 6).as("pos_rate"),
+        round(col("n_agree").cast("double") / col("n_docs"), 6).as("agree_rate"))
+      .as[(String, Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == exp,
+      s"got ${got.size} windows vs exp ${exp.size}; " +
+        s"missing=${(exp -- got).take(2)} extra=${(got -- exp).take(2)}")
+    assert(got.size >= 5, "fixture must span several windows")
+  }
+
   test("stream-static enrichment join decorates events with customer dims") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
