@@ -110,6 +110,7 @@ object Bench {
     "t23_classifier_score",
     "t24_classifier_calibration",
     "t25_ridge_sweep",
+    "p19_classifier_release",
     "p16_dsir_resample",
     "p18_temperature_sweep",
     "d17_ngram_boilerplate",

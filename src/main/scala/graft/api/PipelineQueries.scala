@@ -1524,6 +1524,41 @@ object PipelineQueries {
         .orderBy(col("margin_band"), col("pred"))
     }),
 
+    // The classifier WIRED INTO the curation chain — the p15-style
+    // composition for the r12 model: (1) model gate: keep docs the
+    // trained t22 classifier accepts (margin > 0); (2) exact-dup
+    // representative among the KEPT docs (md5-digest groupBy, min-id
+    // survivor — gating first means a cluster whose cheapest copy was
+    // rejected still survives through its best kept member); (3) the
+    // p17-style md5 split draw on the surviving id. One corpus pass for
+    // the Gram, one for scoring (broadcast weights), one digest
+    // aggregation — no window, no product; the release relation a
+    // trainer reads. Deterministic end to end → full hash oracle
+    // through the shared unrolled-GD CTEs.
+    "p19_classifier_release" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      val kept = LinearClassifier.score(feat, lab, w)
+        .filter(col("margin") > 0)
+        .select(col("doc_id"), col("margin"))
+      val keptH = kept
+        .join(docs.select(col("doc_id"), md5(col("text")).as("h")), "doc_id")
+      val reps = keptH.groupBy(col("h")).agg(min(col("doc_id")).as("rep_id"))
+      val bucket = pmod(graft.ops.Portable.md5Long(
+        concat(lit("split:"), col("doc_id").cast("string"))), lit(10L))
+      keptH.join(reps, "h")
+        .filter(col("doc_id") === col("rep_id"))
+        .select(col("doc_id"), col("margin"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Ridge-regularization sweep — the SECOND hyperparameter the
     // sufficient-statistics trainer sweeps for free (after iteration
     // count): every λ = trace >> shift reuses the ONE collected Gram;
@@ -3458,6 +3493,29 @@ object PipelineQueries {
          |  ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 6) AS accuracy
          |FROM sc GROUP BY margin_band, pred
          |ORDER BY margin_band, pred""".stripMargin,
+
+    // Classifier-gated release: the t23 margin CTEs, the d1 digest
+    // representative restricted to kept docs, the p17 split draw.
+    "p19_classifier_release" ->
+      s"""$ClassifierCtes,
+         |mf AS (
+         |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w USING (dim) GROUP BY 1),
+         |kept AS (
+         |  SELECT doc_id, CAST(margin AS BIGINT) AS margin
+         |  FROM mf WHERE margin > 0),
+         |kh AS (
+         |  SELECT k.doc_id, k.margin, md5(d.text) AS h
+         |  FROM kept k JOIN documents d USING (doc_id)),
+         |reps AS (SELECT h, MIN(doc_id) AS rep_id FROM kh GROUP BY h)
+         |SELECT kh.doc_id, kh.margin,
+         |  CASE
+         |    WHEN CAST('0x' || substr(md5('split:' || CAST(kh.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8 THEN 'train'
+         |    WHEN CAST('0x' || substr(md5('split:' || CAST(kh.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+         |    ELSE 'test'
+         |  END AS split
+         |FROM kh JOIN reps ON kh.h = reps.h AND kh.doc_id = reps.rep_id
+         |ORDER BY doc_id""".stripMargin,
 
     // Ridge sweep: the shift-keyed unrolled-GD chain, margins per shift
     // from one feature join, accuracy + L1 per λ.

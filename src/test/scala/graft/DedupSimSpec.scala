@@ -632,6 +632,30 @@ class DedupSimSpec extends SparkSpec {
     assert(splits.values.sum == 500L)
   }
 
+  test("d21: aligned power-of-two bands nest — the sweep's columns are monotone in r") {
+    // With band boundaries at multiples of r and the r ladder in powers
+    // of two, a 2r-band fires iff BOTH of its constituent r-bands fire,
+    // so candidates(2r) ⊆ candidates(r): n_candidates and n_hits must be
+    // non-increasing as r grows, recall non-increasing, and the r=1
+    // recall must dominate the whole ladder. Structural check on the
+    // config-fan regrouping (a band-offset bug would break nesting
+    // before it broke the oracle).
+    val rows = SparkEntry.queries("d21_lsh_band_sweep")(spark, Sf001)
+      .orderBy(col("rows_per_band")).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))
+    assert(rows.length == 5, rows.mkString(", "))
+    val cands = rows.map(_._2)
+    val hits = rows.map(_._3)
+    val recalls = rows.map(_._4)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a >= b },
+      s"candidates not monotone: ${cands.toSeq}")
+    assert(hits.zip(hits.tail).forall { case (a, b) => a >= b },
+      s"hits not monotone: ${hits.toSeq}")
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall not monotone: ${recalls.toSeq}")
+    assert(cands.head > 0, "r=1 must produce candidates on the fixture")
+  }
+
   test("csv base64 download href encodes the table (S5)") {
     val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
     val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")

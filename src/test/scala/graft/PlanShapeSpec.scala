@@ -651,6 +651,15 @@ class PlanShapeSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("p19: classifier release gates via broadcast weights, dedups via hash agg; no window") {
+    val df = SparkEntry.queries("p19_classifier_release")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band
