@@ -118,6 +118,7 @@ object Bench {
     "d19_span_dedup_apply",
     "d20_threshold_sweep",
     "d21_lsh_band_sweep",
+    "d22_minhash_estimate",
     "d18_semdedup",
     "d18b_semdedup_portable",
     "e14_zscore_outliers",

@@ -39,7 +39,8 @@ object PlanAudit {
         "d19_span_dedup_apply", "d20_threshold_sweep", "g20_modularity",
         "t22_classifier_train", "t23_classifier_score", "g21_conductance",
         "n14_probe_sweep", "d21_lsh_band_sweep", "t24_classifier_calibration",
-        "p18_temperature_sweep", "t25_ridge_sweep", "p19_classifier_release")
+        "p18_temperature_sweep", "t25_ridge_sweep", "p19_classifier_release",
+        "d22_minhash_estimate")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

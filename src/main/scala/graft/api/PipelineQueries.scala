@@ -751,6 +751,14 @@ object PipelineQueries {
       Dedup.lshBandSweep(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 32, threshold = JaccardThreshold)),
 
+    // MinHash estimator accuracy — ĵ = matches/32 vs exact Jaccard with
+    // the absolute error per pair (the approx-vs-exact twin the sketch
+    // warehouse ships for HLL/CMS/KLL, now for the dedup family's own
+    // sketch). See [[graft.dedup.Dedup.minhashEstimate]].
+    "d22_minhash_estimate" -> ((s, d) =>
+      Dedup.minhashEstimate(documents(s, d), "doc_id", "text",
+        n = 3, numHashes = 32)),
+
     // APPLY stage of span dedup — the deduplicated CORPUS itself (Lee et
     // al. 2022 ExactSubstr §2.2: remove all but one occurrence of every
     // long repeated substring; the surviving copy pinned to the earliest
@@ -2552,6 +2560,44 @@ object PipelineQueries {
         |    CAST(32 // c.rows_per_band AS DOUBLE)), 6) AS catch_prob_at_tau
         |FROM confs c LEFT JOIN agg a USING (rows_per_band) CROSS JOIN nt
         |ORDER BY rows_per_band""".stripMargin,
+
+    // MinHash estimator table: the d3b signature CTEs at 32 seeds, match
+    // counts per pair, exact Jaccard on the matched candidates only.
+    "d22_minhash_estimate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+        |  WHERE len(t) >= 3),
+        |seeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+        |sig AS MATERIALIZED (
+        |  SELECT doc_id, k,
+        |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+        |  FROM sh CROSS JOIN seeds GROUP BY doc_id, k),
+        |mc AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM sig a JOIN sig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |cm AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT mc.doc_a, mc.doc_b, mc.n_match,
+        |  ROUND(CAST(mc.n_match AS DOUBLE) / 32, 6) AS est_jaccard,
+        |  ROUND(COALESCE(CAST(cm.common AS DOUBLE) / (ca.n + cb.n - cm.common),
+        |    0.0), 6) AS jaccard,
+        |  ROUND(abs(CAST(mc.n_match AS DOUBLE) / 32 -
+        |    COALESCE(CAST(cm.common AS DOUBLE) / (ca.n + cb.n - cm.common), 0.0)),
+        |    6) AS abs_err
+        |FROM mc
+        |LEFT JOIN cm ON mc.doc_a = cm.doc_a AND mc.doc_b = cm.doc_b
+        |JOIN cnt ca ON mc.doc_a = ca.doc_id
+        |JOIN cnt cb ON mc.doc_b = cb.doc_id
+        |ORDER BY mc.doc_a, mc.doc_b""".stripMargin,
 
     // Span-dedup APPLY: d10's span CTEs, removal ranges from the
     // larger-doc side only (the earliest-doc copy survives), the d11

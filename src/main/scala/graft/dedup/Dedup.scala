@@ -564,6 +564,64 @@ object Dedup {
       .orderBy(col("rows_per_band"))
   }
 
+  /** MinHash as an ESTIMATOR, with its error published — the dedup
+    * family's approx-vs-exact accuracy table (the same contract the
+    * sketch warehouse ships for HLL/CMS/KLL): for every pair sharing at
+    * least one of the `numHashes` portable minima, the MinHash estimate
+    * ĵ = (matching minima)/numHashes next to the exact n-gram Jaccard
+    * and the absolute error. ĵ is an unbiased estimator with
+    * Var = j(1−j)/k (each minimum matches independently with probability
+    * exactly j — Broder 1997), so at k = 32 the error column should
+    * concentrate under ~2·√(j(1−j)/32) ≈ 0.18 — DedupSimSpec pins the
+    * mean error well under that bound. Everything is deterministic
+    * (integer match counts, one exact division each) → full hash oracle.
+    *
+    * Scale shape: the signature is one md5 aggregation (the d3b shape);
+    * candidate pairs come from the per-seed match equi-join (bounded by
+    * min-collisions — the r=1 end of the d21 ladder, the loosest
+    * candidate set the banding family ever produces); the exact refine is
+    * computed ONLY on those candidates (never all-pairs).
+    */
+  def minhashEstimate(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
+    val sig = sh
+      .select(col("id"), col("s"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("k"))
+      .select(col("id"), col("k"),
+        graft.ops.Portable.md5Long(
+          concat(col("k").cast("string"), lit(":"), col("s"))).as("h"))
+      .groupBy(col("id"), col("k"))
+      .agg(min(col("h")).as("m"))
+    val matchCounts = sig.select(col("id").as("doc_a"), col("k"), col("m"))
+      .join(sig.select(col("id").as("doc_b"), col("k").as("k2"), col("m").as("m2")),
+        col("k") === col("k2") && col("m") === col("m2") &&
+          col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_match"))
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    // Exact counts restricted to the CANDIDATE pairs from the start (the
+    // refineJaccard discipline): candidates drive both shingle probes.
+    val common = matchCounts.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s")), Seq("doc_b", "s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    val exactJ = col("common").cast("double") /
+      (col("na") + col("nb") - col("common"))
+    val estJ = col("n_match").cast("double") / numHashes
+    matchCounts
+      .join(common, Seq("doc_a", "doc_b"), "left") // equal minima ⇒ ≥1 shared shingle, but keep the guard
+      .join(counts.select(col("id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(counts.select(col("id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        round(estJ, 6).as("est_jaccard"),
+        round(coalesce(exactJ, lit(0.0)), 6).as("jaccard"),
+        round(abs(estJ - coalesce(exactJ, lit(0.0))), 6).as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** Portable 16-bit SimHash over md5-derived token hashes — same
     * engine-independence rationale as [[minhashLshPairsPortable]]; the
     * 64-bit xxhash64 variant ([[simhash64]]) is the production path.

@@ -656,6 +656,22 @@ class DedupSimSpec extends SparkSpec {
     assert(cands.head > 0, "r=1 must produce candidates on the fixture")
   }
 
+  test("d22: the MinHash estimate concentrates — mean |error| under the k=32 variance bound") {
+    // Each minimum matches independently with probability exactly j
+    // (Broder), so E|ĵ−j| ≤ √Var = √(j(1−j)/32) ≤ √(1/128) ≈ 0.088.
+    // Assert the corpus-mean error is under that worst-case σ and that
+    // the table spans both regimes (near-dups with j ≥ 0.5 and chance
+    // collisions with j near 0).
+    val rows = SparkEntry.queries("d22_minhash_estimate")(spark, Sf001)
+      .select(col("jaccard"), col("abs_err"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(rows.length > 100, s"only ${rows.length} candidate pairs")
+    val meanErr = rows.map(_._2).sum / rows.length
+    assert(meanErr <= 0.088, f"mean |error| $meanErr%.4f exceeds the k=32 bound")
+    assert(rows.exists(_._1 >= 0.5) && rows.exists(_._1 < 0.1),
+      "fixture must span high- and low-jaccard pairs")
+  }
+
   test("csv base64 download href encodes the table (S5)") {
     val df = Seq((4037L, 0.0046), (15L, 0.0037)).toDF("page", "score")
     val href = graft.io.Sinks.csvBase64Href(df, "rank.csv")

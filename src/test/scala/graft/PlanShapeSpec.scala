@@ -660,6 +660,13 @@ class PlanShapeSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("d22: estimator table is equi-joins end to end; exact refine only on candidates") {
+    val df = SparkEntry.queries("d22_minhash_estimate")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("m9: frame-level dedup stays the banded equi-join; clip rollup adds no product") {
     // Video-shaped pipeline contract: decode runs distributed
     // (mapPartitions), frame candidates come from the shared 4-band
