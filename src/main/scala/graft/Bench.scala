@@ -252,6 +252,29 @@ object Bench {
           if (qs.nonEmpty && prevSf == sfNum) Some((qs, name)) else None
         }
       } catch { case _: Throwable => None }
+    // Immutable per-round floor snapshots (r12 judge ask #3): the driver
+    // artifact can be a truncated slowest-legs subset and the sidecar is
+    // a mutable per-run overwrite, so neither alone gives every leg a
+    // committed baseline. BENCH_r{N}_floors.json is the FULL queries_min
+    // map written by the round's final bench run and committed with the
+    // round snapshot — the untruncated floor source for the legs the
+    // driver tail dropped.
+    def fromFloorsArtifact(): Option[(Map[String, Double], String)] =
+      try {
+        val files = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .flatMap { f =>
+            "^BENCH_r(\\d+)_floors\\.json$".r.findFirstMatchIn(f.getName)
+              .map(m => (m.group(1).toInt, f))
+          }
+        files.sortBy(-_._1).headOption.flatMap { case (_, f) =>
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          val prevSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(txt).map(_.group(1))
+          val qs = parseQueriesMap(txt, "queries_min")
+          if (qs.nonEmpty && prevSf.contains(sfDir)) Some((qs, f.getName)) else None
+        }
+      } catch { case _: Throwable => None }
     def fromSidecar(): Option[(Map[String, Double], String)] =
       try {
         val p = java.nio.file.Paths.get("bench_diag.json")
@@ -266,15 +289,17 @@ object Bench {
           else None
         }
       } catch { case _: Throwable => None }
-    (fromBenchArtifact(), fromSidecar()) match {
-      case (Some((a, an)), Some((s, sn))) =>
-        val merged = (a.keySet ++ s.keySet).map { k =>
-          k -> math.min(a.getOrElse(k, Double.MaxValue), s.getOrElse(k, Double.MaxValue))
-        }.toMap
-        (merged, s"min($an, $sn)")
-      case (Some(as), None) => as
-      case (None, Some(ss)) => (ss._1, ss._2 + " (no same-sf BENCH_r artifact)")
-      case (None, None)     => (Map.empty[String, Double], "none")
+    val sources = Seq(fromBenchArtifact(), fromFloorsArtifact(), fromSidecar())
+      .flatten
+    if (sources.isEmpty) (Map.empty[String, Double], "none")
+    else {
+      val merged = sources.flatMap(_._1.keySet).distinct.map { k =>
+        k -> sources.flatMap(_._1.get(k)).min
+      }.toMap
+      val name =
+        if (sources.size == 1) sources.head._2 + " (sole floor source)"
+        else sources.map(_._2).mkString("min(", ", ", ")")
+      (merged, name)
     }
   }
 
@@ -620,11 +645,30 @@ object Bench {
       val skipped = abSkipped.map { case (k, p, w) =>
         s""""auto A/B $k: flagged (prev ${fmtN(p)}s -> session ${fmtN(w)}s) but not a SparkEntry query — A/B manually via BenchFlagship/AbScaledXl""""
       }
+      // The round-summary verdict line is DERIVED from the individual
+      // verdicts, never hand-written: r12's commit message said
+      // "auto-A/B clean" while the sidecar carried two `regression
+      // candidate` verdicts (true only on the 3x threshold, misleading
+      // about the detector's own output — r12 judge finding #1). This
+      // line is what the README/commit summary must quote.
+      val exonerated = autoAb.count { case (_, p, _, walls, _, _) =>
+        walls.nonEmpty && walls.min <= 1.5 * p
+      }
+      val candidates = autoAb.count { case (_, p, _, walls, _, _) =>
+        walls.nonEmpty && walls.min > 1.5 * p
+      }
+      val failedOrSkipped = autoAb.count(_._4.isEmpty) + abSkipped.size
+      val summary =
+        if (prevMin.isEmpty) ""
+        else if (flagged.isEmpty)
+          s""""auto A/B SUMMARY: clean — no query moved >3x vs previous round (baseline: $prevSource; floors: prev>=0.25s, session>=1s)""""
+        else
+          s""""auto A/B SUMMARY: ${flagged.size} flagged — $exonerated exonerated, $candidates regression candidate(s) pending bisect, $failedOrSkipped unadjudicated (NOT clean unless candidates+unadjudicated are 0)""""
       if (prevMin.isEmpty)
         Seq(""""auto A/B: no previous-round baseline (no same-sf BENCH_r artifact or bench_diag sidecar) — mover detection skipped this run"""")
       else if (flagged.isEmpty)
-        Seq(s""""auto A/B: no query moved >3x vs previous round (baseline: $prevSource; floors: prev>=0.25s, session>=1s)"""")
-      else s""""auto A/B baseline: $prevSource"""" +: (measured ++ skipped)
+        Seq(summary)
+      else summary +: s""""auto A/B baseline: $prevSource"""" +: (measured ++ skipped)
     }
     val autoAbJson = autoAb.map { case (k, p, w, walls, cpuSamples, err) =>
       "\"" + k + "\":{\"prev\":" + fmtN(p) + ",\"session\":" + fmtN(w) +
@@ -717,7 +761,15 @@ object Bench {
       // batch against an Nx-batch corpus): the ClassifierStore
       // asymptotic point, with bit-identical weights asserted at every
       // scale (statistics additivity, not approximation).
-      "\"r12 AbClassifierInc (4k-doc batch, dims=32, T=32): incremental append+trainStored stays flat 3.6/2.1/2.5 s at corpus 16x/64x/256x (64k/256k/1M docs) while the from-scratch retrain grows linearly 4.0/6.5/12.7 s (5.1x at 256x, widening); one-time store build 8.6/5.8/12.8 s amortizes across increments; weights bit-identical to the union train at every point (integer sufficient-statistics additivity)\"")
+      "\"r12 AbClassifierInc (4k-doc batch, dims=32, T=32): incremental append+trainStored stays flat 3.6/2.1/2.5 s at corpus 16x/64x/256x (64k/256k/1M docs) while the from-scratch retrain grows linearly 4.0/6.5/12.7 s (5.1x at 256x, widening); one-time store build 8.6/5.8/12.8 s amortizes across increments; weights bit-identical to the union train at every point (integer sufficient-statistics additivity)\"",
+      // r13 bisect of the two r12 auto-A/B regression candidates (quiet
+      // box load1 0.2-1.6, fresh-JVM QBench, two interleaved reps per
+      // tree, r11 tree 7d3db45 vs HEAD): identical floors on both trees,
+      // and both entries + the whole graph/ package are git-identical
+      // since r11 — the r12 'prev' floors (0.76/1.10 s) were warm-JVM
+      // in-session minima below the fresh-JVM floor (the documented r8
+      // g7_kcore pattern).
+      "\"r13 bisect g7_kcore + g4_khop (fresh-JVM QBench, r11 tree vs HEAD, two interleaved reps): g7_kcore wall floors r11 1.14/1.43 s vs HEAD 1.32/1.41 s (cpu 0.41/0.51 vs 0.46/0.50), g4_khop r11 1.33/1.49 s vs HEAD 1.50/1.52 s (cpu 0.73/0.79 vs 0.80/0.87) — identical within fresh-JVM variance, code git-identical since r11; the r12 prev floors 0.76/1.10 s were warm-JVM in-session minima; both exonerated\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }
@@ -735,6 +787,22 @@ object Bench {
         java.nio.file.Paths.get("bench_diag.json"),
         diagJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // diag file is best-effort
+    // Immutable floor snapshot for NEXT round's detector: the full
+    // (untruncated) queries_min map under the current round's number —
+    // max(N of BENCH_rN.json)+1, since the driver writes BENCH_r{N}.json
+    // at judging time AFTER this run. Overwritten per in-round bench run
+    // (harmless: the three-way min-merge only flags more), committed with
+    // the round snapshot it becomes the immutable per-leg baseline the
+    // driver-tail truncation can't drop.
+    try {
+      val prevN = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"BENCH_r${prevN + 1}%02d_floors.json"),
+        s"""{"queries_min":$qs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+    } catch { case _: Throwable => () } // floor snapshot is best-effort
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(s => scala.util.Try(s.toDouble).isSuccess)
       .getOrElse("\"" + sfDir + "\"")
