@@ -110,7 +110,9 @@ object Bench {
     "t23_classifier_score",
     "t24_classifier_calibration",
     "t25_ridge_sweep",
+    "t26_classifier_threshold",
     "p19_classifier_release",
+    "p20_release_pipeline",
     "p16_dsir_resample",
     "p18_temperature_sweep",
     "d17_ngram_boilerplate",

@@ -40,7 +40,10 @@ object PlanAudit {
         "t22_classifier_train", "t23_classifier_score", "g21_conductance",
         "n14_probe_sweep", "d21_lsh_band_sweep", "t24_classifier_calibration",
         "p18_temperature_sweep", "t25_ridge_sweep", "p19_classifier_release",
-        "d22_minhash_estimate")
+        "d22_minhash_estimate",
+        // round-13 additions: release-gate threshold table, the composed
+        // five-stage curation release
+        "t26_classifier_threshold", "p20_release_pipeline")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

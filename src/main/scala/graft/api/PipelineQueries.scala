@@ -1604,6 +1604,114 @@ object PipelineQueries {
           round(col("n_correct").cast("double") / col("n_docs"), 6).as("accuracy"),
           col("w_l1"))
         .orderBy(col("shift").desc)
+    }),
+
+    // The release-gate design table — which t23 margin threshold to gate
+    // p19/p20 on: per confidence band θ = bitlength(margin) (the t24
+    // integer banding), the volume kept at "pred positive AND band ≥ θ"
+    // and the kept set's weak-label precision/recall. θ = 1 is the plain
+    // margin>0 gate; raising θ trades recall for precision — the curve a
+    // curation owner reads to pick the release gate. ONE scoring pass
+    // fanned by a bounded ≤48-row broadcast threshold list (the d20
+    // shape: a range join against the fan, never a re-score per θ);
+    // integer counts + two rounded divisions → full hash oracle through
+    // the shared unrolled-GD CTEs.
+    "t26_classifier_threshold" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      val sc = LinearClassifier.score(feat, lab, w)
+        .select(col("margin"), col("y"))
+      val pos = sc.agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"))
+      val th = s.range(1, 49).select(col("id").as("band_min"))
+      sc.filter(col("margin") > 0)
+        .select(col("y"), length(bin(col("margin"))).cast("long").as("band"))
+        .join(broadcast(th), col("band") >= col("band_min"))
+        .groupBy(col("band_min"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_true_pos"))
+        .crossJoin(broadcast(pos))
+        .select(col("band_min"), col("n_kept"), col("n_true_pos"),
+          round(col("n_true_pos").cast("double") / col("n_kept"), 6)
+            .as("precision_kept"),
+          round(col("n_true_pos").cast("double") / col("n_pos"), 6)
+            .as("recall_kept"))
+        .orderBy(col("band_min"))
+    }),
+
+    // THE full curation release, end to end in ONE plan — the flagship
+    // LLM-pipeline query a data team actually ships (each stage is the
+    // already-oracled single-stage operator, composed p15-style):
+    //   (1) model gate: the trained t22 classifier keeps margin>0 docs;
+    //   (2) near-dup drop among the KEPT docs — d13's machinery (d3b
+    //       portable MinHash-LSH pairs → d7b connected components →
+    //       canonical member per cluster: longest tokenization, min id);
+    //   (3) span excision among the SURVIVORS — d19's ExactSubstr apply
+    //       (anchor-gram islands → interval-merged removal ranges →
+    //       ranged anti-join excision → per-doc rebuild);
+    //   (4) leakage-safe split — p17's md5 draw on the near-dup CLUSTER
+    //       rep (survivor = its cluster's canonical, so τ-near pairs of a
+    //       released doc would have landed on the same side);
+    //   (5) context packing — p8's per-shard 512-token concat-and-chunk
+    //       over the TRAIN split's deduplicated texts.
+    // Scale shape is the sum of its stages and nothing more: one corpus
+    // pass for the Gram, one scoring join (broadcast weights), the LSH
+    // banded equi-join (never all-pairs), structure-independent CC, the
+    // anchor-gram equi-join, and per-shard prefix sums; the drop list and
+    // cluster table are cluster-sized → broadcast. Deterministic end to
+    // end → full hash oracle (the unrolled-GD + recursive-CC + span CTE
+    // chains composed).
+    "p20_release_pipeline" -> ((s, d) => {
+      val docs = documents(s, d)
+      val before = graft.RddScope.persisted(s)
+      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+        .localCheckpoint(true)
+      graft.RddScope.sweepExcept(s, before, feat)
+      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+      val kept = LinearClassifier.score(feat, lab, w)
+        .filter(col("margin") > 0)
+        .select(col("doc_id"))
+      val keptDocs = docs.join(kept, "doc_id").select(col("doc_id"), col("text"))
+      val pairs = Dedup.minhashLshPairsPortable(keptDocs, "doc_id", "text",
+          n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
+        .select(col("doc_a"), col("doc_b"))
+      val cl = ConnectedComponents.run(pairs)
+      // run() materializes behind its own checkpoint, cutting the pair
+      // build (and its shingle checkpoint) out of the result lineage —
+      // free it now (the d13 idiom; QueriesSpec leak contract).
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(pairs)
+      val ntok = keptDocs.select(col("doc_id").as("member_id"),
+        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+      // canonical member per cluster (keep_id) + the cluster rep for the
+      // split draw; both cluster-sized → broadcast below.
+      val canon = cl.join(ntok, "member_id")
+        .groupBy(col("rep_id"))
+        .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+        .select((-col("b.neg")).as("doc_id"), col("rep_id"))
+      val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
+        .select(col("member_id"))
+      val survivors = keptDocs
+        .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+      val withRep = survivors
+        .join(broadcast(canon), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      val deduped = Dedup.spanDedupApply(
+        withRep.select(col("doc_id"), col("text")), "doc_id", "text", minTokens = 6)
+      val bucket = pmod(graft.ops.Portable.md5Long(
+        concat(lit("split:"), col("rep_id").cast("string"))), lit(10L))
+      val released = deduped
+        .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
+        .select(col("doc_id"), col("text_dedup"),
+          when(bucket < 8, "train").when(bucket === 8, "val")
+            .otherwise("test").as("split"))
+      TextFns.packChunks(released.filter(col("split") === "train"),
+        "doc_id", "text_dedup", budget = 512L, shards = 8)
     })
   )
 
@@ -3587,7 +3695,165 @@ object PipelineQueries {
          |JOIN lam ON lam.shift = s.shift
          |JOIN l1 ON l1.shift = s.shift
          |GROUP BY s.shift, lam.lambda, l1.w_l1
-         |ORDER BY s.shift DESC""".stripMargin
+         |ORDER BY s.shift DESC""".stripMargin,
+
+    // Release-gate threshold table: the t23 margin CTEs banded by
+    // bitlength (t24's to_base spelling), fanned against the bounded
+    // threshold list by a range join — one margin pass, like the Spark
+    // plan.
+    "t26_classifier_threshold" ->
+      s"""$ClassifierCtes,
+         |mf AS (
+         |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w USING (dim) GROUP BY 1),
+         |sc AS (SELECT m.margin, l.y FROM mf m JOIN lab l USING (doc_id)),
+         |pos AS (
+         |  SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM sc),
+         |th AS (SELECT CAST(UNNEST(generate_series(1, 48)) AS BIGINT) AS band_min),
+         |banded AS (
+         |  SELECT y,
+         |    CAST(length(to_base(CAST(margin AS BIGINT), 2)) AS BIGINT) AS band
+         |  FROM sc WHERE margin > 0)
+         |SELECT th.band_min,
+         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
+         |  ROUND(CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS precision_kept,
+         |  ROUND(CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / pos.n_pos, 6) AS recall_kept
+         |FROM banded b JOIN th ON b.band >= th.band_min CROSS JOIN pos
+         |GROUP BY th.band_min, pos.n_pos
+         |ORDER BY band_min""".stripMargin,
+
+    // The composed release: classifier gate (the unrolled-GD margin
+    // CTEs), the d13 pair/CC/canonical chain restricted to KEPT docs
+    // (k-prefixed), the d19 span/island/excision chain restricted to
+    // SURVIVORS (s-prefixed), the p17 split draw on the cluster rep, and
+    // the p8 per-shard packing over the train split's deduped token
+    // counts (the rebuilt text re-tokenizes to exactly n_tokens −
+    // n_removed: tokens contain no whitespace and rejoin with single
+    // spaces).
+    "p20_release_pipeline" ->
+      (s"WITH RECURSIVE ${ClassifierCtes.stripPrefix("WITH ")},\n" +
+        s"""mf AS (
+         |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
+         |  FROM feat f JOIN w$ClassifierIters w USING (dim) GROUP BY 1),
+         |kept AS MATERIALIZED (SELECT doc_id FROM mf WHERE margin > 0),
+         |kdocs AS MATERIALIZED (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN kept USING (doc_id)),
+         |ktoks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM kdocs),
+         |ksh AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |  FROM ktoks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+         |  WHERE len(t) >= 3),
+         |kseeds AS (SELECT UNNEST(generate_series(0, 31)) AS k),
+         |ksig AS (
+         |  SELECT doc_id, k,
+         |    MIN(CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)) AS m
+         |  FROM ksh CROSS JOIN kseeds GROUP BY doc_id, k),
+         |kmatches AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(FLOOR(a.k / 4.0) AS INT) AS band, COUNT(*) AS c
+         |  FROM ksig a JOIN ksig b ON a.k = b.k AND a.m = b.m AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2, 3),
+         |kcand AS (SELECT DISTINCT doc_a, doc_b FROM kmatches WHERE c = 4),
+         |kcnt AS (SELECT doc_id, COUNT(*) AS n FROM ksh GROUP BY doc_id),
+         |kshp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS common
+         |  FROM ksh a JOIN ksh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |klshp AS (
+         |  SELECT c.doc_a AS a, c.doc_b AS b
+         |  FROM kcand c
+         |  JOIN kshp p ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b
+         |  JOIN kcnt ca ON c.doc_a = ca.doc_id
+         |  JOIN kcnt cb ON c.doc_b = cb.doc_id
+         |  WHERE CAST(common AS DOUBLE) / (ca.n + cb.n - common) >= $JaccardThreshold),
+         |und AS (SELECT a, b FROM klshp UNION ALL SELECT b, a FROM klshp),
+         |reach(v, r) AS (
+         |  SELECT DISTINCT a, a FROM und
+         |  UNION
+         |  SELECT und.a, reach.r FROM und JOIN reach ON und.b = reach.v),
+         |comp AS (SELECT v AS member_id, MIN(r) AS rep_id FROM reach GROUP BY v),
+         |kntok AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM ktoks),
+         |kranked AS (
+         |  SELECT c.member_id, c.rep_id,
+         |    ROW_NUMBER() OVER (PARTITION BY c.rep_id
+         |      ORDER BY t.n_tok DESC, c.member_id) AS rn
+         |  FROM comp c JOIN kntok t ON t.doc_id = c.member_id),
+         |kdrops AS (SELECT member_id FROM kranked WHERE rn > 1),
+         |canon AS (SELECT member_id AS doc_id, rep_id FROM kranked WHERE rn = 1),
+         |surv AS MATERIALIZED (
+         |  SELECT k.doc_id, k.text, COALESCE(c.rep_id, k.doc_id) AS rep_id
+         |  FROM kdocs k LEFT JOIN canon c USING (doc_id)
+         |  WHERE k.doc_id NOT IN (SELECT member_id FROM kdrops)),
+         |stoks AS MATERIALIZED (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM surv),
+         |sgrams AS (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+         |      || ' ' || t[i+4] || ' ' || t[i+5] AS g
+         |  FROM stoks, UNNEST(generate_series(1, len(t) - 5)) AS u(i)
+         |  WHERE len(t) >= 6),
+         |sseeds AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM sgrams a JOIN sgrams b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |sisl AS (
+         |  SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+         |    pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+         |      AS island
+         |  FROM sseeds),
+         |spans AS (
+         |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+         |    MAX(pa) - MIN(pa) + 6 AS span_len
+         |  FROM sisl GROUP BY doc_a, doc_b, diag, island),
+         |ranges AS (
+         |  SELECT DISTINCT doc_b AS id, start_b AS s, start_b + span_len AS e
+         |  FROM spans),
+         |brk AS (
+         |  SELECT id, s, e,
+         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS b
+         |  FROM ranges),
+         |isl2 AS (
+         |  SELECT id, s, e, SUM(b) OVER (PARTITION BY id ORDER BY s, e
+         |    ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM brk),
+         |smerged AS (
+         |  SELECT id, grp, MIN(s) AS rs, MAX(e) AS re FROM isl2 GROUP BY id, grp),
+         |sremoved AS (
+         |  SELECT id, CAST(SUM(re - rs) AS BIGINT) AS n_removed FROM smerged GROUP BY id),
+         |snt AS (
+         |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS BIGINT)
+         |      AS n_tokens
+         |  FROM surv),
+         |train AS MATERIALIZED (
+         |  SELECT n.doc_id,
+         |    n.n_tokens - COALESCE(r.n_removed, 0) AS n_keep
+         |  FROM snt n
+         |  LEFT JOIN sremoved r ON r.id = n.doc_id
+         |  JOIN surv v ON v.doc_id = n.doc_id
+         |  WHERE n.n_tokens - COALESCE(r.n_removed, 0) > 0
+         |    AND CAST('0x' || substr(md5('split:' || CAST(v.rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8),
+         |pbase AS (
+         |  SELECT doc_id, n_keep AS n_tokens, doc_id % 8 AS shard FROM train),
+         |po AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+         |  FROM pbase)
+         |SELECT shard, c AS chunk, doc_id,
+         |  CAST(GREATEST(0, c * 512 - off) AS BIGINT) AS tok_from,
+         |  CAST(LEAST(n_tokens, (c + 1) * 512 - off)
+         |    - GREATEST(0, c * 512 - off) AS BIGINT) AS tok_len
+         |FROM po, UNNEST(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS u(c)
+         |ORDER BY shard, chunk, doc_id""".stripMargin)
   )
 
   /** Shared oracle CTE chain for t22/t23: hashed features (the t15 md5

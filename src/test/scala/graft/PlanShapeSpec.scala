@@ -680,4 +680,33 @@ class PlanShapeSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(plan.contains("bkey"), plan.take(3000))
   }
+
+  test("t26: threshold table is one scoring pass + bounded broadcast band fan; no window") {
+    // The corpus-sized margin relation is computed ONCE (weights meet it
+    // by BroadcastHashJoin, the t23 contract) and fanned against the
+    // ≤48-row threshold list via a bounded BroadcastNestedLoopJoin range
+    // join (the d20 shape) — never a per-θ re-score, never a window.
+    val df = SparkEntry.queries("t26_classifier_threshold")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("p20: the composed release is equi-joins + broadcast gates end to end; no product") {
+    // The five-stage release must add NO join shape its stages don't
+    // have: the weight/drop-list/cluster-table sides are bounded →
+    // BroadcastHashJoin; the excision + drop stages are anti-joins
+    // (LeftAnti); the only windows are the stages' own interval-merge
+    // and per-shard prefix sums; nothing plans as a product.
+    val df = SparkEntry.queries("p20_release_pipeline")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("LeftAnti"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
 }
