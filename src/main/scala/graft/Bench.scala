@@ -771,7 +771,12 @@ object Bench {
       // since r11 — the r12 'prev' floors (0.76/1.10 s) were warm-JVM
       // in-session minima below the fresh-JVM floor (the documented r8
       // g7_kcore pattern).
-      "\"r13 bisect g7_kcore + g4_khop (fresh-JVM QBench, r11 tree vs HEAD, two interleaved reps): g7_kcore wall floors r11 1.14/1.43 s vs HEAD 1.32/1.41 s (cpu 0.41/0.51 vs 0.46/0.50), g4_khop r11 1.33/1.49 s vs HEAD 1.50/1.52 s (cpu 0.73/0.79 vs 0.80/0.87) — identical within fresh-JVM variance, code git-identical since r11; the r12 prev floors 0.76/1.10 s were warm-JVM in-session minima; both exonerated\"")
+      "\"r13 bisect g7_kcore + g4_khop (fresh-JVM QBench, r11 tree vs HEAD, two interleaved reps): g7_kcore wall floors r11 1.14/1.43 s vs HEAD 1.32/1.41 s (cpu 0.41/0.51 vs 0.46/0.50), g4_khop r11 1.33/1.49 s vs HEAD 1.50/1.52 s (cpu 0.73/0.79 vs 0.80/0.87) — identical within fresh-JVM variance, code git-identical since r11; the r12 prev floors 0.76/1.10 s were warm-JVM in-session minima; both exonerated\"",
+      // r13 IVF-store compaction measured (AbIvfCompact — the r12 verdict
+      // missing-piece #1, the DedupStore.compact pattern applied to the
+      // Hive cell layout): 256x corpus (128k vectors) arriving as 32
+      // appends.
+      "\"r13 AbIvfCompact (256x embeddings corpus = 128k vectors, dims=6/64 cells, 32 appends, quiet box): fragmented store 2048 files / dedupNew probe 1.9 s; compact() one-time 1.8 s collapses to 64 id-clustered files (one per cell) and the probe drops to 0.7 s — below the single-save store's 1.1 s; probe results row-identical across layouts (IndexStoreSpec pins search + dedupNew on static AND tuned layouts; swap is the crash-safe rename-aside)\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -129,4 +129,68 @@ class IndexStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(rel(s"$dir/ivf") == rel(s"$dir/full"))
   }
+
+  private def parquetFiles(p: String): Int = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+      .count(f => f.getFileName.toString.startsWith("part-") &&
+        f.getFileName.toString.endsWith(".parquet"))
+  }
+
+  test("compact collapses append fragmentation; search + dedupNew row-identical across layouts") {
+    val dir = Files.createTempDirectory("graft_ivf_compact").toString
+    val dims = 3
+    IndexStore.saveIvfStatic(vecs.filter(col("vec_id") < 200),
+      dims = dims, path = s"$dir/ivf")
+    // 8 increments of 25 vectors — each append leaves its own file
+    // splatter per touched cell directory.
+    (0 until 8).foreach { i =>
+      IndexStore.appendIvfStatic(
+        vecs.filter(col("vec_id") >= 200 + i * 25 && col("vec_id") < 225 + i * 25),
+        dims = dims, path = s"$dir/ivf")
+    }
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val batch = vecs.filter(col("vec_id") >= 400)
+    def search() = IndexStore.searchIvfStatic(
+      spark, s"$dir/ivf", queries, dims = dims, k = 5).collect()
+    def dedupNew() = IndexStore.dedupNewIvfStatic(
+      spark, s"$dir/ivf", batch, dims = dims, eps = 0.35).collect()
+    val (searchBefore, dedupBefore) = (search(), dedupNew())
+    val filesBefore = parquetFiles(s"$dir/ivf")
+    IndexStore.compact(spark, s"$dir/ivf")
+    val filesAfter = parquetFiles(s"$dir/ivf")
+    // one id-clustered file per cell directory — ≤ 2^dims total
+    assert(filesAfter <= (1 << dims) && filesAfter < filesBefore,
+      s"compact did not collapse the layout: $filesBefore -> $filesAfter files")
+    assert(search().sameElements(searchBefore),
+      "searchIvfStatic diverged across layouts")
+    assert(dedupNew().sameElements(dedupBefore),
+      "dedupNewIvfStatic diverged across layouts")
+    // no stale staging/aside dirs survive a clean compact
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/ivf.compact.tmp")))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ivf.old")))
+  }
+
+  test("compact on the tuned layout: searchIvfTuned row-identical, one file per cell") {
+    val dir = Files.createTempDirectory("graft_ivf_tuned_compact").toString
+    // two halves saved/appended so the tuned store is fragmented too
+    IndexStore.saveIvfTuned(vecs.filter(col("vec_id") < 250), path = s"$dir/ivf")
+    IndexStore.appendIvfTuned(vecs.filter(col("vec_id") >= 250), path = s"$dir/ivf")
+    val queries = vecs.limit(50)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def search() = IndexStore.searchIvfTuned(spark, s"$dir/ivf", queries, k = 5)
+      .collect()
+    val before = search()
+    val filesBefore = parquetFiles(s"$dir/ivf")
+    IndexStore.compact(spark, s"$dir/ivf")
+    val cells = spark.read.parquet(s"$dir/ivf").select(col("cell"))
+      .distinct().count()
+    val filesAfter = parquetFiles(s"$dir/ivf")
+    assert(filesAfter == cells && filesAfter < filesBefore,
+      s"tuned compact: $filesBefore -> $filesAfter files over $cells cells")
+    assert(search().sameElements(before),
+      "searchIvfTuned diverged across layouts")
+  }
 }
