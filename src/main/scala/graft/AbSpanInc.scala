@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B: INCREMENTAL vs BATCH span dedup at corpus scale — the number
+  * behind [[graft.dedup.SpanStore]]'s reason to exist (the AbDedupInc
+  * template, ExactSubstr edition). A pipeline re-running span dedup per
+  * crawl increment can either re-run [[graft.dedup.Dedup.spanDedup]]
+  * over (corpus ∪ batch) — re-tokenizing and re-windowing the whole
+  * corpus into anchor grams every time — or probe the stored gram
+  * relation with just the batch's grams. Work differs by
+  * O(|corpus| / |batch|); measured here on an AMPLIFIED corpus
+  * (×`AB_AMP` replicas with rep-prefixed tokens, so replicas share no
+  * grams with each other or the batch while keeping each replica's
+  * internal span structure) with the sf-dir documents as the arriving
+  * batch.
+  *
+  * Reported: one-time store build wall, incremental searchNew wall,
+  * batch-operator-on-union wall restricted to new-touching pairs, and
+  * the span counts (equality is spec-pinned in SpanStoreSpec at
+  * sf0.001; the counts here are a sanity line).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 AB_AMP=64 sbt "runMain graft.AbSpanInc"
+  */
+object AbSpanInc {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val amp = sys.env.getOrElse("AB_AMP", "64").toInt
+    val L = 6
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = base
+      .crossJoin(spark.range(amp).select(col("id").as("rep")))
+      .select((col("doc_id") * amp + col("rep") + 1000000L).as("doc_id"),
+        concat_ws(" ", transform(graft.text.TextFns.tokens(col("text")),
+          tk => concat(lit("r"), col("rep"), lit("_"), tk))).as("text"))
+    val batch = base // arriving increment, original ids < 1000000
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab_spaninc").toString
+    val (_, buildWall) = timed {
+      graft.dedup.SpanStore.save(corpus, "doc_id", "text", L, s"$dir/ix")
+    }
+    sweep()
+    val (incSpans, incWall) = timed {
+      val df = graft.dedup.SpanStore.searchNew(
+        spark, s"$dir/ix", batch, "doc_id", "text", L)
+      val n = df.count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      n
+    }
+    sweep()
+    val (unionSpans, unionWall) = timed {
+      graft.dedup.Dedup.spanDedup(
+          corpus.unionAll(batch), "doc_id", "text", L)
+        .filter(col("doc_a") < 1000000L || col("doc_b") < 1000000L)
+        .count()
+    }
+    sweep()
+    println(f"AB-SPANINC amp=$amp corpus=${amp}x batch=1x " +
+      f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
+      f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
+      f"x inc_spans=$incSpans union_new_spans=$unionSpans")
+    spark.stop()
+  }
+}

@@ -776,7 +776,12 @@ object Bench {
       // missing-piece #1, the DedupStore.compact pattern applied to the
       // Hive cell layout): 256x corpus (128k vectors) arriving as 32
       // appends.
-      "\"r13 AbIvfCompact (256x embeddings corpus = 128k vectors, dims=6/64 cells, 32 appends, quiet box): fragmented store 2048 files / dedupNew probe 1.9 s; compact() one-time 1.8 s collapses to 64 id-clustered files (one per cell) and the probe drops to 0.7 s — below the single-save store's 1.1 s; probe results row-identical across layouts (IndexStoreSpec pins search + dedupNew on static AND tuned layouts; swap is the crash-safe rename-aside)\"")
+      "\"r13 AbIvfCompact (256x embeddings corpus = 128k vectors, dims=6/64 cells, 32 appends, quiet box): fragmented store 2048 files / dedupNew probe 1.9 s; compact() one-time 1.8 s collapses to 64 id-clustered files (one per cell) and the probe drops to 0.7 s — below the single-save store's 1.1 s; probe results row-identical across layouts (IndexStoreSpec pins search + dedupNew on static AND tuned layouts; swap is the crash-safe rename-aside)\"",
+      // r13 incremental span dedup (AbSpanInc — the r12 verdict
+      // missing-piece #2, the DedupStore searchNew lifecycle applied to
+      // the d10 anchor-gram relation): sf0.01 batch against an
+      // Nx rep-prefixed corpus, new-touching spans only.
+      "\"r13 AbSpanInc (sf0.01 batch vs Nx corpus, L=6): incremental SpanStore.searchNew stays near-flat 3.2/3.4/10.2 s at corpus 32x/128x/512x while spanDedup on the union grows linearly 3.8/6.9/30.0 s (2.9x at 512x, widening); one-time store build 6.4/10.5/30.3 s amortizes across increments; spans identical both paths (SpanStoreSpec pins union-restricted equality + exactly-2 stored scans, never a stored self-join). Residual incremental growth is the stored gram parquet scan the content join must read — a gram-hash-bucketed layout would prune further on a cluster\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

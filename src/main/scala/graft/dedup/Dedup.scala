@@ -775,22 +775,42 @@ object Dedup {
     */
   def spanDedup(
       docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+    val grams = anchorGrams(docs, idCol, textCol, minTokens)
+    val seeds = grams.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
+      .join(grams.select(col("id").as("doc_b"), col("pos").as("pb"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    spansFromSeeds(seeds, minTokens)
+  }
+
+  /** [[spanDedup]]'s stage 1 as a reusable relation: every COMPLETE
+    * `L`-token anchor window of every document, position-keyed —
+    * (id, pos, g). Shared by the one-shot operator and the persisted
+    * [[SpanStore]] (whose stored state IS this relation).
+    */
+  private[dedup] def anchorGrams(
+      docs: DataFrame, idCol: String, textCol: String, L: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val L = minTokens
     require(L >= 2, s"span anchors need at least 2 tokens; got $L")
     val toks = docs.select(
       col(idCol).as("id"),
       posexplode(TextFns.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(col("id")).orderBy(col("pos"))
     val parts = (0 until L).map(j => if (j == 0) col("tok") else lead(col("tok"), j).over(w))
-    val grams = toks
+    toks
       .select(col("id"), col("pos"), concat_ws(" ", parts: _*).as("g"),
         lead(col("tok"), L - 1).over(w).isNotNull.as("complete"))
       .filter(col("complete"))
-    val seeds = grams.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
-      .join(grams.select(col("id").as("doc_b"), col("pos").as("pb"), col("g")), "g")
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+      .select(col("id"), col("pos"), col("g"))
+  }
+
+  /** [[spanDedup]]'s stages 2b+3 from an already-joined seed relation
+    * (doc_a, doc_b, pa, pb): per-(pair, diagonal) gaps-and-islands merge
+    * into maximal spans. Factored so [[SpanStore.searchNew]]'s
+    * new-touching seed arms reuse the exact merge.
+    */
+  private[dedup] def spansFromSeeds(seeds: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wd = Window
       .partitionBy(col("doc_a"), col("doc_b"), col("pa") - col("pb"))
       .orderBy(col("pa"))

@@ -1,0 +1,87 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted repeated-span (ExactSubstr) index — [[DedupStore]]'s
+  * sibling for the d10/d19 family, closing the incremental-curation gap
+  * the batch operators leave: [[Dedup.spanDedup]] rebuilds the
+  * anchor-gram relation over the WHOLE corpus per run, so a pipeline
+  * re-running span dedup per crawl increment pays O(corpus) tokenize +
+  * window work for O(batch) questions. This store persists the one
+  * relation the operator derives from the corpus:
+  *
+  *   `<path>/grams`: (id, pos, g) — every complete minTokens-token
+  *                   anchor window of every accepted document
+  *                   ([[Dedup.anchorGrams]]), the blocking state AND the
+  *                   span-merge input in one.
+  *
+  * The anchor-gram family is deterministic across batches, so probing
+  * stored grams with a new batch's grams is EQUAL to running
+  * [[Dedup.spanDedup]] on (stored ∪ new) and keeping the spans that
+  * touch the new batch — SpanStoreSpec pins that equality. [[append]]
+  * adds the new batch's grams; nothing old is recomputed or rewritten.
+  *
+  * Scale shape: save/append tokenize and window ONLY the batch;
+  * [[searchNew]] joins the batch's grams against the stored relation by
+  * gram content (inverted-index equi-join — the stored corpus streams
+  * through as one join side, never a self-join) plus the batch-vs-batch
+  * arm, then runs the per-(pair, diagonal) islands merge on the
+  * seed-sized result. Skew risk (a boilerplate gram shared by many
+  * docs) is the same profile as the batch operator — cap stop-grams by
+  * document frequency upstream and let AQE skew-split the residue.
+  */
+object SpanStore {
+
+  private def write(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, path: String, mode: String): Unit =
+    Dedup.anchorGrams(docs, idCol, textCol, minTokens)
+      .write.mode(mode).parquet(s"$path/grams")
+
+  /** Build + persist the anchor-gram index for an initial corpus. */
+  def save(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, path: String): Unit =
+    write(docs, idCol, textCol, minTokens, path, "overwrite")
+
+  /** Add a new batch to the stored index (call AFTER [[searchNew]] has
+    * adjudicated it). Append-only: old state is untouched.
+    */
+  def append(
+      docs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, path: String): Unit =
+    write(docs, idCol, textCol, minTokens, path, "append")
+
+  /** Repeated spans of a NEW batch against the stored corpus AND within
+    * the batch itself — [[Dedup.spanDedup]] on (stored ∪ new) restricted
+    * to new-touching pairs, without touching the stored corpus beyond
+    * one gram equi-join per orientation. Returns the spanDedup contract:
+    * (doc_a, doc_b, start_a, start_b, span_len), doc_a < doc_b,
+    * 0-based token offsets, span_len ≥ minTokens, ordered. Ids must be
+    * globally unique across batches (caller contract, as DedupStore).
+    *
+    * The three seed arms are disjoint by construction (doc_a < doc_b
+    * fixes the orientation of each new-vs-stored pair; batch-vs-batch
+    * pairs are id-distinct from both), so their union feeds the shared
+    * islands merge exactly as the batch operator's one self-join would.
+    */
+  def searchNew(
+      spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int): DataFrame = {
+    val newG = Dedup.anchorGrams(newDocs, idCol, textCol, minTokens)
+      .localCheckpoint(true) // probed three times (two store arms + self)
+    val stored = spark.read.parquet(s"$path/grams")
+    def arm(a: DataFrame, b: DataFrame): DataFrame =
+      a.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
+        .join(b.select(col("id").as("doc_b"), col("pos").as("pb"),
+          col("g").as("g_b")), col("g") === col("g_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
+    val seeds = arm(newG, stored)
+      .unionAll(arm(stored, newG))
+      .unionAll(arm(newG, newG))
+    Dedup.spansFromSeeds(seeds, minTokens)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, SpanStore}
+
+/** Persisted repeated-span (ExactSubstr) index: an incremental probe of
+  * a NEW batch against the stored anchor-gram relation must equal the
+  * batch span operator run on the full union, restricted to pairs that
+  * touch the new batch — the DedupStore determinism-across-batches
+  * contract, span edition. Plus the append lifecycle: increments
+  * compose, and the probe never self-joins the stored corpus.
+  */
+class SpanStoreSpec extends SparkSpec {
+
+  private val L = 6
+
+  private def docs = Tables.documents(spark, Sf001)
+    .select(col("doc_id"), col("text"))
+
+  private def spans(df: org.apache.spark.sql.DataFrame) =
+    df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+
+  test("searchNew == batch spanDedup on the union, restricted to new-touching pairs") {
+    val dir = Files.createTempDirectory("graft_span_store").toString
+    val old = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    SpanStore.save(old, "doc_id", "text", L, s"$dir/ix")
+    val got = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", fresh, "doc_id", "text", L))
+    val full = spans(Dedup.spanDedup(docs, "doc_id", "text", L))
+    val expected = full.filter { case (a, b, _, _, _) => a >= 300 || b >= 300 }
+    assert(got == expected,
+      s"got ${got.size} spans vs expected ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // The split must exercise BOTH probe arms: stored×new spans and
+    // within-batch spans, or the equality proves nothing.
+    assert(expected.exists { case (a, b, _, _, _) => a < 300 && b >= 300 },
+      "sf0.001 split yields no stored-vs-new spans; pick another split")
+    assert(expected.exists { case (a, b, _, _, _) => a >= 300 && b >= 300 },
+      "sf0.001 split yields no within-batch spans; pick another split")
+  }
+
+  test("append lifecycle: save + append == one save; post-append probe still union-exact") {
+    val dir = Files.createTempDirectory("graft_span_append").toString
+    SpanStore.save(docs.filter(col("doc_id") < 150), "doc_id", "text", L, s"$dir/ix")
+    SpanStore.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "doc_id", "text", L, s"$dir/ix")
+    val got = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 300), "doc_id", "text", L))
+    val full = spans(Dedup.spanDedup(docs, "doc_id", "text", L))
+    val expected = full.filter { case (a, b, _, _, _) => a >= 300 || b >= 300 }
+    assert(got == expected,
+      s"two-increment store diverged: missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+  }
+
+  test("searchNew is leak-neutral (QueriesSpec contract for store probes)") {
+    val dir = Files.createTempDirectory("graft_span_leak").toString
+    SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
+    val before = RddScope.persisted(spark)
+    val df = SpanStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 300), "doc_id", "text", L)
+    assert(df.count() >= 0)
+    val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(df)
+    val leaked = RddScope.persisted(spark) -- before -- keep
+    assert(leaked.isEmpty,
+      s"searchNew left persisted RDDs $leaked unreachable from its result")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
+  test("probe plan never self-joins the stored gram relation") {
+    // The asymptotic contract: the stored corpus appears only as one
+    // SIDE of the new-vs-stored gram joins — exactly two scans of the
+    // stored parquet (one per orientation), never a stored×stored join.
+    val dir = Files.createTempDirectory("graft_span_plan").toString
+    SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
+    val df = SpanStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 300), "doc_id", "text", L)
+    // Pre-AQE physical plan: with adaptive execution on, executedPlan is
+    // an AdaptiveSparkPlanExec whose stages hide the scans from collect.
+    val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(_.toString.contains("graft_span_plan"))
+        => s
+    }
+    assert(scans.size == 2,
+      s"stored gram relation scanned ${scans.size} times (expected 2: one per orientation)")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+}
