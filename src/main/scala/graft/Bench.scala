@@ -499,6 +499,20 @@ object Bench {
         require(manifest.count() == 8L)
         None
       } finally rmTree(dir)
+    }) :+ ("sinks_release_pipeline" -> time(2) {
+      // The p20 composition driven INTO its sink: the released corpus
+      // (classifier gate → near-dup drop → span excision → split) exported
+      // through trainingShards — the end-to-end "raw corpus → sharded
+      // training parquet + manifest" path a data team actually ships.
+      val dir = sinksDir()
+      try {
+        val released = api.PipelineQueries.releasedCorpus(spark, sfDir)
+          .filter(org.apache.spark.sql.functions.col("split") === "train")
+        val manifest = graft.io.Sinks.trainingShards(
+          released, dir.resolve("release").toString, "doc_id", shards = 8)
+        require(manifest.count() == 8L)
+        None
+      } finally rmTree(dir)
     }) :+ ("sinks_partitioned" -> time(2) {
       val dir = sinksDir()
       try {

@@ -1665,55 +1665,64 @@ object PipelineQueries {
     // cluster table are cluster-sized → broadcast. Deterministic end to
     // end → full hash oracle (the unrolled-GD + recursive-CC + span CTE
     // chains composed).
-    "p20_release_pipeline" -> ((s, d) => {
-      val docs = documents(s, d)
-      val before = graft.RddScope.persisted(s)
-      val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
-        .localCheckpoint(true)
-      graft.RddScope.sweepExcept(s, before, feat)
-      val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
-      val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
-      val kept = LinearClassifier.score(feat, lab, w)
-        .filter(col("margin") > 0)
-        .select(col("doc_id"))
-      val keptDocs = docs.join(kept, "doc_id").select(col("doc_id"), col("text"))
-      val pairs = Dedup.minhashLshPairsPortable(keptDocs, "doc_id", "text",
-          n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
-        .select(col("doc_a"), col("doc_b"))
-      val cl = ConnectedComponents.run(pairs)
-      // run() materializes behind its own checkpoint, cutting the pair
-      // build (and its shingle checkpoint) out of the result lineage —
-      // free it now (the d13 idiom; QueriesSpec leak contract).
-      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(pairs)
-      val ntok = keptDocs.select(col("doc_id").as("member_id"),
-        size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
-      // canonical member per cluster (keep_id) + the cluster rep for the
-      // split draw; both cluster-sized → broadcast below.
-      val canon = cl.join(ntok, "member_id")
-        .groupBy(col("rep_id"))
-        .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
-        .select((-col("b.neg")).as("doc_id"), col("rep_id"))
-      val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
-        .select(col("member_id"))
-      val survivors = keptDocs
-        .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
-      val withRep = survivors
-        .join(broadcast(canon), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text"),
-          coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
-      val deduped = Dedup.spanDedupApply(
-        withRep.select(col("doc_id"), col("text")), "doc_id", "text", minTokens = 6)
-      val bucket = pmod(graft.ops.Portable.md5Long(
-        concat(lit("split:"), col("rep_id").cast("string"))), lit(10L))
-      val released = deduped
-        .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
-        .select(col("doc_id"), col("text_dedup"),
-          when(bucket < 8, "train").when(bucket === 8, "val")
-            .otherwise("test").as("split"))
-      TextFns.packChunks(released.filter(col("split") === "train"),
-        "doc_id", "text_dedup", budget = 512L, shards = 8)
-    })
+    "p20_release_pipeline" -> ((s, d) =>
+      TextFns.packChunks(
+        releasedCorpus(s, d).filter(col("split") === "train"),
+        "doc_id", "text_dedup", budget = 512L, shards = 8))
   )
+
+  /** p20's stages 1–4 as a reusable relation — the release a trainer
+    * reads: (doc_id, text_dedup, split) after classifier gate, near-dup
+    * drop, span excision, and the leakage-safe split draw. The p20 query
+    * packs its train split; [[graft.Bench]]'s sink leg exports it through
+    * [[graft.io.Sinks.trainingShards]].
+    */
+  def releasedCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+    val before = graft.RddScope.persisted(s)
+    val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
+      .localCheckpoint(true)
+    graft.RddScope.sweepExcept(s, before, feat)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    val w = LinearClassifier.train(s, feat, lab, ClassifierDims, ClassifierIters)
+    val kept = LinearClassifier.score(feat, lab, w)
+      .filter(col("margin") > 0)
+      .select(col("doc_id"))
+    val keptDocs = docs.join(kept, "doc_id").select(col("doc_id"), col("text"))
+    val pairs = Dedup.minhashLshPairsPortable(keptDocs, "doc_id", "text",
+        n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val cl = ConnectedComponents.run(pairs)
+    // run() materializes behind its own checkpoint, cutting the pair
+    // build (and its shingle checkpoint) out of the result lineage —
+    // free it now (the d13 idiom; QueriesSpec leak contract).
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(pairs)
+    val ntok = keptDocs.select(col("doc_id").as("member_id"),
+      size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
+    // canonical member per cluster (keep_id) + the cluster rep for the
+    // split draw; both cluster-sized → broadcast below.
+    val canon = cl.join(ntok, "member_id")
+      .groupBy(col("rep_id"))
+      .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+      .select((-col("b.neg")).as("doc_id"), col("rep_id"))
+    val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
+      .select(col("member_id"))
+    val survivors = keptDocs
+      .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+    val withRep = survivors
+      .join(broadcast(canon), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+    val deduped = Dedup.spanDedupApply(
+      withRep.select(col("doc_id"), col("text")), "doc_id", "text", minTokens = 6)
+    val bucket = pmod(graft.ops.Portable.md5Long(
+      concat(lit("split:"), col("rep_id").cast("string"))), lit(10L))
+    deduped
+      .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
+      .select(col("doc_id"), col("text_dedup"),
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test").as("split"))
+  }
 
   /** p7's curation pipeline (quality gate → exact-dup representative →
     * benchmark decontamination) as a reusable stage — p15 composes it
