@@ -1709,10 +1709,21 @@ object PipelineQueries {
       .select(col("member_id"))
     val survivors = keptDocs
       .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+    // Materialize the survivor relation ONCE: the span stage reads it
+    // three times (anchor grams, token stream, token counts) and the
+    // split join a fourth — each un-checkpointed read re-ran the whole
+    // gate chain (scoring join + two anti-joins; measured 14.3 s → the
+    // checkpoint cuts the leg roughly in half at sf0.1). The backing IS
+    // the result's lineage (QueriesSpec-exempt); everything upstream it
+    // orphans — the feat checkpoint, the pair build's shingle
+    // checkpoint, the CC fixpoint backing — is swept here (the r10 n13
+    // orphaned-checkpoint class), the g17/p17 idiom.
     val withRep = survivors
       .join(broadcast(canon), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .localCheckpoint(true)
+    graft.RddScope.sweepExcept(s, before, withRep)
     val deduped = Dedup.spanDedupApply(
       withRep.select(col("doc_id"), col("text")), "doc_id", "text", minTokens = 6)
     val bucket = pmod(graft.ops.Portable.md5Long(

@@ -695,17 +695,19 @@ class PlanShapeSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
-  test("p20: the composed release is equi-joins + broadcast gates end to end; no product") {
-    // The five-stage release must add NO join shape its stages don't
-    // have: the weight/drop-list/cluster-table sides are bounded →
-    // BroadcastHashJoin; the excision + drop stages are anti-joins
-    // (LeftAnti); the only windows are the stages' own interval-merge
-    // and per-shard prefix sums; nothing plans as a product.
+  test("p20: the composed release is equi-joins + anti-join excision; no product") {
+    // The survivor relation is materialized once behind a checkpoint
+    // (its four downstream consumers otherwise re-ran the whole gate
+    // chain — measured 23 s → 13 s fresh-JVM at sf0.1), so the VISIBLE
+    // plan here is the span-excision + split + packing tail: the
+    // excision must stay an anti-join (LeftAnti) and nothing may plan
+    // as a product. The gate stages behind the checkpoint are the
+    // stage operators themselves and keep their own pins (t23 weight
+    // broadcast, d13/d3b banded equi-joins, CC structure-independence).
     val df = SparkEntry.queries("p20_release_pipeline")(spark, Sf001)
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
     assert(plan.contains("LeftAnti"), plan.take(3000))
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
