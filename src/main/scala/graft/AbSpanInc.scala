@@ -80,6 +80,55 @@ object AbSpanInc {
       f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
       f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
       f"x inc_spans=$incSpans union_new_spans=$unionSpans")
+
+    // COMPACTION leg (the AbDedupInc/AbIvfCompact template): the same
+    // corpus arriving as AB_CHUNKS increments fragments the gram
+    // relation; probe fragmented, compact, re-probe.
+    val chunks = sys.env.getOrElse("AB_CHUNKS", "16").toInt
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_ab_spanfrag").toString
+    def parquetFiles(p: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).count(_.getName.endsWith(".parquet"))
+    }
+    val (_, fragBuild) = timed {
+      (0 until chunks).foreach { i =>
+        val chunk = corpus.filter(pmod(col("doc_id"), lit(chunks)) === i)
+        if (i == 0)
+          graft.dedup.SpanStore.save(chunk, "doc_id", "text", L, s"$dir2/ix")
+        else
+          graft.dedup.SpanStore.append(chunk, "doc_id", "text", L, s"$dir2/ix")
+      }
+    }
+    sweep()
+    val filesFrag = parquetFiles(s"$dir2/ix/grams")
+    val (fragSpans, fragWall) = timed {
+      val df = graft.dedup.SpanStore.searchNew(
+        spark, s"$dir2/ix", batch, "doc_id", "text", L)
+      val n = df.count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      n
+    }
+    sweep()
+    val (_, compactWall) = timed {
+      graft.dedup.SpanStore.compact(spark, s"$dir2/ix")
+    }
+    sweep()
+    val filesCompact = parquetFiles(s"$dir2/ix/grams")
+    val (compSpans, compWall) = timed {
+      val df = graft.dedup.SpanStore.searchNew(
+        spark, s"$dir2/ix", batch, "doc_id", "text", L)
+      val n = df.count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      n
+    }
+    require(compSpans == fragSpans && compSpans == incSpans,
+      s"probe diverged across layouts: one-save=$incSpans fragmented=$fragSpans compacted=$compSpans")
+    println(f"AB-SPANINC-COMPACT chunks=$chunks frag_build=$fragBuild%.1f s " +
+      f"files=$filesFrag probe_frag=$fragWall%.1f s " +
+      f"compact=$compactWall%.1f s files_after=$filesCompact " +
+      f"probe_compacted=$compWall%.1f s probe_onesave=$incWall%.1f s")
     spark.stop()
   }
 }

@@ -795,7 +795,10 @@ object Bench {
       // missing-piece #2, the DedupStore searchNew lifecycle applied to
       // the d10 anchor-gram relation): sf0.01 batch against an
       // Nx rep-prefixed corpus, new-touching spans only.
-      "\"r13 AbSpanInc (sf0.01 batch vs Nx corpus, L=6): incremental SpanStore.searchNew stays near-flat 3.2/3.4/10.2 s at corpus 32x/128x/512x while spanDedup on the union grows linearly 3.8/6.9/30.0 s (2.9x at 512x, widening); one-time store build 6.4/10.5/30.3 s amortizes across increments; spans identical both paths (SpanStoreSpec pins union-restricted equality + exactly-2 stored scans, never a stored self-join). Residual incremental growth is the stored gram parquet scan the content join must read — a gram-hash-bucketed layout would prune further on a cluster\"")
+      "\"r13 AbSpanInc (sf0.01 batch vs Nx corpus, L=6): incremental SpanStore.searchNew stays near-flat 3.2/3.4/5.2-10.2 s at corpus 32x/128x/512x while spanDedup on the union grows linearly 3.8/6.9/28.5-30.0 s (2.9-5.5x at 512x, widening); one-time store build ~30 s at 512x amortizes across increments; spans identical both paths (SpanStoreSpec pins union-restricted equality + exactly-2 stored scans, never a stored self-join). Residual incremental growth is the stored gram parquet scan the content join must read\"",
+      // r13 SpanStore compaction leg (the third store gets the same
+      // maintenance path; 512x corpus arriving as 16 appends).
+      "\"r13 AbSpanInc compaction leg (512x corpus, 16 appends): fragmented gram store 160 files / probe 3.5 s; compact() one-time 6.6 s collapses to 8 gram-range-clustered files and the probe drops to 1.7 s - below even the single-save store's 5.2 s (a save leaves shuffle-parallelism unclustered files); probe results row-identical across layouts (SpanStoreSpec pins it; swap is the shared crash-safe rename-aside)\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

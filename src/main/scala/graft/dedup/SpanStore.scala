@@ -53,6 +53,42 @@ object SpanStore {
       minTokens: Int, path: String): Unit =
     write(docs, idCol, textCol, minTokens, path, "append")
 
+  /** Maintenance: rewrite the gram relation into `files` gram-clustered
+    * files. Each [[append]] leaves its own shuffle-parallelism-sized file
+    * set, so a many-increment store's probe pays a file-count tax on the
+    * two stored scans (the AbSpanInc residual) — the same fragmentation
+    * [[DedupStore.compact]] and [[graft.sim.IndexStore.compact]] fix.
+    * Rows are range-repartitioned and sorted by gram content, so each
+    * file carries a tight min/max `g` range in its parquet footer and
+    * the probe's content equi-join reads gram-clustered runs. Crash
+    * safety is the shared rename-aside swap: stage to
+    * `<path>/.compact.tmp`, live → `.old`, tmp → live, delete `.old` —
+    * a crash anywhere leaves a recoverable copy, never a hole.
+    * [[searchNew]] results are row-identical across layouts
+    * (SpanStoreSpec pins it).
+    */
+  def compact(spark: SparkSession, path: String, files: Int = 8): Unit = {
+    require(files >= 1, s"files must be >= 1; got $files")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(s"$path/grams")
+      .repartitionByRange(files, col("g"))
+      .sortWithinPartitions(col("g"), col("id"), col("pos"))
+      .write.parquet(s"$tmp/grams")
+    val live = new org.apache.hadoop.fs.Path(root, "grams")
+    val old = new org.apache.hadoop.fs.Path(root, "grams.old")
+    fs.delete(old, true) // leftover from a prior crashed compact
+    require(fs.rename(live, old), "compact: rename of live grams aside failed")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp, "grams"), live),
+      "compact: rename of grams into place failed")
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    ()
+  }
+
   /** Repeated spans of a NEW batch against the stored corpus AND within
     * the batch itself — [[Dedup.spanDedup]] on (stored ∪ new) restricted
     * to new-touching pairs, without touching the stored corpus beyond

@@ -73,6 +73,45 @@ class SpanStoreSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 
+  test("compact: probe results unchanged, file splatter collapsed, appends still compose") {
+    val dir = Files.createTempDirectory("graft_span_compact").toString
+    val chunks = Seq(
+      docs.filter(col("doc_id") < 100),
+      docs.filter(col("doc_id") >= 100 && col("doc_id") < 200),
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 300))
+    SpanStore.save(chunks.head, "doc_id", "text", L, s"$dir/ix")
+    chunks.tail.foreach(c => SpanStore.append(c, "doc_id", "text", L, s"$dir/ix"))
+    val probe = docs.filter(col("doc_id") >= 300)
+    val before = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", L))
+    def parquetFiles(p: String): Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles(s"$dir/ix/grams")
+    SpanStore.compact(spark, s"$dir/ix", files = 2)
+    val filesAfter = parquetFiles(s"$dir/ix/grams")
+    assert(filesAfter == 2 && filesAfter < filesBefore,
+      s"compaction did not collapse files: $filesBefore -> $filesAfter")
+    val after = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", L))
+    assert(after == before,
+      s"probe changed across compact: missing=${(before -- after).take(3)} " +
+        s"extra=${(after -- before).take(3)}")
+    // The compacted store still appends cleanly (save/append* -> compact
+    // -> append* ...): after adding the probe batch, a later batch's
+    // probe equals the batch operator on everything.
+    SpanStore.append(probe.filter(col("doc_id") < 400), "doc_id", "text", L, s"$dir/ix")
+    val got = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 400), "doc_id", "text", L))
+    val full = spans(Dedup.spanDedup(docs, "doc_id", "text", L))
+    val expected = full.filter { case (a, b, _, _, _) => a >= 400 || b >= 400 }
+    assert(got == expected,
+      s"post-compact append diverged: missing=${(expected -- got).take(3)} " +
+        s"extra=${(got -- expected).take(3)}")
+  }
+
   test("probe plan never self-joins the stored gram relation") {
     // The asymptotic contract: the stored corpus appears only as one
     // SIDE of the new-vs-stored gram joins — exactly two scans of the
