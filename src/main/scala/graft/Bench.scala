@@ -120,6 +120,7 @@ object Bench {
     "d19_span_dedup_apply",
     "d20_threshold_sweep",
     "d21_lsh_band_sweep",
+    "d23_span_length_sweep",
     "d22_minhash_estimate",
     "d18_semdedup",
     "d18b_semdedup_portable",

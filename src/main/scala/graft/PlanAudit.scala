@@ -42,8 +42,9 @@ object PlanAudit {
         "p18_temperature_sweep", "t25_ridge_sweep", "p19_classifier_release",
         "d22_minhash_estimate",
         // round-13 additions: release-gate threshold table, the composed
-        // five-stage curation release
-        "t26_classifier_threshold", "p20_release_pipeline")
+        // five-stage curation release, the span-length design table
+        "t26_classifier_threshold", "p20_release_pipeline",
+        "d23_span_length_sweep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

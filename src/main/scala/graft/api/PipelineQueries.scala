@@ -759,6 +759,53 @@ object PipelineQueries {
       Dedup.minhashEstimate(documents(s, d), "doc_id", "text",
         n = 3, numHashes = 32)),
 
+    // The span-length design table — which minTokens to run d10/d19 at
+    // (Lee et al. 2022 §3 publish exactly this length-distribution
+    // curve): per candidate L, the surviving span count, documents
+    // touched, tokens the d19 rule would excise, and the corpus removal
+    // fraction. ONE anchor-gram pass at the loosest point (L = 6) serves
+    // every row: a maximal repeated span of token-length s is found at
+    // anchor length L iff s ≥ L with IDENTICAL boundaries (the island
+    // merge reconstructs the span, not the anchor), so the per-L span
+    // relation is just span_len ≥ L — a bounded ≤7× broadcast fan (the
+    // d20 shape), never a per-L gram re-join. The per-L removal total
+    // re-runs only the interval union, with L added to the window
+    // partition key — span-count-sized work. Integer counts + one
+    // rounded division → full hash oracle via the shared span CTEs.
+    "d23_span_length_sweep" -> ((s, d) => {
+      val spans = Dedup.spanDedup(documents(s, d), "doc_id", "text", minTokens = 6)
+      val lmin = s.range(3, 10).select((col("id") * 2).as("l_min")) // 6..18
+      val fan = spans.join(broadcast(lmin), col("span_len") >= col("l_min"))
+      val counts = fan.groupBy(col("l_min"))
+        .agg(count(lit(1)).as("n_spans"),
+          countDistinct(col("doc_b")).as("n_docs_affected"))
+      val ranges = fan.select(col("l_min"), col("doc_b").as("id"),
+          col("start_b").as("rs0"),
+          (col("start_b") + col("span_len")).as("re0"))
+        .distinct()
+      val wOrd = Window.partitionBy(col("l_min"), col("id"))
+        .orderBy(col("rs0"), col("re0"))
+      val prevMax = max(col("re0"))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+      val removed = ranges
+        .withColumn("brk",
+          when(prevMax.isNull || col("rs0") > prevMax, 1).otherwise(0))
+        .withColumn("isl", sum(col("brk")).over(wOrd))
+        .groupBy(col("l_min"), col("id"), col("isl"))
+        .agg(min(col("rs0")).as("rs"), max(col("re0")).as("re"))
+        .groupBy(col("l_min"))
+        .agg(sum(col("re") - col("rs")).cast("long").as("n_tokens_removed"))
+      val tot = documents(s, d)
+        .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("n_total"))
+      counts.join(removed, Seq("l_min"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("l_min"), col("n_spans"), col("n_docs_affected"),
+          coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
+          round(coalesce(col("n_tokens_removed"), lit(0L)).cast("double")
+            / col("n_total"), 6).as("removal_frac"))
+        .orderBy(col("l_min"))
+    }),
+
     // APPLY stage of span dedup — the deduplicated CORPUS itself (Lee et
     // al. 2022 ExactSubstr §2.2: remove all but one occurrence of every
     // long repeated substring; the surviving copy pinned to the earliest
@@ -2776,6 +2823,57 @@ object PipelineQueries {
         |LEFT JOIN rebuilt ON rebuilt.id = nt.doc_id
         |LEFT JOIN removed ON removed.id = nt.doc_id
         |ORDER BY nt.doc_id""".stripMargin),
+
+    // The L design table over the same span CTEs: the one L=6 span
+    // relation fanned by the bounded list (span boundaries are
+    // L-independent once span_len >= L), per-L interval union with
+    // l_min added to the window partition key.
+    "d23_span_length_sweep" ->
+      (s"WITH $SpanIslandCtes,\n" +
+        """spans AS (
+        |  SELECT doc_a, doc_b, MIN(pa) AS start_a, MIN(pb) AS start_b,
+        |    MAX(pa) - MIN(pa) + 6 AS span_len
+        |  FROM isl GROUP BY doc_a, doc_b, diag, island),
+        |ls AS (SELECT CAST(UNNEST([6, 8, 10, 12, 14, 16, 18]) AS BIGINT) AS l_min),
+        |fan AS (
+        |  SELECT ls.l_min, sp.doc_b, sp.start_b, sp.span_len
+        |  FROM spans sp JOIN ls ON sp.span_len >= ls.l_min),
+        |counts AS (
+        |  SELECT l_min, CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |    CAST(COUNT(DISTINCT doc_b) AS BIGINT) AS n_docs_affected
+        |  FROM fan GROUP BY 1),
+        |ranges AS (
+        |  SELECT DISTINCT l_min, doc_b AS id, start_b AS s,
+        |    start_b + span_len AS e
+        |  FROM fan),
+        |brk AS (
+        |  SELECT l_min, id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY l_min, id
+        |      ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |    THEN 1 ELSE 0 END AS b
+        |  FROM ranges),
+        |isl2 AS (
+        |  SELECT l_min, id, s, e, SUM(b) OVER (PARTITION BY l_min, id
+        |    ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM brk),
+        |merged AS (
+        |  SELECT l_min, id, grp, MIN(s) AS rs, MAX(e) AS re
+        |  FROM isl2 GROUP BY 1, 2, 3),
+        |removed AS (
+        |  SELECT l_min, CAST(SUM(re - rs) AS BIGINT) AS n_tokens_removed
+        |  FROM merged GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END)
+        |    AS BIGINT) AS n_total
+        |  FROM documents)
+        |SELECT c.l_min, c.n_spans, c.n_docs_affected,
+        |  COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed,
+        |  ROUND(CAST(COALESCE(r.n_tokens_removed, 0) AS DOUBLE) / tot.n_total, 6)
+        |    AS removal_frac
+        |FROM counts c LEFT JOIN removed r USING (l_min) CROSS JOIN tot
+        |ORDER BY l_min""".stripMargin),
 
     "d2_jaccard_pairs" -> JaccardPairsSql,
 

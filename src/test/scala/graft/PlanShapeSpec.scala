@@ -681,6 +681,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("bkey"), plan.take(3000))
   }
 
+  test("d23: span-length sweep is one gram pass + bounded broadcast L fan") {
+    // The per-L rows must come from ONE span relation (one anchor-gram
+    // self-join in the plan, not seven) fanned against the 7-row L list
+    // via a bounded BroadcastNestedLoopJoin range join — the d20 shape;
+    // never a CartesianProduct, never a per-L gram re-join.
+    val df = SparkEntry.queries("d23_span_length_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("t26: threshold table is one scoring pass + bounded broadcast band fan; no window") {
     // The corpus-sized margin relation is computed ONCE (weights meet it
     // by BroadcastHashJoin, the t23 contract) and fanned against the
