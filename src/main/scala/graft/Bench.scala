@@ -113,6 +113,7 @@ object Bench {
     "t26_classifier_threshold",
     "p19_classifier_release",
     "p20_release_pipeline",
+    "p21_release_funnel",
     "p16_dsir_resample",
     "p18_temperature_sweep",
     "d17_ngram_boilerplate",
@@ -512,6 +513,9 @@ object Bench {
         val manifest = graft.io.Sinks.trainingShards(
           released, dir.resolve("release").toString, "doc_id", shards = 8)
         require(manifest.count() == 8L)
+        // Sink legs release their own state (return None): free the
+        // survivor checkpoint the released relation rides on.
+        GraftInternals.freeLocalCheckpoint(released)
         None
       } finally rmTree(dir)
     }) :+ ("sinks_partitioned" -> time(2) {

@@ -1715,7 +1715,37 @@ object PipelineQueries {
     "p20_release_pipeline" -> ((s, d) =>
       TextFns.packChunks(
         releasedCorpus(s, d).filter(col("split") === "train"),
-        "doc_id", "text_dedup", budget = 512L, shards = 8))
+        "doc_id", "text_dedup", budget = 512L, shards = 8)),
+
+    // The release ATTRITION FUNNEL — the first table a curation owner
+    // reads off a finished release (the per-stage survival accounting a
+    // dataset datasheet carries, Gebru et al. 2021): documents and
+    // tokens at corpus input → classifier gate → near-dup drop → the
+    // released splits (token counts post span-excision). One row per
+    // stage, ordered by pipeline position. Rides p20's stage relations:
+    // the survivor checkpoint means the last four rows are aggregations
+    // of a materialized relation, not gate-chain re-runs. All integer
+    // counts → trivial hash oracle over the shared p20 CTE chain.
+    "p21_release_funnel" -> ((s, d) => {
+      val docs = documents(s, d)
+      val (keptDocs, withRep, released) = releaseStages(s, d)
+      def row(ord: Int, stage: String, df: DataFrame, textCol: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(TextFns.tokenCount(col(textCol)).cast("long")), lit(0L))
+              .as("n_tokens"))
+          .select(lit(ord.toLong).as("stage_ord"), lit(stage).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      row(0, "input", docs, "text")
+        .unionAll(row(1, "classifier_kept", keptDocs, "text"))
+        .unionAll(row(2, "neardup_survivors", withRep, "text"))
+        .unionAll(row(3, "released_train",
+          released.filter(col("split") === "train"), "text_dedup"))
+        .unionAll(row(4, "released_val",
+          released.filter(col("split") === "val"), "text_dedup"))
+        .unionAll(row(5, "released_test",
+          released.filter(col("split") === "test"), "text_dedup"))
+        .orderBy(col("stage_ord"))
+    })
   )
 
   /** p20's stages 1–4 as a reusable relation — the release a trainer
@@ -1725,6 +1755,23 @@ object PipelineQueries {
     * [[graft.io.Sinks.trainingShards]].
     */
   def releasedCorpus(s: SparkSession, d: String): DataFrame = {
+    val (keptDocs, _, released) = releaseStages(s, d)
+    // The released relation reads only the survivor checkpoint; the
+    // gate-side feat checkpoint (alive for p21's stage counts) is
+    // unreachable from it — free it here so single-relation consumers
+    // (p20, the sinks leg) stay leak-neutral.
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(keptDocs)
+    released
+  }
+
+  /** The release chain's stage relations — (classifier-kept docs,
+    * near-dup survivors decorated with their cluster rep, released
+    * corpus). p21's attrition funnel reads all three; the survivor
+    * relation is checkpointed so downstream stage counts don't re-run
+    * the gate chain.
+    */
+  private def releaseStages(
+      s: SparkSession, d: String): (DataFrame, DataFrame, DataFrame) = {
     val docs = documents(s, d)
     val before = graft.RddScope.persisted(s)
     val feat = LinearClassifier.features(docs, "doc_id", "text", ClassifierDims)
@@ -1770,16 +1817,25 @@ object PipelineQueries {
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .localCheckpoint(true)
-    graft.RddScope.sweepExcept(s, before, withRep)
+    // Sweep orphaned intermediates (shingle index, CC backing), keeping
+    // the survivor checkpoint AND the feat checkpoint — keptDocs is a
+    // returned stage relation (p21 aggregates it) and its plan reads
+    // feat; releasedCorpus frees feat for single-relation consumers.
+    val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(withRep) ++
+      org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(keptDocs)
+    s.sparkContext.getPersistentRDDs
+      .filter { case (id, _) => !before.contains(id) && !keep.contains(id) }
+      .values.foreach(_.unpersist(blocking = false))
     val deduped = Dedup.spanDedupApply(
       withRep.select(col("doc_id"), col("text")), "doc_id", "text", minTokens = 6)
     val bucket = pmod(graft.ops.Portable.md5Long(
       concat(lit("split:"), col("rep_id").cast("string"))), lit(10L))
-    deduped
+    val released = deduped
       .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
       .select(col("doc_id"), col("text_dedup"),
         when(bucket < 8, "train").when(bucket === 8, "val")
           .otherwise("test").as("split"))
+    (keptDocs, withRep, released)
   }
 
   /** p7's curation pipeline (quality gate → exact-dup representative →
@@ -3853,6 +3909,85 @@ object PipelineQueries {
     // n_removed: tokens contain no whitespace and rejoin with single
     // spaces).
     "p20_release_pipeline" ->
+      (ReleaseChainCtes + s""",
+         |train AS MATERIALIZED (
+         |  SELECT n.doc_id,
+         |    n.n_tokens - COALESCE(r.n_removed, 0) AS n_keep
+         |  FROM snt n
+         |  LEFT JOIN sremoved r ON r.id = n.doc_id
+         |  JOIN surv v ON v.doc_id = n.doc_id
+         |  WHERE n.n_tokens - COALESCE(r.n_removed, 0) > 0
+         |    AND CAST('0x' || substr(md5('split:' || CAST(v.rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8),
+         |pbase AS (
+         |  SELECT doc_id, n_keep AS n_tokens, doc_id % 8 AS shard FROM train),
+         |po AS (
+         |  SELECT doc_id, n_tokens, shard,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
+         |  FROM pbase)
+         |SELECT shard, c AS chunk, doc_id,
+         |  CAST(GREATEST(0, c * 512 - off) AS BIGINT) AS tok_from,
+         |  CAST(LEAST(n_tokens, (c + 1) * 512 - off)
+         |    - GREATEST(0, c * 512 - off) AS BIGINT) AS tok_len
+         |FROM po, UNNEST(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS u(c)
+         |ORDER BY shard, chunk, doc_id""".stripMargin),
+
+    // The attrition funnel over the same chain: six stage rows, integer
+    // counts; released token counts are the post-excision n_keep.
+    "p21_release_funnel" ->
+      (ReleaseChainCtes + s""",
+         |rel AS (
+         |  SELECT n.doc_id,
+         |    n.n_tokens - COALESCE(r.n_removed, 0) AS n_keep,
+         |    CASE
+         |      WHEN CAST('0x' || substr(md5('split:' || CAST(v.rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8 THEN 'train'
+         |      WHEN CAST('0x' || substr(md5('split:' || CAST(v.rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 = 8 THEN 'val'
+         |      ELSE 'test'
+         |    END AS split
+         |  FROM snt n
+         |  LEFT JOIN sremoved r ON r.id = n.doc_id
+         |  JOIN surv v ON v.doc_id = n.doc_id),
+         |ntok_all AS (
+         |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS BIGINT)
+         |      AS nt
+         |  FROM documents)
+         |SELECT * FROM (
+         |  SELECT CAST(0 AS BIGINT) AS stage_ord, 'input' AS stage,
+         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(COALESCE(SUM(nt), 0) AS BIGINT) AS n_tokens
+         |  FROM ntok_all
+         |  UNION ALL
+         |  SELECT 1, 'classifier_kept', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(t.nt), 0) AS BIGINT)
+         |  FROM kdocs k JOIN ntok_all t USING (doc_id)
+         |  UNION ALL
+         |  SELECT 2, 'neardup_survivors', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(t.nt), 0) AS BIGINT)
+         |  FROM surv v JOIN ntok_all t USING (doc_id)
+         |  UNION ALL
+         |  SELECT 3, 'released_train', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(n_keep), 0) AS BIGINT)
+         |  FROM rel WHERE split = 'train'
+         |  UNION ALL
+         |  SELECT 4, 'released_val', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(n_keep), 0) AS BIGINT)
+         |  FROM rel WHERE split = 'val'
+         |  UNION ALL
+         |  SELECT 5, 'released_test', CAST(COUNT(*) AS BIGINT),
+         |    CAST(COALESCE(SUM(n_keep), 0) AS BIGINT)
+         |  FROM rel WHERE split = 'test')
+         |ORDER BY stage_ord""".stripMargin)
+  )
+
+  /** Shared oracle CTE chain for the p20/p21 release pipeline: the
+    * unrolled-GD classifier margin gate (kept/kdocs), the d13-shaped
+    * pair/CC/canonical chain over kept docs (k-prefixed), the d19 span
+    * chain over survivors (s-prefixed), ending at `surv(doc_id, text,
+    * rep_id)`, `sremoved(id, n_removed)`, `snt(doc_id, n_tokens)`. p20
+    * appends the split + packing tail; p21 the stage-count rollup.
+    */
+  private lazy val ReleaseChainCtes: String =
       (s"WITH RECURSIVE ${ClassifierCtes.stripPrefix("WITH ")},\n" +
         s"""mf AS (
          |  SELECT f.doc_id, SUM(f.n * w.w) AS margin
@@ -3950,29 +4085,7 @@ object PipelineQueries {
          |  SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
          |      ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END AS BIGINT)
          |      AS n_tokens
-         |  FROM surv),
-         |train AS MATERIALIZED (
-         |  SELECT n.doc_id,
-         |    n.n_tokens - COALESCE(r.n_removed, 0) AS n_keep
-         |  FROM snt n
-         |  LEFT JOIN sremoved r ON r.id = n.doc_id
-         |  JOIN surv v ON v.doc_id = n.doc_id
-         |  WHERE n.n_tokens - COALESCE(r.n_removed, 0) > 0
-         |    AND CAST('0x' || substr(md5('split:' || CAST(v.rep_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 < 8),
-         |pbase AS (
-         |  SELECT doc_id, n_keep AS n_tokens, doc_id % 8 AS shard FROM train),
-         |po AS (
-         |  SELECT doc_id, n_tokens, shard,
-         |    CAST(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS off
-         |  FROM pbase)
-         |SELECT shard, c AS chunk, doc_id,
-         |  CAST(GREATEST(0, c * 512 - off) AS BIGINT) AS tok_from,
-         |  CAST(LEAST(n_tokens, (c + 1) * 512 - off)
-         |    - GREATEST(0, c * 512 - off) AS BIGINT) AS tok_len
-         |FROM po, UNNEST(generate_series(off // 512, (off + n_tokens - 1) // 512)) AS u(c)
-         |ORDER BY shard, chunk, doc_id""".stripMargin)
-  )
+         |  FROM surv)""".stripMargin)
 
   /** Shared oracle CTE chain for t22/t23: hashed features (the t15 md5
     * bucket stream mod [[ClassifierDims]] + the bias pseudo-dim -1), the

@@ -681,6 +681,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("bkey"), plan.take(3000))
   }
 
+  test("p21: funnel rows are scalar aggregations; later stages read the survivor checkpoint") {
+    // The attrition funnel must be six combinable count/sum aggregations
+    // with no product anywhere; stages 2-5 aggregate the checkpointed
+    // survivor relation (an InMemory/checkpoint scan), never re-running
+    // the gate chain per row.
+    val df = SparkEntry.queries("p21_release_funnel")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("Scan ExistingRDD") || plan.contains("LogicalRDD") ||
+      plan.contains("ScanExisting"), plan.take(3000))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+  }
+
   test("d23: span-length sweep is one gram pass + bounded broadcast L fan") {
     // The per-L rows must come from ONE span relation (one anchor-gram
     // self-join in the plan, not seven) fanned against the 7-row L list
