@@ -173,6 +173,29 @@ class IndexStoreSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ivf.old")))
   }
 
+  test("compact: a stale .old from a crashed run is cleaned, never read (rename-aside re-entry)") {
+    // Swap order is live -> .old, tmp -> live, delete .old; this pins
+    // the re-entry half: a leftover .old (crash between the renames of
+    // a prior compact) must neither fail the next compact nor leak
+    // into results — the DedupStore contract, IVF edition.
+    val dir = Files.createTempDirectory("graft_ivf_oldswap").toString
+    IndexStore.saveIvfStatic(vecs.filter(col("vec_id") < 300),
+      dims = 3, path = s"$dir/ivf")
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def search() = IndexStore.searchIvfStatic(
+      spark, s"$dir/ivf", queries, dims = 3, k = 5).collect()
+    val before = search()
+    // Simulate the crash leftover: a bogus .old next to the live store.
+    val stale = java.nio.file.Paths.get(s"$dir/ivf.old/cell=0")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("junk.txt"), "junk".getBytes)
+    IndexStore.compact(spark, s"$dir/ivf")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/ivf.old")),
+      "stale .old survived the next compact")
+    assert(search().sameElements(before), "stale .old leaked into results")
+  }
+
   test("compact on the tuned layout: searchIvfTuned row-identical, one file per cell") {
     val dir = Files.createTempDirectory("graft_ivf_tuned_compact").toString
     // two halves saved/appended so the tuned store is fragmented too

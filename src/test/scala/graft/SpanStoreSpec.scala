@@ -112,6 +112,25 @@ class SpanStoreSpec extends SparkSpec {
         s"extra=${(got -- expected).take(3)}")
   }
 
+  test("compact: a stale grams.old from a crashed run is cleaned, never read") {
+    // Re-entry half of the rename-aside contract (the DedupStore pin,
+    // span edition): a leftover grams.old must neither fail the next
+    // compact nor leak into probe results.
+    val dir = Files.createTempDirectory("graft_span_oldswap").toString
+    SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
+    val probe = docs.filter(col("doc_id") >= 300)
+    val before = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", L))
+    val stale = java.nio.file.Paths.get(s"$dir/ix/grams.old")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("junk.txt"), "junk".getBytes)
+    SpanStore.compact(spark, s"$dir/ix")
+    assert(!java.nio.file.Files.exists(stale), "stale grams.old survived the next compact")
+    val after = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", L))
+    assert(after == before, "stale .old leaked into probe results")
+  }
+
   test("probe plan never self-joins the stored gram relation") {
     // The asymptotic contract: the stored corpus appears only as one
     // SIDE of the new-vs-stored gram joins — exactly two scans of the
