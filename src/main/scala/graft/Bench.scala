@@ -122,6 +122,7 @@ object Bench {
     "d20_threshold_sweep",
     "d21_lsh_band_sweep",
     "d23_span_length_sweep",
+    "d24_simhash_radius_sweep",
     "d22_minhash_estimate",
     "d18_semdedup",
     "d18b_semdedup_portable",

@@ -44,7 +44,8 @@ object PlanAudit {
         // round-13 additions: release-gate threshold table, the composed
         // five-stage curation release, the span-length design table
         "t26_classifier_threshold", "p20_release_pipeline",
-        "d23_span_length_sweep", "p21_release_funnel")
+        "d23_span_length_sweep", "p21_release_funnel",
+        "d24_simhash_radius_sweep")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -692,6 +692,52 @@ object PipelineQueries {
     "d4c_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsPortable(documents(s, d), "doc_id", "text", radius = 1)),
 
+    // The Hamming-radius design table for SimHash dedup — which r to run
+    // d4c at, AND the measured edge of the blocking's completeness
+    // guarantee: per r ∈ 0..4, the exact pair count at Hamming ≤ r (the
+    // truth), the banded candidate set's count, and blocking recall —
+    // 1.0 through r = 3 by the 4-nibble pigeonhole, measurably < 1 at
+    // r = 4 (the table SHOWS the theorem's boundary instead of asserting
+    // it). Scale shape: the truth side is NOT an all-pairs scan — each
+    // fingerprint joins through the bounded ΣC(16,k≤4) = 2517-mask XOR
+    // expansion (broadcast), so a pair at distance d ≤ 4 is found exactly
+    // once via the unique mask fp_a⊕fp_b; the blocked side is the d4c
+    // banded equi-join unfiltered; the r fan is a ≤5-row broadcast range
+    // join. All integers + one guarded rounded division → hash oracle.
+    "d24_simhash_radius_sweep" -> ((s, d) => {
+      val fps = Dedup.simhash16Portable(documents(s, d), "doc_id", "text")
+        .select(col("doc_id").as("id"), col("simhash16").as("fp"))
+      val masks = s.range(65536).filter(expr("bit_count(id) <= 4"))
+        .select(col("id").as("m"))
+      val truth = fps.select(col("id").as("doc_a"), col("fp").as("fp_a"))
+        .crossJoin(broadcast(masks))
+        .select(col("doc_a"), expr("fp_a ^ m").as("fp_bv"),
+          expr("cast(bit_count(m) as bigint)").as("hamming"))
+        .join(fps.select(col("id").as("doc_b"), col("fp").as("fp_b")),
+          col("fp_bv") === col("fp_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      val cands = Dedup.hamming16Candidates(fps, "doc_a", "doc_b")
+        .select(col("doc_a").as("ca"), col("doc_b").as("cb"),
+          col("hamming").as("ch"))
+      val rf = s.range(0, 5).select(col("id").as("r"))
+      val truthR = broadcast(rf)
+        .join(truth, col("hamming") <= col("r"), "left")
+        .groupBy(col("r"))
+        .agg(count(col("doc_a")).as("n_true_pairs"),
+          countDistinct(col("doc_b")).as("n_dropped"))
+      val blockedR = broadcast(rf)
+        .join(cands, col("ch") <= col("r"), "left")
+        .groupBy(col("r"))
+        .agg(count(col("ca")).as("n_blocked_pairs"))
+      truthR.join(blockedR, "r")
+        .select(col("r"), col("n_true_pairs"), col("n_blocked_pairs"),
+          col("n_dropped"),
+          when(col("n_true_pairs") === 0, 1.0)
+            .otherwise(round(col("n_blocked_pairs").cast("double")
+              / col("n_true_pairs"), 6)).as("blocking_recall"))
+        .orderBy(col("r"))
+    }),
+
     // Edit-distance near-dup pairs on lowercase 40-char prefixes:
     // PassJoin segment blocking (complete by pigeonhole — k edits can't
     // touch all k+1 segments) + threshold-bounded levenshtein refine.
@@ -3014,6 +3060,56 @@ object PipelineQueries {
         |JOIN f fb ON fb.doc_id = c.doc_b
         |WHERE bit_count(xor(fa.fp, fb.fp)) <= 1
         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+
+    // Radius sweep over the same fingerprint/banded CTEs; the truth side
+    // self-joins the fp relation directly (the Spark mask expansion is
+    // the scale spelling of the same set — each pair's unique XOR mask).
+    "d24_simhash_radius_sweep" -> {
+      val votes = (0 until 16)
+        .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n    ")
+      val fp = (0 until 16)
+        .map(j => s"(CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH toks AS (
+        |  SELECT doc_id, UNNEST(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM toks),
+        |v AS (SELECT doc_id, $votes FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, CAST($fp AS BIGINT) AS fp FROM v),
+        |truth AS (
+        |  SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.fp, b2.fp)) AS BIGINT) AS hamming
+        |  FROM f a JOIN f b2 ON a.doc_id < b2.doc_id
+        |  WHERE bit_count(xor(a.fp, b2.fp)) <= 4),
+        |b AS (
+        |  SELECT doc_id, fp, u.band AS band, (fp >> (u.band * 4)) & 15 AS bkey
+        |  FROM f, UNNEST([0, 1, 2, 3]) AS u(band)),
+        |c AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+        |  FROM b a JOIN b b2
+        |    ON a.band = b2.band AND a.bkey = b2.bkey AND a.doc_id < b2.doc_id),
+        |ch AS (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(bit_count(xor(fa.fp, fb.fp)) AS BIGINT) AS hamming
+        |  FROM c
+        |  JOIN f fa ON fa.doc_id = c.doc_a
+        |  JOIN f fb ON fb.doc_id = c.doc_b),
+        |rf AS (SELECT CAST(UNNEST(generate_series(0, 4)) AS BIGINT) AS r),
+        |tr AS (
+        |  SELECT rf.r, CAST(COUNT(truth.doc_a) AS BIGINT) AS n_true_pairs,
+        |    CAST(COUNT(DISTINCT truth.doc_b) AS BIGINT) AS n_dropped
+        |  FROM rf LEFT JOIN truth ON truth.hamming <= rf.r GROUP BY rf.r),
+        |bl AS (
+        |  SELECT rf.r, CAST(COUNT(ch.doc_a) AS BIGINT) AS n_blocked_pairs
+        |  FROM rf LEFT JOIN ch ON ch.hamming <= rf.r GROUP BY rf.r)
+        |SELECT tr.r, tr.n_true_pairs, bl.n_blocked_pairs, tr.n_dropped,
+        |  CASE WHEN tr.n_true_pairs = 0 THEN 1.0
+        |    ELSE ROUND(CAST(bl.n_blocked_pairs AS DOUBLE) / tr.n_true_pairs, 6)
+        |  END AS blocking_recall
+        |FROM tr JOIN bl ON bl.r = tr.r
+        |ORDER BY tr.r""".stripMargin
     },
 
     // The oracle recomputes the identical LSH candidate set (see D5Ctes),

@@ -696,6 +696,20 @@ object Dedup {
   private[graft] def hamming16Pairs(
       fps: DataFrame, radius: Int, outA: String, outB: String): DataFrame = {
     require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
+    hamming16Candidates(fps, outA, outB)
+      .filter(col("hamming") <= radius)
+      .select(col(outA), col(outB), col("hamming"))
+      .orderBy(col(outA), col(outB))
+  }
+
+  /** The banded candidate set WITHOUT the radius refine — every pair
+    * agreeing on ≥1 of the 4 nibble bands, with its exact Hamming
+    * distance: (outA, outB, hamming). [[hamming16Pairs]] filters it to a
+    * radius; d24's sweep reads it raw to measure where the blocking's
+    * pigeonhole completeness (r ≤ 3) ends.
+    */
+  private[graft] def hamming16Candidates(
+      fps: DataFrame, outA: String, outB: String): DataFrame = {
     val banded = fps
       .select(col("id"), col("fp"),
         explode(sequence(lit(0), lit(3))).as("band"))
@@ -711,9 +725,6 @@ object Dedup {
       .join(fps.select(col("id").as(outA), col("fp").as("fp_a")), outA)
       .join(fps.select(col("id").as(outB), col("fp").as("fp_b")), outB)
       .withColumn("hamming", expr("cast(bit_count(fp_a ^ fp_b) as bigint)"))
-      .filter(col("hamming") <= radius)
-      .select(col(outA), col(outB), col("hamming"))
-      .orderBy(col(outA), col(outB))
   }
 
   /** Benchmark-decontamination report: which training documents share at

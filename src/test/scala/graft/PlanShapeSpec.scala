@@ -681,6 +681,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("bkey"), plan.take(3000))
   }
 
+  test("d24: radius sweep truth side is the bounded mask fan + an fp equi-join; no product") {
+    // The truth pairs must come from the 2517-mask broadcast XOR
+    // expansion joined back by fingerprint EQUALITY (BroadcastHashJoin
+    // or shuffled hash on fp) — never an all-pairs product; the mask and
+    // r fans are the only BroadcastNestedLoopJoins.
+    val df = SparkEntry.queries("d24_simhash_radius_sweep")(spark, Sf001)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
   test("p21: funnel rows are scalar aggregations; later stages read the survivor checkpoint") {
     // The attrition funnel must be six combinable count/sum aggregations
     // with no product anywhere; stages 2-5 aggregate the checkpointed
