@@ -511,6 +511,40 @@ object Streams {
     * [[curateStream]] stage 1; this is the batch-vs-corpus check.
     * StreamsSpec pins parity with the batch probe's stored arm.
     */
+  /** Live twin of the banded Hamming dedup's stored arm (d4c text
+    * SimHash / m4 perceptual pHash) — fingerprint near-dup flagging of
+    * an arriving stream against an accepted corpus's fingerprint
+    * relation: each stream fingerprint explodes into its 4 nibble bands
+    * per row (stateless), candidates come from a stream-static equi-join
+    * on (band, nibble) — COMPLETE for radius ≤ 3 by the same pigeonhole
+    * as the batch operator — the refine is exact popcount, and the
+    * per-id nearest stored duplicate collapses in ONE update-mode
+    * min-struct aggregation (nearest by Hamming, ties to the smallest
+    * stored id; state only for ids that hit a neighbor). Emits
+    * (id, dup_of, hamming). Within-batch duplication is
+    * `dropDuplicatesWithinWatermark`'s job, exactly as [[nearDupStream]]
+    * / [[semDedupStream]]. StreamsSpec pins parity with the batch
+    * banded join restricted to stream-vs-stored pairs.
+    */
+  def hammingDupStream(
+      fps: DataFrame, // streaming (id, fp) — 16-bit fingerprints
+      stored: DataFrame, // static (id, fp)
+      radius: Int): DataFrame = {
+    require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
+    def banded(df: DataFrame, idOut: String, fpOut: String): DataFrame = df
+      .select(col("id").as(idOut), col("fp").as(fpOut),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("bkey", expr(s"shiftright($fpOut, band * 4) & 15"))
+    banded(fps, "id", "fp")
+      .join(banded(stored, "old_id", "old_fp"), Seq("band", "bkey"))
+      .withColumn("hamming", expr("cast(bit_count(fp ^ old_fp) as bigint)"))
+      .filter(col("hamming") <= radius)
+      .groupBy(col("id"))
+      .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
+      .select(col("id"), col("m.old_id").as("dup_of"),
+        col("m.hamming").as("hamming"))
+  }
+
   def semDedupStream(
       vecs: DataFrame, // streaming (vec_id, v ARRAY<DOUBLE>)
       store: DataFrame, // static (vec_id, v, cell) — IndexStore layout

@@ -715,6 +715,40 @@ class StreamsSpec extends SparkSpec {
     assert(want.nonEmpty, "split yields no cross-batch semantic dups")
   }
 
+  test("streaming Hamming dedup matches the exact stored-arm truth") {
+    implicit val sqlCtx = spark.sqlContext
+    val radius = 2
+    val all = graft.dedup.Dedup.simhash16Portable(
+        Tables.documents(spark, Sf001).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .select(col("doc_id").as("id"), col("simhash16").as("fp"))
+    val stored = all.filter(col("id") < 300)
+    val streamRows = all.filter(col("id") >= 300)
+      .as[(Long, Long)].collect().toSeq
+    // Batch truth: EXACT all-pairs vs stored (test-sized), nearest by
+    // (hamming, old_id) — the blocking must lose nothing at r <= 3.
+    val want = all.filter(col("id") >= 300)
+      .crossJoin(stored.select(col("id").as("old_id"), col("fp").as("old_fp")))
+      .withColumn("hamming", expr("cast(bit_count(fp ^ old_fp) as bigint)"))
+      .filter(col("hamming") <= radius)
+      .groupBy(col("id"))
+      .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
+      .select(col("id"), col("m.old_id"), col("m.hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData(streamRows: _*)
+    val q = Streams.hammingDupStream(
+        mem.toDF().toDF("id", "fp"), stored, radius)
+      .writeStream.format("memory").queryName("hamdup")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("hamdup").as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"got ${got.size} vs want ${want.size}; " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "split yields no cross-batch Hamming dups")
+  }
+
   test("streaming classifier scoring matches the batch t23 margins exactly") {
     implicit val sqlCtx = spark.sqlContext
     import graft.ml.LinearClassifier
