@@ -825,18 +825,37 @@ object Bench {
     // Immutable floor snapshot for NEXT round's detector: the full
     // (untruncated) queries_min map under the current round's number —
     // max(N of BENCH_rN.json)+1, since the driver writes BENCH_r{N}.json
-    // at judging time AFTER this run. Overwritten per in-round bench run
-    // (harmless: the three-way min-merge only flags more), committed with
-    // the round snapshot it becomes the immutable per-leg baseline the
-    // driver-tail truncation can't drop.
+    // at judging time AFTER this run. MERGED with any existing snapshot
+    // taking per-query min (monotone within a round) — an unconditional
+    // overwrite let a later same-round run clobber the committed
+    // min-merge with one run's warm-JVM minima and reintroduce the
+    // warm-floor false-flag class the r13 g7/g4 bisect adjudicated
+    // (r13 judge "what's wrong" #1).
     try {
       val prevN = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt))
         .foldLeft(0)(math.max)
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(f"BENCH_r${prevN + 1}%02d_floors.json"),
-        s"""{"queries_min":$qs,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      val floorPath = java.nio.file.Paths.get(f"BENCH_r${prevN + 1}%02d_floors.json")
+      val existing: Map[String, Double] =
+        if (java.nio.file.Files.exists(floorPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
+          val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir) // an sf0.01 dev-run floor must not pollute sf0.1
+          if (!sameSf) Map.empty
+          else "\"([^\"\\\\]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            .filterNot(_._1.startsWith("_"))
+        } else Map.empty
+      val current = results.map { case (k, (s, _)) => k -> s.wall }.toMap
+      val merged = (existing.keySet ++ current.keySet).toSeq.sorted.map { k =>
+        val vals = Seq(existing.get(k), current.get(k)).flatten.filter(_ >= 0)
+        k -> (if (vals.isEmpty) -1.0 else vals.min)
+      }
+      val mergedJson = merged
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      java.nio.file.Files.write(floorPath,
+        s"""{"queries_min":$mergedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
     } catch { case _: Throwable => () } // floor snapshot is best-effort
     val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
       .filter(s => scala.util.Try(s.toDouble).isSuccess)

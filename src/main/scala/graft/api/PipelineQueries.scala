@@ -843,9 +843,15 @@ object PipelineQueries {
         .agg(sum(col("re") - col("rs")).cast("long").as("n_tokens_removed"))
       val tot = documents(s, d)
         .agg(sum(TextFns.tokenCount(col("text")).cast("long")).as("n_total"))
-      counts.join(removed, Seq("l_min"), "left")
+      // Fan the RESULT from the parameter list too (the d24 shape): an
+      // l_min whose filter keeps zero spans still gets its row, with
+      // counts coalesced to 0 — d24 and this table must agree on whether
+      // empty design points appear (r13 ADVICE).
+      lmin.join(counts.join(removed, Seq("l_min"), "left"), Seq("l_min"), "left")
         .crossJoin(broadcast(tot))
-        .select(col("l_min"), col("n_spans"), col("n_docs_affected"),
+        .select(col("l_min"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("n_docs_affected"), lit(0L)).as("n_docs_affected"),
           coalesce(col("n_tokens_removed"), lit(0L)).as("n_tokens_removed"),
           round(coalesce(col("n_tokens_removed"), lit(0L)).cast("double")
             / col("n_total"), 6).as("removal_frac"))
@@ -1721,18 +1727,27 @@ object PipelineQueries {
         .select(col("margin"), col("y"))
       val pos = sc.agg(sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_pos"))
       val th = s.range(1, 49).select(col("id").as("band_min"))
-      sc.filter(col("margin") > 0)
+      val banded = sc.filter(col("margin") > 0)
         .select(col("y"), length(bin(col("margin"))).cast("long").as("band"))
         .join(broadcast(th), col("band") >= col("band_min"))
         .groupBy(col("band_min"))
         .agg(count(lit(1)).as("n_kept"),
           sum(when(col("y") === 1, 1L).otherwise(0L)).as("n_true_pos"))
+      // Fan the RESULT from the threshold list too (the d24/d23 shape):
+      // a θ band no surviving doc reaches still gets its row — counts
+      // coalesced to 0, precision of an empty kept-set NULL on both
+      // engines (r13 ADVICE: the design tables must agree on whether
+      // empty parameter points appear).
+      th.join(banded, Seq("band_min"), "left")
         .crossJoin(broadcast(pos))
-        .select(col("band_min"), col("n_kept"), col("n_true_pos"),
-          round(col("n_true_pos").cast("double") / col("n_kept"), 6)
+        .select(col("band_min"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_true_pos"), lit(0L)).as("n_true_pos"),
+          when(col("n_kept").isNotNull,
+            round(col("n_true_pos").cast("double") / col("n_kept"), 6))
             .as("precision_kept"),
-          round(col("n_true_pos").cast("double") / col("n_pos"), 6)
-            .as("recall_kept"))
+          round(coalesce(col("n_true_pos"), lit(0L)).cast("double")
+            / col("n_pos"), 6).as("recall_kept"))
         .orderBy(col("band_min"))
     }),
 
@@ -2970,11 +2985,13 @@ object PipelineQueries {
         |    ELSE len(regexp_split_to_array(lower(trim(text)), '\s+')) END)
         |    AS BIGINT) AS n_total
         |  FROM documents)
-        |SELECT c.l_min, c.n_spans, c.n_docs_affected,
+        |SELECT ls.l_min, COALESCE(c.n_spans, 0) AS n_spans,
+        |  COALESCE(c.n_docs_affected, 0) AS n_docs_affected,
         |  COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed,
         |  ROUND(CAST(COALESCE(r.n_tokens_removed, 0) AS DOUBLE) / tot.n_total, 6)
         |    AS removal_frac
-        |FROM counts c LEFT JOIN removed r USING (l_min) CROSS JOIN tot
+        |FROM ls LEFT JOIN counts c USING (l_min)
+        |  LEFT JOIN removed r USING (l_min) CROSS JOIN tot
         |ORDER BY l_min""".stripMargin),
 
     "d2_jaccard_pairs" -> JaccardPairsSql,
@@ -3984,16 +4001,23 @@ object PipelineQueries {
          |banded AS (
          |  SELECT y,
          |    CAST(length(to_base(CAST(margin AS BIGINT), 2)) AS BIGINT) AS band
-         |  FROM sc WHERE margin > 0)
+         |  FROM sc WHERE margin > 0),
+         |fanned AS (
+         |  SELECT th.band_min,
+         |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |    CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true_pos
+         |  FROM banded b JOIN th ON b.band >= th.band_min
+         |  GROUP BY th.band_min)
          |SELECT th.band_min,
-         |  CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |  CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_pos,
-         |  ROUND(CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / COUNT(*), 6) AS precision_kept,
-         |  ROUND(CAST(SUM(CASE WHEN b.y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-         |    / pos.n_pos, 6) AS recall_kept
-         |FROM banded b JOIN th ON b.band >= th.band_min CROSS JOIN pos
-         |GROUP BY th.band_min, pos.n_pos
+         |  COALESCE(f.n_kept, 0) AS n_kept,
+         |  COALESCE(f.n_true_pos, 0) AS n_true_pos,
+         |  CASE WHEN f.n_kept IS NOT NULL THEN
+         |    ROUND(CAST(f.n_true_pos AS DOUBLE) / f.n_kept, 6) END
+         |    AS precision_kept,
+         |  ROUND(CAST(COALESCE(f.n_true_pos, 0) AS DOUBLE) / pos.n_pos, 6)
+         |    AS recall_kept
+         |FROM th LEFT JOIN fanned f USING (band_min) CROSS JOIN pos
          |ORDER BY band_min""".stripMargin,
 
     // The composed release: classifier gate (the unrolled-GD margin

@@ -62,8 +62,11 @@ object SpanStore {
     * file carries a tight min/max `g` range in its parquet footer and
     * the probe's content equi-join reads gram-clustered runs. Crash
     * safety is the shared rename-aside swap: stage to
-    * `<path>/.compact.tmp`, live → `.old`, tmp → live, delete `.old` —
-    * a crash anywhere leaves a recoverable copy, never a hole.
+    * `<path>/.compact.tmp`, live → `.old`, tmp → live, delete `.old`.
+    * A crash anywhere in the swap leaves either the live `grams` dir or
+    * its `grams.old` copy intact (recover by renaming `.old` back) —
+    * never a hole, but note the window between the two renames has no
+    * live path, so concurrent probes can fail until recovery.
     * [[searchNew]] results are row-identical across layouts
     * (SpanStoreSpec pins it).
     */

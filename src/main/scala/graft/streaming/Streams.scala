@@ -496,21 +496,6 @@ object Streams {
       .select(col("train_id"), col("old_id"), round(col("j_raw"), 6).as("jaccard"))
   }
 
-  /** Live twin of [[graft.sim.IndexStore.dedupNewIvfStatic]]'s
-    * stored-corpus arm — SEMANTIC near-dup flagging of an arriving
-    * vector stream against the persisted IVF store: each stream vector
-    * computes its sign cell per row (stateless), candidates come from a
-    * stream-static equi-join on the cell, the ε-refine is the exact
-    * cosine, and the per-vector best (smallest-id) duplicate source
-    * collapses in ONE update-mode aggregation (min-struct — streaming
-    * forbids stacked aggs; state is held only for vectors that hit a
-    * stored ε-neighbor, a vanishing fraction of a deduplicated stream).
-    * Emits (vec_id, dup_of, dup_cos). Within-batch (new×new)
-    * duplication is deliberately NOT this operator's job — exactly as
-    * [[nearDupStream]]: that is `dropDuplicatesWithinWatermark` /
-    * [[curateStream]] stage 1; this is the batch-vs-corpus check.
-    * StreamsSpec pins parity with the batch probe's stored arm.
-    */
   /** Live twin of the banded Hamming dedup's stored arm (d4c text
     * SimHash / m4 perceptual pHash) — fingerprint near-dup flagging of
     * an arriving stream against an accepted corpus's fingerprint
@@ -545,6 +530,21 @@ object Streams {
         col("m.hamming").as("hamming"))
   }
 
+  /** Live twin of [[graft.sim.IndexStore.dedupNewIvfStatic]]'s
+    * stored-corpus arm — SEMANTIC near-dup flagging of an arriving
+    * vector stream against the persisted IVF store: each stream vector
+    * computes its sign cell per row (stateless), candidates come from a
+    * stream-static equi-join on the cell, the ε-refine is the exact
+    * cosine, and the per-vector best (smallest-id) duplicate source
+    * collapses in ONE update-mode aggregation (min-struct — streaming
+    * forbids stacked aggs; state is held only for vectors that hit a
+    * stored ε-neighbor, a vanishing fraction of a deduplicated stream).
+    * Emits (vec_id, dup_of, dup_cos). Within-batch (new×new)
+    * duplication is deliberately NOT this operator's job — exactly as
+    * [[nearDupStream]]: that is `dropDuplicatesWithinWatermark` /
+    * [[curateStream]] stage 1; this is the batch-vs-corpus check.
+    * StreamsSpec pins parity with the batch probe's stored arm.
+    */
   def semDedupStream(
       vecs: DataFrame, // streaming (vec_id, v ARRAY<DOUBLE>)
       store: DataFrame, // static (vec_id, v, cell) — IndexStore layout
