@@ -108,18 +108,62 @@ object DedupStore {
       .repartitionByRange(idFiles, col("id"))
       .sortWithinPartitions(col("id"))
       .write.parquet(s"$tmp/counts")
-    Seq("bands", "shingles", "counts").foreach { rel =>
+    swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts"))
+  }
+
+  /** The shared crash-safe swap (compact/remove): for each staged
+    * relation, live → `<rel>.old`, tmp → live, delete `.old`. A crash
+    * anywhere leaves either the live dir or its `.old` copy intact
+    * (recover by renaming `.old` back) — never a hole, though the
+    * window between the two renames has no live path and a concurrent
+    * probe can fail until recovery.
+    */
+  private[graft] def swapRelations(
+      fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path, rels: Seq[String]): Unit = {
+    rels.foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)
       val old = new org.apache.hadoop.fs.Path(root, rel + ".old")
-      fs.delete(old, true) // leftover from a prior crashed compact
+      fs.delete(old, true) // leftover from a prior crashed swap
       require(fs.rename(live, old),
-        s"compact: rename of live $rel aside failed")
+        s"store swap: rename of live $rel aside failed")
       require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live),
-        s"compact: rename of $rel into place failed")
+        s"store swap: rename of $rel into place failed")
       fs.delete(old, true)
     }
     fs.delete(tmp, true)
     ()
+  }
+
+  /** Takedown: rewrite the store WITHOUT the given doc ids (first column
+    * of `ids`, castable to long) — the DMCA/PII/right-to-be-forgotten
+    * path a production corpus store needs monthly. After remove,
+    * [[searchNew]] behaves exactly as if the removed docs had never been
+    * saved (DedupStoreSpec pins probe equality with a from-scratch store
+    * built without them): all three relations are rewritten through an
+    * anti-join on id and swapped in with the compact's crash-safe
+    * rename-aside pattern. Cost is one bounded rewrite of the store —
+    * the same O(store) price as a compact, amortized over takedown
+    * batches (collect takedown ids and remove them together). Removing
+    * every stored doc leaves an empty store that must be re-[[save]]d
+    * before further probes (a parquet dir with no rows has no schema).
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
+    fs.delete(tmp, true)
+    // Takedown lists are usually tiny (AQE broadcasts the anti-join
+    // side); the store streams through the rewrite once per relation.
+    spark.read.parquet(s"$path/bands").join(gone, Seq("id"), "left_anti")
+      .write.partitionBy("band").parquet(s"$tmp/bands")
+    spark.read.parquet(s"$path/shingles").join(gone, Seq("id"), "left_anti")
+      .write.parquet(s"$tmp/shingles")
+    spark.read.parquet(s"$path/counts").join(gone, Seq("id"), "left_anti")
+      .write.parquet(s"$tmp/counts")
+    swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts"))
   }
 
   /** [[searchNew]]'s candidate stage: (doc_a, doc_b) bucket-collision

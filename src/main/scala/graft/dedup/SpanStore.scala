@@ -81,15 +81,28 @@ object SpanStore {
       .repartitionByRange(files, col("g"))
       .sortWithinPartitions(col("g"), col("id"), col("pos"))
       .write.parquet(s"$tmp/grams")
-    val live = new org.apache.hadoop.fs.Path(root, "grams")
-    val old = new org.apache.hadoop.fs.Path(root, "grams.old")
-    fs.delete(old, true) // leftover from a prior crashed compact
-    require(fs.rename(live, old), "compact: rename of live grams aside failed")
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp, "grams"), live),
-      "compact: rename of grams into place failed")
-    fs.delete(old, true)
+    DedupStore.swapRelations(fs, root, tmp, Seq("grams"))
+  }
+
+  /** Takedown: rewrite the gram relation WITHOUT the given doc ids
+    * (first column of `ids`, castable to long) — [[DedupStore.remove]]'s
+    * span sibling. After remove, [[searchNew]] behaves exactly as if the
+    * removed docs had never been saved (SpanStoreSpec pins probe
+    * equality with a from-scratch store built without them): one
+    * anti-join rewrite through the shared crash-safe rename-aside swap,
+    * O(store) like a compact — batch takedown ids together. Removing
+    * every stored doc leaves an empty store that must be re-[[save]]d.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col(ids.columns.head).cast("long").as("id")).distinct()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
     fs.delete(tmp, true)
-    ()
+    spark.read.parquet(s"$path/grams").join(gone, Seq("id"), "left_anti")
+      .write.parquet(s"$tmp/grams")
+    DedupStore.swapRelations(fs, root, tmp, Seq("grams"))
   }
 
   /** Repeated spans of a NEW batch against the stored corpus AND within

@@ -50,6 +50,29 @@ object ClassifierStore {
   def append(feat: DataFrame, lab: DataFrame, path: String): Unit =
     write(feat, lab, path, "append")
 
+  /** Takedown: subtract a set of documents' statistics EXACTLY — the
+    * classifier's right-to-be-forgotten path, and the one store where
+    * removal is cheaper than an anti-join rewrite: because every
+    * statistic is an additive exact integer, removing docs is appending
+    * their NEGATED partial Gram/moment rows (Gram(S \ R) = Gram(S) −
+    * Gram(R), and [[trainStored]]'s per-key sum cancels them out).
+    * Callers pass the removed docs' (feat, lab) recomputed from the
+    * original content — a takedown request names the content being
+    * removed, so it is at hand; the store itself keeps only the
+    * dims-bounded sums. O(removed batch), append-only, and the
+    * resulting weights are BIT-IDENTICAL to a from-scratch train that
+    * never saw the removed docs (ClassifierStoreSpec pins it) — a
+    * float trainer could only approximate this.
+    */
+  def remove(feat: DataFrame, lab: DataFrame, path: String): Unit = {
+    LinearClassifier.gram(feat)
+      .select(col("i"), col("j"), (-col("a")).as("a"))
+      .write.mode("append").parquet(s"$path/gram")
+    LinearClassifier.moments(feat, lab)
+      .select(col("dim"), (-col("by")).as("by"))
+      .write.mode("append").parquet(s"$path/moments")
+  }
+
   /** Train on everything the store has seen: sum the per-increment
     * partial rows per key, then the exact integer GD ([[LinearClassifier
     * .gdSolve]] — the same trajectory the batch trainer runs). Returns

@@ -169,6 +169,36 @@ object IndexStore {
     ()
   }
 
+  /** Takedown: rewrite the store WITHOUT the given vector ids (first
+    * column of `ids`, castable to long) — [[graft.dedup.DedupStore
+    * .remove]]'s ANN sibling. Works on both the static and the tuned
+    * layout (a tuned vector's ≤3 assignment rows share its vec_id, so
+    * the anti-join drops all of them). After remove, [[searchIvfStatic]]
+    * / [[searchIvfTuned]] / [[dedupNewIvfStatic]] behave exactly as if
+    * the removed vectors had never been saved (IndexStoreSpec pins probe
+    * equality with a from-scratch store built without them). One
+    * anti-join rewrite through the compact's crash-safe rename-aside
+    * swap — O(store) like a compact; batch takedown ids together.
+    * Removing every stored vector leaves an empty store that must be
+    * re-saved before further probes.
+    */
+  def remove(spark: SparkSession, path: String, ids: DataFrame): Unit = {
+    val gone = ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".remove.tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).join(gone, Seq("vec_id"), "left_anti")
+      .write.partitionBy("cell").parquet(tmp.toString)
+    fs.delete(old, true) // leftover from a prior crashed swap
+    require(fs.rename(live, old), "remove: rename of live store aside failed")
+    require(fs.rename(tmp, live), "remove: rename of rewrite into place failed")
+    fs.delete(old, true)
+    ()
+  }
+
   /** Persist the TUNED layout ([[Similarity.annIvfStaticTuned]]'s
     * parameters — 32 cells, 3-way redundant assignment): every vector is
     * written into its home cell AND its two least-confident-flip cells,

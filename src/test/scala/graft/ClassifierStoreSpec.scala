@@ -64,4 +64,27 @@ class ClassifierStoreSpec extends SparkSpec {
       Dims, Iters))
     assert(stored == direct)
   }
+
+  test("remove subtracts exactly: weights bit-identical to a train that never saw the docs") {
+    // Takedown by negative partial statistics: integer additivity makes
+    // the subtraction EXACT, so post-remove training must equal a
+    // from-scratch train on the surviving docs bit for bit — including
+    // when the removed set cuts ACROSS increment boundaries.
+    val dir = Files.createTempDirectory("graft_clf_remove").toString
+    val a = docs.filter(col("doc_id") < 250)
+    val b = docs.filter(col("doc_id") >= 250)
+    ClassifierStore.save(featOf(a), labOf(a), s"$dir/st")
+    ClassifierStore.append(featOf(b), labOf(b), s"$dir/st")
+    val gone = docs.filter(col("doc_id") >= 200 && col("doc_id") < 300)
+    ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+    val got = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
+    val survivors = docs.filter(col("doc_id") < 200 || col("doc_id") >= 300)
+    val want = weights(LinearClassifier.train(
+      spark, featOf(survivors), labOf(survivors), Dims, Iters))
+    assert(got == want, "post-remove weights diverged from never-saw-them train")
+    // Fixture sanity: the removal changed the model at all.
+    val all = weights(LinearClassifier.train(spark, featOf(docs), labOf(docs),
+      Dims, Iters))
+    assert(got != all, "removal had no observable effect; fixture too weak")
+  }
 }

@@ -155,4 +155,51 @@ class DedupStoreSpec extends SparkSpec {
     // never repeat across batches (the caller contract).
     assert(rel(s"$dir/inc/counts") == rel(s"$dir/full/counts"))
   }
+
+  test("remove: probes behave as if the removed docs had never been saved") {
+    // The takedown contract: remove ids, then every subsequent probe
+    // equals one against a from-scratch store built WITHOUT those docs.
+    val dir = Files.createTempDirectory("graft_dedup_remove").toString
+    val stored = docs.filter(col("doc_id") < 400)
+    val probe = docs.filter(col("doc_id") >= 400)
+    // Pick removed ids that actually pair with the probe batch, so the
+    // removal is guaranteed to CHANGE probe results (a removal the test
+    // can't observe would prove nothing).
+    val full = pairs(Dedup.minhashLshPairs(docs, "doc_id", "text", n, bands, rpb, thr))
+    val crossIds = full.collect {
+      case (a, b, _) if a < 400 && b >= 400 => a
+    }
+    assert(crossIds.nonEmpty, "no stored-vs-probe pairs at this split; pick another")
+    val removedIds = crossIds.toSeq.sorted.take(2)
+    import spark.implicits._
+    // Two increments, then remove across BOTH (takedown ids don't align
+    // with increment boundaries).
+    DedupStore.save(stored.filter(col("doc_id") < 200),
+      "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    DedupStore.append(stored.filter(col("doc_id") >= 200),
+      "doc_id", "text", n, bands, rpb, s"$dir/ix")
+    DedupStore.remove(spark, s"$dir/ix", removedIds.toDF("doc_id"))
+    val got = pairs(DedupStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    val ref = Files.createTempDirectory("graft_dedup_remove_ref").toString
+    DedupStore.save(stored.filter(!col("doc_id").isin(removedIds: _*)),
+      "doc_id", "text", n, bands, rpb, s"$ref/ix")
+    val want = pairs(DedupStore.searchNew(
+      spark, s"$ref/ix", probe, "doc_id", "text", n, bands, rpb, thr))
+    assert(got == want,
+      s"post-remove probe diverged from never-saved store: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(!got.exists { case (a, b, _) =>
+      removedIds.contains(a) || removedIds.contains(b) },
+      "removed ids still appear in probe results")
+    // The removal observably changed the probe (fixture sanity).
+    val withThem = full.filter { case (a, b, _) => a >= 400 || b >= 400 }
+    assert(got != withThem, "removal had no observable effect; fixture too weak")
+    // And the rows are physically gone from all three relations.
+    Seq("bands", "shingles", "counts").foreach { rel =>
+      val left = spark.read.parquet(s"$dir/ix/$rel")
+        .filter(col("id").isin(removedIds: _*)).count()
+      assert(left == 0, s"$left removed-doc rows survived in $rel")
+    }
+  }
 }

@@ -216,4 +216,57 @@ class IndexStoreSpec extends SparkSpec {
     assert(search().sameElements(before),
       "searchIvfTuned diverged across layouts")
   }
+
+  test("remove: search + dedupNew behave as if the removed vectors had never been saved") {
+    // Takedown, ANN edition: after remove(ids), both probe shapes equal
+    // a from-scratch store built WITHOUT those vectors.
+    val dir = Files.createTempDirectory("graft_ivf_remove").toString
+    IndexStore.saveIvfStatic(vecs.filter(col("vec_id") < 250), dims = 3,
+      path = s"$dir/ivf")
+    IndexStore.appendIvfStatic(vecs.filter(col("vec_id") >= 250), dims = 3,
+      path = s"$dir/ivf")
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // Remove ids that RANK in the pre-removal results, so the removal
+    // observably changes the top-k.
+    val before = IndexStore.searchIvfStatic(spark, s"$dir/ivf", queries,
+      dims = 3, k = 5).collect()
+    val removedIds = before.map(_.getLong(1)).distinct.sorted.take(2).toSeq
+    import spark.implicits._
+    IndexStore.remove(spark, s"$dir/ivf", removedIds.toDF("vec_id"))
+    val got = IndexStore.searchIvfStatic(spark, s"$dir/ivf", queries,
+      dims = 3, k = 5).collect()
+    val ref = Files.createTempDirectory("graft_ivf_remove_ref").toString
+    IndexStore.saveIvfStatic(vecs.filter(!col("vec_id").isin(removedIds: _*)),
+      dims = 3, path = s"$ref/ivf")
+    val want = IndexStore.searchIvfStatic(spark, s"$ref/ivf", queries,
+      dims = 3, k = 5).collect()
+    assert(got.sameElements(want), "post-remove search diverged from never-saved store")
+    assert(!got.sameElements(before), "removal had no observable effect; fixture too weak")
+    assert(spark.read.parquet(s"$dir/ivf")
+      .filter(col("vec_id").isin(removedIds: _*)).count() == 0,
+      "removed vec_id rows survived")
+    // dedupNew agrees too (the incremental-curation probe).
+    val batch = vecs.filter(col("vec_id") >= 480)
+    val gotDedup = IndexStore.dedupNewIvfStatic(spark, s"$dir/ivf", batch,
+      dims = 3, eps = 0.999).collect()
+    val wantDedup = IndexStore.dedupNewIvfStatic(spark, s"$ref/ivf", batch,
+      dims = 3, eps = 0.999).collect()
+    assert(gotDedup.sameElements(wantDedup),
+      "post-remove dedupNew diverged from never-saved store")
+    // Tuned layout: one remove drops ALL of a vector's ≤3 assignment rows.
+    val tdir = Files.createTempDirectory("graft_ivf_remove_tuned").toString
+    IndexStore.saveIvfTuned(vecs, path = s"$tdir/ivf")
+    IndexStore.remove(spark, s"$tdir/ivf", removedIds.toDF("vec_id"))
+    assert(spark.read.parquet(s"$tdir/ivf")
+      .filter(col("vec_id").isin(removedIds: _*)).count() == 0,
+      "tuned layout kept assignment rows of removed vectors")
+    val tref = Files.createTempDirectory("graft_ivf_remove_tuned_ref").toString
+    IndexStore.saveIvfTuned(vecs.filter(!col("vec_id").isin(removedIds: _*)),
+      path = s"$tref/ivf")
+    val tq = vecs.limit(50).select(col("vec_id").as("query_id"), col("v").as("qv"))
+    assert(IndexStore.searchIvfTuned(spark, s"$tdir/ivf", tq, k = 5).collect()
+      .sameElements(IndexStore.searchIvfTuned(spark, s"$tref/ivf", tq, k = 5).collect()),
+      "post-remove tuned search diverged from never-saved store")
+  }
 }

@@ -131,6 +131,44 @@ class SpanStoreSpec extends SparkSpec {
     assert(after == before, "stale .old leaked into probe results")
   }
 
+  test("remove: probes behave as if the removed docs had never been saved") {
+    // Takedown, span edition: after remove(ids), searchNew equals a
+    // probe of a from-scratch store built WITHOUT those docs.
+    val dir = Files.createTempDirectory("graft_span_remove").toString
+    val stored = docs.filter(col("doc_id") < 300)
+    val probe = docs.filter(col("doc_id") >= 300)
+    // Removed ids that share spans with the probe batch, so the removal
+    // observably changes results.
+    val full = spans(Dedup.spanDedup(docs, "doc_id", "text", L))
+    val crossIds = full.collect {
+      case (a, b, _, _, _) if a < 300 && b >= 300 => a
+    }
+    assert(crossIds.nonEmpty, "no stored-vs-probe spans at this split; pick another")
+    val removedIds = crossIds.toSeq.sorted.take(2)
+    import spark.implicits._
+    SpanStore.save(stored.filter(col("doc_id") < 150), "doc_id", "text", L, s"$dir/ix")
+    SpanStore.append(stored.filter(col("doc_id") >= 150), "doc_id", "text", L, s"$dir/ix")
+    SpanStore.remove(spark, s"$dir/ix", removedIds.toDF("doc_id"))
+    val got = spans(SpanStore.searchNew(
+      spark, s"$dir/ix", probe, "doc_id", "text", L))
+    val ref = Files.createTempDirectory("graft_span_remove_ref").toString
+    SpanStore.save(stored.filter(!col("doc_id").isin(removedIds: _*)),
+      "doc_id", "text", L, s"$ref/ix")
+    val want = spans(SpanStore.searchNew(
+      spark, s"$ref/ix", probe, "doc_id", "text", L))
+    assert(got == want,
+      s"post-remove probe diverged from never-saved store: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(!got.exists { case (a, b, _, _, _) =>
+      removedIds.contains(a) || removedIds.contains(b) },
+      "removed ids still appear in probe spans")
+    val withThem = full.filter { case (a, b, _, _, _) => a >= 300 || b >= 300 }
+    assert(got != withThem, "removal had no observable effect; fixture too weak")
+    assert(spark.read.parquet(s"$dir/ix/grams")
+      .filter(col("id").isin(removedIds: _*)).count() == 0,
+      "removed-doc gram rows survived")
+  }
+
   test("probe plan never self-joins the stored gram relation") {
     // The asymptotic contract: the stored corpus appears only as one
     // SIDE of the new-vs-stored gram joins — exactly two scans of the
