@@ -785,14 +785,42 @@ object Dedup {
     * rare-gram pattern) and let AQE skew-split the residue.
     */
   def spanDedup(
-      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
-    val grams = anchorGrams(docs, idCol, textCol, minTokens)
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
+    val grams = capGramsByDf(anchorGrams(docs, idCol, textCol, minTokens), maxDf)
     val seeds = grams.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
       .join(grams.select(col("id").as("doc_b"), col("pos").as("pb"), col("g")), "g")
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
     spansFromSeeds(seeds, minTokens)
   }
+
+  /** The stop-gram guard for the span family ([[spanDedup]]'s `maxDf`):
+    * drop anchor grams occurring in MORE than `maxDf` distinct documents
+    * before the seed equi-join — the standard ExactSubstr skew practice
+    * (a boilerplate gram shared by d documents seeds d² pairs; capping
+    * bounds the join's per-key fanout at maxDf² and excises the
+    * quadratic hot keys entirely instead of asking AQE to split them).
+    * Identity when maxDf = MaxValue (the default — plans of the oracled
+    * d10/d11/d19/d23 entries are untouched). Semantics under a cap,
+    * pinned by a DedupProperties property: a maximal span LOSES only
+    * the positions of its capped anchors — it survives (possibly split
+    * into shorter maximal runs, each still ≥ L) wherever any anchor
+    * stays under the cap, and vanishes entirely only when EVERY anchor
+    * window inside it is capped. The heavy-gram list is df-bounded
+    * (≤ total-grams / maxDf entries) and the cap is applied as an
+    * anti-join AQE can broadcast.
+    */
+  private[dedup] def capGramsByDf(grams: DataFrame, maxDf: Int): DataFrame =
+    if (maxDf == Int.MaxValue) grams
+    else {
+      require(maxDf >= 1, s"maxDf must be >= 1; got $maxDf")
+      val heavy = grams.select(col("g"), col("id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxDf)
+        .select(col("g"))
+      grams.join(heavy, Seq("g"), "left_anti")
+    }
 
   /** [[spanDedup]]'s stage 1 as a reusable relation: every COMPLETE
     * `L`-token anchor window of every document, position-keyed —
@@ -860,9 +888,10 @@ object Dedup {
     * over span-count-sized data, partitioned by document.
     */
   def spanCoverage(
-      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = spanDedup(docs, idCol, textCol, minTokens)
+    val spans = spanDedup(docs, idCol, textCol, minTokens, maxDf)
     val ranges = spans
       .select(col("doc_a").as("id"), col("start_a").as("s"),
         (col("start_a") + col("span_len")).as("e"))
@@ -920,9 +949,10 @@ object Dedup {
     * token relation once.
     */
   def spanDedupApply(
-      docs: DataFrame, idCol: String, textCol: String, minTokens: Int): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = spanDedup(docs, idCol, textCol, minTokens)
+    val spans = spanDedup(docs, idCol, textCol, minTokens, maxDf)
     // Removal side only: the larger-doc occurrence of each pair span
     // (set-distinct — a doc repeating a span against several earlier
     // partners yields identical ranges, and dedup makes the islanding

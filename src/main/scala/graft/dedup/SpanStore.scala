@@ -35,9 +35,20 @@ object SpanStore {
 
   private def write(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, path: String, mode: String): Unit =
-    Dedup.anchorGrams(docs, idCol, textCol, minTokens)
-      .write.mode(mode).parquet(s"$path/grams")
+      minTokens: Int, path: String, mode: String): Unit = {
+    val g = Dedup.anchorGrams(docs, idCol, textCol, minTokens)
+      .localCheckpoint(true) // written twice (grams + df partials)
+    g.write.mode(mode).parquet(s"$path/grams")
+    // Per-increment document-frequency PARTIALS (g, nd) — additive like
+    // DedupStore's counts relation (ids never repeat across batches), so
+    // the stop-gram cap's union df is a sum of partials, never a rescan
+    // of the pos-level gram relation. [[compact]] merges them;
+    // [[remove]] appends negated rows (exact integer subtraction).
+    g.select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .write.mode(mode).parquet(s"$path/gramdf")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(g)
+  }
 
   /** Build + persist the anchor-gram index for an initial corpus. */
   def save(
@@ -81,7 +92,16 @@ object SpanStore {
       .repartitionByRange(files, col("g"))
       .sortWithinPartitions(col("g"), col("id"), col("pos"))
       .write.parquet(s"$tmp/grams")
-    DedupStore.swapRelations(fs, root, tmp, Seq("grams"))
+    // Merge the per-increment df partials into one row per gram
+    // (dropping grams a remove() fully cancelled) — the capped probe's
+    // heavy-gram aggregation then reads pre-merged rows.
+    spark.read.parquet(s"$path/gramdf")
+      .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
+      .filter(col("nd") > 0)
+      .repartitionByRange(files, col("g"))
+      .sortWithinPartitions(col("g"))
+      .write.parquet(s"$tmp/gramdf")
+    DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
   }
 
   /** Takedown: rewrite the gram relation WITHOUT the given doc ids
@@ -100,9 +120,18 @@ object SpanStore {
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(s"$path/grams").join(gone, Seq("id"), "left_anti")
+    val live = spark.read.parquet(s"$path/grams")
+    live.join(gone, Seq("id"), "left_anti")
       .write.parquet(s"$tmp/grams")
-    DedupStore.swapRelations(fs, root, tmp, Seq("grams"))
+    // df partials: append the removed docs' NEGATED per-gram doc counts
+    // (computed from the still-live gram relation), staged together with
+    // the filtered grams so the swap keeps the two relations consistent.
+    val negDf = live.join(gone, Seq("id"), "left_semi")
+      .select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg((-count(lit(1))).as("nd"))
+    spark.read.parquet(s"$path/gramdf").unionAll(negDf)
+      .write.parquet(s"$tmp/gramdf")
+    DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
   }
 
   /** Repeated spans of a NEW batch against the stored corpus AND within
