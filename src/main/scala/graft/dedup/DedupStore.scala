@@ -117,23 +117,85 @@ object DedupStore {
     * (recover by renaming `.old` back) — never a hole, though the
     * window between the two renames has no live path and a concurrent
     * probe can fail until recovery.
+    *
+    * Cross-RELATION consistency: relations swap one at a time, so a
+    * crash BETWEEN relation swaps leaves mixed generations (e.g. bands
+    * already purged of takedown ids while shingles still carry them).
+    * The recovery contract is therefore two steps: (1) per-relation,
+    * restore any relation whose live dir is missing from its `.old`
+    * copy ([[recoverRelations]] does both mechanically); (2) RE-RUN the
+    * interrupted compact/remove in full — both are idempotent (compact
+    * is a layout rewrite; remove's anti-join of already-absent ids is a
+    * no-op), and the re-run restores cross-relation agreement.
+    * SwapCrashSpec drives every kill point and pins recover + re-run →
+    * probe-identical. A production deployment would make the
+    * multi-relation swap atomic behind a manifest/transaction log
+    * (Delta/Iceberg-style), out of scope for the path-based store.
     */
+  /** TEST-ONLY failpoint: the number of renames [[swapRelations]]
+    * completes before throwing an injected IOException (SwapCrashSpec
+    * drives every kill point through this — k = 0 .. 2·|rels|−1 covers
+    * a crash before/between/after every rename, including the
+    * cross-relation mixed-generation windows). Int.MaxValue (= never)
+    * in production; the injected throw resets it.
+    */
+  @volatile private[graft] var swapFailAfterRenames: Int = Int.MaxValue
+
   private[graft] def swapRelations(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path, rels: Seq[String]): Unit = {
+    var renames = 0
+    def rename(from: org.apache.hadoop.fs.Path,
+               to: org.apache.hadoop.fs.Path, what: String): Unit = {
+      if (renames >= swapFailAfterRenames) {
+        swapFailAfterRenames = Int.MaxValue
+        throw new java.io.IOException(
+          s"injected swap crash before rename of $what")
+      }
+      require(fs.rename(from, to), s"store swap: rename of $what failed")
+      renames += 1
+    }
     rels.foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)
       val old = new org.apache.hadoop.fs.Path(root, rel + ".old")
       fs.delete(old, true) // leftover from a prior crashed swap
-      require(fs.rename(live, old),
-        s"store swap: rename of live $rel aside failed")
-      require(fs.rename(new org.apache.hadoop.fs.Path(tmp, rel), live),
-        s"store swap: rename of $rel into place failed")
+      // A relation can lack a live dir: a pre-upgrade store gaining a
+      // backfilled relation (SpanStore gramdf), or recovery from a crash
+      // that already moved it aside. Nothing to rename aside then.
+      if (fs.exists(live)) rename(live, old, s"live $rel aside")
+      rename(new org.apache.hadoop.fs.Path(tmp, rel), live, s"$rel into place")
       fs.delete(old, true)
     }
     fs.delete(tmp, true)
     ()
   }
+
+  /** Mechanical per-relation recovery after a crashed [[swapRelations]]
+    * (step 1 of the two-step contract in its doc): any relation whose
+    * live dir is missing is restored from its `.old` copy; a leftover
+    * `.old` next to an intact live dir (crash after the second rename)
+    * is dropped. Every relation is left readable on SOME generation;
+    * the caller must then re-run the interrupted compact/remove (step
+    * 2) to restore cross-relation agreement. Idempotent.
+    */
+  def recoverRelations(
+      spark: SparkSession, path: String, rels: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    rels.foreach { rel =>
+      val live = new org.apache.hadoop.fs.Path(root, rel)
+      val old = new org.apache.hadoop.fs.Path(root, rel + ".old")
+      if (!fs.exists(live) && fs.exists(old))
+        require(fs.rename(old, live), s"recovery rename of $rel failed")
+      else if (fs.exists(old))
+        fs.delete(old, true)
+    }
+  }
+
+  /** [[recoverRelations]] over this store's relation set. */
+  def recover(spark: SparkSession, path: String): Unit =
+    recoverRelations(spark, path, Seq("bands", "shingles", "counts"))
 
   /** Takedown: rewrite the store WITHOUT the given doc ids (first column
     * of `ids`, castable to long) — the DMCA/PII/right-to-be-forgotten

@@ -95,13 +95,33 @@ object SpanStore {
     // Merge the per-increment df partials into one row per gram
     // (dropping grams a remove() fully cancelled) — the capped probe's
     // heavy-gram aggregation then reads pre-merged rows.
-    spark.read.parquet(s"$path/gramdf")
+    gramDf(spark, path)
       .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
       .filter(col("nd") > 0)
       .repartitionByRange(files, col("g"))
       .sortWithinPartitions(col("g"))
       .write.parquet(s"$tmp/gramdf")
     DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
+  }
+
+  /** [[DedupStore.recoverRelations]] over this store's relation set. */
+  def recover(spark: SparkSession, path: String): Unit =
+    DedupStore.recoverRelations(spark, path, Seq("grams", "gramdf"))
+
+  /** The stored df-partials relation. A store written before the
+    * `gramdf` relation existed is backfilled from `grams` on the fly
+    * (one distinct + groupBy pass — the same derivation [[write]]
+    * persists), so [[compact]] / [[remove]] / a capped [[searchNew]]
+    * never fail on a pre-upgrade store; the next [[compact]] persists
+    * the merged relation and retires the backfill.
+    */
+  private def gramDf(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/gramdf")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) spark.read.parquet(s"$path/gramdf")
+    else spark.read.parquet(s"$path/grams")
+      .select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
   }
 
   /** Takedown: rewrite the gram relation WITHOUT the given doc ids
@@ -129,7 +149,7 @@ object SpanStore {
     val negDf = live.join(gone, Seq("id"), "left_semi")
       .select(col("g"), col("id")).distinct()
       .groupBy(col("g")).agg((-count(lit(1))).as("nd"))
-    spark.read.parquet(s"$path/gramdf").unionAll(negDf)
+    gramDf(spark, path).unionAll(negDf)
       .write.parquet(s"$tmp/gramdf")
     DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
   }
@@ -146,14 +166,41 @@ object SpanStore {
     * fixes the orientation of each new-vs-stored pair; batch-vs-batch
     * pairs are id-distinct from both), so their union feeds the shared
     * islands merge exactly as the batch operator's one self-join would.
+    *
+    * `maxDf` is the stop-gram cap ([[Dedup.spanDedup]]'s skew guard,
+    * incremental edition): grams present in more than `maxDf` distinct
+    * documents ACROSS THE UNION (stored + batch) are anti-joined out of
+    * both seed sides before the equi-join. The union document frequency
+    * is the sum of the store's additive `gramdf` partials plus the
+    * batch's own per-gram df — never a rescan of the pos-level stored
+    * gram relation — so a capped probe equals the capped batch operator
+    * on the union restricted to new-touching pairs (SpanStoreSpec pins
+    * it). Identity at the default.
     */
   def searchNew(
       spark: SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int): DataFrame = {
-    val newG = Dedup.anchorGrams(newDocs, idCol, textCol, minTokens)
+      minTokens: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+    val newG0 = Dedup.anchorGrams(newDocs, idCol, textCol, minTokens)
       .localCheckpoint(true) // probed three times (two store arms + self)
-    val stored = spark.read.parquet(s"$path/grams")
+    val storedAll = spark.read.parquet(s"$path/grams")
+    val (newG, stored) =
+      if (maxDf == Int.MaxValue) (newG0, storedAll)
+      else {
+        require(maxDf >= 1, s"maxDf must be >= 1; got $maxDf")
+        val batchDf = newG0.select(col("g"), col("id")).distinct()
+          .groupBy(col("g")).agg(count(lit(1)).cast("long").as("nd"))
+        // Union df = stored partial sums + batch df; the heavy list is
+        // df-bounded (≤ total-grams / maxDf rows) and AQE broadcasts
+        // both anti-joins. Checkpointed: consumed by both seed sides.
+        val heavy = gramDf(spark, path).unionAll(batchDf)
+          .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
+          .filter(col("nd") > maxDf)
+          .select(col("g"))
+          .localCheckpoint(true)
+        (newG0.join(heavy, Seq("g"), "left_anti"),
+          storedAll.join(heavy, Seq("g"), "left_anti"))
+      }
     def arm(a: DataFrame, b: DataFrame): DataFrame =
       a.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
         .join(b.select(col("id").as("doc_b"), col("pos").as("pb"),

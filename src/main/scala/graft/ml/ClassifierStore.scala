@@ -40,6 +40,12 @@ object ClassifierStore {
                     mode: String): Unit = {
     LinearClassifier.gram(feat).write.mode(mode).parquet(s"$path/gram")
     LinearClassifier.moments(feat, lab).write.mode(mode).parquet(s"$path/moments")
+    // Membership ledger (doc_id), one row per stored doc: [[remove]]'s
+    // guard against the two silent-corruption paths of statistics
+    // subtraction (removing a doc never stored, or removing one twice).
+    // One long per doc — negligible next to any store that matters.
+    feat.select(col("doc_id")).distinct()
+      .write.mode(mode).parquet(s"$path/docs")
   }
 
   /** Build + persist the statistics for an initial corpus. */
@@ -63,14 +69,46 @@ object ClassifierStore {
     * resulting weights are BIT-IDENTICAL to a from-scratch train that
     * never saw the removed docs (ClassifierStoreSpec pins it) — a
     * float trainer could only approximate this.
+    *
+    * UNLIKE the anti-join stores (where re-removing an absent id is a
+    * no-op), subtraction is NOT naturally idempotent: replaying a
+    * takedown, or passing docs never stored, would silently corrupt the
+    * summed statistics. The store therefore keeps a membership ledger
+    * (`<path>/docs`, written by save/append) and a takedown ledger
+    * (`<path>/removed`, appended here), and remove REFUSES ids that are
+    * not currently stored or were already removed — each takedown is
+    * exactly-once by construction, not by caller discipline.
     */
   def remove(feat: DataFrame, lab: DataFrame, path: String): Unit = {
+    val spark = feat.sparkSession
+    val ids = feat.select(col("doc_id")).distinct().localCheckpoint(true)
+    val stored = spark.read.parquet(s"$path/docs")
+    val unknown = ids.join(stored, Seq("doc_id"), "left_anti").count()
+    require(unknown == 0,
+      s"ClassifierStore.remove: $unknown doc ids were never stored — " +
+        "subtracting them would corrupt the summed statistics")
+    val removedPath = new org.apache.hadoop.fs.Path(s"$path/removed")
+    val fs = removedPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(removedPath)) {
+      val dup = ids.join(spark.read.parquet(s"$path/removed"),
+        Seq("doc_id"), "left_semi").count()
+      require(dup == 0,
+        s"ClassifierStore.remove: $dup doc ids already removed — " +
+          "a replayed takedown would double-subtract their statistics")
+    }
+    // Ledger FIRST: a crash between the ledger append and the stat
+    // appends makes the re-run REFUSE loudly ("already removed") instead
+    // of silently double-subtracting — an interrupted takedown surfaces
+    // as an error to reconcile, never as corrupted sums. (A production
+    // deployment would wrap all three appends in one manifest commit.)
+    ids.write.mode("append").parquet(s"$path/removed")
     LinearClassifier.gram(feat)
       .select(col("i"), col("j"), (-col("a")).as("a"))
       .write.mode("append").parquet(s"$path/gram")
     LinearClassifier.moments(feat, lab)
       .select(col("dim"), (-col("by")).as("by"))
       .write.mode("append").parquet(s"$path/moments")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(ids)
   }
 
   /** Train on everything the store has seen: sum the per-increment

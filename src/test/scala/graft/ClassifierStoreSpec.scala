@@ -87,4 +87,28 @@ class ClassifierStoreSpec extends SparkSpec {
       Dims, Iters))
     assert(got != all, "removal had no observable effect; fixture too weak")
   }
+
+  test("remove is exactly-once: a replayed takedown and a never-stored id are refused") {
+    // Subtraction is not naturally idempotent (unlike the anti-join
+    // stores), so the membership + takedown ledgers must convert both
+    // silent-corruption paths into loud errors — r14 ADVICE.
+    val dir = Files.createTempDirectory("graft_clf_once").toString
+    ClassifierStore.save(featOf(docs), labOf(docs), s"$dir/st")
+    val gone = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+    ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+    val after = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
+    val replay = intercept[IllegalArgumentException] {
+      ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+    }
+    assert(replay.getMessage.contains("already removed"))
+    val phantom = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val never = intercept[IllegalArgumentException] {
+      ClassifierStore.remove(featOf(phantom), labOf(phantom), s"$dir/st")
+    }
+    assert(never.getMessage.contains("never stored"))
+    // Neither refused call may have touched the statistics.
+    val unchanged = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
+    assert(unchanged == after, "a refused remove still mutated the store")
+  }
 }

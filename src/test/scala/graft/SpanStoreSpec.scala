@@ -169,6 +169,73 @@ class SpanStoreSpec extends SparkSpec {
       "removed-doc gram rows survived")
   }
 
+  test("capped searchNew == capped batch spanDedup on the union, new-touching slice (real corpus)") {
+    // The stop-gram cap's incremental contract on real data: union df =
+    // stored gramdf partial sums + batch df, so a capped probe must
+    // equal the capped batch operator — and the cap must actually bite
+    // here, or the equality proves nothing.
+    val dir = Files.createTempDirectory("graft_span_cap").toString
+    val maxDf = 2
+    SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
+    val probe = SpanStore.searchNew(
+      spark, s"$dir/ix", docs.filter(col("doc_id") >= 300), "doc_id", "text",
+      L, maxDf = maxDf)
+    val got = spans(probe)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(probe)
+    val capped = spans(Dedup.spanDedup(docs, "doc_id", "text", L, maxDf = maxDf))
+    val want = capped.filter { case (a, b, _, _, _) => a >= 300 || b >= 300 }
+    assert(got == want,
+      s"capped probe diverged: missing=${(want -- got).take(3)} " +
+        s"extra=${(got -- want).take(3)}")
+    val uncapped = spans(Dedup.spanDedup(docs, "doc_id", "text", L))
+      .filter { case (a, b, _, _, _) => a >= 300 || b >= 300 }
+    assert(want != uncapped,
+      s"maxDf=$maxDf did not bite on this corpus; fixture too weak")
+  }
+
+  test("a store written before gramdf exists is backfilled: compact, remove, capped probe all work") {
+    // r14 ADVICE: compact/remove (and now the capped probe) must
+    // tolerate a pre-upgrade store with no gramdf relation.
+    val dir = Files.createTempDirectory("graft_span_pregramdf").toString
+    SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
+    val probeDocs = docs.filter(col("doc_id") >= 300)
+    def cappedProbe() = {
+      val df = SpanStore.searchNew(
+        spark, s"$dir/ix", probeDocs, "doc_id", "text", L, maxDf = 2)
+      val r = spans(df)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      r
+    }
+    val before = cappedProbe()
+    def deleteGramdf(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+      }
+      rm(new java.io.File(s"$dir/ix/gramdf"))
+    }
+    deleteGramdf()
+    assert(cappedProbe() == before, "backfilled capped probe diverged")
+    SpanStore.compact(spark, s"$dir/ix")
+    assert(new java.io.File(s"$dir/ix/gramdf").exists(),
+      "compact did not re-persist the backfilled gramdf")
+    assert(cappedProbe() == before, "post-compact capped probe diverged")
+    deleteGramdf()
+    import spark.implicits._
+    SpanStore.remove(spark, s"$dir/ix", Seq(3L).toDF("doc_id"))
+    val ref = Files.createTempDirectory("graft_span_pregramdf_ref").toString
+    SpanStore.save(docs.filter(col("doc_id") < 300 && col("doc_id") =!= 3L),
+      "doc_id", "text", L, s"$ref/ix")
+    val want = {
+      val df = SpanStore.searchNew(
+        spark, s"$ref/ix", probeDocs, "doc_id", "text", L, maxDf = 2)
+      val r = spans(df)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      r
+    }
+    assert(cappedProbe() == want,
+      "post-remove backfilled store diverged from never-saw store")
+  }
+
   test("probe plan never self-joins the stored gram relation") {
     // The asymptotic contract: the stored corpus appears only as one
     // SIDE of the new-vs-stored gram joins — exactly two scans of the
