@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** A/B: INCREMENTAL vs BATCH curation release at corpus scale — the
+  * number behind [[graft.release.ReleaseStore]] (the AbDedupInc /
+  * AbSpanInc template applied to the COMPOSED p22 pipeline). A crawl
+  * pipeline can either re-run the whole batch chain (classifier train →
+  * near-dup LSH self-join → CC → span dedup → split) over
+  * (corpus ∪ batch) per arriving batch, or carry the four stores and
+  * pay one [[graft.release.ReleaseStore.increment]]. Work differs by
+  * O(|corpus| / |batch|) in the scan-bound stages.
+  *
+  * Corpus: sf-dir documents ×`AB_AMP` replicas with rep-prefixed
+  * CONTENT tokens — stopwords stay verbatim so the weak-label
+  * distribution (and hence the classifier gate) keeps its real shape,
+  * while replicas share no content shingles/grams with each other or
+  * the batch. Batch ids sit above all corpus ids (the store's monotone
+  * contract).
+  *
+  * Reported: one-time store build wall, incremental release wall,
+  * batch-chain-on-union wall, speedup, and released-row counts (the
+  * exact increment == union equality is spec-pinned in
+  * ReleaseStoreSpec at sf0.001; counts here are a sanity line).
+  *
+  *   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 AB_AMP=16 sbt "runMain graft.AbReleaseInc"
+  */
+object AbReleaseInc {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val amp = sys.env.getOrElse("AB_AMP", "16").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val p = graft.release.ReleaseParams()
+    val base = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val sw = graft.text.TextFns.Stopwords
+    val corpus = base
+      .crossJoin(spark.range(amp).select(col("id").as("rep")))
+      .select((col("doc_id") * amp + col("rep")).as("doc_id"),
+        concat_ws(" ", transform(graft.text.TextFns.tokens(col("text")),
+          tk => when(tk.isin(sw: _*), tk)
+            .otherwise(concat(lit("r"), col("rep"), lit("_"), tk)))).as("text"))
+    val batch = base
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ab_relinc").toString
+    val (_, buildWall) = timed {
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+        graft.release.ReleaseStore.init(
+          spark, corpus, "doc_id", "text", p, s"$dir/st"))
+    }
+    sweep()
+    val (incRows, incWall) = timed {
+      val rel = graft.release.ReleaseStore.increment(
+        spark, batch, "doc_id", "text", p, s"$dir/st")
+      val n = rel.count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(rel)
+      n
+    }
+    sweep()
+    val (unionRows, unionWall) = timed {
+      val rel = graft.release.ReleaseStore.batchRelease(
+        corpus.unionAll(batch), "doc_id", "text", p)
+      val n = rel.filter(col("doc_id") >= 10000000L).count()
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(rel)
+      n
+    }
+    sweep()
+    println(f"AB-RELEASEINC amp=$amp corpus=${amp}x batch=1x " +
+      f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
+      f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
+      f"x inc_released=$incRows union_new_released=$unionRows")
+    spark.stop()
+  }
+}

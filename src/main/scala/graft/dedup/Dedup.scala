@@ -951,7 +951,6 @@ object Dedup {
   def spanDedupApply(
       docs: DataFrame, idCol: String, textCol: String, minTokens: Int,
       maxDf: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spans = spanDedup(docs, idCol, textCol, minTokens, maxDf)
     // Removal side only: the larger-doc occurrence of each pair span
     // (set-distinct — a doc repeating a span against several earlier
@@ -961,6 +960,20 @@ object Dedup {
       .select(col("doc_b").as("id"), col("start_b").as("s"),
         (col("start_b") + col("span_len")).as("e"))
       .distinct()
+    spanExciseByRanges(docs, idCol, textCol, ranges)
+  }
+
+  /** [[spanDedupApply]]'s excision tail from an already-computed removal
+    * relation `ranges` = (id, s, e) token intervals, set-distinct —
+    * factored so the incremental release ([[graft.release.ReleaseStore]])
+    * can excise an arriving batch from the new-touching spans a
+    * [[SpanStore]] probe returns, with the exact interval-merge +
+    * anti-join + rebuild the batch operator runs.
+    */
+  private[graft] def spanExciseByRanges(
+      docs: DataFrame, idCol: String, textCol: String,
+      ranges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col("id")).orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
     val merged = ranges

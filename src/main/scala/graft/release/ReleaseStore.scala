@@ -1,0 +1,448 @@
+package graft.release
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.{Dedup, DedupStore, SpanStore}
+import graft.graph.ConnectedComponents
+import graft.ml.{ClassifierStore, LinearClassifier}
+import graft.text.TextFns
+
+/** Parameters of the curation release chain — the p20 configuration
+  * (classifier gate → near-dup drop → span excision → leakage-safe
+  * split) as explicit knobs so the incremental store and the batch
+  * reference run the same chain.
+  */
+final case class ReleaseParams(
+    dims: Int = 32, iters: Int = 32,
+    n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+    threshold: Double = 0.3, minTokens: Int = 6)
+
+/** The INCREMENTAL curation release — p20's per-crawl-batch shape, and
+  * the composition the four stores exist for. `p20_release_pipeline`
+  * recomputes the whole gate → near-dup → span → split chain per run:
+  * O(corpus) work per arriving batch. A production crawl pipeline
+  * instead keeps the chain's state persisted and pays O(batch) per
+  * increment:
+  *
+  *   `<path>/classifier` — [[ClassifierStore]]: additive integer
+  *       Gram/moment partials of EVERY arriving doc (the batch trains
+  *       on all docs, then gates), so [[ClassifierStore.trainStored]]
+  *       after an append is BIT-IDENTICAL to a batch train on the
+  *       union;
+  *   `<path>/neardup`    — [[DedupStore]]: MinHash bands + shingles of
+  *       every classifier-KEPT doc (near-dup-dropped duplicates
+  *       included — a batch run clusters over all kept docs, and LSH
+  *       is not transitive, so a new doc can reach a cluster only
+  *       through a dropped member);
+  *   `<path>/clusters`   — (member_id, rep_id, n_tok, gen): the
+  *       near-dup cluster membership of every kept doc (singletons
+  *       rep = self), generation-stamped so rep reassignments (a new
+  *       doc BRIDGING two stored clusters merges them — the batch CC
+  *       would relabel) stay append-only: readers take the max-gen row
+  *       per member;
+  *   `<path>/spans`      — [[SpanStore]]: anchor grams of the RELEASED
+  *       (survivor) docs' original texts — the span stage's corpus;
+  *   `<path>/released`   — (doc_id, rep_id, split, text_dedup): the
+  *       accumulated release.
+  *
+  * [[increment]] composes the per-store probes into the batch-run
+  * semantics: retrain-and-gate (exact: statistics additivity), probe
+  * near-dups against the kept corpus, reconstruct only the TOUCHED
+  * clusters (new pairs ∪ stored star edges member→rep — never a stored
+  * self-join), re-elect each touched cluster's canonical (longest
+  * tokenization, min id — stored lengths come from the clusters
+  * relation, never a corpus rescan), drop batch docs that lose,
+  * span-excise the batch survivors against the released corpus, draw
+  * splits on the cluster rep, and append everything. ReleaseStoreSpec
+  * pins [[increment]]'s output EQUAL to the batch chain run on
+  * (stored ∪ batch) restricted to the new docs — including the
+  * split-inheritance contract: a new doc joining an existing near-dup
+  * cluster inherits that cluster's split, because the rep it draws on
+  * is the same id the stored members drew on.
+  *
+  * The frozen-history contract (where incremental ≠ batch, by design):
+  * a shipped release is never silently retracted. (1) If retraining on
+  * the grown corpus flips a STORED doc's gate decision, the stored
+  * decision stands (the spec's batch equality holds exactly when the
+  * stored gate decisions are retrain-stable — asserted as a fixture
+  * guard, and true for any batch small relative to the corpus that
+  * doesn't shift the decision boundary). (2) If a new doc DETHRONES a
+  * stored canonical (longer tokenization), the batch run would drop
+  * the stored doc; incrementally the new doc is released, the stored
+  * doc stays released until a takedown/compaction policy retires it,
+  * and the dethroned doc's spans are EXCLUDED from the batch's span
+  * probe so the new docs' excisions still match the batch run exactly.
+  *
+  * Takedown ([[remove]]) composes the four per-store removes plus the
+  * clusters/released rewrites. Splits are takedown-STABLE by design:
+  * surviving members keep their rep_id as an opaque draw key even when
+  * the rep doc itself is removed (an id is not content), so a takedown
+  * never reshuffles survivors' splits and future joiners still inherit
+  * the cluster's split — the one documented divergence from a
+  * never-saw-the-docs pipeline, whose re-drawn rep would reassign the
+  * whole cluster's splits (ReleaseStoreSpec pins both: content
+  * equality with the never-saw store, split stability against it).
+  *
+  * Near-dup blocking uses the store's production xxhash64 MinHash
+  * family ([[Dedup.minhashLshPairs]]); p20 itself uses the portable
+  * md5 family so its end-to-end hash oracle exists (the d3/d3b
+  * precedent: production path vs oracle-able twin). The chain around
+  * the pair stage is pinned identical to p20 by running
+  * [[batchRelease]] with `portablePairs = true` against
+  * `PipelineQueries.releasedCorpus` in ReleaseStoreSpec.
+  *
+  * Scale shape per increment, at 100 TB corpus / crawl-batch arrivals:
+  * one pass over the batch for features + shingles + grams; the
+  * classifier retrain reads dims²-bounded partials; the near-dup and
+  * span probes stream the stored relations through one side of an
+  * equi-join each (plan-pinned in the store specs, priced in
+  * AbDedupInc/AbSpanInc); cluster reconstruction touches only
+  * batch-hit clusters (broadcast-sized); no stage self-joins or
+  * re-shuffles the stored corpus. AbReleaseInc prices the whole
+  * composition: near-flat increment wall vs the linearly growing
+  * batch re-run.
+  */
+object ReleaseStore {
+
+  private def norm(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+
+  /** The p17 split draw on the near-dup cluster rep. */
+  private def splitOf(rep: Column): Column = {
+    val bucket = pmod(graft.ops.Portable.md5Long(
+      concat(lit("split:"), rep.cast("string"))), lit(10L))
+    when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")
+  }
+
+  private def nTok(text: Column): Column =
+    size(TextFns.tokens(text)).cast("long")
+
+  private def free(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+
+  private[graft] case class Chain(
+      keptDocs: DataFrame, members: DataFrame, ntokKept: DataFrame,
+      withRep: DataFrame, released: DataFrame)
+
+  private case class Stages(feat: DataFrame, lab: DataFrame, chain: Chain)
+
+  /** The batch release chain (p20's stages 1–4, parameterized), shared
+    * by [[batchRelease]] and [[init]] so the store's generation-zero
+    * state IS a batch run's state.
+    */
+  private def batchStages(
+      docs: DataFrame, p: ReleaseParams, portablePairs: Boolean): Stages = {
+    val s = docs.sparkSession
+    val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
+      .localCheckpoint(true)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    val w = LinearClassifier.train(s, feat, lab, p.dims, p.iters)
+    val kept = LinearClassifier.score(feat, lab, w)
+      .filter(col("margin") > 0).select(col("doc_id"))
+    val keptDocs = docs.join(kept, "doc_id")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    Stages(feat, lab, releaseKept(keptDocs, p, portablePairs))
+  }
+
+  /** The POST-GATE chain (near-dup drop → span excision → split) on an
+    * already-gated kept set — batchStages minus the classifier. Exposed
+    * private[graft] so ReleaseStoreSpec can build the FROZEN-GATE batch
+    * reference (the chain on the union of each batch's historical kept
+    * set), which [[increment]] equals unconditionally — no
+    * retrain-stability precondition, because the gate decisions are the
+    * store's own by construction.
+    */
+  private[graft] def releaseKept(
+      keptDocs: DataFrame, p: ReleaseParams, portablePairs: Boolean): Chain = {
+    val pairs = (if (portablePairs)
+        Dedup.minhashLshPairsPortable(keptDocs, "doc_id", "text",
+          p.n, p.bands, p.rowsPerBand, p.threshold)
+      else
+        Dedup.minhashLshPairs(keptDocs, "doc_id", "text",
+          p.n, p.bands, p.rowsPerBand, p.threshold))
+      .select(col("doc_a"), col("doc_b"))
+    val cl = ConnectedComponents.run(pairs).localCheckpoint(true)
+    free(pairs) // cl materialized behind its own checkpoint (p20 idiom)
+    val ntokKept = keptDocs.select(col("doc_id").as("member_id"),
+      nTok(col("text")).as("n_tok"))
+    val canon = cl.join(ntokKept, "member_id")
+      .groupBy(col("rep_id"))
+      .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+      .select((-col("b.neg")).as("doc_id"), col("rep_id"))
+    val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
+      .select(col("member_id"))
+    val survivors = keptDocs
+      .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+    val withRep = survivors
+      .join(broadcast(canon), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .localCheckpoint(true)
+    val deduped = Dedup.spanDedupApply(
+      withRep.select(col("doc_id"), col("text")), "doc_id", "text", p.minTokens)
+    val released = deduped
+      .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
+      .select(col("doc_id"), col("rep_id"),
+        splitOf(col("rep_id")).as("split"), col("text_dedup"))
+    Chain(keptDocs, cl, ntokKept, withRep, released)
+  }
+
+  /** One-shot batch release: (doc_id, rep_id, split, text_dedup). The
+    * reference [[increment]] is pinned against; `portablePairs = true`
+    * swaps in the md5 LSH family and makes the chain output-identical
+    * to `PipelineQueries.releasedCorpus` (spec-pinned). Caller frees
+    * the returned checkpoint.
+    */
+  def batchRelease(
+      docs0: DataFrame, idCol: String, textCol: String, p: ReleaseParams,
+      portablePairs: Boolean = false): DataFrame = {
+    val s = docs0.sparkSession
+    val before = graft.RddScope.persisted(s)
+    val st = batchStages(norm(docs0, idCol, textCol), p, portablePairs)
+    val released = st.chain.released.localCheckpoint(true)
+    graft.RddScope.sweepExcept(s, before, released)
+    released
+  }
+
+  /** Generation zero: run the batch chain on the initial corpus and
+    * persist every store the increments probe. Returns the released
+    * relation (also written to `<path>/released`); caller frees it.
+    */
+  def init(
+      s: SparkSession, docs0: DataFrame, idCol: String, textCol: String,
+      p: ReleaseParams, path: String): DataFrame = {
+    val before = graft.RddScope.persisted(s)
+    val docs = norm(docs0, idCol, textCol).localCheckpoint(true)
+    val st = batchStages(docs, p, portablePairs = false)
+    ClassifierStore.save(st.feat, st.lab, s"$path/classifier")
+    DedupStore.save(st.chain.keptDocs, "doc_id", "text",
+      p.n, p.bands, p.rowsPerBand, s"$path/neardup")
+    // Membership for EVERY kept doc: CC rep for pair-involved members,
+    // self for singletons; n_tok persisted so no future increment
+    // rescans stored text for canonical election.
+    st.chain.ntokKept
+      .join(st.chain.members, Seq("member_id"), "left")
+      .select(col("member_id"),
+        coalesce(col("rep_id"), col("member_id")).as("rep_id"),
+        col("n_tok"), lit(0L).as("gen"))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+    SpanStore.save(st.chain.withRep.select(col("doc_id"), col("text")),
+      "doc_id", "text", p.minTokens, s"$path/spans")
+    val released = st.chain.released.localCheckpoint(true)
+    released.write.mode("overwrite").parquet(s"$path/released")
+    graft.RddScope.sweepExcept(s, before, released)
+    released
+  }
+
+  /** Release one arriving crawl batch against the stored corpus —
+    * O(batch) work (plus the stores' streamed one-sided scans), output
+    * EQUAL to the batch chain on (stored ∪ batch) restricted to the new
+    * docs (ReleaseStoreSpec). Ids must be globally unique and
+    * monotonically increasing across batches (the crawl contract; the
+    * stores already require uniqueness — monotonicity is what keeps a
+    * merged cluster's min-id rep equal to the STORED rep, so stored
+    * splits stay frozen while new docs still draw batch-equal splits).
+    * Appends to every store; returns the batch's released rows
+    * (doc_id, rep_id, split, text_dedup); caller frees the checkpoint.
+    */
+  def increment(
+      s: SparkSession, newDocs0: DataFrame, idCol: String, textCol: String,
+      p: ReleaseParams, path: String): DataFrame = {
+    val before = graft.RddScope.persisted(s)
+    val docs = norm(newDocs0, idCol, textCol).localCheckpoint(true)
+
+    // (1) Gate: append the batch's statistics, retrain on everything
+    // (bit-identical to a union batch train), score the batch.
+    val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
+      .localCheckpoint(true)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    ClassifierStore.append(feat, lab, s"$path/classifier")
+    val w = ClassifierStore.trainStored(s, s"$path/classifier", p.dims, p.iters)
+    val kept = LinearClassifier.score(feat, lab, w)
+      .filter(col("margin") > 0).select(col("doc_id"))
+    val keptDocs = docs.join(kept, "doc_id")
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val newIds = keptDocs.select(col("doc_id"))
+
+    // (2) Near-dup candidates: batch vs the stored KEPT corpus plus
+    // within-batch — the stored corpus streams through one join side.
+    val pairs = DedupStore.searchNew(s, s"$path/neardup", keptDocs,
+        "doc_id", "text", p.n, p.bands, p.rowsPerBand, p.threshold)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+
+    // (3) Reconstruct ONLY the touched clusters: latest-generation rows
+    // of every member of every cluster a pair endpoint belongs to.
+    val clusters = s.read.parquet(s"$path/clusters")
+    def latest(rows: DataFrame): DataFrame = rows
+      .groupBy(col("member_id"))
+      .agg(max(struct(col("gen"), col("rep_id"), col("n_tok"))).as("m"))
+      .select(col("member_id"), col("m.rep_id").as("rep_id"),
+        col("m.n_tok").as("n_tok"))
+    val endpoints = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val touchedStored = endpoints.join(newIds, Seq("doc_id"), "left_anti")
+    val touchedReps = latest(clusters.join(touchedStored,
+        clusters("member_id") === touchedStored("doc_id"), "left_semi"))
+      .select(col("rep_id")).distinct()
+    // Two passes so stale generations can't smuggle members in: candidate
+    // rows by rep, then latest-per-member, then keep only true members.
+    val candMembers = clusters.join(touchedReps, Seq("rep_id"), "left_semi")
+      .select(col("member_id")).distinct()
+    val coRows = latest(clusters.join(candMembers, Seq("member_id"), "left_semi"))
+      .join(touchedReps, Seq("rep_id"), "left_semi")
+      .localCheckpoint(true)
+
+    // (4) Components of (new pairs ∪ stored star edges): exactly the
+    // batch CC's touched components — a stored cluster enters whole
+    // through its member→rep edges, and a bridging new doc merges
+    // clusters just as the batch run would.
+    val cc = ConnectedComponents.run(pairs.unionAll(
+        coRows.select(col("member_id").as("doc_a"), col("rep_id").as("doc_b"))))
+      .localCheckpoint(true)
+    free(pairs)
+
+    // (5) Canonical election per merged component (longest tokenization,
+    // min id). Stored weights come from the clusters relation; a
+    // REMOVED rep id can appear as a dangling CC vertex (it is still
+    // the cluster's draw key) but never as a canonical candidate — the
+    // inner join drops it.
+    val ntokNew = keptDocs.select(col("doc_id").as("member_id"),
+      nTok(col("text")).as("n_tok"))
+    val membersW = cc.join(
+      coRows.select(col("member_id"), col("n_tok")).unionAll(ntokNew),
+      "member_id")
+    val canon = membersW.groupBy(col("rep_id"))
+      .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+      .select(col("rep_id"), (-col("b.neg")).as("canon_id"))
+    val losers = cc.join(canon, "rep_id")
+      .filter(col("member_id") =!= col("canon_id"))
+      .select(col("member_id").as("doc_id"))
+      .localCheckpoint(true) // consumed by dropsB and dethroned
+    val dropsB = losers.join(newIds, Seq("doc_id"), "left_semi")
+    val withRep = keptDocs
+      .join(broadcast(dropsB), Seq("doc_id"), "left_anti")
+      .join(broadcast(cc.select(col("member_id").as("doc_id"), col("rep_id"))),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
+      .localCheckpoint(true)
+
+    // (6) Dethroned stored docs: RELEASED members that just lost their
+    // canonical seat to the batch. The union batch run's survivor set
+    // excludes them, so their spans must not excise the new docs.
+    val released = s.read.parquet(s"$path/released")
+    val dethroned = losers.join(newIds, Seq("doc_id"), "left_anti")
+      .join(released.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true) // consumed by two anti-joins
+
+    // (7) Span excision: new-touching spans vs the released corpus's
+    // original texts; only the batch (larger-id) side is excised, the
+    // spanDedupApply earliest-survives rule.
+    val spansNew = SpanStore.searchNew(s, s"$path/spans",
+        withRep.select(col("doc_id"), col("text")), "doc_id", "text",
+        p.minTokens)
+      .join(dethroned.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(dethroned.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+    val ranges = spansNew
+      .join(newIds.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .select(col("doc_b").as("id"), col("start_b").as("s"),
+        (col("start_b") + col("span_len")).as("e"))
+      .distinct()
+    val releasedB = Dedup.spanExciseByRanges(
+        withRep.select(col("doc_id"), col("text")), "doc_id", "text", ranges)
+      .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
+      .select(col("doc_id"), col("rep_id"),
+        splitOf(col("rep_id")).as("split"), col("text_dedup"))
+      .localCheckpoint(true)
+
+    // (8) Persist the increment: the whole kept batch into the near-dup
+    // index, the new survivors' ORIGINAL texts into the span index,
+    // membership rows (+ rep reassignments from bridging merges, as a
+    // new generation) into clusters, the released rows into released.
+    DedupStore.append(keptDocs, "doc_id", "text",
+      p.n, p.bands, p.rowsPerBand, s"$path/neardup")
+    SpanStore.append(withRep.select(col("doc_id"), col("text")),
+      "doc_id", "text", p.minTokens, s"$path/spans")
+    val gen = clusters.agg(coalesce(max(col("gen")), lit(0L)).as("g"))
+      .first().getLong(0) + 1L
+    val newRows = ntokNew
+      .join(cc, Seq("member_id"), "left")
+      .select(col("member_id"),
+        coalesce(col("rep_id"), col("member_id")).as("rep_id"),
+        col("n_tok"), lit(gen).as("gen"))
+    val repChanged = coRows
+      .select(col("member_id"), col("rep_id").as("old_rep"), col("n_tok"))
+      .join(cc, Seq("member_id"))
+      .filter(col("rep_id") =!= col("old_rep"))
+      .select(col("member_id"), col("rep_id"), col("n_tok"),
+        lit(gen).as("gen"))
+    newRows.unionAll(repChanged).write.mode("append").parquet(s"$path/clusters")
+    releasedB.write.mode("append").parquet(s"$path/released")
+    graft.RddScope.sweepExcept(s, before, releasedB)
+    releasedB
+  }
+
+  /** Composed takedown across all five relations — remove the docs'
+    * statistics, index rows, memberships, and released rows, so every
+    * FUTURE probe behaves as if they had never arrived (the per-store
+    * remove contracts, composed), with two deliberate, documented
+    * divergences from a literal never-saw pipeline:
+    *
+    *   - splits are takedown-STABLE: surviving members keep their
+    *     rep_id draw key even when the rep doc itself is removed (an
+    *     id is not content), so no survivor's split reshuffles and
+    *     future cluster joiners still inherit the cluster's split;
+    *   - historical drops are not resurrected: if the removed doc was
+    *     a cluster's released canonical, its dropped near-dups stay
+    *     dropped (the store holds decisions, not raw texts — a
+    *     resurrection pass would re-run the batch release on the
+    *     affected cluster's raw docs, out of band).
+    *
+    * Callers pass the removed docs' CONTENT (a takedown names it), from
+    * which the exact negated classifier partials are recomputed.
+    * Resume-safe: if a prior remove of exactly these ids already
+    * landed in the classifier's takedown ledger, the subtraction is
+    * skipped and the (idempotent) index/membership rewrites re-run; a
+    * PARTIAL ledger overlap is ambiguous and refused.
+    */
+  def remove(
+      s: SparkSession, removedDocs0: DataFrame, idCol: String, textCol: String,
+      p: ReleaseParams, path: String): Unit = {
+    val before = graft.RddScope.persisted(s)
+    val docs = norm(removedDocs0, idCol, textCol).localCheckpoint(true)
+    val ids = docs.select(col("doc_id"))
+    val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
+      .localCheckpoint(true)
+    val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
+    val ledger = new org.apache.hadoop.fs.Path(s"$path/classifier/removed")
+    val fs = ledger.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val alreadyRemoved =
+      if (fs.exists(ledger))
+        ids.join(s.read.parquet(ledger.toString), Seq("doc_id"), "left_semi").count()
+      else 0L
+    val total = ids.count()
+    if (alreadyRemoved == 0L)
+      ClassifierStore.remove(feat, lab, s"$path/classifier")
+    else require(alreadyRemoved == total,
+      s"ReleaseStore.remove: $alreadyRemoved of $total ids already in the " +
+        "takedown ledger — a partial overlap is neither a fresh takedown " +
+        "nor a resume; split the request")
+    DedupStore.remove(s, s"$path/neardup", ids)
+    SpanStore.remove(s, s"$path/spans", ids)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
+    fs.delete(tmp, true)
+    s.read.parquet(s"$path/clusters")
+      .join(ids.select(col("doc_id").as("member_id")),
+        Seq("member_id"), "left_anti")
+      .write.parquet(s"$tmp/clusters")
+    s.read.parquet(s"$path/released")
+      .join(ids, Seq("doc_id"), "left_anti")
+      .write.parquet(s"$tmp/released")
+    DedupStore.swapRelations(fs, root, tmp, Seq("clusters", "released"))
+    free(feat); free(docs)
+    graft.RddScope.sweepExcept(s, before,
+      s.emptyDataFrame) // nothing survives the call
+  }
+}

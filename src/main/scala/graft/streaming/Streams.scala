@@ -761,20 +761,66 @@ object Streams {
     * join, no shuffle, no state: a pure projection that scales to any
     * stream rate.
     */
+  /** The stateless margin projection shared by every streaming scorer:
+    * weights ship as plan literals (the dims+1-row collect the trainer
+    * itself makes), margin = w_bias + Σ_tokens w[md5(token) mod dims] —
+    * exactly the batch n·w form (grouping per bucket first cannot
+    * change an integer sum; StreamsSpec pins parity).
+    */
+  private def marginExpr(
+      weights: DataFrame, dims: Int,
+      textCol: String): org.apache.spark.sql.Column = {
+    val w = weights.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val warr = array((0 until dims).map(j => lit(w.getOrElse(j.toLong, 0L))): _*)
+    aggregate(graft.text.TextFns.tokens(col(textCol)), lit(w.getOrElse(-1L, 0L)),
+      (acc, t) => acc + element_at(warr,
+        (pmod(graft.ops.Portable.md5Long(t), lit(dims.toLong)) + 1).cast("int")))
+  }
+
   def classifierScoreStream(
       docs: DataFrame, // streaming (idCol, textCol)
       weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
       dims: Int,
       idCol: String,
-      textCol: String): DataFrame = {
-    val w = weights.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val warr = array((0 until dims).map(j => lit(w.getOrElse(j.toLong, 0L))): _*)
-    val toks = graft.text.TextFns.tokens(col(textCol))
-    val margin = aggregate(toks, lit(w.getOrElse(-1L, 0L)),
-      (acc, t) => acc + element_at(warr,
-        (pmod(graft.ops.Portable.md5Long(t), lit(dims.toLong)) + 1).cast("int")))
-    docs.select(col(idCol).as("doc_id"), margin.as("margin"))
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        marginExpr(weights, dims, textCol).as("margin"))
       .withColumn("pred", when(col("margin") > 0, 1L).otherwise(-1L))
+
+  /** The streaming RELEASE FRONT-DOOR — the live twin of the p22
+    * increment's gate + near-dup stages ([[graft.release.ReleaseStore]]
+    * .increment steps 1–2), composed: arriving documents are gated by
+    * the store's current classifier (the stateless margin projection —
+    * retraining is the drift lifecycle's job, see qualityDriftStream),
+    * and gate-survivors are flagged against the ACCEPTED corpus through
+    * the persisted DedupStore band/shingle relations (stream-static
+    * equi-join + exact-Jaccard refine — [[nearDupStream]]). Emits one
+    * row per (new doc, stored near-dup) hit: (doc_id, dup_of, jaccard);
+    * novel gate-survivors produce no row (streaming cannot left-join
+    * after its one aggregation — the sink anti-joins flags from the
+    * gated stream). Within-batch duplication is
+    * `dropDuplicatesWithinWatermark` upstream, and span excision stays
+    * a batch stage by design (it needs the merged-interval state of the
+    * whole increment — the micro-batch boundary would change results).
+    * StreamsSpec pins the composition against the batch increment's own
+    * stages: gate decisions == the batch score-filter, flags == the
+    * DedupStore.searchNew stored arm restricted to gate survivors.
+    */
+  def releaseFrontDoorStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
+      dims: Int,
+      storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
+      storedShingles: DataFrame, // static (id, s)
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val gated = docs
+      .filter(marginExpr(weights, dims, textCol) > 0)
+      .select(col(idCol), col(textCol))
+    nearDupStream(gated, storedBands, storedShingles,
+        idCol, textCol, n, bands, rowsPerBand, threshold)
+      .select(col("train_id").as("doc_id"), col("old_id").as("dup_of"),
+        col("jaccard"))
   }
 
   /** Streaming quality-DRIFT monitor — the live tail of the classifier
@@ -800,12 +846,8 @@ object Streams {
       textCol: String,
       watermark: String = "10 minutes",
       windowLength: String = "10 minutes"): DataFrame = {
-    val w = weights.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
-    val warr = array((0 until dims).map(j => lit(w.getOrElse(j.toLong, 0L))): _*)
     val toks = graft.text.TextFns.tokens(col(textCol))
-    val margin = aggregate(toks, lit(w.getOrElse(-1L, 0L)),
-      (acc, t) => acc + element_at(warr,
-        (pmod(graft.ops.Portable.md5Long(t), lit(dims.toLong)) + 1).cast("int")))
+    val margin = marginExpr(weights, dims, textCol)
     val hits = size(filter(toks, tok =>
       tok.isin(graft.text.TextFns.Stopwords: _*)))
     val y = when(hits * 16 > size(toks), 1L).otherwise(-1L)
