@@ -89,6 +89,71 @@ object AbReleaseInc {
       f"build=$buildWall%.1f s incremental=$incWall%.1f s " +
       f"batch_union=$unionWall%.1f s speedup=${unionWall / incWall}%.1f" +
       f"x inc_released=$incRows union_new_released=$unionRows")
+
+    // COMPACTION leg (the AbDedupInc/AbSpanInc/AbIvfCompact template,
+    // composed edition): the corpus arriving as AB_CHUNKS real
+    // increments fragments all five relations AND accumulates
+    // superseded cluster generations; probe fragmented, compact,
+    // re-probe. Chunks are id-range slices so the store's monotone-id
+    // contract holds across increments.
+    val chunks = sys.env.getOrElse("AB_CHUNKS", "8").toInt
+    if (chunks > 1) {
+      val dir2 = java.nio.file.Files.createTempDirectory("graft_ab_relfrag").toString
+      val maxId = 500L * amp
+      val (_, fragBuild) = timed {
+        (0 until chunks).foreach { i =>
+          val lo = maxId * i / chunks
+          val hi = if (i == chunks - 1) maxId else maxId * (i + 1) / chunks
+          val chunk = corpus.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          if (i == 0)
+            org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+              graft.release.ReleaseStore.init(
+                spark, chunk, "doc_id", "text", p, s"$dir2/st"))
+          else
+            org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+              graft.release.ReleaseStore.increment(
+                spark, chunk, "doc_id", "text", p, s"$dir2/st"))
+          sweep()
+        }
+      }
+      def probeOnce(): (Set[(Long, String)], Double) = {
+        // Probe on a COPY: increments append, and the compacted re-probe
+        // must see the same store the fragmented probe saw.
+        val probeDir = java.nio.file.Files.createTempDirectory("graft_ab_relprobe")
+        def copy(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(src).iterator().asScala.foreach { q =>
+            val t = dst.resolve(src.relativize(q))
+            if (java.nio.file.Files.isDirectory(q))
+              java.nio.file.Files.createDirectories(t)
+            else { java.nio.file.Files.copy(q, t); () }
+          }
+        }
+        copy(java.nio.file.Paths.get(s"$dir2/st"), probeDir.resolve("st"))
+        val r = timed {
+          val rel = graft.release.ReleaseStore.increment(
+            spark, batch, "doc_id", "text", p, probeDir.resolve("st").toString)
+          val rows = rel.select(col("doc_id"), col("split")).collect()
+            .map(x => (x.getLong(0), x.getString(1))).toSet
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(rel)
+          rows
+        }
+        sweep()
+        r
+      }
+      val (fragRows, fragWall) = probeOnce()
+      val (_, compactWall) = timed {
+        graft.release.ReleaseStore.compact(spark, s"$dir2/st")
+      }
+      sweep()
+      val (compRows, compWall) = probeOnce()
+      require(compRows == fragRows,
+        s"increment diverged across layouts: fragmented=${fragRows.size} compacted=${compRows.size}")
+      println(f"AB-RELEASEINC-COMPACT amp=$amp chunks=$chunks " +
+        f"frag_build=$fragBuild%.1f s probe_frag=$fragWall%.1f s " +
+        f"compact=$compactWall%.1f s probe_compacted=$compWall%.1f s " +
+        f"probe_onesave=$incWall%.1f s released=${fragRows.size}")
+    }
     spark.stop()
   }
 }

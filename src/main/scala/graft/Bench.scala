@@ -855,7 +855,22 @@ object Bench {
       // verdicts' #1 ask, p22): the four stores composed into the
       // per-crawl-batch release, priced against the from-scratch batch
       // chain on the union.
-      "\"r15 AbReleaseInc (composed p22 release: gate retrain + near-dup probe + touched-cluster CC + span probe + appends; sf0.01 batch vs Nx rep-prefixed corpus, stopwords kept so the gate keeps its real distribution): ReleaseStore.increment stays near-flat 10.6/13.0/12.6/14.0 s at corpus 16x/64x/256x/512x while the batch chain on the union grows linearly 9.1/16.4/41.1/75.1 s - 5.4x at 512x, widening, crossover ~32x; one-time store build 25.9/34.6/65.3/90.9 s amortizes across increments; released rows identical both paths at every point (178/220/208/196) and the sf0.001 equality is spec-pinned in ReleaseStoreSpec including dethroning + composed-takedown scenarios\"")
+      "\"r15 AbReleaseInc (composed p22 release: gate retrain + near-dup probe + touched-cluster CC + span probe + appends; sf0.01 batch vs Nx rep-prefixed corpus, stopwords kept so the gate keeps its real distribution): ReleaseStore.increment stays near-flat 10.6/13.0/12.6/14.0 s at corpus 16x/64x/256x/512x while the batch chain on the union grows linearly 9.1/16.4/41.1/75.1 s - 5.4x at 512x, widening, crossover ~32x; one-time store build 25.9/34.6/65.3/90.9 s amortizes across increments; released rows identical both paths at every point (178/220/208/196) and the sf0.001 equality is spec-pinned in ReleaseStoreSpec including dethroning + composed-takedown scenarios\"",
+      "\"r15 AbReleaseInc compaction leg (64x corpus arriving as 16 real increments): fragmented composed store probes the next batch at 10.2 s; ReleaseStore.compact one-time 4.5 s (sub-store compacts + clusters folded to latest generation) drops it to 8.6 s - below even the single-save store's 11.1 s; released rows identical across layouts (220; spec-pinned in ReleaseStoreSpec)\"",
+      // r15 span stop-gram cap priced (AbSpanSkew — the r13 #5 / r14 #2
+      // ask's measurement leg): a planted 30-token boilerplate run in
+      // EVERY doc, the quadratic hot key the cap exists for.
+      "\"r15 AbSpanSkew (every doc carries the same 30-token boilerplate run; sf0.01 xN corpus; maxDf=16): uncapped spanDedup is quadratic in gram df as predicted - 29.8 s / 2.0M spans at 2000 docs -> 116.5 s / 8.0M spans at 4000 docs (3.9x wall for 2x docs) while the capped operator stays linear 8.8 -> 10.9 s (6k/12k organic spans) - speedup 3.4x -> 10.7x, widening quadratically; incremental probe same story: capped SpanStore.searchNew flat 3.2/2.6 s vs uncapped 8.6/23.0 s (2.7x/8.7x), the heavy-gram list summed from the stored gramdf partials + batch df, never a stored pos-level rescan; cap semantics property-pinned in DedupProperties, capped-probe==capped-union pinned in SpanStoreSpec\"",
+      // r15 adjudication of the three r14-verdict contention suspects
+      // (fresh-JVM QBench, interleaved HEAD vs r14 tree 7349db8 in
+      // .bisect-r14, load1 0.9-3.5 from the harness itself): all three
+      // entries are git-identical between trees and both trees floor
+      // far below the flagged session walls — exonerated.
+      "\"r15 adjudication g14_path_load (r14 session 8.55 s at load1 3.9-5.0): fresh-JVM floors HEAD 4.72/5.06 s vs r14 tree 3.72/4.76 s, cpu 3.9-4.6 both; i4_personalized (session 2.68 s): HEAD 2.24/2.41 vs r14 1.55/2.05; d20_threshold_sweep (session 3.31 s): HEAD 1.69/1.82 vs r14 1.42/1.83 - all three git-identical between trees, inter-tree deltas within the load swing observed across reps (a same-tree rep at load1 3.5 floored at 6.24 s); box contention, all exonerated per the standing r10/r11/r13 protocol\"",
+      // r15 composed-chain scale shares (AbRelease — the r13 #7 ask):
+      // per-stage walls of the p20/p22 batch chain at Nx corpus, warm
+      // JVM (an amp=1 warm-up pass absorbs JIT before the quoted amps).
+      "\"r15 AbRelease (composed-chain per-stage scale shares, warm JVM, 4x/16x/64x sf0.01 corpus = 2k/8k/32k docs): total wall 6.3/8.2/12.4 s - 2x wall for 16x docs, no composed stage superlinear; shares gate 27-49% / neardup 50-70% / span+split 1-3% (survivor spans are few on the rep-prefixed corpus; standalone spanDedupApply over the full 32k corpus is 1.1 s); gate/neardup executor-cpu grows ~linearly with the corpus (1->13 s and 3->21 s at 4x->64x)\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

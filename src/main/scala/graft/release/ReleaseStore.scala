@@ -406,6 +406,51 @@ object ReleaseStore {
     * skipped and the (idempotent) index/membership rewrites re-run; a
     * PARTIAL ledger overlap is ambiguous and refused.
     */
+  /** [[DedupStore.recoverRelations]] over this store's own swapped
+    * relations (clusters, released) — the per-store sub-stores have
+    * their own `recover` (DedupStore.recover, SpanStore.recover). After
+    * a crash inside [[remove]], recover each store, then re-run the
+    * same remove (resume-safe per the contract below).
+    */
+  def recover(s: SparkSession, path: String): Unit =
+    DedupStore.recoverRelations(s, path, Seq("clusters", "released"))
+
+  /** Maintenance: compact every sub-store and this store's own
+    * relations — the composed edition of the per-store compacts, run on
+    * the same schedule. Beyond the file-splatter rewrite
+    * ([[DedupStore.compact]] / [[SpanStore.compact]] fix the probes'
+    * scan tax), the clusters relation FOLDS to its latest generation:
+    * one row per member (max-gen row wins — exactly what `latest()`
+    * computes per increment), so superseded rep rows from bridging
+    * merges stop being rescanned; the surviving rows keep their gen
+    * values, so the increment's gen sequence continues unbroken.
+    * The classifier store needs no compaction (its partials are
+    * dims²-bounded per increment; trainStored's sum absorbs them).
+    * Increment results are unchanged across the rewrite (spec-pinned);
+    * crash safety is the shared per-relation rename-aside swap.
+    */
+  def compact(s: SparkSession, path: String, files: Int = 8): Unit = {
+    DedupStore.compact(s, s"$path/neardup", files)
+    SpanStore.compact(s, s"$path/spans", files)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
+    fs.delete(tmp, true)
+    s.read.parquet(s"$path/clusters")
+      .groupBy(col("member_id"))
+      .agg(max(struct(col("gen"), col("rep_id"), col("n_tok"))).as("m"))
+      .select(col("member_id"), col("m.rep_id").as("rep_id"),
+        col("m.n_tok").as("n_tok"), col("m.gen").as("gen"))
+      .repartitionByRange(files, col("member_id"))
+      .sortWithinPartitions(col("member_id"))
+      .write.parquet(s"$tmp/clusters")
+    s.read.parquet(s"$path/released")
+      .repartitionByRange(files, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.parquet(s"$tmp/released")
+    DedupStore.swapRelations(fs, root, tmp, Seq("clusters", "released"))
+  }
+
   def remove(
       s: SparkSession, removedDocs0: DataFrame, idCol: String, textCol: String,
       p: ReleaseParams, path: String): Unit = {

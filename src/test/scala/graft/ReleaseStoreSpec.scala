@@ -327,4 +327,83 @@ class ReleaseStoreSpec extends SparkSpec {
       s"510 joined the rep-removed cluster but drew ${j510.get._3} on rep " +
         s"${j510.get._2}; expected the cluster's original split $split10 on rep 10")
   }
+
+  private def copyDir(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).iterator().asScala.foreach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else { java.nio.file.Files.copy(p, t); () }
+    }
+  }
+
+  test("composed compact: increments identical across layouts; clusters fold to latest generation") {
+    val dir = Files.createTempDirectory("graft_release_compact").toString
+    val s0 = docs.filter(col("doc_id") < 250)
+    val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 400)
+    val b2 = docs.filter(col("doc_id") >= 400)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, s0, "doc_id", "text", P, s"$dir/st"))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.increment(spark, b1, "doc_id", "text", P, s"$dir/st"))
+    copyDir(s"$dir/st", s"$dir/uncompacted")
+    ReleaseStore.compact(spark, s"$dir/st", files = 2)
+    val cl = spark.read.parquet(s"$dir/st/clusters")
+    assert(cl.count() == cl.select("member_id").distinct().count(),
+      "compact left more than one generation row per member")
+    val gotCompacted = freedRows(ReleaseStore.increment(
+      spark, b2, "doc_id", "text", P, s"$dir/st"))
+    val gotUncompacted = freedRows(ReleaseStore.increment(
+      spark, b2, "doc_id", "text", P, s"$dir/uncompacted"))
+    assert(gotCompacted == gotUncompacted,
+      s"increment diverged across layouts: " +
+        s"missing=${(gotUncompacted -- gotCompacted).take(3)} " +
+        s"extra=${(gotCompacted -- gotUncompacted).take(3)}")
+    assert(gotCompacted.nonEmpty, "increment released nothing; fixture too weak")
+  }
+
+  test("composed takedown is resume-safe: identical re-run resumes, partial overlap refused") {
+    // ReleaseStore.remove's crash contract: re-running the SAME takedown
+    // after a crash must succeed (the classifier subtraction is skipped
+    // when the ledger already carries every id; the index/membership
+    // rewrites are idempotent), while a request OVERLAPPING a prior
+    // takedown is ambiguous and must be refused.
+    val dir = Files.createTempDirectory("graft_release_resume").toString
+    val d20 = toks("c20", 36)
+    val d21 = toks("c21", 30)
+    val storedRows = Seq(20L -> d20, 21L -> d21) ++
+      (0 until 6).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 6)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$dir/st"))
+    ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20)), "doc_id", "text", P, s"$dir/st")
+    val snapshot = spark.read.parquet(s"$dir/st/released").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    // Resume: the same ids, already fully ledgered — must succeed.
+    ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20)), "doc_id", "text", P, s"$dir/st")
+    val after = spark.read.parquet(s"$dir/st/released").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(after == snapshot, "a resumed takedown changed the released relation")
+    // The resume must NOT have double-subtracted the classifier stats:
+    // the stored weights still equal a train that never saw doc 20.
+    val survivors = mkDocs(storedRows.filterNot(_._1 == 20L))
+    val want = trainOn(survivors).orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = graft.ml.ClassifierStore.trainStored(
+        spark, s"$dir/st/classifier", P.dims, P.iters)
+      .orderBy("dim").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want, "resumed takedown corrupted the classifier statistics")
+    // Partial overlap: {20 (removed), 21 (not)} is neither fresh nor a
+    // resume — refused before any store is touched.
+    val err = intercept[IllegalArgumentException] {
+      ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20, 21L -> d21)),
+        "doc_id", "text", P, s"$dir/st")
+    }
+    assert(err.getMessage.contains("split the request"))
+    assert(spark.read.parquet(s"$dir/st/released").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSet == snapshot,
+      "a refused takedown still mutated the released relation")
+  }
 }
