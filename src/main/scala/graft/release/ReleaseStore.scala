@@ -252,6 +252,22 @@ object ReleaseStore {
     val before = graft.RddScope.persisted(s)
     val docs = norm(newDocs0, idCol, textCol).localCheckpoint(true)
 
+    // (0) Monotone-id guard, BEFORE anything is appended: one aggregate
+    // over the clusters relation (which the increment reads anyway for
+    // the generation counter) catches the common contract violation —
+    // a batch id at or below a stored KEPT id. Gate-rejected stored ids
+    // are not covered (full coverage would scan the classifier's docs
+    // ledger); the contract itself remains the caller's.
+    val meta = s.read.parquet(s"$path/clusters")
+      .agg(coalesce(max(col("gen")), lit(0L)).as("g"),
+        max(col("member_id")).as("m")).first()
+    val gen = meta.getLong(0) + 1L
+    val minNewRow = docs.agg(min(col("doc_id"))).first()
+    if (!meta.isNullAt(1) && !minNewRow.isNullAt(0))
+      require(minNewRow.getLong(0) > meta.getLong(1),
+        s"increment ids must be monotone across batches: batch min id " +
+          s"${minNewRow.getLong(0)} <= stored kept max ${meta.getLong(1)}")
+
     // (1) Gate: append the batch's statistics, retrain on everything
     // (bit-identical to a union batch train), score the batch.
     val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
@@ -364,8 +380,6 @@ object ReleaseStore {
       p.n, p.bands, p.rowsPerBand, s"$path/neardup")
     SpanStore.append(withRep.select(col("doc_id"), col("text")),
       "doc_id", "text", p.minTokens, s"$path/spans")
-    val gen = clusters.agg(coalesce(max(col("gen")), lit(0L)).as("g"))
-      .first().getLong(0) + 1L
     val newRows = ntokNew
       .join(cc, Seq("member_id"), "left")
       .select(col("member_id"),

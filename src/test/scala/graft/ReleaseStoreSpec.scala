@@ -340,6 +340,23 @@ class ReleaseStoreSpec extends SparkSpec {
     }
   }
 
+  test("increment refuses a non-monotone batch id before touching any store") {
+    val dir = Files.createTempDirectory("graft_release_mono").toString
+    val storedRows = Seq(20L -> toks("c20", 30)) ++
+      (0 until 4).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 4)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$dir/st"))
+    val ledgerBefore = spark.read.parquet(s"$dir/st/classifier/docs").count()
+    val err = intercept[IllegalArgumentException] {
+      ReleaseStore.increment(spark,
+        mkDocs(Seq(5L -> toks("b5", 24), 100L -> toks("b100", 24))),
+        "doc_id", "text", P, s"$dir/st")
+    }
+    assert(err.getMessage.contains("monotone"))
+    assert(spark.read.parquet(s"$dir/st/classifier/docs").count() == ledgerBefore,
+      "a refused increment still appended classifier statistics")
+  }
+
   test("composed compact: increments identical across layouts; clusters fold to latest generation") {
     val dir = Files.createTempDirectory("graft_release_compact").toString
     val s0 = docs.filter(col("doc_id") < 250)
