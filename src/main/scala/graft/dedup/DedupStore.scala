@@ -132,28 +132,32 @@ object DedupStore {
     * multi-relation swap atomic behind a manifest/transaction log
     * (Delta/Iceberg-style), out of scope for the path-based store.
     */
-  /** TEST-ONLY failpoint: the number of renames [[swapRelations]]
-    * completes before throwing an injected IOException (SwapCrashSpec
-    * drives every kill point through this — k = 0 .. 2·|rels|−1 covers
-    * a crash before/between/after every rename, including the
-    * cross-relation mixed-generation windows). Int.MaxValue (= never)
-    * in production; the injected throw resets it.
+  /** TEST-ONLY failpoint: the number of [[swapRelations]] renames —
+    * counted ACROSS calls, so a multi-store operation like
+    * `ReleaseStore.remove` (three swaps back to back) exposes every
+    * kill point of every swap — completed before an injected
+    * IOException is thrown. k = 0 .. total-renames−1 covers a crash
+    * before/between/after every rename, including the cross-relation
+    * and cross-store mixed-generation windows (SwapCrashSpec /
+    * ReleaseStoreSpec drive them all). Int.MaxValue (= never) in
+    * production; the injected throw resets it.
     */
   @volatile private[graft] var swapFailAfterRenames: Int = Int.MaxValue
 
   private[graft] def swapRelations(
       fs: org.apache.hadoop.fs.FileSystem, root: org.apache.hadoop.fs.Path,
       tmp: org.apache.hadoop.fs.Path, rels: Seq[String]): Unit = {
-    var renames = 0
     def rename(from: org.apache.hadoop.fs.Path,
                to: org.apache.hadoop.fs.Path, what: String): Unit = {
-      if (renames >= swapFailAfterRenames) {
-        swapFailAfterRenames = Int.MaxValue
-        throw new java.io.IOException(
-          s"injected swap crash before rename of $what")
+      if (swapFailAfterRenames != Int.MaxValue) {
+        if (swapFailAfterRenames <= 0) {
+          swapFailAfterRenames = Int.MaxValue
+          throw new java.io.IOException(
+            s"injected swap crash before rename of $what")
+        }
+        swapFailAfterRenames -= 1
       }
       require(fs.rename(from, to), s"store swap: rename of $what failed")
-      renames += 1
     }
     rels.foreach { rel =>
       val live = new org.apache.hadoop.fs.Path(root, rel)

@@ -357,6 +357,58 @@ class ReleaseStoreSpec extends SparkSpec {
       "a refused increment still appended classifier statistics")
   }
 
+  test("composed takedown under crash: every swap kill point recovers, the re-run resumes, state matches a never-crashed takedown") {
+    // ReleaseStore.remove runs THREE crash-safe swaps back to back
+    // (neardup bands/shingles/counts, spans grams/gramdf, then its own
+    // clusters/released) after the ledger-first classifier subtraction.
+    // For every rename kill point across all three (14 = 6 + 4 + 4):
+    // crash, run the documented recovery (per-store recover + re-run
+    // the SAME remove — which takes the RESUME path, since the
+    // classifier ledger was written before the first swap), and pin the
+    // store byte-equal on its released relation to a never-crashed
+    // takedown, with a follow-up increment agreeing at the extremes.
+    val root = Files.createTempDirectory("graft_release_crash").toString
+    val d20 = toks("c20", 36)
+    val storedRows = Seq(20L -> d20, 21L -> toks("c21", 30)) ++
+      (0 until 4).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 4)
+    val b2 = mkDocs(Seq(410L -> (toks("b410", 15) ++ d20.slice(9, 18) ++
+      toks("b410z", 9)), 420L -> toks("b420", 24)) ++ negDocs(450, 3))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$root/base/st"))
+    def released(p: String) = spark.read.parquet(s"$p/released").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+
+    copyDir(s"$root/base", s"$root/ref")
+    ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20)), "doc_id", "text", P, s"$root/ref/st")
+    val wantReleased = released(s"$root/ref/st")
+    val wantB2 = freedRows(ReleaseStore.increment(
+      spark, b2, "doc_id", "text", P, s"$root/ref/st"))
+
+    for (k <- 0 until 14) {
+      val dir = s"$root/k$k"
+      copyDir(s"$root/base", dir)
+      graft.dedup.DedupStore.swapFailAfterRenames = k
+      try {
+        val e = intercept[java.io.IOException] {
+          ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20)), "doc_id", "text", P, s"$dir/st")
+        }
+        assert(e.getMessage.contains("injected swap crash"))
+      } finally graft.dedup.DedupStore.swapFailAfterRenames = Int.MaxValue
+      graft.dedup.DedupStore.recover(spark, s"$dir/st/neardup")
+      graft.dedup.SpanStore.recover(spark, s"$dir/st/spans")
+      ReleaseStore.recover(spark, s"$dir/st")
+      ReleaseStore.remove(spark, mkDocs(Seq(20L -> d20)), "doc_id", "text", P, s"$dir/st")
+      assert(released(s"$dir/st") == wantReleased,
+        s"kill point $k: recovered+resumed store diverged from the never-crashed takedown")
+      if (k == 0 || k == 13) {
+        val gotB2 = freedRows(ReleaseStore.increment(
+          spark, b2, "doc_id", "text", P, s"$dir/st"))
+        assert(gotB2 == wantB2,
+          s"kill point $k: post-recovery increment diverged")
+      }
+    }
+  }
+
   test("composed compact: increments identical across layouts; clusters fold to latest generation") {
     val dir = Files.createTempDirectory("graft_release_compact").toString
     val s0 = docs.filter(col("doc_id") < 250)
