@@ -16,7 +16,12 @@ import graft.text.TextFns
 final case class ReleaseParams(
     dims: Int = 32, iters: Int = 32,
     n: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
-    threshold: Double = 0.3, minTokens: Int = 6)
+    threshold: Double = 0.3, minTokens: Int = 6,
+    // The optional SEMANTIC dedup stage (SemDeDup over an embedding
+    // column, the d18/IndexStore configuration): sign-cell dims and the
+    // duplicate cosine threshold. Only consulted when a vecs relation
+    // is passed to init/increment/batchRelease.
+    vecDims: Int = 6, vecEps: Double = 0.95)
 
 /** The INCREMENTAL curation release — p20's per-crawl-batch shape, and
   * the composition the four stores exist for. `p20_release_pipeline`
@@ -44,7 +49,18 @@ final case class ReleaseParams(
   *   `<path>/spans`      — [[SpanStore]]: anchor grams of the RELEASED
   *       (survivor) docs' original texts — the span stage's corpus;
   *   `<path>/released`   — (doc_id, rep_id, split, text_dedup): the
-  *       accumulated release.
+  *       accumulated release;
+  *   `<path>/ivf`        — OPTIONAL ([[graft.sim.IndexStore]] layout),
+  *       present when [[init]] was given an embedding relation
+  *       (doc_id, v ARRAY<DOUBLE>): the accepted docs' vectors. With
+  *       it, a SEMANTIC dedup stage (SemDeDup — the d18 configuration)
+  *       runs between the text near-dup drop and the span stage:
+  *       survivors probe the store with
+  *       [[graft.sim.IndexStore.dedupNewIvfStatic]] (greedy-by-id,
+  *       vecEps cosine within the sign cell) and flagged docs drop.
+  *       Docs without a vector pass and are not indexed; the store
+  *       holds ACCEPTED vectors only, so a dropped doc never blocks a
+  *       future arrival (spec-pinned).
   *
   * [[increment]] composes the per-store probes into the batch-run
   * semantics: retrain-and-gate (exact: statistics additivity), probe
@@ -123,7 +139,12 @@ object ReleaseStore {
 
   private[graft] case class Chain(
       keptDocs: DataFrame, members: DataFrame, ntokKept: DataFrame,
-      withRep: DataFrame, released: DataFrame)
+      withRep: DataFrame, released: DataFrame,
+      survVecs: Option[DataFrame])
+
+  private def normVecs(v0: DataFrame): DataFrame =
+    v0.select(col(v0.columns(0)).cast("long").as("vec_id"),
+      col(v0.columns(1)).as("v"))
 
   private case class Stages(feat: DataFrame, lab: DataFrame, chain: Chain)
 
@@ -132,7 +153,8 @@ object ReleaseStore {
     * state IS a batch run's state.
     */
   private def batchStages(
-      docs: DataFrame, p: ReleaseParams, portablePairs: Boolean): Stages = {
+      docs: DataFrame, p: ReleaseParams, portablePairs: Boolean,
+      vecs: Option[DataFrame]): Stages = {
     val s = docs.sparkSession
     val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
       .localCheckpoint(true)
@@ -142,7 +164,7 @@ object ReleaseStore {
       .filter(col("margin") > 0).select(col("doc_id"))
     val keptDocs = docs.join(kept, "doc_id")
       .select(col("doc_id"), col("text")).localCheckpoint(true)
-    Stages(feat, lab, releaseKept(keptDocs, p, portablePairs))
+    Stages(feat, lab, releaseKept(keptDocs, p, portablePairs, vecs))
   }
 
   /** The POST-GATE chain (near-dup drop → span excision → split) on an
@@ -154,7 +176,8 @@ object ReleaseStore {
     * store's own by construction.
     */
   private[graft] def releaseKept(
-      keptDocs: DataFrame, p: ReleaseParams, portablePairs: Boolean): Chain = {
+      keptDocs: DataFrame, p: ReleaseParams, portablePairs: Boolean,
+      vecs: Option[DataFrame] = None): Chain = {
     val pairs = (if (portablePairs)
         Dedup.minhashLshPairsPortable(keptDocs, "doc_id", "text",
           p.n, p.bands, p.rowsPerBand, p.threshold)
@@ -174,18 +197,44 @@ object ReleaseStore {
       .select(col("member_id"))
     val survivors = keptDocs
       .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
-    val withRep = survivors
+    val withRep0 = survivors
       .join(broadcast(canon), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .localCheckpoint(true)
+    // Optional SEMANTIC stage (SemDeDup, d18's greedy-by-id rule over
+    // the input itself — a first batch against an empty store): a
+    // survivor is dropped when a SMALLER-id survivor in its sign cell
+    // reaches vecEps cosine. Docs without a vector pass and are not
+    // indexed. The incremental edition probes the persisted IVF store
+    // instead ([[increment]]); both apply the same arrival-greedy rule.
+    val (withRep, survVecs) = vecs match {
+      case None => (withRep0, None)
+      case Some(v0) =>
+        val sv = normVecs(v0)
+          .join(withRep0.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .localCheckpoint(true)
+        val asg = sv.select(col("vec_id"), col("v"),
+          graft.sim.IndexStore.cellOf(col("v"), p.vecDims).as("cell"))
+        val flagged = asg
+          .join(asg.select(col("cell").as("cell_b"), col("vec_id").as("nbr"),
+            col("v").as("nv")),
+            col("cell") === col("cell_b") && col("nbr") < col("vec_id"))
+          .filter(graft.sim.Similarity.cosine(col("v"), col("nv")) >= p.vecEps)
+          .select(col("vec_id").as("doc_id")).distinct()
+        val kept = withRep0.join(flagged, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        (kept, Some(sv.join(kept.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")))
+    }
     val deduped = Dedup.spanDedupApply(
       withRep.select(col("doc_id"), col("text")), "doc_id", "text", p.minTokens)
     val released = deduped
       .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
       .select(col("doc_id"), col("rep_id"),
         splitOf(col("rep_id")).as("split"), col("text_dedup"))
-    Chain(keptDocs, cl, ntokKept, withRep, released)
+    Chain(keptDocs, cl, ntokKept, withRep, released, survVecs)
   }
 
   /** One-shot batch release: (doc_id, rep_id, split, text_dedup). The
@@ -196,10 +245,11 @@ object ReleaseStore {
     */
   def batchRelease(
       docs0: DataFrame, idCol: String, textCol: String, p: ReleaseParams,
-      portablePairs: Boolean = false): DataFrame = {
+      portablePairs: Boolean = false,
+      vecs: Option[DataFrame] = None): DataFrame = {
     val s = docs0.sparkSession
     val before = graft.RddScope.persisted(s)
-    val st = batchStages(norm(docs0, idCol, textCol), p, portablePairs)
+    val st = batchStages(norm(docs0, idCol, textCol), p, portablePairs, vecs)
     val released = st.chain.released.localCheckpoint(true)
     graft.RddScope.sweepExcept(s, before, released)
     released
@@ -211,10 +261,11 @@ object ReleaseStore {
     */
   def init(
       s: SparkSession, docs0: DataFrame, idCol: String, textCol: String,
-      p: ReleaseParams, path: String): DataFrame = {
+      p: ReleaseParams, path: String,
+      vecs: Option[DataFrame] = None): DataFrame = {
     val before = graft.RddScope.persisted(s)
     val docs = norm(docs0, idCol, textCol).localCheckpoint(true)
-    val st = batchStages(docs, p, portablePairs = false)
+    val st = batchStages(docs, p, portablePairs = false, vecs)
     ClassifierStore.save(st.feat, st.lab, s"$path/classifier")
     DedupStore.save(st.chain.keptDocs, "doc_id", "text",
       p.n, p.bands, p.rowsPerBand, s"$path/neardup")
@@ -229,6 +280,11 @@ object ReleaseStore {
       .write.mode("overwrite").parquet(s"$path/clusters")
     SpanStore.save(st.chain.withRep.select(col("doc_id"), col("text")),
       "doc_id", "text", p.minTokens, s"$path/spans")
+    // Embedding-aware store: persist the accepted (released) docs'
+    // vectors in the IVF layout. A store initialized WITHOUT vecs stays
+    // text-only — a later increment may not introduce embeddings.
+    st.chain.survVecs.foreach(v =>
+      graft.sim.IndexStore.saveIvfStatic(v, p.vecDims, s"$path/ivf"))
     val released = st.chain.released.localCheckpoint(true)
     released.write.mode("overwrite").parquet(s"$path/released")
     graft.RddScope.sweepExcept(s, before, released)
@@ -248,7 +304,8 @@ object ReleaseStore {
     */
   def increment(
       s: SparkSession, newDocs0: DataFrame, idCol: String, textCol: String,
-      p: ReleaseParams, path: String): DataFrame = {
+      p: ReleaseParams, path: String,
+      vecs: Option[DataFrame] = None): DataFrame = {
     val before = graft.RddScope.persisted(s)
     val docs = norm(newDocs0, idCol, textCol).localCheckpoint(true)
 
@@ -336,13 +393,45 @@ object ReleaseStore {
       .select(col("member_id").as("doc_id"))
       .localCheckpoint(true) // consumed by dropsB and dethroned
     val dropsB = losers.join(newIds, Seq("doc_id"), "left_semi")
-    val withRep = keptDocs
+    val withRep0 = keptDocs
       .join(broadcast(dropsB), Seq("doc_id"), "left_anti")
       .join(broadcast(cc.select(col("member_id").as("doc_id"), col("rep_id"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .localCheckpoint(true)
+
+    // (5b) Optional SEMANTIC stage: near-dup survivors probe the
+    // persisted IVF store ([[graft.sim.IndexStore.dedupNewIvfStatic]] —
+    // flagged when a stored accepted vector, or a smaller-id batch
+    // peer, reaches vecEps cosine in the same sign cell). Docs without
+    // a vector pass and are not indexed. The store holds ACCEPTED
+    // vectors only (a dropped doc's near-match does not block future
+    // arrivals — spec-pinned), mirroring the span store's
+    // survivors-only population.
+    val (withRep, survVecs) = vecs match {
+      case None => (withRep0, None)
+      case Some(v0) =>
+        val ivf = new org.apache.hadoop.fs.Path(s"$path/ivf")
+        val fsv = ivf.getFileSystem(s.sparkContext.hadoopConfiguration)
+        require(fsv.exists(ivf),
+          "increment got an embedding relation but the store was " +
+            "initialized without one (init with vecs to enable the " +
+            "semantic stage)")
+        val sv = normVecs(v0)
+          .join(withRep0.select(col("doc_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          .localCheckpoint(true)
+        val res = graft.sim.IndexStore.dedupNewIvfStatic(
+          s, s"$path/ivf", sv, p.vecDims, p.vecEps)
+        val flagged = res.filter(col("is_dup"))
+          .select(col("vec_id").as("doc_id")).localCheckpoint(true)
+        free(res)
+        val keptSem = withRep0.join(flagged, Seq("doc_id"), "left_anti")
+          .localCheckpoint(true)
+        (keptSem, Some(sv.join(keptSem.select(col("doc_id").as("vec_id")),
+          Seq("vec_id"), "left_semi")))
+    }
 
     // (6) Dethroned stored docs: RELEASED members that just lost their
     // canonical seat to the batch. The union batch run's survivor set
@@ -380,6 +469,8 @@ object ReleaseStore {
       p.n, p.bands, p.rowsPerBand, s"$path/neardup")
     SpanStore.append(withRep.select(col("doc_id"), col("text")),
       "doc_id", "text", p.minTokens, s"$path/spans")
+    survVecs.foreach(v =>
+      graft.sim.IndexStore.appendIvfStatic(v, p.vecDims, s"$path/ivf"))
     val newRows = ntokNew
       .join(cc, Seq("member_id"), "left")
       .select(col("member_id"),
@@ -446,6 +537,9 @@ object ReleaseStore {
   def compact(s: SparkSession, path: String, files: Int = 8): Unit = {
     DedupStore.compact(s, s"$path/neardup", files)
     SpanStore.compact(s, s"$path/spans", files)
+    val ivfP = new org.apache.hadoop.fs.Path(s"$path/ivf")
+    if (ivfP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ivfP))
+      graft.sim.IndexStore.compact(s, s"$path/ivf")
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
@@ -489,6 +583,9 @@ object ReleaseStore {
         "nor a resume; split the request")
     DedupStore.remove(s, s"$path/neardup", ids)
     SpanStore.remove(s, s"$path/spans", ids)
+    val ivfP = new org.apache.hadoop.fs.Path(s"$path/ivf")
+    if (ivfP.getFileSystem(s.sparkContext.hadoopConfiguration).exists(ivfP))
+      graft.sim.IndexStore.remove(s, s"$path/ivf", ids)
     val root = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
     fs.delete(tmp, true)

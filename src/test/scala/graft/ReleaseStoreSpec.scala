@@ -328,6 +328,86 @@ class ReleaseStoreSpec extends SparkSpec {
         s"${j510.get._2}; expected the cluster's original split $split10 on rep 10")
   }
 
+  test("optional semantic stage: the IVF store composed in — cross-increment flags, survivors-only, takedown-aware") {
+    // The fourth store. Distinct sign patterns land in distinct cells
+    // (never compared); scalar multiples are exact cosine-1 duplicates
+    // in the same cell.
+    val vA = Seq(0.9, 0.5, -0.4, 0.7, -0.6, 0.3)
+    val vB = Seq(-0.8, 0.6, 0.2, -0.5, 0.4, -0.7)
+    val vC = Seq(0.5, -0.9, 0.3, 0.2, 0.8, -0.1)
+    val vD = Seq(-0.3, -0.7, 0.6, 0.4, -0.2, 0.9)
+    val vE = Seq(0.2, 0.8, 0.5, -0.6, -0.9, -0.4)
+    def near(v: Seq[Double]): Seq[Double] = v.map(_ * 0.9)
+    def mkVecs(rows: Seq[(Long, Seq[Double])]) = {
+      import spark.implicits._
+      rows.toDF("vec_id", "v")
+    }
+    val dir = Files.createTempDirectory("graft_release_sem").toString
+    val txtOnly = Files.createTempDirectory("graft_release_semref").toString
+    val d20 = toks("c20", 30)
+    val storedRows = Seq(20L -> d20, 21L -> toks("c21", 30)) ++
+      (0 until 4).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 4)
+    val storedVecs = mkVecs(Seq(20L -> vA, 21L -> vB, 40L -> vC))
+    // B1: 310 text-novel but vec ~ stored 20 -> SEMANTIC drop; 320 has
+    // no vector -> passes; 330 novel vector -> released + indexed;
+    // 340 TEXT near-dup of stored 20 (dropped before the semantic
+    // stage) carrying a novel vector vE -> vE must NOT be indexed.
+    val b1Rows = Seq(310L -> toks("b310", 24), 320L -> toks("b320", 24),
+      330L -> toks("b330", 24), 340L -> d20.updated(28, "b340alt")) ++
+      negDocs(350, 3)
+    val b1Vecs = mkVecs(Seq(310L -> near(vA), 330L -> vD, 340L -> vE))
+    // B2: 410 vec ~ 330's (appended in B1) -> cross-increment drop;
+    // 420 vec ~ 340's vE — 340 never entered the store -> kept.
+    val b2Rows = Seq(410L -> toks("b410", 24), 420L -> toks("b420", 24)) ++
+      negDocs(450, 3)
+    val b2Vecs = mkVecs(Seq(410L -> near(vD), 420L -> near(vE)))
+    // B3 after taking down 330: 430 vec ~ vD is novel again.
+    val b3Rows = Seq(430L -> toks("b430", 24)) ++ negDocs(550, 3)
+    val b3Vecs = mkVecs(Seq(430L -> near(near(vD))))
+
+    val init0 = {
+      val r = ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text",
+        P, s"$dir/st", vecs = Some(storedVecs))
+      val rows0 = rows(r)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(r)
+      rows0
+    }
+    assert(Set(20L, 21L).subsetOf(init0.map(_._1)),
+      "semantically-distinct stored docs were dropped; fixture broken")
+    val inc1 = freedRows(ReleaseStore.increment(
+      spark, mkDocs(b1Rows), "doc_id", "text", P, s"$dir/st",
+      vecs = Some(b1Vecs)))
+    assert(!inc1.exists(_._1 == 310L), "310 ~ stored vector 20 was not flagged")
+    assert(inc1.exists(_._1 == 320L), "vector-less 320 should pass the stage")
+    assert(inc1.exists(_._1 == 330L), "novel-vector 330 should be released")
+    assert(!inc1.exists(_._1 == 340L), "text near-dup 340 escaped the text stage")
+    val inc2 = freedRows(ReleaseStore.increment(
+      spark, mkDocs(b2Rows), "doc_id", "text", P, s"$dir/st",
+      vecs = Some(b2Vecs)))
+    assert(!inc2.exists(_._1 == 410L),
+      "410 ~ the vector 330 appended last increment was not flagged")
+    assert(inc2.exists(_._1 == 420L),
+      "420 ~ the DROPPED doc 340's vector was flagged — the store must hold accepted vectors only")
+    ReleaseStore.remove(spark, mkDocs(Seq(330L -> toks("b330", 24))),
+      "doc_id", "text", P, s"$dir/st")
+    assert(spark.read.parquet(s"$dir/st/ivf")
+      .filter(col("vec_id") === 330L).count() == 0,
+      "takedown left 330's vector in the IVF store")
+    val inc3 = freedRows(ReleaseStore.increment(
+      spark, mkDocs(b3Rows), "doc_id", "text", P, s"$dir/st",
+      vecs = Some(b3Vecs)))
+    assert(inc3.exists(_._1 == 430L),
+      "430 ~ the REMOVED doc 330's vector was still flagged after takedown")
+    // Observability: a text-only store releases 310 and 410 — the
+    // semantic stage, not the text stages, made the difference.
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$txtOnly/st"))
+    val t1 = freedRows(ReleaseStore.increment(
+      spark, mkDocs(b1Rows), "doc_id", "text", P, s"$txtOnly/st"))
+    assert(t1.exists(_._1 == 310L),
+      "text-only store dropped 310 — the semantic assertion above is vacuous")
+  }
+
   private def copyDir(src: String, dst: String): Unit = {
     import scala.jdk.CollectionConverters._
     val s = java.nio.file.Paths.get(src)
