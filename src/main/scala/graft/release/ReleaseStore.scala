@@ -488,11 +488,21 @@ object ReleaseStore {
     releasedB
   }
 
-  /** Composed takedown across all five relations — remove the docs'
-    * statistics, index rows, memberships, and released rows, so every
-    * FUTURE probe behaves as if they had never arrived (the per-store
-    * remove contracts, composed), with two deliberate, documented
-    * divergences from a literal never-saw pipeline:
+  /** [[DedupStore.recoverRelations]] over this store's own swapped
+    * relations (clusters, released) — the per-store sub-stores have
+    * their own `recover` (DedupStore.recover, SpanStore.recover). After
+    * a crash inside [[remove]], recover each store, then re-run the
+    * same remove (resume-safe per its contract; ReleaseStoreSpec
+    * drives every rename kill point of all three swaps).
+    */
+  def recover(s: SparkSession, path: String): Unit =
+    DedupStore.recoverRelations(s, path, Seq("clusters", "released"))
+
+  /** Composed takedown across every store relation — remove the docs'
+    * statistics, index rows, vectors, memberships, and released rows,
+    * so every FUTURE probe behaves as if they had never arrived (the
+    * per-store remove contracts, composed), with two deliberate,
+    * documented divergences from a literal never-saw pipeline:
     *
     *   - splits are takedown-STABLE: surviving members keep their
     *     rep_id draw key even when the rep doc itself is removed (an
@@ -511,14 +521,6 @@ object ReleaseStore {
     * skipped and the (idempotent) index/membership rewrites re-run; a
     * PARTIAL ledger overlap is ambiguous and refused.
     */
-  /** [[DedupStore.recoverRelations]] over this store's own swapped
-    * relations (clusters, released) — the per-store sub-stores have
-    * their own `recover` (DedupStore.recover, SpanStore.recover). After
-    * a crash inside [[remove]], recover each store, then re-run the
-    * same remove (resume-safe per the contract below).
-    */
-  def recover(s: SparkSession, path: String): Unit =
-    DedupStore.recoverRelations(s, path, Seq("clusters", "released"))
 
   /** Maintenance: compact every sub-store and this store's own
     * relations — the composed edition of the per-store compacts, run on
