@@ -89,6 +89,15 @@ final case class ReleaseParams(
   * doc stays released until a takedown/compaction policy retires it,
   * and the dethroned doc's spans are EXCLUDED from the batch's span
   * probe so the new docs' excisions still match the batch run exactly.
+  * (3) The OPTIONAL semantic stage is ARRIVAL-ORDER semantics by
+  * construction (greedy-by-id against the accepted store, like every
+  * greedy dedup): a batch replay of the union cannot reproduce it,
+  * because the replay would let docs that were themselves dropped
+  * block later arrivals. The batch-equality pins therefore cover the
+  * TEXT chain; the semantic stage is pinned pointwise per increment
+  * (cross-increment flags, survivors-only population, takedown purge —
+  * ReleaseStoreSpec) on top of IndexStoreSpec's union-restricted
+  * equality for the primitive itself.
   *
   * Takedown ([[remove]]) composes the four per-store removes plus the
   * clusters/released rewrites. Splits are takedown-STABLE by design:
