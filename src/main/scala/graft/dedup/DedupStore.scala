@@ -266,7 +266,34 @@ object DedupStore {
   def searchNew(
       spark: SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    searchNewImpl(spark, path, newDocs, idCol, textCol,
+      n, bands, rowsPerBand, threshold, alsoAppend = false)
+
+  /** [[searchNew]] + [[append]] fused into ONE pass over the batch: the
+    * probe's shingle and band relations are written to the store after
+    * the probe RESULT has materialized (an eager checkpoint — required
+    * for correctness, not just reuse: the refine reads the stored
+    * relations lazily, so appending first would double-count the
+    * batch's own shingles). Saves the batch's second tokenize + shingle
+    * + minhash pass — the adjudicate-then-accept shape every release
+    * increment runs ([[graft.release.ReleaseStore.increment]]).
+    * Equality with the two-call spelling is spec-pinned
+    * (DedupStoreSpec); the returned result carries a localCheckpoint —
+    * caller frees it.
+    */
+  def searchNewAndAppend(
+      spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame =
+    searchNewImpl(spark, path, newDocs, idCol, textCol,
+      n, bands, rowsPerBand, threshold, alsoAppend = true)
+
+  private def searchNewImpl(
+      spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      alsoAppend: Boolean): DataFrame = {
     val newSh = Dedup.shingleIndex(newDocs, idCol, textCol, n)
       .localCheckpoint(true)
     val newBands = Dedup.minhashBanded(newSh, bands, rowsPerBand)
@@ -278,9 +305,11 @@ object DedupStore {
     // so newBands' backing is no longer reachable from the result plan
     // and the caller's standard post-consumption sweep could never free
     // it (the round-10 n13 leak class). Its last consumer ran inside the
-    // checkpoint materialization — release it now. newSh stays: allSh
+    // checkpoint materialization — release it now (probe-only path; the
+    // fused path writes it to the store first). newSh stays: allSh
     // below keeps it reachable.
-    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newBands)
+    if (!alsoAppend)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newBands)
     // Refine touches only candidate-involved docs: restrict the stored
     // shingle scan to those ids (a batch-hit-sized set), and read the
     // per-doc counts from the store instead of re-aggregating the
@@ -293,6 +322,24 @@ object DedupStore {
       .join(candIds, Seq("id"), "left_semi")
     val counts = spark.read.parquet(s"$path/counts")
       .unionAll(newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh")))
-    Dedup.refineJaccardCounted(candidates, allSh, counts, threshold)
+    val refined = Dedup.refineJaccardCounted(candidates, allSh, counts, threshold)
+    if (!alsoAppend) refined
+    else {
+      // Materialize the probe BEFORE the store grows (the lazy stored
+      // reads above would otherwise see the batch's own appended rows),
+      // then append the already-computed relations: no second shingle
+      // or minhash pass over the batch.
+      val res = refined.localCheckpoint(true)
+      newBands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
+      newSh.write.mode("append").parquet(s"$path/shingles")
+      newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+        .write.mode("append").parquet(s"$path/counts")
+      // res' eager checkpoint truncated lineage above everything here —
+      // free the intermediates the caller's sweep could never reach.
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newBands)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newSh)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(candidates)
+      res
+    }
   }
 }

@@ -180,12 +180,35 @@ object SpanStore {
   def searchNew(
       spark: SparkSession, path: String,
       newDocs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, maxDf: Int = Int.MaxValue): DataFrame = {
+      minTokens: Int, maxDf: Int = Int.MaxValue): DataFrame =
+    searchNewImpl(spark, path, newDocs, idCol, textCol, minTokens, maxDf,
+      alsoAppend = false)
+
+  /** [[searchNew]] + [[append]] fused into ONE pass over the batch —
+    * [[DedupStore.searchNewAndAppend]]'s span sibling: the probe's
+    * anchor-gram relation (UNCAPPED — the cap is per-probe, the store
+    * holds everything) is written after the probe result materializes
+    * (eager checkpoint, required so the lazy stored-gram reads don't
+    * see the batch's own rows). Saves the batch's second tokenize +
+    * window pass. Equality with the two-call spelling is spec-pinned
+    * (SpanStoreSpec); the result carries a checkpoint — caller frees.
+    */
+  def searchNewAndAppend(
+      spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxDf: Int = Int.MaxValue): DataFrame =
+    searchNewImpl(spark, path, newDocs, idCol, textCol, minTokens, maxDf,
+      alsoAppend = true)
+
+  private def searchNewImpl(
+      spark: SparkSession, path: String,
+      newDocs: DataFrame, idCol: String, textCol: String,
+      minTokens: Int, maxDf: Int, alsoAppend: Boolean): DataFrame = {
     val newG0 = Dedup.anchorGrams(newDocs, idCol, textCol, minTokens)
       .localCheckpoint(true) // probed three times (two store arms + self)
     val storedAll = spark.read.parquet(s"$path/grams")
-    val (newG, stored) =
-      if (maxDf == Int.MaxValue) (newG0, storedAll)
+    val (newG, stored, heavyOpt) =
+      if (maxDf == Int.MaxValue) (newG0, storedAll, None)
       else {
         require(maxDf >= 1, s"maxDf must be >= 1; got $maxDf")
         val batchDf = newG0.select(col("g"), col("id")).distinct()
@@ -199,7 +222,7 @@ object SpanStore {
           .select(col("g"))
           .localCheckpoint(true)
         (newG0.join(heavy, Seq("g"), "left_anti"),
-          storedAll.join(heavy, Seq("g"), "left_anti"))
+          storedAll.join(heavy, Seq("g"), "left_anti"), Some(heavy))
       }
     def arm(a: DataFrame, b: DataFrame): DataFrame =
       a.select(col("id").as("doc_a"), col("pos").as("pa"), col("g"))
@@ -210,6 +233,20 @@ object SpanStore {
     val seeds = arm(newG, stored)
       .unionAll(arm(stored, newG))
       .unionAll(arm(newG, newG))
-    Dedup.spansFromSeeds(seeds, minTokens)
+    val spans = Dedup.spansFromSeeds(seeds, minTokens)
+    if (!alsoAppend) spans
+    else {
+      val res = spans.localCheckpoint(true)
+      newG0.write.mode("append").parquet(s"$path/grams")
+      newG0.select(col("g"), col("id")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+        .write.mode("append").parquet(s"$path/gramdf")
+      // res' eager checkpoint truncated lineage above the gram
+      // relation — free what the caller's sweep can no longer reach.
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newG0)
+      heavyOpt.foreach(
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint)
+      res
+    }
   }
 }

@@ -349,9 +349,16 @@ object ReleaseStore {
 
     // (2) Near-dup candidates: batch vs the stored KEPT corpus plus
     // within-batch — the stored corpus streams through one join side.
-    val pairs = DedupStore.searchNew(s, s"$path/neardup", keptDocs,
+    // The fused probe+append writes the batch's shingle/band relations
+    // right after the probe materializes (the index holds ALL kept
+    // docs, so nothing downstream gates the append) — one tokenize +
+    // shingle + minhash pass over the batch instead of two.
+    // (The fused result is already checkpoint-backed; the projection
+    // below re-reads that checkpoint per consumer, and the existing
+    // free(pairs) after the CC run releases it.)
+    val pairs = DedupStore.searchNewAndAppend(s, s"$path/neardup", keptDocs,
         "doc_id", "text", p.n, p.bands, p.rowsPerBand, p.threshold)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+      .select(col("doc_a"), col("doc_b"))
 
     // (3) Reconstruct ONLY the touched clusters: latest-generation rows
     // of every member of every cluster a pair endpoint belongs to.
@@ -452,8 +459,10 @@ object ReleaseStore {
 
     // (7) Span excision: new-touching spans vs the released corpus's
     // original texts; only the batch (larger-id) side is excised, the
-    // spanDedupApply earliest-survives rule.
-    val spansNew = SpanStore.searchNew(s, s"$path/spans",
+    // spanDedupApply earliest-survives rule. Fused probe+append: the
+    // span index holds exactly the survivors being probed, so their
+    // gram relation is written once, not recomputed for an append.
+    val spansNew = SpanStore.searchNewAndAppend(s, s"$path/spans",
         withRep.select(col("doc_id"), col("text")), "doc_id", "text",
         p.minTokens)
       .join(dethroned.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
@@ -470,14 +479,10 @@ object ReleaseStore {
         splitOf(col("rep_id")).as("split"), col("text_dedup"))
       .localCheckpoint(true)
 
-    // (8) Persist the increment: the whole kept batch into the near-dup
-    // index, the new survivors' ORIGINAL texts into the span index,
-    // membership rows (+ rep reassignments from bridging merges, as a
-    // new generation) into clusters, the released rows into released.
-    DedupStore.append(keptDocs, "doc_id", "text",
-      p.n, p.bands, p.rowsPerBand, s"$path/neardup")
-    SpanStore.append(withRep.select(col("doc_id"), col("text")),
-      "doc_id", "text", p.minTokens, s"$path/spans")
+    // (8) Persist the rest of the increment (the near-dup and span
+    // indexes were appended by their fused probes above): accepted
+    // vectors, membership rows (+ rep reassignments from bridging
+    // merges, as a new generation), the released rows.
     survVecs.foreach(v =>
       graft.sim.IndexStore.appendIvfStatic(v, p.vecDims, s"$path/ivf"))
     val newRows = ntokNew

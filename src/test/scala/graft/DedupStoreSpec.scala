@@ -40,6 +40,37 @@ class DedupStoreSpec extends SparkSpec {
       "sf0.001 split yields no cross-batch near-dups; pick another split")
   }
 
+  test("searchNewAndAppend == searchNew then append: same probe, same store, leak-neutral") {
+    val a = Files.createTempDirectory("graft_dedup_fuse_a").toString
+    val b = Files.createTempDirectory("graft_dedup_fuse_b").toString
+    val old = docs.filter(col("doc_id") < 200)
+    val mid = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val fresh = docs.filter(col("doc_id") >= 350)
+    DedupStore.save(old, "doc_id", "text", n, bands, rpb, s"$a/ix")
+    DedupStore.save(old, "doc_id", "text", n, bands, rpb, s"$b/ix")
+    // A: the two-call spelling. B: the fused spelling.
+    val probeA = pairs(DedupStore.searchNew(
+      spark, s"$a/ix", mid, "doc_id", "text", n, bands, rpb, thr))
+    DedupStore.append(mid, "doc_id", "text", n, bands, rpb, s"$a/ix")
+    val before = RddScope.persisted(spark)
+    val fused = DedupStore.searchNewAndAppend(
+      spark, s"$b/ix", mid, "doc_id", "text", n, bands, rpb, thr)
+    val probeB = pairs(fused)
+    val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(fused)
+    assert((RddScope.persisted(spark) -- before -- keep).isEmpty,
+      "searchNewAndAppend left unreachable persisted RDDs")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(fused)
+    assert(probeB == probeA, "fused probe diverged from the two-call probe")
+    // The stores must now be indistinguishable: a LATER batch probes
+    // identically against both.
+    val nextA = pairs(DedupStore.searchNew(
+      spark, s"$a/ix", fresh, "doc_id", "text", n, bands, rpb, thr))
+    val nextB = pairs(DedupStore.searchNew(
+      spark, s"$b/ix", fresh, "doc_id", "text", n, bands, rpb, thr))
+    assert(nextB == nextA, "fused append left a different store state")
+    assert(nextA.nonEmpty, "follow-up probe found nothing; fixture too weak")
+  }
+
   test("searchNew is leak-neutral (QueriesSpec contract for store probes)") {
     val dir = Files.createTempDirectory("graft_dedup_leak").toString
     DedupStore.save(docs.filter(col("doc_id") < 300),

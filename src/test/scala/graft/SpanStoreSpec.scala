@@ -169,6 +169,43 @@ class SpanStoreSpec extends SparkSpec {
       "removed-doc gram rows survived")
   }
 
+  test("searchNewAndAppend == searchNew then append: same spans, same store, capped probes agree") {
+    val a = Files.createTempDirectory("graft_span_fuse_a").toString
+    val b = Files.createTempDirectory("graft_span_fuse_b").toString
+    val old = docs.filter(col("doc_id") < 200)
+    val mid = docs.filter(col("doc_id") >= 200 && col("doc_id") < 350)
+    val fresh = docs.filter(col("doc_id") >= 350)
+    SpanStore.save(old, "doc_id", "text", L, s"$a/ix")
+    SpanStore.save(old, "doc_id", "text", L, s"$b/ix")
+    val probeA = spans(SpanStore.searchNew(
+      spark, s"$a/ix", mid, "doc_id", "text", L))
+    SpanStore.append(mid, "doc_id", "text", L, s"$a/ix")
+    val before = RddScope.persisted(spark)
+    val fused = SpanStore.searchNewAndAppend(
+      spark, s"$b/ix", mid, "doc_id", "text", L)
+    val probeB = spans(fused)
+    val keep = org.apache.spark.sql.graft.GraftInternals.checkpointRddIds(fused)
+    assert((RddScope.persisted(spark) -- before -- keep).isEmpty,
+      "searchNewAndAppend left unreachable persisted RDDs")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(fused)
+    assert(probeB == probeA, "fused probe diverged from the two-call probe")
+    // Store state indistinguishable: a later batch probes identically,
+    // both uncapped AND capped (the capped probe also exercises the
+    // fused path's gramdf partials).
+    def probe(dir: String, cap: Int) = {
+      val df = SpanStore.searchNew(
+        spark, s"$dir/ix", fresh, "doc_id", "text", L, maxDf = cap)
+      val r = spans(df)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      r
+    }
+    assert(probe(b, Int.MaxValue) == probe(a, Int.MaxValue),
+      "fused append left a different gram store")
+    assert(probe(b, 2) == probe(a, 2),
+      "fused append left different gramdf partials (capped probes diverged)")
+    assert(probe(a, Int.MaxValue).nonEmpty, "follow-up probe found nothing; fixture too weak")
+  }
+
   test("capped searchNew == capped batch spanDedup on the union, new-touching slice (real corpus)") {
     // The stop-gram cap's incremental contract on real data: union df =
     // stored gramdf partial sums + batch df, so a capped probe must
