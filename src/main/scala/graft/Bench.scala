@@ -679,20 +679,39 @@ object Bench {
     val AbBudgetS = 1200.0
     val abStart = System.nanoTime()
     def abElapsed(): Double = (System.nanoTime() - abStart) / 1e9
-    val autoAb: Seq[(String, Double, Double, Seq[Double], Seq[Double], String)] =
+    // Per-leg load context (the r15/r14 lesson: two rounds in a row the
+    // driver's post-commit run landed on a loaded box and manufactured
+    // adjudication debt): each flagged leg is annotated with the load1
+    // its SESSION run saw and the load1 its isolated re-measure saw, and
+    // any reading above cores/4 carries an explicit UNDER-LOAD marker —
+    // pre-sorting flagged-under-load legs (bisect them last, they are
+    // almost always contention) from flagged-while-quiet ones (the legs
+    // that can actually move).
+    val loadedCut = cpus.toDouble / 4.0
+    val legLoad: Map[String, Double] =
+      results.map { case (k, (s, _)) => k -> s.load }.toMap
+    def loadTag(l: Double): String =
+      if (l < 0) "load1 unknown"
+      else if (l > loadedCut) f"load1 $l%.1f UNDER-LOAD (> cores/4 = $loadedCut%.0f)"
+      else f"load1 $l%.1f quiet"
+    val autoAb: Seq[(String, Double, Double, Seq[Double], Seq[Double], String, Double)] =
       abEligible.map { case (k, p, w) =>
         if (abElapsed() > AbBudgetS)
           (k, p, w, Seq.empty[Double], Seq.empty[Double],
-            f"A/B time budget (${AbBudgetS}%.0f s) exhausted at ${abElapsed()}%.0f s")
+            f"A/B time budget (${AbBudgetS}%.0f s) exhausted at ${abElapsed()}%.0f s",
+            -1.0)
         else {
           System.err.println(f"auto A/B: re-measuring $k (prev $p%.2f s, session $w%.2f s) on a fresh JVM")
+          val l0 = load1()
           val (walls, cpuSamples, err) = isolatedAb(k, sfDir, cpus)
-          (k, p, w, walls, cpuSamples, err)
+          (k, p, w, walls, cpuSamples, err, math.max(l0, load1()))
         }
       }
     val autoNotes: Seq[String] = {
-      val measured = autoAb.map { case (k, p, w, walls, cpuSamples, err) =>
-        if (walls.isEmpty) s""""auto A/B $k: isolated re-measure FAILED ($err) — session ${fmtN(w)}s vs prev ${fmtN(p)}s unadjudicated""""
+      val measured = autoAb.map { case (k, p, w, walls, cpuSamples, err, isoLoad) =>
+        val loads = s"session ${loadTag(legLoad.getOrElse(k, -1.0))}, " +
+          s"iso ${loadTag(isoLoad)}"
+        if (walls.isEmpty) s""""auto A/B $k: isolated re-measure FAILED ($err) — session ${fmtN(w)}s vs prev ${fmtN(p)}s unadjudicated ($loads)""""
         else {
           // NOTE on the second verdict: `prev` is the prior round's
           // committed min, which for late-position queries came from a
@@ -707,7 +726,7 @@ object Bench {
             else "isolated min still >1.5x prev — regression candidate; " +
               "bisect vs prior tree under this harness before believing it " +
               "(prev may be a warm-JVM in-session min below the fresh-JVM floor)"
-          s""""auto A/B $k: prev ${fmtN(p)}s, session ${fmtN(w)}s; isolated fresh-JVM wall [${walls.map(fmtN).mkString(",")}] cpu [${cpuSamples.map(fmtN).mkString(",")}] — $verdict""""
+          s""""auto A/B $k: prev ${fmtN(p)}s, session ${fmtN(w)}s; isolated fresh-JVM wall [${walls.map(fmtN).mkString(",")}] cpu [${cpuSamples.map(fmtN).mkString(",")}] — $verdict ($loads)""""
         }
       }
       val skipped = abSkipped.map { case (k, p, w) =>
@@ -719,11 +738,15 @@ object Bench {
       // candidate` verdicts (true only on the 3x threshold, misleading
       // about the detector's own output — r12 judge finding #1). This
       // line is what the README/commit summary must quote.
-      val exonerated = autoAb.count { case (_, p, _, walls, _, _) =>
+      val exonerated = autoAb.count { case (_, p, _, walls, _, _, _) =>
         walls.nonEmpty && walls.min <= 1.5 * p
       }
-      val candidates = autoAb.count { case (_, p, _, walls, _, _) =>
+      val candidateLegs = autoAb.filter { case (_, p, _, walls, _, _, _) =>
         walls.nonEmpty && walls.min > 1.5 * p
+      }
+      val candidates = candidateLegs.size
+      val underLoad = candidateLegs.count { case (k, _, _, _, _, _, isoLoad) =>
+        legLoad.getOrElse(k, -1.0) > loadedCut || isoLoad > loadedCut
       }
       val failedOrSkipped = autoAb.count(_._4.isEmpty) + abSkipped.size
       val summary =
@@ -731,17 +754,19 @@ object Bench {
         else if (flagged.isEmpty)
           s""""auto A/B SUMMARY: clean — no query moved >3x vs previous round (baseline: $prevSource; floors: prev>=0.25s, session>=1s)""""
         else
-          s""""auto A/B SUMMARY: ${flagged.size} flagged — $exonerated exonerated, $candidates regression candidate(s) pending bisect, $failedOrSkipped unadjudicated (NOT clean unless candidates+unadjudicated are 0)""""
+          s""""auto A/B SUMMARY: ${flagged.size} flagged — $exonerated exonerated, $candidates regression candidate(s) pending bisect ($underLoad of them UNDER-LOAD at >cores/4 — bisect those last), $failedOrSkipped unadjudicated (NOT clean unless candidates+unadjudicated are 0)""""
       if (prevMin.isEmpty)
         Seq(""""auto A/B: no previous-round baseline (no same-sf BENCH_r artifact or bench_diag sidecar) — mover detection skipped this run"""")
       else if (flagged.isEmpty)
         Seq(summary)
       else summary +: s""""auto A/B baseline: $prevSource"""" +: (measured ++ skipped)
     }
-    val autoAbJson = autoAb.map { case (k, p, w, walls, cpuSamples, err) =>
+    val autoAbJson = autoAb.map { case (k, p, w, walls, cpuSamples, err, isoLoad) =>
       "\"" + k + "\":{\"prev\":" + fmtN(p) + ",\"session\":" + fmtN(w) +
         ",\"iso_wall\":[" + walls.map(fmtN).mkString(",") + "]" +
         ",\"iso_cpu\":[" + cpuSamples.map(fmtN).mkString(",") + "]" +
+        ",\"session_load1\":" + fmt(legLoad.getOrElse(k, -1.0)) +
+        ",\"iso_load1\":" + fmt(isoLoad) +
         (if (err.isEmpty) "" else ",\"err\":\"" + err + "\"") + "}"
     }.mkString("{", ",", "}")
 
@@ -870,7 +895,17 @@ object Bench {
       // r15 composed-chain scale shares (AbRelease — the r13 #7 ask):
       // per-stage walls of the p20/p22 batch chain at Nx corpus, warm
       // JVM (an amp=1 warm-up pass absorbs JIT before the quoted amps).
-      "\"r15 AbRelease (composed-chain per-stage scale shares, warm JVM, 4x/16x/64x sf0.01 corpus = 2k/8k/32k docs): total wall 6.3/8.2/12.4 s - 2x wall for 16x docs, no composed stage superlinear; shares gate 27-49% / neardup 50-70% / span+split 1-3% (survivor spans are few on the rep-prefixed corpus; standalone spanDedupApply over the full 32k corpus is 1.1 s); gate/neardup executor-cpu grows ~linearly with the corpus (1->13 s and 3->21 s at 4x->64x)\"")
+      "\"r15 AbRelease (composed-chain per-stage scale shares, warm JVM, 4x/16x/64x sf0.01 corpus = 2k/8k/32k docs): total wall 6.3/8.2/12.4 s - 2x wall for 16x docs, no composed stage superlinear; shares gate 27-49% / neardup 50-70% / span+split 1-3% (survivor spans are few on the rep-prefixed corpus; standalone spanDedupApply over the full 32k corpus is 1.1 s); gate/neardup executor-cpu grows ~linearly with the corpus (1->13 s and 3->21 s at 4x->64x)\"",
+      // r16 bisect of the four r15 auto-A/B regression candidates
+      // (fresh-JVM QBench, interleaved HEAD vs r14 tree 7349db8 in
+      // .bisect-r14, two reps per tree per query, box load1 1.2-5.5
+      // from the harness itself): all four entries and their operator
+      // code are git-identical between trees and the inter-tree floor
+      // deltas are within single-rep variance — the r15 driver run's
+      // flagged iso minima (3.73/5.66/2.38/3.98) were contention on a
+      // box swinging load1 1.3-8.6, and the sub-1.5 s 'prev' floors
+      // were the documented warm-JVM in-session class.
+      "\"r16 bisect (fresh-JVM QBench, r14 tree 7349db8 vs HEAD, two interleaved reps, wall floors): n11_ann_ivf_multiprobe HEAD 3.13/2.81 vs r14 2.77/2.73, d16_jaccard_prefix 1.72/1.53 vs 1.56/2.12, n2_ann_lsh 2.00/1.97 vs 1.94/1.81, d3_minhash_lsh 1.43/1.51 vs 1.36/1.43 - all four git-identical between trees, deltas within fresh-JVM variance; the r15 flagged iso minima (3.73/5.66/2.38/3.98) were box contention and the sub-1.5 s prev floors (2.11/1.32/1.10/1.07) warm-JVM in-session minima; all four exonerated per the standing protocol, bisect queue clear\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

@@ -896,13 +896,16 @@ object PipelineQueries {
 
     // Apply the dedup decision: the surviving corpus — every vector except
     // non-representative cluster members (left_anti against the drop
-    // list; at 100 TB the drop list is the small side and broadcasts).
+    // list; the drop list scales with the corpus duplicate count, so the
+    // broadcast hint is SIZE-GATED — forced only while the estimate fits,
+    // left to AQE's runtime stats on a dup-heavy corpus).
     "d8_dedup_apply" -> ((s, d) => {
       val cl = Dedup.clusters(
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
           .select(col("vec_a"), col("vec_b")))
       vecs(s, d)
-        .join(broadcast(cl.filter(col("member_id") =!= col("rep_id"))),
+        .join(graft.ops.Hints.broadcastIfSmall(
+            cl.filter(col("member_id") =!= col("rep_id"))),
           col("vec_id") === col("member_id"), "left_anti")
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
@@ -912,9 +915,11 @@ object PipelineQueries {
     // cluster" stage, composed end-to-end from oracled pieces: d3b
     // MinHash-LSH pairs → d7b pure-DF connected components → canonical
     // doc per cluster (longest tokenization, min doc_id tie-break) →
-    // surviving corpus. Scale shape: the drop list is cluster-sized
-    // (small side, broadcast anti-join); the corpus is scanned for the
-    // pair build and the final anti-join but never shuffled whole.
+    // surviving corpus. Scale shape: the drop list is cluster-sized —
+    // small on a healthy corpus but duplicate-count-proportional on a
+    // dup-heavy one, so the broadcast hint is size-gated (AQE decides
+    // past the budget); the corpus is scanned for the pair build and
+    // the final anti-join but never shuffled whole.
     "d13_fuzzy_dedup_apply" -> ((s, d) => {
       val docs = documents(s, d)
       val pairs = Dedup.minhashLshPairsPortable(docs, "doc_id", "text",
@@ -934,7 +939,8 @@ object PipelineQueries {
         .select((-col("b.neg")).as("keep_id"))
       val drops = cl.join(keep, cl("member_id") === keep("keep_id"), "left_anti")
         .select(col("member_id"))
-      docs.join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+      docs.join(graft.ops.Hints.broadcastIfSmall(drops),
+          col("doc_id") === col("member_id"), "left_anti")
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     }),
@@ -1770,7 +1776,9 @@ object PipelineQueries {
     // pass for the Gram, one scoring join (broadcast weights), the LSH
     // banded equi-join (never all-pairs), structure-independent CC, the
     // anchor-gram equi-join, and per-shard prefix sums; the drop list and
-    // cluster table are cluster-sized → broadcast. Deterministic end to
+    // cluster table are cluster-sized → size-gated broadcast (forced only
+    // while the estimate fits; AQE decides on a dup-heavy corpus where
+    // both scale with the duplicate count). Deterministic end to
     // end → full hash oracle (the unrolled-GD + recursive-CC + span CTE
     // chains composed).
     "p20_release_pipeline" -> ((s, d) =>
@@ -1855,7 +1863,8 @@ object PipelineQueries {
     val ntok = keptDocs.select(col("doc_id").as("member_id"),
       size(TextFns.tokens(col("text"))).cast("long").as("n_tok"))
     // canonical member per cluster (keep_id) + the cluster rep for the
-    // split draw; both cluster-sized → broadcast below.
+    // split draw; both cluster-sized → size-gated broadcast below
+    // (duplicate-count-proportional on a dup-heavy corpus).
     val canon = cl.join(ntok, "member_id")
       .groupBy(col("rep_id"))
       .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
@@ -1863,7 +1872,8 @@ object PipelineQueries {
     val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
       .select(col("member_id"))
     val survivors = keptDocs
-      .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+      .join(graft.ops.Hints.broadcastIfSmall(drops),
+        col("doc_id") === col("member_id"), "left_anti")
     // Materialize the survivor relation ONCE: the span stage reads it
     // three times (anchor grams, token stream, token counts) and the
     // split join a fourth — each un-checkpointed read re-ran the whole
@@ -1874,7 +1884,7 @@ object PipelineQueries {
     // checkpoint, the CC fixpoint backing — is swept here (the r10 n13
     // orphaned-checkpoint class), the g17/p17 idiom.
     val withRep = survivors
-      .join(broadcast(canon), Seq("doc_id"), "left")
+      .join(graft.ops.Hints.broadcastIfSmall(canon), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .localCheckpoint(true)

@@ -50,6 +50,12 @@ final case class ReleaseParams(
   *       (survivor) docs' original texts — the span stage's corpus;
   *   `<path>/released`   — (doc_id, rep_id, split, text_dedup): the
   *       accumulated release;
+  *   `<path>/maxid`      — (gen, max_id): one row per init/increment,
+  *       the max doc id EVER seen (gate-rejected arrivals included) —
+  *       the monotone-id guard's source, and the increment's replay
+  *       refusal (the row is appended before any other store mutation,
+  *       so a retried batch is refused loudly instead of silently
+  *       double-counting classifier statistics);
   *   `<path>/ivf`        — OPTIONAL ([[graft.sim.IndexStore]] layout),
   *       present when [[init]] was given an embedding relation
   *       (doc_id, v ARRAY<DOUBLE>): the accepted docs' vectors. With
@@ -204,10 +210,15 @@ object ReleaseStore {
       .select((-col("b.neg")).as("doc_id"), col("rep_id"))
     val drops = cl.join(canon, cl("member_id") === canon("doc_id"), "left_anti")
       .select(col("member_id"))
+    // drops (all near-dup losers) and canon (one row per cluster) are
+    // corpus-proportional on a dup-heavy init corpus — size-gated hints,
+    // never forced (the incremental path's broadcasts stay forced: those
+    // relations are batch/touched-cluster-bounded by construction).
     val survivors = keptDocs
-      .join(broadcast(drops), col("doc_id") === col("member_id"), "left_anti")
+      .join(graft.ops.Hints.broadcastIfSmall(drops),
+        col("doc_id") === col("member_id"), "left_anti")
     val withRep0 = survivors
-      .join(broadcast(canon), Seq("doc_id"), "left")
+      .join(graft.ops.Hints.broadcastIfSmall(canon), Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
       .localCheckpoint(true)
@@ -294,6 +305,12 @@ object ReleaseStore {
     // text-only — a later increment may not introduce embeddings.
     st.chain.survVecs.foreach(v =>
       graft.sim.IndexStore.saveIvfStatic(v, p.vecDims, s"$path/ivf"))
+    // Seed the max-seen-id ledger (one row per init/increment) — the
+    // monotone-id guard's source, covering EVERY arriving id including
+    // gate-rejected ones.
+    docs.agg(max(col("doc_id")).as("max_id")).filter(col("max_id").isNotNull)
+      .select(lit(0L).as("gen"), col("max_id"))
+      .write.mode("overwrite").parquet(s"$path/maxid")
     val released = st.chain.released.localCheckpoint(true)
     released.write.mode("overwrite").parquet(s"$path/released")
     graft.RddScope.sweepExcept(s, before, released)
@@ -317,22 +334,56 @@ object ReleaseStore {
       vecs: Option[DataFrame] = None): DataFrame = {
     val before = graft.RddScope.persisted(s)
     val docs = norm(newDocs0, idCol, textCol).localCheckpoint(true)
+    val hconf = s.sparkContext.hadoopConfiguration
 
-    // (0) Monotone-id guard, BEFORE anything is appended: one aggregate
-    // over the clusters relation (which the increment reads anyway for
-    // the generation counter) catches the common contract violation —
-    // a batch id at or below a stored KEPT id. Gate-rejected stored ids
-    // are not covered (full coverage would scan the classifier's docs
-    // ledger); the contract itself remains the caller's.
+    // (0a) Input validation BEFORE any store mutation: an embedding
+    // relation against a text-only store is a caller error — rejecting
+    // it after the classifier/index appends (as the old step-5b check
+    // did) left the natural retry double-counting the batch.
+    if (vecs.isDefined) {
+      val ivf = new org.apache.hadoop.fs.Path(s"$path/ivf")
+      require(ivf.getFileSystem(hconf).exists(ivf),
+        "increment got an embedding relation but the store was " +
+          "initialized without one (init with vecs to enable the " +
+          "semantic stage)")
+    }
+
+    // (0b) Monotone-id guard, BEFORE anything is appended. The max-seen
+    // id comes from the `maxid` ledger (one row per init/increment —
+    // EVERY arriving id counts, gate-rejected included; a batch reusing
+    // a rejected stored id would silently corrupt the classifier
+    // statistics additivity). Pre-upgrade stores lack the ledger and
+    // backfill its seed from the classifier's docs membership ledger,
+    // which has recorded every arriving doc since init.
     val meta = s.read.parquet(s"$path/clusters")
-      .agg(coalesce(max(col("gen")), lit(0L)).as("g"),
-        max(col("member_id")).as("m")).first()
+      .agg(coalesce(max(col("gen")), lit(0L)).as("g")).first()
     val gen = meta.getLong(0) + 1L
-    val minNewRow = docs.agg(min(col("doc_id"))).first()
-    if (!meta.isNullAt(1) && !minNewRow.isNullAt(0))
-      require(minNewRow.getLong(0) > meta.getLong(1),
+    val maxidPath = new org.apache.hadoop.fs.Path(s"$path/maxid")
+    val maxidFs = maxidPath.getFileSystem(hconf)
+    val seenMax: Option[Long] =
+      if (maxidFs.exists(maxidPath)) {
+        val r = s.read.parquet(s"$path/maxid").agg(max(col("max_id"))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      } else {
+        val r = s.read.parquet(s"$path/classifier/docs")
+          .agg(max(col("doc_id"))).first()
+        if (r.isNullAt(0)) None else Some(r.getLong(0))
+      }
+    val batchRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    for (sm <- seenMax if !batchRange.isNullAt(0))
+      require(batchRange.getLong(0) > sm,
         s"increment ids must be monotone across batches: batch min id " +
-          s"${minNewRow.getLong(0)} <= stored kept max ${meta.getLong(1)}")
+          s"${batchRange.getLong(0)} <= max id ever seen $sm")
+    // Ledger FIRST (the ClassifierStore.remove idiom): once this row
+    // lands, a replay of the same batch — e.g. retrying after a crash
+    // mid-increment — is REFUSED by the guard above instead of silently
+    // double-counting the batch's classifier statistics and duplicating
+    // its index rows. An interrupted increment surfaces as an error to
+    // reconcile, never as corrupted sums.
+    if (!batchRange.isNullAt(1))
+      s.range(1).select(lit(gen).as("gen"),
+          lit(batchRange.getLong(1)).as("max_id"))
+        .write.mode("append").parquet(s"$path/maxid")
 
     // (1) Gate: append the batch's statistics, retrain on everything
     // (bit-identical to a union batch train), score the batch.
@@ -428,12 +479,8 @@ object ReleaseStore {
     val (withRep, survVecs) = vecs match {
       case None => (withRep0, None)
       case Some(v0) =>
-        val ivf = new org.apache.hadoop.fs.Path(s"$path/ivf")
-        val fsv = ivf.getFileSystem(s.sparkContext.hadoopConfiguration)
-        require(fsv.exists(ivf),
-          "increment got an embedding relation but the store was " +
-            "initialized without one (init with vecs to enable the " +
-            "semantic stage)")
+        // (Existence of the ivf store was validated at step 0a, before
+        // any append could land.)
         val sv = normVecs(v0)
           .join(withRep0.select(col("doc_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -512,30 +559,6 @@ object ReleaseStore {
   def recover(s: SparkSession, path: String): Unit =
     DedupStore.recoverRelations(s, path, Seq("clusters", "released"))
 
-  /** Composed takedown across every store relation — remove the docs'
-    * statistics, index rows, vectors, memberships, and released rows,
-    * so every FUTURE probe behaves as if they had never arrived (the
-    * per-store remove contracts, composed), with two deliberate,
-    * documented divergences from a literal never-saw pipeline:
-    *
-    *   - splits are takedown-STABLE: surviving members keep their
-    *     rep_id draw key even when the rep doc itself is removed (an
-    *     id is not content), so no survivor's split reshuffles and
-    *     future cluster joiners still inherit the cluster's split;
-    *   - historical drops are not resurrected: if the removed doc was
-    *     a cluster's released canonical, its dropped near-dups stay
-    *     dropped (the store holds decisions, not raw texts — a
-    *     resurrection pass would re-run the batch release on the
-    *     affected cluster's raw docs, out of band).
-    *
-    * Callers pass the removed docs' CONTENT (a takedown names it), from
-    * which the exact negated classifier partials are recomputed.
-    * Resume-safe: if a prior remove of exactly these ids already
-    * landed in the classifier's takedown ledger, the subtraction is
-    * skipped and the (idempotent) index/membership rewrites re-run; a
-    * PARTIAL ledger overlap is ambiguous and refused.
-    */
-
   /** Maintenance: compact every sub-store and this store's own
     * relations — the composed edition of the per-store compacts, run on
     * the same schedule. Beyond the file-splatter rewrite
@@ -575,6 +598,33 @@ object ReleaseStore {
     DedupStore.swapRelations(fs, root, tmp, Seq("clusters", "released"))
   }
 
+  /** Composed takedown across every store relation — remove the docs'
+    * statistics, index rows, vectors, memberships, and released rows,
+    * so every FUTURE probe behaves as if they had never arrived (the
+    * per-store remove contracts, composed), with two deliberate,
+    * documented divergences from a literal never-saw pipeline:
+    *
+    *   - splits are takedown-STABLE: surviving members keep their
+    *     rep_id draw key even when the rep doc itself is removed (an
+    *     id is not content), so no survivor's split reshuffles and
+    *     future cluster joiners still inherit the cluster's split;
+    *   - historical drops are not resurrected: if the removed doc was
+    *     a cluster's released canonical, its dropped near-dups stay
+    *     dropped (the store holds decisions, not raw texts — a
+    *     resurrection pass would re-run the batch release on the
+    *     affected cluster's raw docs, out of band).
+    *
+    * Callers pass the removed docs' CONTENT (a takedown names it), from
+    * which the exact negated classifier partials are recomputed.
+    * Resume-safe: if a prior remove of exactly these ids already landed
+    * in the classifier's takedown ledger, the subtraction is skipped —
+    * SAFELY, because the ledger append is [[ClassifierStore.remove]]'s
+    * commit point and a committed token's staged negated partials are
+    * live store state by construction (there is no window where the
+    * ledger says removed but the sums still carry the docs) — and the
+    * (idempotent) index/membership rewrites re-run; a PARTIAL ledger
+    * overlap is ambiguous and refused.
+    */
   def remove(
       s: SparkSession, removedDocs0: DataFrame, idCol: String, textCol: String,
       p: ReleaseParams, path: String): Unit = {

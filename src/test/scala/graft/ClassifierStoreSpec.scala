@@ -111,4 +111,65 @@ class ClassifierStoreSpec extends SparkSpec {
     val unchanged = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
     assert(unchanged == after, "a refused remove still mutated the store")
   }
+
+  test("remove under crash at every kill point: pre-commit crashes leave the sums untouched and the retry lands exactly once") {
+    // The r15 ADVICE window: the old remove appended the takedown ledger
+    // BEFORE the negated partials, so a crash in between made a resumed
+    // composed takedown silently skip the subtraction forever. The
+    // stage-then-commit layout closes it structurally: negated partials
+    // go to an inert per-takedown staging dir first, and the SINGLE
+    // ledger append is the commit — crash anywhere before it and the
+    // store is bit-identical to never having started; crash after it
+    // and the takedown is already fully live.
+    val gone = docs.filter(col("doc_id") >= 200 && col("doc_id") < 260)
+    val survivors = docs.filter(col("doc_id") < 200 || col("doc_id") >= 260)
+    val want = weights(LinearClassifier.train(
+      spark, featOf(survivors), labOf(survivors), Dims, Iters))
+    val withAll = weights(LinearClassifier.train(
+      spark, featOf(docs), labOf(docs), Dims, Iters))
+    assert(want != withAll, "fixture too weak: removal has no effect")
+    // Kill points: before the gram stage write (0), between the two
+    // stage writes (1), before the ledger commit (2).
+    for (k <- 0 to 2) {
+      val dir = Files.createTempDirectory(s"graft_clf_kill$k").toString
+      ClassifierStore.save(featOf(docs), labOf(docs), s"$dir/st")
+      ClassifierStore.removeFailAfterWrites = k
+      val crash = intercept[java.io.IOException] {
+        ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+      }
+      assert(crash.getMessage.contains("injected"))
+      // Pre-commit: trainStored must not see the staged (uncommitted)
+      // partials — weights equal the never-removed train.
+      val mid = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
+      assert(mid == withAll,
+        s"kill point $k: an uncommitted takedown already moved the sums")
+      // The retry (no recovery step needed — staging dirs are inert and
+      // idempotent) lands the takedown exactly once.
+      ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+      val got = weights(ClassifierStore.trainStored(spark, s"$dir/st", Dims, Iters))
+      assert(got == want,
+        s"kill point $k: retried remove diverged from the never-saw train")
+      // And a replay after the successful retry is still refused.
+      val replay = intercept[IllegalArgumentException] {
+        ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+      }
+      assert(replay.getMessage.contains("already removed"))
+    }
+  }
+
+  test("remove on a pre-upgrade store without the docs ledger fails with the upgrade message") {
+    val dir = Files.createTempDirectory("graft_clf_preup").toString
+    ClassifierStore.save(featOf(docs), labOf(docs), s"$dir/st")
+    // Simulate a store written before the membership ledger existed.
+    import scala.jdk.CollectionConverters._
+    val docsDir = java.nio.file.Paths.get(s"$dir/st/docs")
+    java.nio.file.Files.walk(docsDir).iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.delete)
+    val gone = docs.filter(col("doc_id") < 50)
+    val err = intercept[IllegalArgumentException] {
+      ClassifierStore.remove(featOf(gone), labOf(gone), s"$dir/st")
+    }
+    assert(err.getMessage.contains("membership"),
+      s"expected the explicit upgrade message, got: ${err.getMessage}")
+  }
 }

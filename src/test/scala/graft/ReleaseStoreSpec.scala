@@ -361,9 +361,11 @@ class ReleaseStoreSpec extends SparkSpec {
     val b2Rows = Seq(410L -> toks("b410", 24), 420L -> toks("b420", 24)) ++
       negDocs(450, 3)
     val b2Vecs = mkVecs(Seq(410L -> near(vD), 420L -> near(vE)))
-    // B3 after taking down 330: 430 vec ~ vD is novel again.
-    val b3Rows = Seq(430L -> toks("b430", 24)) ++ negDocs(550, 3)
-    val b3Vecs = mkVecs(Seq(430L -> near(near(vD))))
+    // B3 after taking down 330: 530 vec ~ vD is novel again. (Batch ids
+    // must exceed EVERY seen id — the maxid guard counts the
+    // gate-rejected 450..452 too.)
+    val b3Rows = Seq(530L -> toks("b530", 24)) ++ negDocs(550, 3)
+    val b3Vecs = mkVecs(Seq(530L -> near(near(vD))))
 
     val init0 = {
       val r = ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text",
@@ -396,8 +398,8 @@ class ReleaseStoreSpec extends SparkSpec {
     val inc3 = freedRows(ReleaseStore.increment(
       spark, mkDocs(b3Rows), "doc_id", "text", P, s"$dir/st",
       vecs = Some(b3Vecs)))
-    assert(inc3.exists(_._1 == 430L),
-      "430 ~ the REMOVED doc 330's vector was still flagged after takedown")
+    assert(inc3.exists(_._1 == 530L),
+      "530 ~ the REMOVED doc 330's vector was still flagged after takedown")
     // Observability: a text-only store releases 310 and 410 — the
     // semantic stage, not the text stages, made the difference.
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
@@ -406,6 +408,37 @@ class ReleaseStoreSpec extends SparkSpec {
       spark, mkDocs(b1Rows), "doc_id", "text", P, s"$txtOnly/st"))
     assert(t1.exists(_._1 == 310L),
       "text-only store dropped 310 — the semantic assertion above is vacuous")
+  }
+
+  test("increment with vecs against a text-only store is refused BEFORE any append") {
+    // r15 ADVICE: the old check fired at the semantic stage — after the
+    // classifier statistics and near-dup index rows had already been
+    // appended — so the natural retry (re-calling without vecs)
+    // double-counted the batch. The check is now input validation at
+    // step 0, ahead of every store mutation.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_release_novec").toString
+    val storedRows = Seq(20L -> toks("c20", 30)) ++
+      (0 until 4).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 4)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$dir/st"))
+    val ledgerBefore = spark.read.parquet(s"$dir/st/classifier/docs").count()
+    val maxidBefore = spark.read.parquet(s"$dir/st/maxid").count()
+    val batch = mkDocs(Seq(100L -> toks("b100", 24)) ++ negDocs(120, 1))
+    val err = intercept[IllegalArgumentException] {
+      ReleaseStore.increment(spark, batch, "doc_id", "text", P, s"$dir/st",
+        vecs = Some(Seq((100L, Seq(0.5, 0.5, 0.5, 0.5, 0.5, 0.5)))
+          .toDF("vec_id", "v")))
+    }
+    assert(err.getMessage.contains("initialized without one"))
+    assert(spark.read.parquet(s"$dir/st/classifier/docs").count() == ledgerBefore,
+      "the refused increment appended classifier statistics")
+    assert(spark.read.parquet(s"$dir/st/maxid").count() == maxidBefore,
+      "the refused increment advanced the maxid ledger")
+    // The natural retry — same batch WITHOUT vecs — now succeeds.
+    val retry = freedRows(ReleaseStore.increment(
+      spark, batch, "doc_id", "text", P, s"$dir/st"))
+    assert(retry.exists(_._1 == 100L), "the vec-less retry lost the batch")
   }
 
   private def copyDir(src: String, dst: String): Unit = {
@@ -435,6 +468,67 @@ class ReleaseStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("monotone"))
     assert(spark.read.parquet(s"$dir/st/classifier/docs").count() == ledgerBefore,
       "a refused increment still appended classifier statistics")
+  }
+
+  test("increment refuses a batch id colliding with a gate-REJECTED stored id") {
+    // The r15 guard read max(clusters.member_id) — stored KEPT ids only —
+    // so a batch reusing a gate-rejected stored id slipped through and
+    // silently corrupted the classifier statistics additivity. The maxid
+    // ledger records the max id EVER seen (init writes it over all
+    // arriving docs, rejected included), closing the hole.
+    val dir = Files.createTempDirectory("graft_release_rejid").toString
+    val storedRows = Seq(20L -> toks("c20", 30)) ++
+      (0 until 4).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 4)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$dir/st"))
+    // Fixture guard: ids 60..63 really were gate-rejected (not kept).
+    val keptMax = spark.read.parquet(s"$dir/st/clusters")
+      .agg(max(col("member_id"))).first().getLong(0)
+    assert(keptMax < 60L,
+      s"fixture too weak: a negDoc was gate-KEPT (kept max $keptMax)")
+    val ledgerBefore = spark.read.parquet(s"$dir/st/classifier/docs").count()
+    val err = intercept[IllegalArgumentException] {
+      ReleaseStore.increment(spark,
+        mkDocs(Seq(61L -> toks("b61", 24), 100L -> toks("b100", 24))),
+        "doc_id", "text", P, s"$dir/st")
+    }
+    assert(err.getMessage.contains("max id ever seen"))
+    assert(spark.read.parquet(s"$dir/st/classifier/docs").count() == ledgerBefore,
+      "a refused increment still appended classifier statistics")
+    // Pre-upgrade store (no maxid ledger): the guard backfills its seed
+    // from the classifier docs ledger, which has seen every arrival.
+    deleteDir(s"$dir/st/maxid")
+    val err2 = intercept[IllegalArgumentException] {
+      ReleaseStore.increment(spark,
+        mkDocs(Seq(61L -> toks("b61", 24), 100L -> toks("b100", 24))),
+        "doc_id", "text", P, s"$dir/st")
+    }
+    assert(err2.getMessage.contains("max id ever seen"))
+    // A legitimately-monotone batch passes on the backfilled guard (and
+    // re-seeds the maxid ledger for the next increment).
+    freedRows(ReleaseStore.increment(spark,
+      mkDocs(Seq(100L -> toks("b100", 24)) ++ negDocs(120, 1)),
+      "doc_id", "text", P, s"$dir/st"))
+    assert(spark.read.parquet(s"$dir/st/maxid")
+        .agg(max(col("max_id"))).first().getLong(0) == 120L,
+      "the passing increment did not record its own max id")
+    // REPLAY refusal: the maxid row lands before any other append, so a
+    // crash-retry of the same batch is refused loudly instead of
+    // double-counting classifier statistics.
+    val err3 = intercept[IllegalArgumentException] {
+      ReleaseStore.increment(spark,
+        mkDocs(Seq(100L -> toks("b100", 24)) ++ negDocs(120, 1)),
+        "doc_id", "text", P, s"$dir/st")
+    }
+    assert(err3.getMessage.contains("max id ever seen"))
+  }
+
+  private def deleteDir(p: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(p)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
   }
 
   test("composed takedown under crash: every swap kill point recovers, the re-run resumes, state matches a never-crashed takedown") {
