@@ -92,9 +92,10 @@ final case class ReleaseParams(
   * doesn't shift the decision boundary). (2) If a new doc DETHRONES a
   * stored canonical (longer tokenization), the batch run would drop
   * the stored doc; incrementally the new doc is released, the stored
-  * doc stays released until a takedown/compaction policy retires it,
-  * and the dethroned doc's spans are EXCLUDED from the batch's span
-  * probe so the new docs' excisions still match the batch run exactly.
+  * doc stays released until [[reconcile]] — the operator-run
+  * retirement policy — retires it, and the dethroned doc's spans are
+  * EXCLUDED from the batch's span probe so the new docs' excisions
+  * still match the batch run exactly.
   * (3) The OPTIONAL semantic stage is ARRIVAL-ORDER semantics by
   * construction (greedy-by-id against the accepted store, like every
   * greedy dedup): a batch replay of the union cannot reproduce it,
@@ -151,6 +152,17 @@ object ReleaseStore {
 
   private def free(df: DataFrame): Unit =
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+
+  /** Latest-generation row per cluster member (max-gen wins) — the
+    * append-only clusters relation's read view, shared by [[increment]]
+    * (touched-cluster reconstruction) and [[reconcile]] (canonical
+    * re-election over the whole store).
+    */
+  private def latest(rows: DataFrame): DataFrame = rows
+    .groupBy(col("member_id"))
+    .agg(max(struct(col("gen"), col("rep_id"), col("n_tok"))).as("m"))
+    .select(col("member_id"), col("m.rep_id").as("rep_id"),
+      col("m.n_tok").as("n_tok"))
 
   private[graft] case class Chain(
       keptDocs: DataFrame, members: DataFrame, ntokKept: DataFrame,
@@ -414,11 +426,6 @@ object ReleaseStore {
     // (3) Reconstruct ONLY the touched clusters: latest-generation rows
     // of every member of every cluster a pair endpoint belongs to.
     val clusters = s.read.parquet(s"$path/clusters")
-    def latest(rows: DataFrame): DataFrame = rows
-      .groupBy(col("member_id"))
-      .agg(max(struct(col("gen"), col("rep_id"), col("n_tok"))).as("m"))
-      .select(col("member_id"), col("m.rep_id").as("rep_id"),
-        col("m.n_tok").as("n_tok"))
     val endpoints = pairs.select(col("doc_a").as("doc_id"))
       .unionAll(pairs.select(col("doc_b").as("doc_id"))).distinct()
     val touchedStored = endpoints.join(newIds, Seq("doc_id"), "left_anti")
@@ -596,6 +603,98 @@ object ReleaseStore {
       .sortWithinPartitions(col("doc_id"))
       .write.parquet(s"$tmp/released")
     DedupStore.swapRelations(fs, root, tmp, Seq("clusters", "released"))
+  }
+
+  /** Maintenance: RETIRE dethroned released docs — the operator-run
+    * compaction policy the frozen-history contract's divergence (2)
+    * defers to. [[increment]] never retracts a shipped release, so a
+    * stored canonical that loses its seat to a longer batch arrival
+    * stays in `released` and its anchor grams stay in the span store;
+    * from that point the store diverges from the union batch run in two
+    * observable ways: the dethroned doc is released where the batch run
+    * drops it, and a FUTURE arrival carrying one of its spans is excised
+    * where the batch run (whose survivor set no longer holds the doc)
+    * would not be. `reconcile` closes both, out of band: re-elect each
+    * cluster's canonical from the latest-generation membership rows
+    * (exactly the batch rule — longest tokenization, min id; persisted
+    * `n_tok`, never a corpus rescan), retire every RELEASED member that
+    * is no longer its cluster's canonical (rewrite `released`, remove
+    * its span grams, drop its vector from the optional IVF store), and
+    * leave everything else alone: memberships stay (a retired doc is a
+    * near-dup loser, and the batch run clusters over all kept docs),
+    * the near-dup index stays (same reason), the classifier statistics
+    * stay (the batch run trains on every arrival, losers included).
+    * ReleaseStoreSpec pins init → increments → reconcile EQUAL to the
+    * batch chain on the union — full released-row equality plus the
+    * span-store behavioral pin (a post-reconcile arrival carrying a
+    * retired doc's span is released uncut, exactly as the batch run).
+    *
+    * One shipped-history caveat survives by construction: a doc whose
+    * text was ALREADY excised against a span source that was dethroned
+    * later keeps its shipped `text_dedup` (an excision cannot be
+    * undone — the store holds decisions, not raw pre-excision texts).
+    * Between the dethroning increment and the next reconcile, new
+    * arrivals are protected by [[increment]]'s own per-batch dethroned
+    * filter only for same-batch dethronings; reconcile is the policy
+    * that closes the cross-increment window.
+    *
+    * `clusterIds` scopes the re-election to the named clusters' rep ids
+    * (first column, castable to long) — the out-of-band "reconcile what
+    * the last increment touched" shape; `None` sweeps the whole store.
+    * Crash-safe and idempotent: the span/IVF removes and the `released`
+    * rewrite each go through the shared rename-aside swap, the rewrite
+    * lands LAST, and a re-run after [[recover]] recomputes the same
+    * retired set from the untouched clusters relation (removes of
+    * already-absent ids are no-ops). Returns the retired ids
+    * (doc_id LONG), checkpoint-backed — caller frees.
+    */
+  def reconcile(
+      s: SparkSession, path: String,
+      clusterIds: Option[DataFrame] = None): DataFrame = {
+    val before = graft.RddScope.persisted(s)
+    val scoped = clusterIds match {
+      case None => latest(s.read.parquet(s"$path/clusters"))
+      case Some(ids0) =>
+        val reps = ids0
+          .select(col(ids0.columns.head).cast("long").as("rep_id")).distinct()
+        latest(s.read.parquet(s"$path/clusters"))
+          .join(reps, Seq("rep_id"), "left_semi")
+    }
+    val canon = scoped.groupBy(col("rep_id"))
+      .agg(max(struct(col("n_tok"), (-col("member_id")).as("neg"))).as("b"))
+      .select(col("rep_id"), (-col("b.neg")).as("canon_id"))
+    // Retired = released members that lost the re-election. The current
+    // canonical is always already released (increment pins the election
+    // against the batch run per arrival), so this is exactly the set the
+    // union batch run would not have released.
+    val retired = scoped.join(canon, "rep_id")
+      .filter(col("member_id") =!= col("canon_id"))
+      .select(col("member_id").as("doc_id"))
+      .join(s.read.parquet(s"$path/released").select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    if (retired.isEmpty) {
+      graft.RddScope.sweepExcept(s, before, retired)
+      return retired
+    }
+    val hconf = s.sparkContext.hadoopConfiguration
+    SpanStore.remove(s, s"$path/spans", retired)
+    val ivfP = new org.apache.hadoop.fs.Path(s"$path/ivf")
+    if (ivfP.getFileSystem(hconf).exists(ivfP))
+      graft.sim.IndexStore.remove(s, s"$path/ivf", retired)
+    // The released rewrite is the commit point — last, so a crash-retry
+    // still sees the retired docs in `released` and re-runs the
+    // (idempotent) span/IVF removes before committing.
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    val tmp = new org.apache.hadoop.fs.Path(path, ".reconcile.tmp")
+    fs.delete(tmp, true)
+    s.read.parquet(s"$path/released")
+      .join(retired, Seq("doc_id"), "left_anti")
+      .write.parquet(s"$tmp/released")
+    DedupStore.swapRelations(fs, root, tmp, Seq("released"))
+    graft.RddScope.sweepExcept(s, before, retired)
+    retired
   }
 
   /** Composed takedown across every store relation — remove the docs'

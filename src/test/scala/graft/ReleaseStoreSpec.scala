@@ -649,4 +649,145 @@ class ReleaseStoreSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(2))).toSet == snapshot,
       "a refused takedown still mutated the released relation")
   }
+
+  test("reconcile retires dethroned canonicals: init -> increments -> reconcile == the batch chain on the union") {
+    val dir = Files.createTempDirectory("graft_release_reconcile").toString
+    // 50 = stored singleton canonical, dethroned by 346 below. The
+    // dethroner is NOT a superset: position 19's token is replaced, so
+    // the 6-token anchor windows overlapping position 19 exist ONLY in
+    // doc 50 — retiring 50's grams is OBSERVABLE (a later arrival
+    // copying that region must come through uncut, as the batch run —
+    // whose survivor set never holds 50 — would leave it).
+    val d50 = toks("c50", 30)
+    val d20 = toks("c20", 36) // stays released; span-excision control
+    val storedRows = Seq(50L -> d50, 20L -> d20) ++
+      (0 until 6).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 6)
+    // 346 = d50 with one mid-doc token replaced plus a 4-token tail:
+    // near-dup of 50 (one shingle run differs), LONGER -> wins the
+    // canonical election and dethrones 50.
+    val d346 = d50.updated(19, "a346alt") ++ (0 until 4).map(i => s"b346t$i")
+    val b1Rows = Seq(346L -> d346) ++ negDocs(360, 3)
+    val stored = mkDocs(storedRows)
+    val b1 = mkDocs(b1Rows)
+    val union1 = stored.unionAll(b1)
+    // 400 = copies the region of 50 that 346 REPLACED (every 6-token
+    // window of the slice crosses position 19): after reconcile its
+    // span source is retired, so it must release UNCUT.
+    val d400 = toks("b400", 15) ++ d50.slice(14, 25) ++ toks("b400z", 6)
+    // 402 = copies a span of the still-released 20: must be excised,
+    // proving reconcile removed ONLY the retired doc's grams.
+    val d402 = toks("b402", 15) ++ d20.slice(6, 15) ++ toks("b402z", 9)
+    val b2Rows = Seq(400L -> d400, 402L -> d402) ++ negDocs(420, 3)
+    val b2 = mkDocs(b2Rows)
+    val union2 = union1.unionAll(b2)
+
+    // Gate guards: every scenario doc passes at every stage; retrains
+    // never flip a stored decision (the batch-equality precondition).
+    val wU2 = trainOn(union2)
+    val keptU2 = keptIds(union2, wU2)
+    assert(Set(20L, 50L, 346L, 400L, 402L).subsetOf(keptU2),
+      s"gate rejected a scenario doc; kept=$keptU2")
+    assert(keptIds(stored, trainOn(stored)) == keptIds(stored, wU2) &&
+      keptIds(union1, trainOn(union1)) == keptIds(union1, wU2),
+      "retrain flipped a stored gate decision; adjust ballast")
+
+    val r0 = ReleaseStore.init(spark, stored, "doc_id", "text", P, s"$dir/st")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(r0)
+    val inc1 = freedRows(ReleaseStore.increment(
+      spark, b1, "doc_id", "text", P, s"$dir/st"))
+    assert(inc1.exists(_._1 == 346L),
+      "346 was not released; the dethroning never happened (LSH missed the pair?)")
+    // Frozen history before the policy runs: 50 is still released.
+    assert(spark.read.parquet(s"$dir/st/released")
+      .filter(col("doc_id") === 50L).count() == 1)
+
+    // The policy: retire the dethroned canonical.
+    val retired = ReleaseStore.reconcile(spark, s"$dir/st")
+    val retiredIds = retired.collect().map(_.getLong(0)).toSet
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(retired)
+    assert(retiredIds == Set(50L), s"retired $retiredIds, want {50}")
+    val afterReconcile = rows(spark.read.parquet(s"$dir/st/released"))
+    val wantU1 = freedRows(ReleaseStore.batchRelease(union1, "doc_id", "text", P))
+    assert(afterReconcile == wantU1,
+      s"reconciled store != batch chain on the union: " +
+        s"missing=${(wantU1 -- afterReconcile).take(3)} " +
+        s"extra=${(afterReconcile -- wantU1).take(3)}")
+    assert(spark.read.parquet(s"$dir/st/spans/grams")
+        .filter(col("id") === 50L).count() == 0,
+      "reconcile left the retired doc's grams in the span store")
+    // Membership and classifier statistics stay: the batch run clusters
+    // over ALL kept docs and trains on every arrival, losers included.
+    assert(spark.read.parquet(s"$dir/st/clusters")
+      .filter(col("member_id") === 50L).count() >= 1)
+
+    // Idempotent: a second sweep finds nothing to retire.
+    val again = ReleaseStore.reconcile(spark, s"$dir/st")
+    assert(again.isEmpty, "reconcile re-run retired docs twice")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(again)
+
+    // The cross-increment window the policy closes: a post-reconcile
+    // arrival carrying the RETIRED doc's unique span releases uncut;
+    // one carrying a still-released doc's span is excised.
+    val inc2 = freedRows(ReleaseStore.increment(
+      spark, b2, "doc_id", "text", P, s"$dir/st"))
+    val t400 = inc2.find(_._1 == 400L).get._4
+    assert(t400 == d400.mkString(" "),
+      s"400 was excised against the RETIRED doc 50's spans: $t400")
+    val t402 = inc2.find(_._1 == 402L).get._4
+    assert(t402 != d402.mkString(" "),
+      "402 kept its span from released doc 20; excision is broken, the 400 assert proves nothing")
+    val finalStore = rows(spark.read.parquet(s"$dir/st/released"))
+    val wantU2 = freedRows(ReleaseStore.batchRelease(union2, "doc_id", "text", P))
+    assert(finalStore == wantU2,
+      s"store after init -> inc -> reconcile -> inc != batch chain on the union: " +
+        s"missing=${(wantU2 -- finalStore).take(3)} " +
+        s"extra=${(finalStore -- wantU2).take(3)}")
+  }
+
+  test("reconcile under crash: every swap kill point recovers and the re-run converges") {
+    // reconcile runs two crash-safe swaps (spans grams/gramdf, then its
+    // own released — the commit point, deliberately LAST). For every
+    // rename kill point: crash, recover both stores, re-run reconcile,
+    // and the final state must match a never-crashed run.
+    val dir = Files.createTempDirectory("graft_release_reccrash").toString
+    val d50 = toks("c50", 30)
+    val d346 = d50.updated(19, "a346alt") ++ (0 until 4).map(i => s"b346t$i")
+    val storedRows = Seq(50L -> d50) ++
+      (0 until 6).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 6)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.init(spark, mkDocs(storedRows), "doc_id", "text", P, s"$dir/ref"))
+    freedRows(ReleaseStore.increment(
+      spark, mkDocs(Seq(346L -> d346) ++ negDocs(360, 3)),
+      "doc_id", "text", P, s"$dir/ref"))
+    copyDir(s"$dir/ref", s"$dir/tmpl") // post-increment, pre-reconcile
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      ReleaseStore.reconcile(spark, s"$dir/ref"))
+    val wantReleased = rows(spark.read.parquet(s"$dir/ref/released"))
+    assert(!wantReleased.exists(_._1 == 50L), "fixture: 50 was not retired")
+    val wantGramIds = spark.read.parquet(s"$dir/ref/spans/grams")
+      .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+    // spans swap: 2 relations x 2 renames; released swap: 1 x 2.
+    for (k <- 0 until 6) {
+      val st = s"$dir/k$k/st"
+      copyDir(s"$dir/tmpl", st)
+      graft.dedup.DedupStore.swapFailAfterRenames = k
+      val crashed =
+        try { org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+          ReleaseStore.reconcile(spark, st)); false }
+        catch { case _: java.io.IOException => true }
+      graft.dedup.DedupStore.swapFailAfterRenames = Int.MaxValue
+      if (crashed) {
+        graft.dedup.SpanStore.recover(spark, s"$st/spans")
+        ReleaseStore.recover(spark, st)
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+          ReleaseStore.reconcile(spark, st))
+      }
+      assert(rows(spark.read.parquet(s"$st/released")) == wantReleased,
+        s"kill point $k: released diverged from the never-crashed run")
+      assert(spark.read.parquet(s"$st/spans/grams")
+        .select(col("id")).distinct().collect().map(_.getLong(0)).toSet
+        == wantGramIds,
+        s"kill point $k: span grams diverged from the never-crashed run")
+    }
+  }
 }
