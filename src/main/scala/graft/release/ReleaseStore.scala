@@ -140,8 +140,10 @@ object ReleaseStore {
   private def norm(docs: DataFrame, idCol: String, textCol: String) =
     docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
 
-  /** The p17 split draw on the near-dup cluster rep. */
-  private def splitOf(rep: Column): Column = {
+  /** The p17 split draw on the near-dup cluster rep (private[graft]:
+    * the streaming front-door draws the same split for novel docs).
+    */
+  private[graft] def splitOf(rep: Column): Column = {
     val bucket = pmod(graft.ops.Portable.md5Long(
       concat(lit("split:"), rep.cast("string"))), lit(10L))
     when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test")

@@ -823,6 +823,139 @@ object Streams {
         col("jaccard"))
   }
 
+  /** The END-TO-END streaming release front-door — the live twin of the
+    * FULL p22 increment on one arriving batch: gate → near-dup drop →
+    * span excision → split, emitting the batch's RELEASED rows
+    * (doc_id, rep_id, split, text_dedup) exactly as
+    * [[graft.release.ReleaseStore.increment]] appends them. StreamsSpec
+    * parity-pins the composition against increment itself (not merely
+    * its stages) on the same batch and store.
+    *
+    * Streaming allows ONE aggregation, so the composition cannot be
+    * "flag stage, anti-join, range stage" — instead every per-doc
+    * decision collapses into a single `groupBy(doc_id)` over the UNION
+    * of three stream-static probe legs:
+    *
+    *   - leg 0 carries the doc itself (a novel doc hits nothing and
+    *     must still release);
+    *   - the NEAR-DUP leg bands the doc row-locally (the
+    *     [[nearDupStream]] signature — identical hash family to the
+    *     stored [[graft.dedup.DedupStore]] layout), equi-joins the
+    *     stored band relation, and computes the exact Jaccard ROW-
+    *     locally against per-stored-doc shingle ARRAYS (a static-side
+    *     pre-aggregation — allowed where a streaming second agg is
+    *     not), so the drop decision needs only `max(j)`;
+    *   - the SPAN leg builds the doc's complete minTokens-token anchor
+    *     windows row-locally (`slice`/`array_join` ≡
+    *     [[graft.dedup.Dedup.anchorGrams]]'s window spelling) and
+    *     equi-joins the stored gram relation, keeping only the matched
+    *     POSITIONS: a maximal span's removal range [min pb, max pb + L)
+    *     is exactly the interval union of its seeds' windows
+    *     [pb, pb+L), so the per-(pair, diagonal) islands merge the
+    *     batch operator runs is equivalent to excising
+    *     ∪ {[p, p+L) : anchor at p matched} — no second grouping, just
+    *     `collect_set(pos)` inside the one aggregation and a row-local
+    *     exists() filter over token positions at emit time.
+    *
+    * Like every stored-arm stream twin, within-batch (new×new)
+    * duplication and spans are `dropDuplicatesWithinWatermark` /
+    * the batch increment's job, and a batch doc that would DETHRONE a
+    * stored canonical (near-dup hit but longer — increment releases it
+    * with the cluster's rep) is conservatively dropped here: a stream
+    * cannot join the flag back to the cluster relation after its one
+    * aggregation. Survivors are therefore novel docs — rep = self,
+    * split drawn on their own id, the increment's own rule. State per
+    * micro-batch: per-doc matched positions + max Jaccard, probe-hit-
+    * bounded; the stored relations stream through one side of each
+    * equi-join, never shuffled by the stream.
+    */
+  def releaseFrontDoorStream(
+      docs: DataFrame, // streaming (idCol, textCol)
+      weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
+      dims: Int,
+      storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
+      storedShingles: DataFrame, // static (id, s)
+      storedGrams: DataFrame, // static (id, pos, g) — SpanStore layout
+      idCol: String, textCol: String,
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      minTokens: Int): DataFrame = {
+    val gated = docs
+      .filter(marginExpr(weights, dims, textCol) > 0)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+    val nullText = lit(null).cast("string").as("text")
+    val nullJ = lit(null).cast("double").as("j")
+    val nullPos = lit(null).cast("int").as("mpos")
+
+    // Leg 0: the doc itself — survives the inner probe joins even when
+    // it hits nothing.
+    val base = gated.select(col("doc_id"), col("text"), nullJ, nullPos)
+
+    // Near-dup leg: banding identical to nearDupStream/DedupStore.
+    val numHashes = bands * rowsPerBand
+    val withSh = gated.select(col("doc_id"),
+        graft.text.TextFns.shingles(col("text"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val minCols = (0 until numHashes).map { k =>
+      array_min(transform(col("sh"), s => xxhash64(s, lit(k)))).as(s"m$k")
+    }
+    val sig = withSh.select(col("doc_id") +: col("sh") +: minCols: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"m$k")): _*).as(s"b$b")
+    }
+    val banded = sig
+      .select(col("doc_id") +: col("sh") +: bandCols: _*)
+      .select(col("doc_id"), col("sh"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
+      .select(col("doc_id"), col("sh"),
+        col("e.band").as("band"), col("e.bucket").as("bucket"))
+    // Static-side pre-aggregation: one shingle ARRAY per stored doc, so
+    // the exact-Jaccard refine is a row-local set intersection instead
+    // of a (forbidden) second streaming aggregation. shingleIndex rows
+    // are distinct per doc, so array sizes are set cardinalities.
+    val storedSets = storedShingles.groupBy(col("id").as("old_id"))
+      .agg(collect_list(col("s")).as("old_sh"))
+    val common = size(array_intersect(col("sh"), col("old_sh")))
+    val ndLeg = banded
+      .join(storedBands.select(col("band"), col("bucket"),
+        col("id").as("old_id")), Seq("band", "bucket"))
+      .join(storedSets, "old_id")
+      .select(col("doc_id"), nullText,
+        (common.cast("double") /
+          (size(col("sh")) + size(col("old_sh")) - common).cast("double"))
+          .as("j"),
+        nullPos)
+
+    // Span leg: matched anchor positions vs the stored gram relation.
+    val toks = graft.text.TextFns.tokens(col("text"))
+    val gramArr = when(size(toks) >= minTokens,
+        transform(sequence(lit(0), size(toks) - minTokens),
+          i => array_join(slice(toks, i + 1, lit(minTokens)), " ")))
+      .otherwise(lit(Array.empty[String]))
+    val spanLeg = gated
+      .select(col("doc_id"), posexplode(gramArr).as(Seq("mpos", "g")))
+      .join(storedGrams.select(col("g")).distinct(), "g")
+      .select(col("doc_id"), nullText, nullJ, col("mpos"))
+
+    val agg = base.unionAll(ndLeg).unionAll(spanLeg)
+      .groupBy(col("doc_id"))
+      .agg(max(col("j")).as("jmax"),
+        collect_set(col("mpos")).as("cut"),
+        max(col("text")).as("text"))
+    val t = graft.text.TextFns.tokens(col("text"))
+    val keptPos = filter(sequence(lit(0), size(t) - 1),
+      p => !exists(col("cut"), q => p >= q && p < q + minTokens))
+    agg
+      .filter(col("jmax").isNull || col("jmax") < threshold)
+      .select(col("doc_id"), col("doc_id").as("rep_id"),
+        graft.release.ReleaseStore.splitOf(col("doc_id")).as("split"),
+        when(size(t) === 0, lit(""))
+          .otherwise(array_join(
+            transform(keptPos, p => element_at(t, p + 1)), " "))
+          .as("text_dedup"))
+  }
+
   /** Streaming quality-DRIFT monitor — the live tail of the classifier
     * lifecycle (t22 train → t23 score → t24 calibrate → monitor): tumbling-
     * window aggregates of the stateless margin scorer over arriving

@@ -755,6 +755,94 @@ class StreamsSpec extends SparkSpec {
       "a reject-all gate still let near-dup flags through; the gate is not wired into the composition")
   }
 
+  test("end-to-end streaming front-door: released rows match ReleaseStore.increment on the same batch") {
+    // The full live twin of p22: gate -> near-dup drop -> span excision
+    // -> split as ONE streaming query, parity-pinned against the batch
+    // increment ITSELF (not just its stages) on the same batch + store.
+    // Fixture is constructed inside the twin's documented scope: no
+    // within-batch near-dups/spans (dropDuplicatesWithinWatermark's
+    // job) and no dethroning (a stream cannot re-elect canonicals).
+    implicit val sqlCtx = spark.sqlContext
+    val P = graft.release.ReleaseParams()
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontdoor_e2e").toString
+    def toks(ns: String, k: Int): Vector[String] =
+      (0 until k).map { i =>
+        if (i % 3 == 0) graft.text.TextFns.Stopwords(i / 3 % 7)
+        else s"${ns}x$i"
+      }.toVector
+    def mkDocs(rows: Seq[(Long, Vector[String])]) =
+      rows.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    def negDocs(base: Long, k: Int): Seq[(Long, Vector[String])] =
+      (0 until k).map(i =>
+        (base + i, (0 until 24).map(j => s"neg${base + i}q$j").toVector))
+    val d20 = toks("c20", 36) // released span source
+    val d30 = toks("c30", 30) // released near-dup source
+    val storedRows = Seq(20L -> d20, 30L -> d30) ++
+      (0 until 6).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 6)
+    // 400 = SHORTER near-dup of stored 30: loses the election in the
+    // increment, near-dup-dropped in the stream — same outcome.
+    val d400 = d30.take(26)
+    // 402 = novel doc carrying a span of the released 20: excised.
+    val d402 = toks("b402", 15) ++ d20.slice(6, 15) ++ toks("b402z", 9)
+    // 404 = novel doc: released uncut, rep = self.
+    val d404 = toks("b404", 24)
+    val batchRows = Seq(400L -> d400, 402L -> d402, 404L -> d404) ++
+      negDocs(420, 3)
+    val stored = mkDocs(storedRows)
+    val batch = mkDocs(batchRows)
+    // Two identical stores: A feeds the stream's static relations (and
+    // takes the manual stat append that reproduces increment's retrain);
+    // B takes the real increment — so neither run sees the other's
+    // appends.
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      graft.release.ReleaseStore.init(spark, stored, "doc_id", "text", P, s"$dir/a"))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      graft.release.ReleaseStore.init(spark, stored, "doc_id", "text", P, s"$dir/b"))
+    val ml = graft.ml.LinearClassifier
+    val feat = ml.features(batch, "doc_id", "text", P.dims)
+    val lab = ml.weakLabels(batch, "doc_id", "text")
+    graft.ml.ClassifierStore.append(feat, lab, s"$dir/a/classifier")
+    val w = graft.ml.ClassifierStore.trainStored(
+      spark, s"$dir/a/classifier", P.dims, P.iters)
+    // Fixture guards: the scenario docs pass the retrained gate; the
+    // ballast negatives fail it (so the gate is a real decision).
+    val kept = ml.score(feat, lab, w).filter(col("margin") > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(Set(400L, 402L, 404L).subsetOf(kept), s"gate rejected a scenario doc: $kept")
+    assert(!kept.exists(_ >= 420L), s"a ballast negative passed the gate: $kept")
+
+    val mem = MemoryStream[(Long, String)]
+    mem.addData(batchRows.map { case (id, ts) => (id, ts.mkString(" ")) }: _*)
+    val q = Streams.releaseFrontDoorStream(
+        mem.toDF().toDF("doc_id", "text"), w, P.dims,
+        spark.read.parquet(s"$dir/a/neardup/bands"),
+        spark.read.parquet(s"$dir/a/neardup/shingles"),
+        spark.read.parquet(s"$dir/a/spans/grams"),
+        "doc_id", "text", P.n, P.bands, P.rowsPerBand, P.threshold,
+        P.minTokens)
+      .writeStream.format("memory").queryName("frontdoor_e2e")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("frontdoor_e2e")
+      .as[(Long, Long, String, String)].collect().toSet
+
+    val inc = graft.release.ReleaseStore.increment(
+      spark, batch, "doc_id", "text", P, s"$dir/b")
+    val want = inc.select(col("doc_id"), col("rep_id"), col("split"),
+        col("text_dedup"))
+      .as[(Long, Long, String, String)].collect().toSet
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(inc)
+    assert(got == want,
+      s"streamed release diverged from the increment: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    // The scenario really exercised every stage.
+    assert(!want.exists(_._1 == 400L), "400 was not near-dup dropped; fixture too weak")
+    val t402 = want.find(_._1 == 402L).get._4
+    assert(t402 != d402.mkString(" "), "402 kept its copied span; the span stage never fired")
+    assert(want.find(_._1 == 404L).get._4 == d404.mkString(" "),
+      "the novel doc 404 was altered")
+  }
+
   test("streaming semantic dedup vs stored IVF cells matches the batch probe's stored arm") {
     implicit val sqlCtx = spark.sqlContext
     val (dims, eps) = (3, 0.35)
