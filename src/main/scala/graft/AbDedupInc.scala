@@ -129,6 +129,50 @@ object AbDedupInc {
       f"files=$filesFrag probe_frag=$fragWall%.1f s " +
       f"compact=$compactWall%.1f s files_after=$filesCompact " +
       f"probe_compacted=$compWall%.1f s probe_onesave=$incWall%.1f s")
+
+    // PRUNE leg: the v2 id-bucketed layout vs the LEGACY unbucketed one,
+    // same one-save corpus, NARROW probes (AB_PROBE_DOCS docs — the
+    // hit-sparse regime where id-bucket pruning exists: a handful of
+    // candidate ids land in a handful of idb buckets, so the refine's
+    // shingle/count FILE reads follow the hit count, not the corpus;
+    // broad batches saturate every bucket and adaptively skip the
+    // filter, paying only the bounded bucket-collect).
+    val probeDocs = sys.env.getOrElse("AB_PROBE_DOCS", "8").toInt
+    // plain (uncheckpointed): the inter-leg sweep() unpersists every
+    // cached block, and an 8-doc orderBy-limit recompute is free here
+    val narrow = batch.orderBy(col("doc_id")).limit(probeDocs)
+    // The rep-prefixed corpus shares nothing with the batch, so the
+    // PRUNE stores add unprefixed TWINS (ids shifted) — each narrow doc
+    // has a real stored near-dup and the refine has stored ids to
+    // restrict to. Both layouts get the same corpus.
+    val corpusP = corpus.unionAll(base.select(
+      (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    val dirL = java.nio.file.Files.createTempDirectory("graft_ab_deduplegacy").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft_ab_dedupv2").toString
+    graft.dedup.DedupStore.save(corpusP, "doc_id", "text", n, bands, rpb,
+      s"$dirL/ix", idBuckets = 0)
+    graft.dedup.DedupStore.save(corpusP, "doc_id", "text", n, bands, rpb,
+      s"$dirP/ix")
+    sweep()
+    // Two interleaved reps per layout (both JIT-warm from the legs
+    // above), min reported — the session-cold first probe is not a fair
+    // baseline for either side.
+    def probeOf(p: String): (Long, Double) = {
+      val r = timed {
+        graft.dedup.DedupStore.searchNew(
+          spark, p, narrow, "doc_id", "text", n, bands, rpb, thr).count()
+      }
+      sweep(); r
+    }
+    val reps = Seq(probeOf(s"$dirL/ix"), probeOf(s"$dirP/ix"),
+      probeOf(s"$dirL/ix"), probeOf(s"$dirP/ix"))
+    val legacyWall = math.min(reps(0)._2, reps(2)._2)
+    val v2Wall = math.min(reps(1)._2, reps(3)._2)
+    require(reps.map(_._1).distinct.size == 1,
+      s"probe diverged across layouts: ${reps.map(_._1)}")
+    println(f"AB-DEDUPINC-PRUNE amp=$amp probe_docs=$probeDocs " +
+      f"probe_legacy=$legacyWall%.1f s probe_v2=$v2Wall%.1f s " +
+      f"speedup=${legacyWall / v2Wall}%.1fx pairs=${reps(0)._1}")
     spark.stop()
   }
 }

@@ -129,6 +129,57 @@ object AbSpanInc {
       f"files=$filesFrag probe_frag=$fragWall%.1f s " +
       f"compact=$compactWall%.1f s files_after=$filesCompact " +
       f"probe_compacted=$compWall%.1f s probe_onesave=$incWall%.1f s")
+
+    // PRUNE leg: the v2 gram-bucketed layout vs the LEGACY unbucketed
+    // one, same one-save corpus, NARROW probes (AB_PROBE_DOCS docs, the
+    // maintenance/targeted-probe regime) — the intersection-bucket
+    // pruning reads only gb partitions holding a batch-matching gram
+    // hash, so the pos-level scan stops growing with the corpus. The
+    // broad probe above covers every bucket (pruning adaptively skips
+    // itself there; its cost against the corpus is the gramidx scan).
+    val probeDocs = sys.env.getOrElse("AB_PROBE_DOCS", "8").toInt
+    // plain (uncheckpointed): the inter-leg sweep() unpersists every
+    // cached block, and an 8-doc orderBy-limit recompute is free here
+    val narrow = batch.orderBy(col("doc_id")).limit(probeDocs)
+    // The rep-prefixed corpus shares no grams with the batch; the PRUNE
+    // stores add one DONOR doc carrying a 12-token slice of the first
+    // narrow doc, so the probe has a real stored span hit and the
+    // intersection is a handful of grams (the hit-sparse regime).
+    val srcToks = narrow.limit(1)
+      .select(graft.text.TextFns.tokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    val donor = spark.range(1).select(
+      lit(2000000L).as("doc_id"),
+      lit("zqfila zqfilb zqfilc " + srcToks.take(12).mkString(" ") +
+        " zqfild zqfile zqfilf").as("text"))
+    val corpusP = corpus.unionAll(donor)
+    val dirL = java.nio.file.Files.createTempDirectory("graft_ab_spanlegacy").toString
+    val dirP = java.nio.file.Files.createTempDirectory("graft_ab_spanv2").toString
+    graft.dedup.SpanStore.save(corpusP, "doc_id", "text", L, s"$dirL/ix",
+      gramBuckets = 0)
+    graft.dedup.SpanStore.save(corpusP, "doc_id", "text", L, s"$dirP/ix")
+    sweep()
+    def narrowProbe(p: String): (Long, Double) = {
+      val r = timed {
+        val df = graft.dedup.SpanStore.searchNew(
+          spark, p, narrow, "doc_id", "text", L)
+        val n = df.count()
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+        n
+      }
+      sweep(); r
+    }
+    // Two interleaved reps per layout, min reported (both sides are
+    // JIT-warm from the legs above).
+    val reps = Seq(narrowProbe(s"$dirL/ix"), narrowProbe(s"$dirP/ix"),
+      narrowProbe(s"$dirL/ix"), narrowProbe(s"$dirP/ix"))
+    val legacyWall = math.min(reps(0)._2, reps(2)._2)
+    val v2Wall = math.min(reps(1)._2, reps(3)._2)
+    require(reps.map(_._1).distinct.size == 1,
+      s"narrow probe diverged across layouts: ${reps.map(_._1)}")
+    println(f"AB-SPANINC-PRUNE amp=$amp probe_docs=$probeDocs " +
+      f"probe_legacy=$legacyWall%.1f s probe_v2=$v2Wall%.1f s " +
+      f"speedup=${legacyWall / v2Wall}%.1fx spans=${reps(0)._1}")
     spark.stop()
   }
 }

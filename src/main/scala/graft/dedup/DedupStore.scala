@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted near-duplicate index — the INCREMENTAL curation shape.
@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   *                      together, but the partition keeps per-band files
   *                      mergeable and lets a band count change migrate)
   *   `<path>/shingles`: (id, s) — the exact-refine state
+  *   `<path>/layout`:   one-row meta (id_buckets) — v2 stores Hive-
+  *                      partition `shingles`/`counts` by
+  *                      idb = pmod(id, id_buckets), so the refine's
+  *                      candidate-id restriction prunes store FILES at
+  *                      planning time (pre-upgrade stores read as
+  *                      legacy; [[compact]] migrates them)
   *
   * [[Dedup.minhashBanded]]'s hash family is deterministic across
   * batches, so probing stored bands with a new batch's bands is
@@ -30,34 +36,100 @@ import org.apache.spark.sql.functions._
   */
 object DedupStore {
 
+  /** Default id-bucket count for new stores (the v2 layout below). */
+  private[dedup] val DefaultIdBuckets = 32
+
+  private def idbOf(id: Column, buckets: Int): Column =
+    pmod(id, lit(buckets.toLong)).cast("int")
+
+  /** Layout metadata — one tiny parquet at `<path>/layout` recording the
+    * store's bucket count. AUTHORITATIVE: readers prune/write bucketed
+    * only when it exists (a store whose relations carry partition dirs
+    * but no meta — e.g. a crash between a migrating compact's swap and
+    * the meta write — is read as legacy via the explicit column
+    * projections, which is always correct, just unpruned).
+    */
+  private[dedup] def writeLayout(
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit =
+    spark.range(1).select(lit(buckets).as(key))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
+
+  private[dedup] def readLayout(
+      spark: SparkSession, path: String, key: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).select(col(key)).first().getInt(0))
+  }
+
+  private def writeIdBucketed(
+      df: DataFrame, buckets: Int, dest: String, mode: String,
+      sortById: Boolean = false): Unit = {
+    val parted = df.withColumn("idb", idbOf(col("id"), buckets))
+      .repartition(buckets, col("idb"))
+    (if (sortById) parted.sortWithinPartitions(col("id")) else parted)
+      .write.mode(mode).partitionBy("idb").parquet(dest)
+  }
+
   private def write(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, path: String,
-      mode: String): Unit = {
+      mode: String, idBuckets: Option[Int]): Unit = {
     val sh = Dedup.shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
     Dedup.minhashBanded(sh, bands, rowsPerBand)
       .write.mode(mode).partitionBy("band").parquet(s"$path/bands")
-    sh.write.mode(mode).parquet(s"$path/shingles")
+    val counts = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     // Per-doc shingle counts, stored so the refine never re-aggregates
-    // the corpus-sized shingle relation per probe.
-    sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-      .write.mode(mode).parquet(s"$path/counts")
+    // the corpus-sized shingle relation per probe. Both id-keyed
+    // relations are Hive-partitioned by idb = pmod(id, buckets) (the v2
+    // layout): the refine only ever reads CANDIDATE-involved ids — a
+    // batch-hit-bounded set — so the probe collects their distinct
+    // buckets (≤ buckets scalars) and prunes the stored FILES at
+    // planning time, the IVF store's cell trick applied to ids. One
+    // repartition by bucket per write keeps it to `buckets` files per
+    // increment (same order as today's shuffle-file splatter).
+    idBuckets match {
+      case Some(b) =>
+        writeIdBucketed(sh, b, s"$path/shingles", mode)
+        writeIdBucketed(counts, b, s"$path/counts", mode)
+      case None =>
+        sh.write.mode(mode).parquet(s"$path/shingles")
+        counts.write.mode(mode).parquet(s"$path/counts")
+    }
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(sh)
   }
 
-  /** Build + persist the index for an initial corpus. */
+  /** Build + persist the index for an initial corpus. `idBuckets` picks
+    * the id-bucket count of the v2 layout (≤ 1 = the legacy unbucketed
+    * layout, kept for the A/B harnesses and pre-upgrade parity).
+    */
   def save(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
-    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "overwrite")
+      n: Int, bands: Int, rowsPerBand: Int, path: String,
+      idBuckets: Int = DefaultIdBuckets): Unit = {
+    val b = if (idBuckets > 1) Some(idBuckets) else None
+    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "overwrite", b)
+    b match {
+      case Some(x) => writeLayout(docs.sparkSession, path, "id_buckets", x)
+      case None =>
+        val lp = new org.apache.hadoop.fs.Path(s"$path/layout")
+        val fs = lp.getFileSystem(
+          docs.sparkSession.sparkContext.hadoopConfiguration)
+        fs.delete(lp, true)
+        ()
+    }
+  }
 
   /** Add a new batch to the stored index (call AFTER [[searchNew]] has
-    * adjudicated it). Append-only: old state is untouched.
+    * adjudicated it). Append-only: old state is untouched; the batch is
+    * written in whatever layout the store declares (a legacy store
+    * stays legacy until [[compact]] migrates it).
     */
   def append(
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
-    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "append")
+    write(docs, idCol, textCol, n, bands, rowsPerBand, path, "append",
+      readLayout(docs.sparkSession, path, "id_buckets"))
 
   /** Maintenance: rewrite the store's three relations into few large,
     * clustered files. Append-only increments each leave their own file
@@ -100,15 +172,22 @@ object DedupStore {
       .repartition(col("band"))
       .sortWithinPartitions(col("bucket"), col("id"))
       .write.partitionBy("band").parquet(s"$tmp/bands")
-    spark.read.parquet(s"$path/shingles")
-      .repartitionByRange(idFiles, col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.parquet(s"$tmp/shingles")
-    spark.read.parquet(s"$path/counts")
-      .repartitionByRange(idFiles, col("id"))
-      .sortWithinPartitions(col("id"))
-      .write.parquet(s"$tmp/counts")
+    // A bucketed store compacts to ONE id-sorted file per bucket; a
+    // LEGACY store MIGRATES to the bucketed layout here (the gramdf-
+    // backfill precedent: compact is the store's upgrade point). The
+    // layout meta is written only after the swap commits, so a crash
+    // mid-migration leaves a store that reads as legacy — correct,
+    // just unpruned until the compact re-runs.
+    val buckets = readLayout(spark, path, "id_buckets")
+      .getOrElse(DefaultIdBuckets)
+    writeIdBucketed(spark.read.parquet(s"$path/shingles")
+        .select(col("id"), col("s")),
+      buckets, s"$tmp/shingles", "overwrite", sortById = true)
+    writeIdBucketed(spark.read.parquet(s"$path/counts")
+        .select(col("id"), col("n_sh")),
+      buckets, s"$tmp/counts", "overwrite", sortById = true)
     swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts"))
+    writeLayout(spark, path, "id_buckets", buckets)
   }
 
   /** The shared crash-safe swap (compact/remove): for each staged
@@ -223,12 +302,21 @@ object DedupStore {
     fs.delete(tmp, true)
     // Takedown lists are usually tiny (AQE broadcasts the anti-join
     // side); the store streams through the rewrite once per relation.
+    // The id-keyed relations rewrite in the store's declared layout.
     spark.read.parquet(s"$path/bands").join(gone, Seq("id"), "left_anti")
       .write.partitionBy("band").parquet(s"$tmp/bands")
-    spark.read.parquet(s"$path/shingles").join(gone, Seq("id"), "left_anti")
-      .write.parquet(s"$tmp/shingles")
-    spark.read.parquet(s"$path/counts").join(gone, Seq("id"), "left_anti")
-      .write.parquet(s"$tmp/counts")
+    val layout = readLayout(spark, path, "id_buckets")
+    def rewrite(rel: String, cols: Seq[String]): Unit = {
+      val survivors = spark.read.parquet(s"$path/$rel")
+        .select(cols.map(col): _*)
+        .join(gone, Seq("id"), "left_anti")
+      layout match {
+        case Some(b) => writeIdBucketed(survivors, b, s"$tmp/$rel", "overwrite")
+        case None => survivors.write.parquet(s"$tmp/$rel")
+      }
+    }
+    rewrite("shingles", Seq("id", "s"))
+    rewrite("counts", Seq("id", "n_sh"))
     swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts"))
   }
 
@@ -250,8 +338,20 @@ object DedupStore {
           col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
             col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"))
-    pairsOf(newBands, stored)
-      .unionAll(pairsOf(stored, newBands))
+    // New-vs-stored in ONE equi-join: each unordered collision pair
+    // appears once per shared bucket regardless of which side holds the
+    // smaller id, so orienting with least/greatest replaces the old
+    // two-arm union and HALVES the stored band scan (the arms were
+    // identical scans Spark cannot reuse — only exchanges dedupe).
+    val crossPairs = newBands
+      .select(col("band"), col("bucket"), col("id").as("id_n"))
+      .join(stored.select(col("band").as("band_b"),
+        col("bucket").as("bucket_b"), col("id").as("id_s")),
+        col("band") === col("band_b") && col("bucket") === col("bucket_b") &&
+          col("id_n") =!= col("id_s"))
+      .select(least(col("id_n"), col("id_s")).as("doc_a"),
+        greatest(col("id_n"), col("id_s")).as("doc_b"))
+    crossPairs
       .unionAll(pairsOf(newBands, newBands))
       .dropDuplicates("doc_a", "doc_b")
   }
@@ -314,13 +414,42 @@ object DedupStore {
     // shingle scan to those ids (a batch-hit-sized set), and read the
     // per-doc counts from the store instead of re-aggregating the
     // corpus-sized shingle relation — the two O(corpus) stages the first
-    // spelling of this probe still paid per increment.
+    // spelling of this probe still paid per increment. On a v2
+    // (id-bucketed) layout the restriction ALSO prunes files at
+    // planning time: the candidate ids' distinct buckets are a bounded
+    // driver scalar set (≤ id_buckets values, from a checkpointed
+    // batch-hit-sized relation), pushed as a partition filter — so the
+    // refine's stored IO is O(hit buckets), not O(corpus), no matter
+    // how many increments the store has absorbed. The explicit column
+    // projections keep a meta-less (pre-upgrade or mid-migration)
+    // store reading correctly as legacy.
     val candIds = candidates.select(col("doc_a").as("id"))
       .unionAll(candidates.select(col("doc_b").as("id")))
       .distinct()
-    val allSh = spark.read.parquet(s"$path/shingles").unionAll(newSh)
+    val layout = readLayout(spark, path, "id_buckets")
+    // Bucket discovery uses only the STORED candidate ids (ids are
+    // globally unique, so a batch id can never be in the store — its
+    // bucket would be read for nothing).
+    val candBuckets = layout.map(b =>
+      candIds.join(newSh.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .select(idbOf(col("id"), b).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq)
+    def pruned(rel: String, cols: Seq[String]): DataFrame = {
+      val raw = spark.read.parquet(s"$path/$rel")
+      (candBuckets match {
+        // A saturated bucket set (broad batches hit every bucket) reads
+        // everything anyway — skip the useless filter. Pruning exists
+        // for the hit-sparse regime (trickle batches, targeted checks),
+        // where a handful of buckets carry every candidate id.
+        case Some(bks) if raw.columns.contains("idb") &&
+            bks.size < layout.get =>
+          raw.filter(col("idb").isin(bks: _*))
+        case _ => raw
+      }).select(cols.map(col): _*)
+    }
+    val allSh = pruned("shingles", Seq("id", "s")).unionAll(newSh)
       .join(candIds, Seq("id"), "left_semi")
-    val counts = spark.read.parquet(s"$path/counts")
+    val counts = pruned("counts", Seq("id", "n_sh"))
       .unionAll(newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh")))
     val refined = Dedup.refineJaccardCounted(candidates, allSh, counts, threshold)
     if (!alsoAppend) refined
@@ -331,9 +460,15 @@ object DedupStore {
       // or minhash pass over the batch.
       val res = refined.localCheckpoint(true)
       newBands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
-      newSh.write.mode("append").parquet(s"$path/shingles")
-      newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-        .write.mode("append").parquet(s"$path/counts")
+      val newCounts = newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+      layout match {
+        case Some(b) =>
+          writeIdBucketed(newSh, b, s"$path/shingles", "append")
+          writeIdBucketed(newCounts, b, s"$path/counts", "append")
+        case None =>
+          newSh.write.mode("append").parquet(s"$path/shingles")
+          newCounts.write.mode("append").parquet(s"$path/counts")
+      }
       // res' eager checkpoint truncated lineage above everything here —
       // free the intermediates the caller's sweep could never reach.
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newBands)

@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   * window work for O(batch) questions. This store persists the one
   * relation the operator derives from the corpus:
   *
-  *   `<path>/grams`: (id, pos, g) — every complete minTokens-token
-  *                   anchor window of every accepted document
-  *                   ([[Dedup.anchorGrams]]), the blocking state AND the
-  *                   span-merge input in one.
+  *   `<path>/grams`:   (id, pos, g) — every complete minTokens-token
+  *                     anchor window of every accepted document
+  *                     ([[Dedup.anchorGrams]]), the blocking state AND
+  *                     the span-merge input in one. v2 stores Hive-
+  *                     partition it by gb = pmod(xxhash64(g),
+  *                     gram_buckets) for the probe's file pruning.
+  *   `<path>/gramidx`: (gh) — the distinct gram HASHES, the cheap
+  *                     existence index the probe consults to find which
+  *                     gb partitions can hold a batch-matching gram
+  *                     (matched grams are rare, so most partitions
+  *                     prune even for broad batches).
+  *   `<path>/layout`:  one-row meta (gram_buckets); pre-upgrade stores
+  *                     lack it and read as legacy ([[compact]] migrates
+  *                     them).
   *
   * The anchor-gram family is deterministic across batches, so probing
   * stored grams with a new batch's grams is EQUAL to running
@@ -33,12 +43,44 @@ import org.apache.spark.sql.functions._
   */
 object SpanStore {
 
+  /** Default gram-bucket count for new stores (the v2 layout). */
+  private[dedup] val DefaultGramBuckets = 32
+
+  private def gbOf(g: org.apache.spark.sql.Column, buckets: Int) =
+    pmod(xxhash64(g), lit(buckets.toLong)).cast("int")
+
+  private def writeGrams(
+      g: DataFrame, buckets: Option[Int], path: String, mode: String): Unit =
+    buckets match {
+      case Some(b) =>
+        g.select(col("id"), col("pos"), col("g"))
+          .withColumn("gb", gbOf(col("g"), b))
+          .repartition(b, col("gb"))
+          .write.mode(mode).partitionBy("gb").parquet(s"$path/grams")
+        // Existence INDEX: the distinct gram hashes of this increment —
+        // one long per distinct gram, ~an order of magnitude fewer bytes
+        // than the pos-level relation. The probe's pruning scans THIS
+        // (cheap) to find which gb partitions hold any batch-matching
+        // gram, then reads only those gram FILES: matched grams are
+        // rare even when the batch's own gram set covers every bucket,
+        // so the expensive relation's scan is O(hit buckets). Hash
+        // collisions and rows surviving a remove only ADD buckets
+        // (pruning stays a superset — always correct); [[compact]]
+        // rebuilds the index exactly from the live grams.
+        g.select(xxhash64(col("g")).as("gh")).distinct()
+          .write.mode(mode).parquet(s"$path/gramidx")
+      case None =>
+        g.select(col("id"), col("pos"), col("g"))
+          .write.mode(mode).parquet(s"$path/grams")
+    }
+
   private def write(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, path: String, mode: String): Unit = {
+      minTokens: Int, path: String, mode: String,
+      buckets: Option[Int]): Unit = {
     val g = Dedup.anchorGrams(docs, idCol, textCol, minTokens)
       .localCheckpoint(true) // written twice (grams + df partials)
-    g.write.mode(mode).parquet(s"$path/grams")
+    writeGrams(g, buckets, path, mode)
     // Per-increment document-frequency PARTIALS (g, nd) — additive like
     // DedupStore's counts relation (ids never repeat across batches), so
     // the stop-gram cap's union df is a sum of partials, never a rescan
@@ -50,19 +92,36 @@ object SpanStore {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(g)
   }
 
-  /** Build + persist the anchor-gram index for an initial corpus. */
+  /** Build + persist the anchor-gram index for an initial corpus.
+    * `gramBuckets` picks the v2 layout's bucket count (≤ 1 = the legacy
+    * unbucketed layout, kept for the A/B harnesses and pre-upgrade
+    * parity).
+    */
   def save(
       docs: DataFrame, idCol: String, textCol: String,
-      minTokens: Int, path: String): Unit =
-    write(docs, idCol, textCol, minTokens, path, "overwrite")
+      minTokens: Int, path: String,
+      gramBuckets: Int = DefaultGramBuckets): Unit = {
+    val b = if (gramBuckets > 1) Some(gramBuckets) else None
+    write(docs, idCol, textCol, minTokens, path, "overwrite", b)
+    val s = docs.sparkSession
+    b match {
+      case Some(x) => DedupStore.writeLayout(s, path, "gram_buckets", x)
+      case None =>
+        val lp = new org.apache.hadoop.fs.Path(s"$path/layout")
+        lp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(lp, true)
+        ()
+    }
+  }
 
   /** Add a new batch to the stored index (call AFTER [[searchNew]] has
-    * adjudicated it). Append-only: old state is untouched.
+    * adjudicated it). Append-only: old state is untouched; the batch
+    * lands in whatever layout the store declares.
     */
   def append(
       docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, path: String): Unit =
-    write(docs, idCol, textCol, minTokens, path, "append")
+    write(docs, idCol, textCol, minTokens, path, "append",
+      DedupStore.readLayout(docs.sparkSession, path, "gram_buckets"))
 
   /** Maintenance: rewrite the gram relation into `files` gram-clustered
     * files. Each [[append]] leaves its own shuffle-parallelism-sized file
@@ -88,10 +147,22 @@ object SpanStore {
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(s"$path/grams")
-      .repartitionByRange(files, col("g"))
+    // A bucketed store compacts to one gram-sorted file per bucket; a
+    // LEGACY store MIGRATES to the bucketed layout here (the layout meta
+    // is written only after the swap commits — a crash mid-migration
+    // leaves a store that reads as legacy, correct but unpruned). The
+    // existence index is rebuilt EXACTLY from the live grams, retiring
+    // hashes whose grams a remove() purged.
+    val buckets = DedupStore.readLayout(spark, path, "gram_buckets")
+      .getOrElse(DefaultGramBuckets)
+    val live = spark.read.parquet(s"$path/grams")
+      .select(col("id"), col("pos"), col("g"))
+    live.withColumn("gb", gbOf(col("g"), buckets))
+      .repartition(buckets, col("gb"))
       .sortWithinPartitions(col("g"), col("id"), col("pos"))
-      .write.parquet(s"$tmp/grams")
+      .write.partitionBy("gb").parquet(s"$tmp/grams")
+    live.select(xxhash64(col("g")).as("gh")).distinct()
+      .write.parquet(s"$tmp/gramidx")
     // Merge the per-increment df partials into one row per gram
     // (dropping grams a remove() fully cancelled) — the capped probe's
     // heavy-gram aggregation then reads pre-merged rows.
@@ -101,12 +172,13 @@ object SpanStore {
       .repartitionByRange(files, col("g"))
       .sortWithinPartitions(col("g"))
       .write.parquet(s"$tmp/gramdf")
-    DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
+    DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf", "gramidx"))
+    DedupStore.writeLayout(spark, path, "gram_buckets", buckets)
   }
 
   /** [[DedupStore.recoverRelations]] over this store's relation set. */
   def recover(spark: SparkSession, path: String): Unit =
-    DedupStore.recoverRelations(spark, path, Seq("grams", "gramdf"))
+    DedupStore.recoverRelations(spark, path, Seq("grams", "gramdf", "gramidx"))
 
   /** The stored df-partials relation. A store written before the
     * `gramdf` relation existed is backfilled from `grams` on the fly
@@ -141,8 +213,19 @@ object SpanStore {
     val tmp = new org.apache.hadoop.fs.Path(path, ".remove.tmp")
     fs.delete(tmp, true)
     val live = spark.read.parquet(s"$path/grams")
-    live.join(gone, Seq("id"), "left_anti")
-      .write.parquet(s"$tmp/grams")
+    // Survivors rewrite in the store's declared layout. The existence
+    // index is NOT rewritten: a removed gram's hash lingering there only
+    // adds pruning buckets (a superset — always correct); the next
+    // [[compact]] rebuilds it exactly.
+    val survivors = live.join(gone, Seq("id"), "left_anti")
+      .select(col("id"), col("pos"), col("g"))
+    DedupStore.readLayout(spark, path, "gram_buckets") match {
+      case Some(b) =>
+        survivors.withColumn("gb", gbOf(col("g"), b))
+          .repartition(b, col("gb"))
+          .write.partitionBy("gb").parquet(s"$tmp/grams")
+      case None => survivors.write.parquet(s"$tmp/grams")
+    }
     // df partials: append the removed docs' NEGATED per-gram doc counts
     // (computed from the still-live gram relation), staged together with
     // the filtered grams so the swap keeps the two relations consistent.
@@ -205,8 +288,28 @@ object SpanStore {
       newDocs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, maxDf: Int, alsoAppend: Boolean): DataFrame = {
     val newG0 = Dedup.anchorGrams(newDocs, idCol, textCol, minTokens)
-      .localCheckpoint(true) // probed three times (two store arms + self)
-    val storedAll = spark.read.parquet(s"$path/grams")
+      .localCheckpoint(true) // probed twice (store arm + self) + appended
+    val layout = DedupStore.readLayout(spark, path, "gram_buckets")
+    // v2 pruning: only grams present on BOTH sides can seed a span, and
+    // true matches are rare even when the batch's own gram set covers
+    // every bucket — so discover the INTERSECTION's buckets through the
+    // cheap hash-only existence index and read only those partitions of
+    // the pos-level relation. The bucket set is ≤ gram_buckets driver
+    // scalars; a full set skips the filter. Explicit column projection
+    // keeps a meta-less (mid-migration) store reading as legacy.
+    val storedAll = layout match {
+      case None =>
+        spark.read.parquet(s"$path/grams").select(col("id"), col("pos"), col("g"))
+      case Some(b) =>
+        val hit = spark.read.parquet(s"$path/gramidx")
+          .join(newG0.select(xxhash64(col("g")).as("gh")).distinct(),
+            Seq("gh"), "left_semi")
+          .select(pmod(col("gh"), lit(b.toLong)).cast("int").as("gb"))
+          .distinct().collect().map(_.getInt(0)).toSeq
+        val raw = spark.read.parquet(s"$path/grams")
+        (if (hit.size >= b) raw else raw.filter(col("gb").isin(hit: _*)))
+          .select(col("id"), col("pos"), col("g"))
+    }
     val (newG, stored, heavyOpt) =
       if (maxDf == Int.MaxValue) (newG0, storedAll, None)
       else {
@@ -230,14 +333,27 @@ object SpanStore {
           col("g").as("g_b")), col("g") === col("g_b"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"))
-    val seeds = arm(newG, stored)
-      .unionAll(arm(stored, newG))
-      .unionAll(arm(newG, newG))
+    // New-vs-stored in ONE equi-join: each matched occurrence pair is
+    // oriented by the id comparison instead of a second mirrored arm,
+    // HALVING the stored gram scan (identical scans are not reused —
+    // only exchanges are).
+    val lt = col("id_n") < col("id_s")
+    val crossSeeds = newG
+      .select(col("id").as("id_n"), col("pos").as("p_n"), col("g"))
+      .join(stored.select(col("id").as("id_s"), col("pos").as("p_s"),
+        col("g").as("g_b")),
+        col("g") === col("g_b") && col("id_n") =!= col("id_s"))
+      .select(
+        when(lt, col("id_n")).otherwise(col("id_s")).as("doc_a"),
+        when(lt, col("id_s")).otherwise(col("id_n")).as("doc_b"),
+        when(lt, col("p_n")).otherwise(col("p_s")).as("pa"),
+        when(lt, col("p_s")).otherwise(col("p_n")).as("pb"))
+    val seeds = crossSeeds.unionAll(arm(newG, newG))
     val spans = Dedup.spansFromSeeds(seeds, minTokens)
     if (!alsoAppend) spans
     else {
       val res = spans.localCheckpoint(true)
-      newG0.write.mode("append").parquet(s"$path/grams")
+      writeGrams(newG0, layout, path, "append")
       newG0.select(col("g"), col("id")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("nd"))
         .write.mode("append").parquet(s"$path/gramdf")

@@ -40,6 +40,58 @@ class DedupStoreSpec extends SparkSpec {
       "sf0.001 split yields no cross-batch near-dups; pick another split")
   }
 
+  test("v2 id-bucketed layout: probe == legacy layout; compact migrates; pruning reaches the scan") {
+    val dir = Files.createTempDirectory("graft_dedup_layout").toString
+    val old = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    DedupStore.save(old, "doc_id", "text", n, bands, rpb, s"$dir/legacy",
+      idBuckets = 0)
+    DedupStore.save(old, "doc_id", "text", n, bands, rpb, s"$dir/v2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/legacy/layout")), "legacy store grew a layout meta")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v2/layout")), "v2 store lacks its layout meta")
+    def probe(p: String) = DedupStore.searchNew(
+      spark, p, fresh, "doc_id", "text", n, bands, rpb, thr)
+    val wantPairs = pairs(probe(s"$dir/legacy"))
+    assert(pairs(probe(s"$dir/v2")) == wantPairs,
+      "bucketed probe diverged from the legacy layout")
+    assert(wantPairs.nonEmpty, "probe found nothing; fixture too weak")
+    // The candidate-bucket restriction really reaches the stored scans
+    // as a planning-time partition filter.
+    // Inspect the pre-execution physical plan (post-execution, AQE
+    // folds scans into materialized leaf stages collect cannot enter).
+    val plan = probe(s"$dir/v2").queryExecution.sparkPlan
+    val shingleScans = plan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("/v2/shingles") => f
+    }
+    assert(shingleScans.nonEmpty, "no stored shingle scan in the probe plan")
+    assert(shingleScans.forall(_.metadata("PartitionFilters").contains("idb")),
+      s"stored shingle scan carries no idb partition filter: " +
+        shingleScans.map(_.metadata("PartitionFilters")).mkString(" | "))
+    // compact MIGRATES the legacy store to the bucketed layout, probe
+    // unchanged; append and remove then preserve it.
+    DedupStore.compact(spark, s"$dir/legacy")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/legacy/layout")), "compact did not migrate the layout")
+    assert(pairs(probe(s"$dir/legacy")) == wantPairs,
+      "probe diverged across the layout migration")
+    val mid = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    DedupStore.append(mid, "doc_id", "text", n, bands, rpb, s"$dir/legacy")
+    DedupStore.append(mid, "doc_id", "text", n, bands, rpb, s"$dir/v2")
+    DedupStore.remove(spark, s"$dir/v2", mid.select(col("doc_id")).limit(3))
+    DedupStore.remove(spark, s"$dir/legacy", mid.select(col("doc_id")).limit(3))
+    val later = docs.filter(col("doc_id") >= 350)
+    val a = pairs(DedupStore.searchNew(
+      spark, s"$dir/legacy", later, "doc_id", "text", n, bands, rpb, thr))
+    val b = pairs(DedupStore.searchNew(
+      spark, s"$dir/v2", later, "doc_id", "text", n, bands, rpb, thr))
+    assert(a == b, "append/remove diverged across layouts")
+    assert(spark.read.parquet(s"$dir/legacy/shingles").columns.contains("idb"),
+      "append after migration fell back to the legacy layout")
+  }
+
   test("searchNewAndAppend == searchNew then append: same probe, same store, leak-neutral") {
     val a = Files.createTempDirectory("graft_dedup_fuse_a").toString
     val b = Files.createTempDirectory("graft_dedup_fuse_b").toString

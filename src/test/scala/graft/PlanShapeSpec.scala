@@ -415,16 +415,18 @@ class PlanShapeSpec extends SparkSpec {
     // over a product)
     assert("Join.*\\[band".r.findFirstIn(candPlan.replace("\n", " ")).isDefined ||
       candPlan.contains("band_b"), candPlan.take(3000))
-    // the stored band relation is scanned once per orientation — twice —
-    // never more (a stored×stored arm would make it 4)
+    // the stored band relation is scanned exactly ONCE: the single
+    // cross join orients pairs with least/greatest instead of a second
+    // arm (two identical scans Spark could not reuse), and a
+    // stored×stored arm would add more
     val physical: SparkPlan = cand.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
     val storedScans = physical.collectWithSubqueries { case f: FileSourceScanExec => f }
       .count(_.metadata("Location").contains("/ix/bands"))
-    assert(storedScans == 2,
-      s"expected 2 stored-band scans (new×stored, stored×new), got $storedScans")
+    assert(storedScans == 1,
+      s"expected 1 stored-band scan (single oriented new×stored arm), got $storedScans")
     // and the probe's refine stage restricts the stored shingle scan to
     // candidate-involved ids (left-semi) — the O(corpus) refine guard
     val probe = DedupStore.searchNew(spark, s"$dir/ix",

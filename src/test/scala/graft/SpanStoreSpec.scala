@@ -92,7 +92,9 @@ class SpanStoreSpec extends SparkSpec {
     val filesBefore = parquetFiles(s"$dir/ix/grams")
     SpanStore.compact(spark, s"$dir/ix", files = 2)
     val filesAfter = parquetFiles(s"$dir/ix/grams")
-    assert(filesAfter == 2 && filesAfter < filesBefore,
+    // v2 layout: one file per gram bucket (the `files` knob sizes the
+    // unbucketed gramdf relation only).
+    assert(filesAfter <= 32 && filesAfter < filesBefore,
       s"compaction did not collapse files: $filesBefore -> $filesAfter")
     val after = spans(SpanStore.searchNew(
       spark, s"$dir/ix", probe, "doc_id", "text", L))
@@ -273,10 +275,86 @@ class SpanStoreSpec extends SparkSpec {
       "post-remove backfilled store diverged from never-saw store")
   }
 
+  test("v2 gram-bucketed layout: probe == legacy layout; compact migrates; pruning reaches the scan") {
+    val dir = Files.createTempDirectory("graft_span_layout").toString
+    val old = docs.filter(col("doc_id") < 300)
+    val fresh = docs.filter(col("doc_id") >= 300)
+    SpanStore.save(old, "doc_id", "text", L, s"$dir/legacy", gramBuckets = 0)
+    SpanStore.save(old, "doc_id", "text", L, s"$dir/v2")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/legacy/layout")), "legacy store grew a layout meta")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/v2/gramidx")), "v2 store lacks its existence index")
+    def probe(p: String) = SpanStore.searchNew(
+      spark, p, fresh, "doc_id", "text", L)
+    val want = spans(probe(s"$dir/legacy"))
+    assert(spans(probe(s"$dir/v2")) == want,
+      "bucketed probe diverged from the legacy layout")
+    assert(want.nonEmpty, "probe found nothing; fixture too weak")
+    // The intersection-bucket restriction reaches the stored pos-level
+    // scan as a planning-time partition filter. The broad `fresh` probe
+    // above shares grams across every bucket (the adaptive skip
+    // correctly reads everything); a NARROW probe — one doc carrying a
+    // 12-token slice of a stored doc, so the intersection is ~7 anchor
+    // grams — is where pruning exists, and must fire.
+    import spark.implicits._
+    val srcToks = old.select(graft.text.TextFns.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 20).limit(1)
+      .collect()(0).getSeq[String](0)
+    val narrow = Seq((9000L,
+      "zqa zqb zqc " + srcToks.take(12).mkString(" ") + " zqx zqy zqz"))
+      .toDF("doc_id", "text")
+    val narrowProbe = SpanStore.searchNew(
+      spark, s"$dir/v2", narrow, "doc_id", "text", L)
+    val gramScans = narrowProbe.queryExecution.sparkPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.metadata("Location").contains("/v2/grams") => f
+    }
+    assert(gramScans.nonEmpty, "no stored gram scan in the probe plan")
+    assert(gramScans.forall(_.metadata("PartitionFilters").contains("gb")),
+      s"stored gram scan carries no gb partition filter: " +
+        gramScans.map(_.metadata("PartitionFilters")).mkString(" | "))
+    // ...and the pruned narrow probe still equals the legacy layout's.
+    assert(spans(narrowProbe) == spans(SpanStore.searchNew(
+        spark, s"$dir/legacy", narrow, "doc_id", "text", L)),
+      "pruned narrow probe diverged from the legacy layout")
+    assert(spans(narrowProbe).nonEmpty,
+      "narrow probe found no spans; the pruning assert proved nothing")
+    // compact MIGRATES the legacy store; probe unchanged; append/remove
+    // preserve the layout; the capped probe agrees across layouts too.
+    SpanStore.compact(spark, s"$dir/legacy")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/legacy/layout")), "compact did not migrate the layout")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/legacy/gramidx")), "compact did not build the existence index")
+    assert(spans(probe(s"$dir/legacy")) == want,
+      "probe diverged across the layout migration")
+    val mid = docs.filter(col("doc_id") >= 300 && col("doc_id") < 350)
+    Seq(s"$dir/legacy", s"$dir/v2").foreach { p =>
+      SpanStore.append(mid, "doc_id", "text", L, p)
+      SpanStore.remove(spark, p, mid.select(col("doc_id")).limit(3))
+    }
+    val later = docs.filter(col("doc_id") >= 350)
+    val a = spans(SpanStore.searchNew(
+      spark, s"$dir/legacy", later, "doc_id", "text", L))
+    val b = spans(SpanStore.searchNew(
+      spark, s"$dir/v2", later, "doc_id", "text", L))
+    assert(a == b, "append/remove diverged across layouts")
+    val ac = spans(SpanStore.searchNew(
+      spark, s"$dir/legacy", later, "doc_id", "text", L, maxDf = 3))
+    val bc = spans(SpanStore.searchNew(
+      spark, s"$dir/v2", later, "doc_id", "text", L, maxDf = 3))
+    assert(ac == bc, "capped probe diverged across layouts")
+    assert(spark.read.parquet(s"$dir/legacy/grams").columns.contains("gb"),
+      "append after migration fell back to the legacy layout")
+  }
+
   test("probe plan never self-joins the stored gram relation") {
     // The asymptotic contract: the stored corpus appears only as one
-    // SIDE of the new-vs-stored gram joins — exactly two scans of the
-    // stored parquet (one per orientation), never a stored×stored join.
+    // SIDE of the new-vs-stored gram join — exactly ONE scan of the
+    // stored pos-level parquet (the single oriented cross arm; the
+    // mirrored second arm was an identical scan Spark could not reuse),
+    // never a stored×stored join.
     val dir = Files.createTempDirectory("graft_span_plan").toString
     SpanStore.save(docs.filter(col("doc_id") < 300), "doc_id", "text", L, s"$dir/ix")
     val df = SpanStore.searchNew(
@@ -285,11 +363,11 @@ class SpanStoreSpec extends SparkSpec {
     // an AdaptiveSparkPlanExec whose stages hide the scans from collect.
     val scans = df.queryExecution.sparkPlan.collectWithSubqueries {
       case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(_.toString.contains("graft_span_plan"))
+          if s.relation.location.rootPaths.exists(_.toString.contains("/ix/grams"))
         => s
     }
-    assert(scans.size == 2,
-      s"stored gram relation scanned ${scans.size} times (expected 2: one per orientation)")
+    assert(scans.size == 1,
+      s"stored gram relation scanned ${scans.size} times (expected 1: the single oriented arm)")
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
   }
 }
