@@ -905,7 +905,12 @@ object Bench {
       // flagged iso minima (3.73/5.66/2.38/3.98) were contention on a
       // box swinging load1 1.3-8.6, and the sub-1.5 s 'prev' floors
       // were the documented warm-JVM in-session class.
-      "\"r16 bisect (fresh-JVM QBench, r14 tree 7349db8 vs HEAD, two interleaved reps, wall floors): n11_ann_ivf_multiprobe HEAD 3.13/2.81 vs r14 2.77/2.73, d16_jaccard_prefix 1.72/1.53 vs 1.56/2.12, n2_ann_lsh 2.00/1.97 vs 1.94/1.81, d3_minhash_lsh 1.43/1.51 vs 1.36/1.43 - all four git-identical between trees, deltas within fresh-JVM variance; the r15 flagged iso minima (3.73/5.66/2.38/3.98) were box contention and the sub-1.5 s prev floors (2.11/1.32/1.10/1.07) warm-JVM in-session minima; all four exonerated per the standing protocol, bisect queue clear\"")
+      "\"r16 bisect (fresh-JVM QBench, r14 tree 7349db8 vs HEAD, two interleaved reps, wall floors): n11_ann_ivf_multiprobe HEAD 3.13/2.81 vs r14 2.77/2.73, d16_jaccard_prefix 1.72/1.53 vs 1.56/2.12, n2_ann_lsh 2.00/1.97 vs 1.94/1.81, d3_minhash_lsh 1.43/1.51 vs 1.36/1.43 - all four git-identical between trees, deltas within fresh-JVM variance; the r15 flagged iso minima (3.73/5.66/2.38/3.98) were box contention and the sub-1.5 s prev floors (2.11/1.32/1.10/1.07) warm-JVM in-session minima; all four exonerated per the standing protocol, bisect queue clear\"",
+      // r16 v2 store layouts (the r15 verdict #6 ask): id-/gram-bucketed
+      // Hive partitions + planning-time file pruning on the incremental
+      // probes, single-orientation arms halving the stored scans.
+      "\"r16 AbReleaseInc on the v2 bucketed layouts (sf0.01 batch vs Nx corpus, load1 2-7): increment wall 13.7/12.3/11.2 s at 16x/64x/256x - FLAT where r15 measured 10.6->14.0 creep at 16x->512x (the stored-scan slope was the probes' file reads; v2 prunes them to hit buckets and the single-orientation arms halve what remains), at +2-3 s fixed per-increment cost (bucket-discovery jobs + bucketed appends' repartition); union re-run 10.3/15.7/40.2 s, crossover ~32x, 3.6x at 256x and widening\"",
+      "\"r16 AbDedupInc PRUNE (hit-sparse narrow probe, 8 docs with stored twins, 512x corpus, interleaved fresh reps): legacy full-scan refine 3.4 s vs v2 pruned 2.3 s - the 1.1 s delta is exactly the shingle/count IO pruned to the STORED candidate ids' idb buckets; broad batches saturate the 32-bucket set and adaptively skip the filter. AbSpanInc PRUNE 128x/512x: wall-neutral locally (0.8-1.8 s both layouts) - the gramidx hash-index scan costs about what the rep-prefixed gram scan does at local sf (synthetic r<N>_ tokens compress ~perfectly), the structural win is bytes-per-row on high-entropy real text; the broad 512x probe (5.7 s at load1 11) sits in r13's 5.2-10.2 s band, no regression, and probe equality across layouts incl. capped + append/remove lifecycle is spec-pinned\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }

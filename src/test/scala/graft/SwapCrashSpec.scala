@@ -150,6 +150,49 @@ class SwapCrashSpec extends SparkSpec {
     }
   }
 
+  test("SpanStore compact (incl. the v2 gramidx swap + legacy migration): every kill point recovers") {
+    // compact swaps THREE relations on the v2 layout (grams, gramdf,
+    // gramidx — 6 kill points) and doubles as the legacy→v2 migration
+    // path, whose layout meta is written only after the swap: drive the
+    // kill points on a LEGACY store so every crash exercises the
+    // migration window too (meta absent → store keeps reading as
+    // legacy → recover + re-run compact converges to v2).
+    val root = Files.createTempDirectory("graft_swapcrash_spancompact").toString
+    val stored = docs.filter(col("doc_id") < 150)
+    val probe = docs.filter(col("doc_id") >= 150)
+    SpanStore.save(stored, "doc_id", "text", L, s"$root/base", gramBuckets = 0)
+    def probeStore(p: String) = {
+      val df = SpanStore.searchNew(spark, p, probe, "doc_id", "text", L)
+      val r = spansOf(df)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      r
+    }
+    copyDir(s"$root/base", s"$root/ref")
+    SpanStore.compact(spark, s"$root/ref")
+    val want = probeStore(s"$root/ref")
+    assert(want.nonEmpty, "compacted reference probe found nothing; fixture too weak")
+    for (k <- 0 until 6) {
+      val dir = s"$root/compact_k$k"
+      copyDir(s"$root/base", dir)
+      DedupStore.swapFailAfterRenames = k
+      val crashed =
+        try { SpanStore.compact(spark, dir); false }
+        catch { case e: java.io.IOException =>
+          assert(e.getMessage.contains("injected swap crash")); true }
+      finally DedupStore.swapFailAfterRenames = Int.MaxValue
+      // A legacy store has no live gramidx to move aside, so the swap
+      // spends fewer renames than the v2 worst case — later ks run clean.
+      if (crashed) {
+        SpanStore.recover(spark, dir)
+        SpanStore.compact(spark, dir)
+      }
+      assert(probeStore(dir) == want,
+        s"SpanStore compact kill point $k: recovered store probe diverged")
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout")),
+        s"kill point $k: migration did not converge to the v2 layout")
+    }
+  }
+
   test("a crash during STAGING (partial .tmp, live intact) re-runs cleanly") {
     val root = Files.createTempDirectory("graft_swapcrash_stage").toString
     val stored = docs.filter(col("doc_id") < 150)
