@@ -147,6 +147,9 @@ object AbDedupInc {
     // restrict to. Both layouts get the same corpus.
     val corpusP = corpus.unionAll(base.select(
       (col("doc_id") + 2000000L).as("doc_id"), col("text")))
+    // Force the pruned path: the amplified local stores sit below the
+    // production size gate that skips discovery on small relations.
+    graft.dedup.SpanStore.PruneMinStoreBytes = 0L
     val dirL = java.nio.file.Files.createTempDirectory("graft_ab_deduplegacy").toString
     val dirP = java.nio.file.Files.createTempDirectory("graft_ab_dedupv2").toString
     graft.dedup.DedupStore.save(corpusP, "doc_id", "text", n, bands, rpb,

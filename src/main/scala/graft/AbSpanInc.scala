@@ -153,6 +153,9 @@ object AbSpanInc {
       lit("zqfila zqfilb zqfilc " + srcToks.take(12).mkString(" ") +
         " zqfild zqfile zqfilf").as("text"))
     val corpusP = corpus.unionAll(donor)
+    // Force the pruned path: the amplified local stores sit below the
+    // production size gate that skips discovery on small relations.
+    graft.dedup.SpanStore.PruneMinStoreBytes = 0L
     val dirL = java.nio.file.Files.createTempDirectory("graft_ab_spanlegacy").toString
     val dirP = java.nio.file.Files.createTempDirectory("graft_ab_spanv2").toString
     graft.dedup.SpanStore.save(corpusP, "doc_id", "text", L, s"$dirL/ix",

@@ -909,7 +909,7 @@ object Bench {
       // r16 v2 store layouts (the r15 verdict #6 ask): id-/gram-bucketed
       // Hive partitions + planning-time file pruning on the incremental
       // probes, single-orientation arms halving the stored scans.
-      "\"r16 AbReleaseInc on the v2 bucketed layouts (sf0.01 batch vs Nx corpus, load1 2-7): increment wall 13.7/12.3/11.2 s at 16x/64x/256x - FLAT where r15 measured 10.6->14.0 creep at 16x->512x (the stored-scan slope was the probes' file reads; v2 prunes them to hit buckets and the single-orientation arms halve what remains), at +2-3 s fixed per-increment cost (bucket-discovery jobs + bucketed appends' repartition); union re-run 10.3/15.7/40.2 s, crossover ~32x, 3.6x at 256x and widening\"",
+      "\"r16 AbReleaseInc on the v2 bucketed layouts (sf0.01 batch vs Nx corpus, load1 2-7): increment wall 13.7/12.3/11.2 s at 16x/64x/256x - FLAT where r15 measured 10.6->14.0 creep at 16x->512x (the stored-scan slope was the probes' file reads; v2 prunes them to hit buckets and the single-orientation arms halve what remains), at +2-3 s fixed per-increment cost (bucket-discovery jobs + bucketed appends' repartition); union re-run 10.3/15.7/40.2 s, crossover ~32x, 3.6x at 256x and widening. The fixed cost initially pushed the sf0.1 p22 leg 11.7->15.8 s; three fixes recovered 11.95 s (~= the r15 floor): a 256 MB size gate on the pruning DISCOVERY pass (below it a straight scan beats the discovery job), the layout meta as a plain FS JSON file (a one-row-parquet read was a Spark job on every probe/append), and gramidx projected from the gramdf aggregation checkpoint (no second distinct shuffle per append) - adjudicated, not an open regression\"",
       "\"r16 AbDedupInc PRUNE (hit-sparse narrow probe, 8 docs with stored twins, 512x corpus, interleaved fresh reps): legacy full-scan refine 3.4 s vs v2 pruned 2.3 s - the 1.1 s delta is exactly the shingle/count IO pruned to the STORED candidate ids' idb buckets; broad batches saturate the 32-bucket set and adaptively skip the filter. AbSpanInc PRUNE 128x/512x: wall-neutral locally (0.8-1.8 s both layouts) - the gramidx hash-index scan costs about what the rep-prefixed gram scan does at local sf (synthetic r<N>_ tokens compress ~perfectly), the structural win is bytes-per-row on high-entropy real text; the broad 512x probe (5.7 s at load1 11) sits in r13's 5.2-10.2 s band, no regression, and probe equality across layouts incl. capped + append/remove lifecycle is spec-pinned\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""

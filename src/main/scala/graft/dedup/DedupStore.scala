@@ -42,24 +42,48 @@ object DedupStore {
   private def idbOf(id: Column, buckets: Int): Column =
     pmod(id, lit(buckets.toLong)).cast("int")
 
-  /** Layout metadata — one tiny parquet at `<path>/layout` recording the
-    * store's bucket count. AUTHORITATIVE: readers prune/write bucketed
-    * only when it exists (a store whose relations carry partition dirs
-    * but no meta — e.g. a crash between a migrating compact's swap and
-    * the meta write — is read as legacy via the explicit column
-    * projections, which is always correct, just unpruned).
+  /** Layout metadata — one tiny JSON FILE at `<path>/layout` recording
+    * the store's bucket count. A plain FS read/write, deliberately NOT
+    * parquet: every probe/append consults it, and a Spark job per
+    * consult (~0.3 s of scheduling) would tax the very increments the
+    * layout exists to speed up. Written rename-aside (atomic), so a
+    * crash mid-write never leaves a half-readable meta. AUTHORITATIVE:
+    * readers prune/write bucketed only when it exists and parses (a
+    * store whose relations carry partition dirs but no meta — e.g. a
+    * crash between a migrating compact's swap and the meta write — is
+    * read as legacy via the explicit column projections, which is
+    * always correct, just unpruned).
     */
   private[dedup] def writeLayout(
-      spark: SparkSession, path: String, key: String, buckets: Int): Unit =
-    spark.range(1).select(lit(buckets).as(key))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/layout")
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val fs = dst.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/.layout.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"$key":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(dst, true)
+    require(fs.rename(tmp, dst), "layout meta: rename into place failed")
+  }
 
   private[dedup] def readLayout(
       spark: SparkSession, path: String, key: String): Option[Int] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/layout")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
-    else Some(spark.read.parquet(p.toString).select(col(key)).first().getInt(0))
+    else if (fs.getFileStatus(p).isDirectory)
+      // transitional: the first v2 spelling persisted the meta as a
+      // one-row parquet directory
+      Some(spark.read.parquet(p.toString).select(col(key)).first().getInt(0))
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(body)
+        .map(_.group(1).toInt)
+    }
   }
 
   private def writeIdBucketed(
@@ -429,11 +453,17 @@ object DedupStore {
     val layout = readLayout(spark, path, "id_buckets")
     // Bucket discovery uses only the STORED candidate ids (ids are
     // globally unique, so a batch id can never be in the store — its
-    // bucket would be read for nothing).
-    val candBuckets = layout.map(b =>
-      candIds.join(newSh.select(col("id")).distinct(), Seq("id"), "left_anti")
-        .select(idbOf(col("id"), b).as("b")).distinct()
-        .collect().map(_.getInt(0)).toSeq)
+    // bucket would be read for nothing). The discovery job is gated on
+    // the stored relation being big enough to pay for it, exactly as
+    // the span store's intersection pass (`layout` itself stays
+    // ungated — it also decides the APPEND write layout below).
+    val candBuckets = layout
+      .filter(_ => SpanStore.dirBytes(spark, s"$path/shingles") >=
+        SpanStore.PruneMinStoreBytes)
+      .map(b =>
+        candIds.join(newSh.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .select(idbOf(col("id"), b).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSeq)
     def pruned(rel: String, cols: Seq[String]): DataFrame = {
       val raw = spark.read.parquet(s"$path/$rel")
       (candBuckets match {

@@ -46,6 +46,20 @@ object SpanStore {
   /** Default gram-bucket count for new stores (the v2 layout). */
   private[dedup] val DefaultGramBuckets = 32
 
+  /** Minimum stored-relation size before a probe runs its pruning
+    * DISCOVERY pass (the gramidx intersection scan / bucket collect).
+    * Below this a straight scan of the relation is cheaper than the
+    * discovery job that would prune it. Test-visible so specs can force
+    * the pruned path on fixture-sized stores.
+    */
+  @volatile private[graft] var PruneMinStoreBytes: Long = 256L << 20
+
+  private[dedup] def dirBytes(spark: SparkSession, p: String): Long = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) 0L else fs.getContentSummary(hp).getLength
+  }
+
   private def gbOf(g: org.apache.spark.sql.Column, buckets: Int) =
     pmod(xxhash64(g), lit(buckets.toLong)).cast("int")
 
@@ -57,22 +71,33 @@ object SpanStore {
           .withColumn("gb", gbOf(col("g"), b))
           .repartition(b, col("gb"))
           .write.mode(mode).partitionBy("gb").parquet(s"$path/grams")
-        // Existence INDEX: the distinct gram hashes of this increment —
-        // one long per distinct gram, ~an order of magnitude fewer bytes
-        // than the pos-level relation. The probe's pruning scans THIS
-        // (cheap) to find which gb partitions hold any batch-matching
-        // gram, then reads only those gram FILES: matched grams are
-        // rare even when the batch's own gram set covers every bucket,
-        // so the expensive relation's scan is O(hit buckets). Hash
-        // collisions and rows surviving a remove only ADD buckets
-        // (pruning stays a superset — always correct); [[compact]]
-        // rebuilds the index exactly from the live grams.
-        g.select(xxhash64(col("g")).as("gh")).distinct()
-          .write.mode(mode).parquet(s"$path/gramidx")
       case None =>
         g.select(col("id"), col("pos"), col("g"))
           .write.mode(mode).parquet(s"$path/grams")
     }
+
+  /** The per-increment df partials + (on the v2 layout) the existence
+    * INDEX, from ONE aggregation pass: the distinct-gram relation the
+    * partials are built on IS the index's row set, so gramidx is a
+    * hash projection of the checkpointed aggregate — no second shuffle
+    * over the batch's grams. The index holds one long per distinct
+    * gram, ~an order of magnitude fewer bytes than the pos-level
+    * relation; the probe's pruning scans it to find which gb
+    * partitions can hold a batch-matching gram. Hash collisions and
+    * rows surviving a remove only ADD buckets (pruning stays a
+    * superset — always correct); [[compact]] rebuilds it exactly.
+    */
+  private def writeDfAndIndex(
+      g: DataFrame, buckets: Option[Int], path: String, mode: String): Unit = {
+    val dfPart = g.select(col("g"), col("id")).distinct()
+      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      .localCheckpoint(true) // feeds gramdf AND gramidx
+    dfPart.write.mode(mode).parquet(s"$path/gramdf")
+    if (buckets.isDefined)
+      dfPart.select(xxhash64(col("g")).as("gh"))
+        .write.mode(mode).parquet(s"$path/gramidx")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(dfPart)
+  }
 
   private def write(
       docs: DataFrame, idCol: String, textCol: String,
@@ -86,9 +111,7 @@ object SpanStore {
     // the stop-gram cap's union df is a sum of partials, never a rescan
     // of the pos-level gram relation. [[compact]] merges them;
     // [[remove]] appends negated rows (exact integer subtraction).
-    g.select(col("g"), col("id")).distinct()
-      .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .write.mode(mode).parquet(s"$path/gramdf")
+    writeDfAndIndex(g, buckets, path, mode)
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(g)
   }
 
@@ -161,17 +184,24 @@ object SpanStore {
       .repartition(buckets, col("gb"))
       .sortWithinPartitions(col("g"), col("id"), col("pos"))
       .write.partitionBy("gb").parquet(s"$tmp/grams")
-    live.select(xxhash64(col("g")).as("gh")).distinct()
-      .write.parquet(s"$tmp/gramidx")
     // Merge the per-increment df partials into one row per gram
     // (dropping grams a remove() fully cancelled) — the capped probe's
-    // heavy-gram aggregation then reads pre-merged rows.
-    gramDf(spark, path)
+    // heavy-gram aggregation then reads pre-merged rows, and the
+    // surviving gram set IS the live distinct-gram set (gramdf and
+    // grams move through the same swaps in lockstep), so the existence
+    // index rebuilds from the SAME merged aggregate — retiring removed
+    // hashes without a second pass over the pos-level relation.
+    val merged = gramDf(spark, path)
       .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
       .filter(col("nd") > 0)
+      .localCheckpoint(true) // feeds gramdf AND gramidx
+    merged
       .repartitionByRange(files, col("g"))
       .sortWithinPartitions(col("g"))
       .write.parquet(s"$tmp/gramdf")
+    merged.select(xxhash64(col("g")).as("gh"))
+      .write.parquet(s"$tmp/gramidx")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(merged)
     DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf", "gramidx"))
     DedupStore.writeLayout(spark, path, "gram_buckets", buckets)
   }
@@ -295,12 +325,15 @@ object SpanStore {
     // every bucket — so discover the INTERSECTION's buckets through the
     // cheap hash-only existence index and read only those partitions of
     // the pos-level relation. The bucket set is ≤ gram_buckets driver
-    // scalars; a full set skips the filter. Explicit column projection
-    // keeps a meta-less (mid-migration) store reading as legacy.
+    // scalars; a full set skips the filter. The discovery pass itself
+    // costs an index scan + a driver job, so it only runs once the
+    // stored relation is big enough for the pruned read to pay for it
+    // (below [[PruneMinStoreBytes]] a straight scan is cheaper — the
+    // p22 sf0.1 increment regressed 11.7→15.8 s before this gate).
+    // Explicit column projection keeps a meta-less (mid-migration)
+    // store reading as legacy.
     val storedAll = layout match {
-      case None =>
-        spark.read.parquet(s"$path/grams").select(col("id"), col("pos"), col("g"))
-      case Some(b) =>
+      case Some(b) if dirBytes(spark, s"$path/grams") >= PruneMinStoreBytes =>
         val hit = spark.read.parquet(s"$path/gramidx")
           .join(newG0.select(xxhash64(col("g")).as("gh")).distinct(),
             Seq("gh"), "left_semi")
@@ -309,6 +342,8 @@ object SpanStore {
         val raw = spark.read.parquet(s"$path/grams")
         (if (hit.size >= b) raw else raw.filter(col("gb").isin(hit: _*)))
           .select(col("id"), col("pos"), col("g"))
+      case _ =>
+        spark.read.parquet(s"$path/grams").select(col("id"), col("pos"), col("g"))
     }
     val (newG, stored, heavyOpt) =
       if (maxDf == Int.MaxValue) (newG0, storedAll, None)
@@ -354,9 +389,7 @@ object SpanStore {
     else {
       val res = spans.localCheckpoint(true)
       writeGrams(newG0, layout, path, "append")
-      newG0.select(col("g"), col("id")).distinct()
-        .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-        .write.mode("append").parquet(s"$path/gramdf")
+      writeDfAndIndex(newG0, layout, path, "append")
       // res' eager checkpoint truncated lineage above the gram
       // relation — free what the caller's sweep can no longer reach.
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newG0)

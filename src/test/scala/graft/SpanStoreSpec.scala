@@ -276,6 +276,14 @@ class SpanStoreSpec extends SparkSpec {
   }
 
   test("v2 gram-bucketed layout: probe == legacy layout; compact migrates; pruning reaches the scan") {
+    // Fixture stores are far below the production size gate — force the
+    // pruned path so the partition-filter pin means something.
+    SpanStore.PruneMinStoreBytes = 0L
+    try v2LayoutScenario()
+    finally SpanStore.PruneMinStoreBytes = 256L << 20
+  }
+
+  private def v2LayoutScenario(): Unit = {
     val dir = Files.createTempDirectory("graft_span_layout").toString
     val old = docs.filter(col("doc_id") < 300)
     val fresh = docs.filter(col("doc_id") >= 300)
