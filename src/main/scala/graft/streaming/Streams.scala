@@ -834,7 +834,9 @@ object Streams {
     * Streaming allows ONE aggregation, so the composition cannot be
     * "flag stage, anti-join, range stage" — instead every per-doc
     * decision collapses into a single `groupBy(doc_id)` over the UNION
-    * of three stream-static probe legs:
+    * of three stream-static probe legs (four with the optional
+    * SEMANTIC stage — a SemDeDup cell probe of the persisted IVF
+    * store, the vector riding on its doc's stream row):
     *
     *   - leg 0 carries the doc itself (a novel doc hits nothing and
     *     must still release);
@@ -870,7 +872,7 @@ object Streams {
     * equi-join, never shuffled by the stream.
     */
   def releaseFrontDoorStream(
-      docs: DataFrame, // streaming (idCol, textCol)
+      docs: DataFrame, // streaming (idCol, textCol[, semantic vec col])
       weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
       dims: Int,
       storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
@@ -878,17 +880,28 @@ object Streams {
       storedGrams: DataFrame, // static (id, pos, g) — SpanStore layout
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
-      minTokens: Int): DataFrame = {
+      minTokens: Int,
+      // OPTIONAL semantic stage (SemDeDup vs the persisted IVF store,
+      // the increment's step 5b): (ivf relation in IndexStore layout —
+      // (vec_id, v, cell) —, sign-cell dims, duplicate cosine ε, name
+      // of the doc stream's vector column). A vector rides ON its doc
+      // row (a stream-stream docs×vecs join is not expressible);
+      // null-vector docs pass unprobed, the increment's own rule.
+      semantic: Option[(DataFrame, Int, Double, String)] = None): DataFrame = {
+    val gatedCols = Seq(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("text")) ++
+      semantic.map { case (_, _, _, vc) => col(vc).as("vec") }
     val gated = docs
       .filter(marginExpr(weights, dims, textCol) > 0)
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .select(gatedCols: _*)
     val nullText = lit(null).cast("string").as("text")
     val nullJ = lit(null).cast("double").as("j")
     val nullPos = lit(null).cast("int").as("mpos")
+    val nullSem = lit(null).cast("int").as("sem")
 
     // Leg 0: the doc itself — survives the inner probe joins even when
     // it hits nothing.
-    val base = gated.select(col("doc_id"), col("text"), nullJ, nullPos)
+    val base = gated.select(col("doc_id"), col("text"), nullJ, nullPos, nullSem)
 
     // Near-dup leg: banding identical to nearDupStream/DedupStore.
     val numHashes = bands * rowsPerBand
@@ -925,7 +938,7 @@ object Streams {
         (common.cast("double") /
           (size(col("sh")) + size(col("old_sh")) - common).cast("double"))
           .as("j"),
-        nullPos)
+        nullPos, nullSem)
 
     // Span leg: matched anchor positions vs the stored gram relation.
     val toks = graft.text.TextFns.tokens(col("text"))
@@ -936,18 +949,35 @@ object Streams {
     val spanLeg = gated
       .select(col("doc_id"), posexplode(gramArr).as(Seq("mpos", "g")))
       .join(storedGrams.select(col("g")).distinct(), "g")
-      .select(col("doc_id"), nullText, nullJ, col("mpos"))
+      .select(col("doc_id"), nullText, nullJ, col("mpos"), nullSem)
 
-    val agg = base.unionAll(ndLeg).unionAll(spanLeg)
+    // Optional SEMANTIC leg — the stored arm of the increment's SemDeDup
+    // stage: the doc's vector computes its sign cell row-locally, a
+    // stream-static equi-join probes the IVF store's cell, and the
+    // ε-refine is the exact cosine; any hit drops the doc (within-batch
+    // peers are the batch increment's job, like every other leg).
+    val semLeg = semantic.map { case (store, vdims, veps, _) =>
+      gated.filter(col("vec").isNotNull)
+        .select(col("doc_id"), col("vec"),
+          graft.sim.IndexStore.cellOf(col("vec"), vdims).as("cell"))
+        .join(store.select(col("cell"), col("v").as("nv")), Seq("cell"))
+        .filter(graft.sim.Similarity.cosine(col("vec"), col("nv")) >= veps)
+        .select(col("doc_id"), nullText, nullJ, nullPos, lit(1).as("sem"))
+    }
+
+    val legs = Seq(base, ndLeg, spanLeg) ++ semLeg
+    val agg = legs.reduce(_ unionAll _)
       .groupBy(col("doc_id"))
       .agg(max(col("j")).as("jmax"),
         collect_set(col("mpos")).as("cut"),
+        max(col("sem")).as("semhit"),
         max(col("text")).as("text"))
     val t = graft.text.TextFns.tokens(col("text"))
     val keptPos = filter(sequence(lit(0), size(t) - 1),
       p => !exists(col("cut"), q => p >= q && p < q + minTokens))
     agg
-      .filter(col("jmax").isNull || col("jmax") < threshold)
+      .filter((col("jmax").isNull || col("jmax") < threshold) &&
+        col("semhit").isNull)
       .select(col("doc_id"), col("doc_id").as("rep_id"),
         graft.release.ReleaseStore.splitOf(col("doc_id")).as("split"),
         when(size(t) === 0, lit(""))

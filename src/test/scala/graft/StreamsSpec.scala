@@ -843,6 +843,87 @@ class StreamsSpec extends SparkSpec {
       "the novel doc 404 was altered")
   }
 
+  test("end-to-end streaming front-door WITH the semantic stage matches increment on a vec-initialized store") {
+    // The fourth stage composed in: a doc's vector rides on its stream
+    // row, probes the persisted IVF store's sign cell, and an ε-hit
+    // drops the doc — increment step 5b's stored arm. Docs without a
+    // vector pass unprobed (the increment's own rule).
+    implicit val sqlCtx = spark.sqlContext
+    val P = graft.release.ReleaseParams()
+    val dir = java.nio.file.Files.createTempDirectory("graft_frontdoor_sem").toString
+    def toks(ns: String, k: Int): Vector[String] =
+      (0 until k).map { i =>
+        if (i % 3 == 0) graft.text.TextFns.Stopwords(i / 3 % 7)
+        else s"${ns}x$i"
+      }.toVector
+    def mkDocs(rows: Seq[(Long, Vector[String])]) =
+      rows.map { case (id, ts) => (id, ts.mkString(" ")) }.toDF("doc_id", "text")
+    def negDocs(base: Long, k: Int): Seq[(Long, Vector[String])] =
+      (0 until k).map(i =>
+        (base + i, (0 until 24).map(j => s"neg${base + i}q$j").toVector))
+    val v1 = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    val vNear = v1.map(_ * 0.9) // cosine 1.0 with v1, same sign cell
+    val vFar = Seq(1.0, -1.0, 1.0, -1.0, 1.0, -1.0) // its own cell
+    val storedRows = Seq(50L -> toks("c50", 30)) ++
+      (0 until 6).map(i => (40L + i) -> toks(s"f$i", 21)) ++ negDocs(60, 6)
+    // 406 = text-novel doc whose VECTOR duplicates stored 50's: dropped
+    // by the semantic stage alone. 404 = novel text + novel vector:
+    // released. 402 = no vector at all: released, never probed.
+    val batchRows = Seq(402L -> toks("b402", 24), 404L -> toks("b404", 24),
+      406L -> toks("b406", 24)) ++ negDocs(420, 3)
+    val stored = mkDocs(storedRows)
+    val batch = mkDocs(batchRows)
+    val storedVecs = Seq((50L, v1)).toDF("vec_id", "v")
+    val batchVecs = Seq((406L, vNear), (404L, vFar)).toDF("vec_id", "v")
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      graft.release.ReleaseStore.init(spark, stored, "doc_id", "text", P,
+        s"$dir/a", vecs = Some(storedVecs)))
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+      graft.release.ReleaseStore.init(spark, stored, "doc_id", "text", P,
+        s"$dir/b", vecs = Some(storedVecs)))
+    val ml = graft.ml.LinearClassifier
+    val feat = ml.features(batch, "doc_id", "text", P.dims)
+    val lab = ml.weakLabels(batch, "doc_id", "text")
+    graft.ml.ClassifierStore.append(feat, lab, s"$dir/a/classifier")
+    val w = graft.ml.ClassifierStore.trainStored(
+      spark, s"$dir/a/classifier", P.dims, P.iters)
+    val kept = ml.score(feat, lab, w).filter(col("margin") > 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(Set(402L, 404L, 406L).subsetOf(kept), s"gate rejected a scenario doc: $kept")
+
+    val vecOf = Map(406L -> vNear, 404L -> vFar)
+    val mem = MemoryStream[(Long, String, Option[Seq[Double]])]
+    mem.addData(batchRows.map { case (id, ts) =>
+      (id, ts.mkString(" "), vecOf.get(id)) }: _*)
+    val q = Streams.releaseFrontDoorStream(
+        mem.toDF().toDF("doc_id", "text", "vec"), w, P.dims,
+        spark.read.parquet(s"$dir/a/neardup/bands"),
+        spark.read.parquet(s"$dir/a/neardup/shingles"),
+        spark.read.parquet(s"$dir/a/spans/grams"),
+        "doc_id", "text", P.n, P.bands, P.rowsPerBand, P.threshold,
+        P.minTokens,
+        semantic = Some((spark.read.parquet(s"$dir/a/ivf"),
+          P.vecDims, P.vecEps, "vec")))
+      .writeStream.format("memory").queryName("frontdoor_sem")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("frontdoor_sem")
+      .as[(Long, Long, String, String)].collect().toSet
+
+    val inc = graft.release.ReleaseStore.increment(
+      spark, batch, "doc_id", "text", P, s"$dir/b", vecs = Some(batchVecs))
+    val want = inc.select(col("doc_id"), col("rep_id"), col("split"),
+        col("text_dedup"))
+      .as[(Long, Long, String, String)].collect().toSet
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(inc)
+    assert(got == want,
+      s"streamed semantic release diverged from the increment: " +
+        s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(!want.exists(_._1 == 406L), "406 was not semantically dropped; fixture too weak")
+    assert(want.exists(_._1 == 404L) && want.exists(_._1 == 402L),
+      "a novel/vector-less doc was wrongly dropped")
+  }
+
   test("streaming semantic dedup vs stored IVF cells matches the batch probe's stored arm") {
     implicit val sqlCtx = spark.sqlContext
     val (dims, eps) = (3, 0.35)
