@@ -55,6 +55,19 @@ import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
   * (min-wall per query only — it must fit the driver's 2000-char stdout
   * tail); the full diagnosis payload is printed earlier as `BENCH_DIAG {...}`
   * and written to `bench_diag.json` for the round snapshot.
+  *
+  * TIMEOUT-PROOF (r16: the driver's post-commit run was SIGTERMed inside
+  * the A/B phase and, with a single end-of-run print, the whole round's
+  * bench data was lost): each completed leg immediately rewrites
+  * `bench_partial.json` (atomic rename — survives SIGKILL); the final
+  * line is printed BOTH right after the measured legs (before the A/B
+  * phase, whose stderr-only children are the slow tail) and again at
+  * normal exit; a shutdown hook emits a `"partial":true` line from
+  * whatever legs completed if the JVM is terminated mid-legs; and the
+  * A/B phase is capped by the remaining wall budget
+  * (`SPARK_GRAFT_BENCH_BUDGET_S`, default 3300 s) — flagged legs past
+  * the cap get explicit "unadjudicated: budget" notes instead of the
+  * phase dying mid-child.
   */
 object Bench {
 
@@ -324,10 +337,12 @@ object Bench {
     * with THIS JVM's classpath running [[QBench]] (3 timed runs after a
     * session warm-up) and parse its wall/cpu samples. Runs after
     * `spark.stop()` so the child measures on an otherwise-idle box.
+    * `timeoutS` caps the child's wall (budget-derived by the caller).
     * Returns (walls, cpus, errorOrEmpty).
     */
   private def isolatedAb(
-      name: String, sfDir: String, cpus: String): (Seq[Double], Seq[Double], String) = {
+      name: String, sfDir: String, cpus: String,
+      timeoutS: Long = 900L): (Seq[Double], Seq[Double], String) = {
     try {
       val javaBin =
         java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
@@ -343,7 +358,7 @@ object Bench {
       val proc = pb.start()
       val killer = new Thread(() => {
         try {
-          if (!proc.waitFor(900, java.util.concurrent.TimeUnit.SECONDS)) {
+          if (!proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
             proc.destroyForcibly(); ()
           }
         } catch { case _: InterruptedException => () }
@@ -381,6 +396,102 @@ object Bench {
     // Read before this run overwrites the sidecar at the end (and
     // preferentially from the per-round BENCH_r artifact — see scaladoc).
     val (prevMin, prevSource) = previousMinWalls(sfDir)
+
+    // ---- TIMEOUT-PROOFING (r16: the driver's run was SIGTERMed mid
+    // A/B re-measure and, because this harness printed its JSON exactly
+    // once at the very end, the whole round's bench data was lost).
+    // Three layers, so a kill costs the tail, never the round:
+    //  1. per-leg: every completed leg immediately rewrites the
+    //     bench_partial.json sidecar (atomic rename; survives SIGKILL)
+    //     and logs a BENCH_LEG stderr line;
+    //  2. early emission: the driver-parsed final line is printed as
+    //     soon as the measured legs finish — BEFORE the A/B phase,
+    //     whose children are the slow tail — and printed again as the
+    //     true last line on normal exit (A/B progress goes to stderr,
+    //     so the early copy stays the last stdout JSON if the phase is
+    //     killed);
+    //  3. a JVM shutdown hook (SIGTERM runs these) emits a
+    //     partial-but-parseable line from whatever legs completed.
+    // The A/B phase is additionally capped by the remaining WALL budget
+    // (SPARK_GRAFT_BENCH_BUDGET_S, default 3300 s): flagged legs past
+    // the cap get an explicit "unadjudicated: budget" note instead of
+    // the phase dying mid-child.
+    val runStartNs = System.nanoTime()
+    val benchBudgetS: Double = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(s => scala.util.Try(s.toDouble).toOption).getOrElse(3300.0)
+    def elapsedS(): Double = (System.nanoTime() - runStartNs) / 1e9
+    val resultsBuf =
+      scala.collection.mutable.ArrayBuffer.empty[(String, (Sample, Double))]
+    def snapshot(): Seq[(String, (Sample, Double))] =
+      resultsBuf.synchronized { resultsBuf.toList }
+    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
+      .filter(s => scala.util.Try(s.toDouble).isSuccess)
+      .getOrElse("\"" + sfDir + "\"")
+    // Driver-line map at 2-decimal precision: the 3-decimal map crossed
+    // the 1800-char guard once the surface hit ~70 legs (observed 1803 →
+    // total-only fallback, which loses the round's per-query record).
+    // 10 ms resolution is ample for the driver's min-wall comparison;
+    // bench_diag.json keeps the 3-decimal history. A line that still
+    // overflows keeps the SLOWEST legs that fit (they carry the perf
+    // signal) with an explicit dropped-count marker; the full map is in
+    // the sidecars regardless.
+    def buildDriverLine(
+        rs: Seq[(String, (Sample, Double))], partial: Boolean): String = {
+      def w2(w: Double): String = if (w < 0) "-1" else f"$w%.2f"
+      val total = rs.map(_._2._1.wall).filter(_ >= 0).sum
+      val totalS = if (total < 0) "-1" else f"$total%.3f"
+      val partialKey = if (partial) s""","partial":true""" else ""
+      val full = rs.map { case (k, (s, _)) => "\"" + k + "\":" + w2(s.wall) }
+        .mkString("{", ",", "}")
+      val line =
+        s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$full,"sf":$sfNum$partialKey}"""
+      if (line.length <= 1800) line
+      else {
+        val entries = rs
+          .map { case (k, (s, _)) => (s.wall, "\"" + k + "\":" + w2(s.wall)) }
+          .sortBy { case (w, _) => -w }
+        val budget = 1700 - 120 // line scaffolding + marker headroom
+        val kept = scala.collection.mutable.ListBuffer[String]()
+        var used = 0
+        entries.foreach { case (_, e) =>
+          if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+        }
+        val dropped = entries.size - kept.size
+        val qsTrunc = (kept :+ s""""_dropped_fastest":$dropped""")
+          .mkString("{", ",", "}")
+        System.err.println(
+          s"bench line ${line.length} chars overflows the driver's 2000-char tail; emitting slowest-legs subset ($dropped fastest legs dropped)")
+        s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qsTrunc,"sf":$sfNum$partialKey}"""
+      }
+    }
+    // Per-leg sidecar: whole-file rewrite through a rename (readable
+    // mid-run, never half-written, survives any kill).
+    def writePartialSidecar(): Unit =
+      try {
+        val rs = snapshot()
+        val qs = rs.map { case (k, (s, _)) =>
+          "\"" + k + "\":" + (if (s.wall < 0) "-1" else f"${s.wall}%.3f")
+        }.mkString("{", ",", "}")
+        val body =
+          s"""{"queries_min":$qs,"legs_done":${rs.size},"elapsed_s":${f"${elapsedS()}%.1f"},"sf":"$sfDir"}"""
+        val tmpP = java.nio.file.Paths.get(".bench_partial.json.tmp")
+        java.nio.file.Files.write(tmpP, body.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmpP,
+          java.nio.file.Paths.get("bench_partial.json"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        ()
+      } catch { case _: Throwable => () } // sidecar is best-effort
+    val normalExit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!normalExit.get) {
+        val rs = snapshot()
+        if (rs.nonEmpty) {
+          println(buildDriverLine(rs, partial = true))
+          Console.out.flush()
+        }
+      }
+    }))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -515,13 +626,26 @@ object Bench {
       ()
     }
 
-    val results: Seq[(String, (Sample, Double))] = Headline.map { name =>
-      name -> time(2) {
+    // Each leg lands in the buffer (and the partial sidecar) the moment
+    // it completes — see the timeout-proofing note at the top of main.
+    def leg(name: String, runs: Int)(
+        body: => Option[org.apache.spark.sql.DataFrame]): Unit = {
+      val r = time(runs)(body)
+      resultsBuf.synchronized { resultsBuf += name -> r }
+      System.err.println(
+        f"BENCH_LEG $name min=${r._1.wall}%.3f mean=${r._2}%.3f " +
+          f"(${resultsBuf.size} legs, ${elapsedS()}%.0f s elapsed)")
+      writePartialSidecar()
+    }
+
+    Headline.foreach { name =>
+      leg(name, 2) {
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.count()
         Some(df)
       }
-    } :+ ("sinks_training_shards" -> time(2) {
+    }
+    leg("sinks_training_shards", 2) {
       val dir = sinksDir()
       try {
         val docs = Tables.documents(spark, sfDir)
@@ -532,7 +656,8 @@ object Bench {
         require(manifest.count() == 8L)
         None
       } finally rmTree(dir)
-    }) :+ ("sinks_release_pipeline" -> time(2) {
+    }
+    leg("sinks_release_pipeline", 2) {
       // The p20 composition driven INTO its sink: the released corpus
       // (classifier gate → near-dup drop → span excision → split) exported
       // through trainingShards — the end-to-end "raw corpus → sharded
@@ -549,7 +674,8 @@ object Bench {
         GraftInternals.freeLocalCheckpoint(released)
         None
       } finally rmTree(dir)
-    }) :+ ("sinks_partitioned" -> time(2) {
+    }
+    leg("sinks_partitioned", 2) {
       val dir = sinksDir()
       try {
         graft.io.Sinks.writePartitioned(
@@ -559,7 +685,8 @@ object Bench {
         require(en > 0L)
         None
       } finally rmTree(dir)
-    }) :+ ("p22_release_increment" -> time(2) {
+    }
+    leg("p22_release_increment", 2) {
       val dir = sinksDir()
       try {
         copyTree(p22Template.resolve("st"), dir.resolve("st"))
@@ -574,7 +701,8 @@ object Bench {
         GraftInternals.freeLocalCheckpoint(rel)
         None
       } finally rmTree(dir)
-    }) :+ ("pagerank_wikidata" -> time(3) { // 3 runs: this leg is THE
+    }
+    leg("pagerank_wikidata", 3) { // 3 runs: this leg is THE
       // baseline-bar artifact (<= 2x of BASELINE.md 6.35 s); one extra
       // run keeps a single noisy sample from deciding the round.
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
@@ -583,7 +711,8 @@ object Bench {
       require(n == 100)
       res.release()
       None
-    }) :+ ("pagerank_wikidata_graphx" -> time(2) {
+    }
+    leg("pagerank_wikidata_graphx", 2) {
       // Scale-path twin of the flagship: identical semantics/iterations
       // (GraphXSpec asserts 1e-9 L1 parity), Pregel-style execution.
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
@@ -592,21 +721,24 @@ object Bench {
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
       None
-    }) :+ ("pagerank_scaled" -> time(1) {
+    }
+    leg("pagerank_scaled", 1) {
       val edges = SyntheticGraph.powerLaw(spark, ScaledVerts, ScaledEdges)
       val res = PageRank.run(spark, edges, ScaledParams)
       require(res.iterations == ScaledParams.maxIter)
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
       None
-    }) :+ ("pagerank_scaled_graphx" -> time(1) {
+    }
+    leg("pagerank_scaled_graphx", 1) {
       val edges = SyntheticGraph.powerLaw(spark, ScaledVerts, ScaledEdges)
       val res = PageRankGraphX.run(spark, edges, ScaledParams)
       require(res.iterations == ScaledParams.maxIter)
       require(PageRank.topK(res.ranks, 100).count() == 100)
       res.release()
       None
-    })
+    }
+    val results: Seq[(String, (Sample, Double))] = snapshot()
 
     // ANN recall for the TRAINED approximate paths — their centroids are
     // engine-specific, so the correctness gate grades them rows-only and
@@ -657,6 +789,52 @@ object Bench {
     def fmt(d: Double): String = if (d < 0) "-1" else f"$d%.3f"
     def fmtN(d: Double): String = if (d < 0) "-1" else f"$d%.2f"
 
+    // Immutable floor snapshot for NEXT round's detector: the full
+    // (untruncated) queries_min map under the current round's number —
+    // max(N of BENCH_rN.json)+1, since the driver writes BENCH_r{N}.json
+    // at judging time AFTER this run. MERGED with any existing snapshot
+    // taking per-query min (monotone within a round) — an unconditional
+    // overwrite let a later same-round run clobber the committed
+    // min-merge with one run's warm-JVM minima and reintroduce the
+    // warm-floor false-flag class the r13 g7/g4 bisect adjudicated
+    // (r13 judge "what's wrong" #1).
+    def writeFloorSnapshot(): Unit = try {
+      val prevN = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+          .map(_.group(1).toInt))
+        .foldLeft(0)(math.max)
+      val floorPath = java.nio.file.Paths.get(f"BENCH_r${prevN + 1}%02d_floors.json")
+      val existing: Map[String, Double] =
+        if (java.nio.file.Files.exists(floorPath)) {
+          val txt = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
+          val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
+            .exists(_.group(1) == sfDir) // an sf0.01 dev-run floor must not pollute sf0.1
+          if (!sameSf) Map.empty
+          else "\"([^\"\\\\]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
+            .map(g => g.group(1) -> g.group(2).toDouble).toMap
+            .filterNot(_._1.startsWith("_"))
+        } else Map.empty
+      val current = results.map { case (k, (s, _)) => k -> s.wall }.toMap
+      val merged = (existing.keySet ++ current.keySet).toSeq.sorted.map { k =>
+        val vals = Seq(existing.get(k), current.get(k)).flatten.filter(_ >= 0)
+        k -> (if (vals.isEmpty) -1.0 else vals.min)
+      }
+      val mergedJson = merged
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      java.nio.file.Files.write(floorPath,
+        s"""{"queries_min":$mergedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      ()
+    } catch { case _: Throwable => () } // floor snapshot is best-effort
+
+    // Early emission (timeout-proofing layer 2): the measured legs are
+    // complete — put the driver-parseable line AND the floor snapshot on
+    // record BEFORE the A/B phase, whose forked children are the slow
+    // tail a driver timeout lands on. A/B progress prints to stderr, so
+    // if the phase is killed this stays the last stdout JSON.
+    println(buildDriverLine(results, partial = false))
+    Console.out.flush()
+    writeFloorSnapshot()
+
     // SELF-DEFENSE against session noise (the r6 lesson: i4_personalized
     // read 14.6 s in-session, 3.2 s isolated — a phantom regression that
     // cost a manual adjudication). Any query whose min wall moved >3× vs
@@ -676,7 +854,13 @@ object Bench {
     }.sortBy { case (_, p, w) => -(w / p) }
     val (abEligible, abSkipped) =
       flagged.partition { case (k, _, _) => SparkEntry.queries.contains(k) }
-    val AbBudgetS = 1200.0
+    // The A/B phase cap: its own 1200 s ceiling AND the remaining WALL
+    // budget (less 120 s headroom for the emission tail), whichever is
+    // tighter — r16's driver run was SIGTERMed INSIDE this phase, so it
+    // must degrade to explicit "unadjudicated: budget" notes rather
+    // than run past the driver's wall.
+    val AbBudgetS =
+      math.min(1200.0, math.max(0.0, benchBudgetS - elapsedS() - 120.0))
     val abStart = System.nanoTime()
     def abElapsed(): Double = (System.nanoTime() - abStart) / 1e9
     // Per-leg load context (the r15/r14 lesson: two rounds in a row the
@@ -698,12 +882,16 @@ object Bench {
       abEligible.map { case (k, p, w) =>
         if (abElapsed() > AbBudgetS)
           (k, p, w, Seq.empty[Double], Seq.empty[Double],
-            f"A/B time budget (${AbBudgetS}%.0f s) exhausted at ${abElapsed()}%.0f s",
+            f"unadjudicated: budget — A/B cap ${AbBudgetS}%.0f s (wall " +
+              f"budget ${benchBudgetS}%.0f s) exhausted at ${abElapsed()}%.0f s",
             -1.0)
         else {
           System.err.println(f"auto A/B: re-measuring $k (prev $p%.2f s, session $w%.2f s) on a fresh JVM")
           val l0 = load1()
-          val (walls, cpuSamples, err) = isolatedAb(k, sfDir, cpus)
+          // The child's own timeout never exceeds what's left of the cap.
+          val childCap =
+            math.min(900L, math.max(60L, (AbBudgetS - abElapsed()).toLong))
+          val (walls, cpuSamples, err) = isolatedAb(k, sfDir, cpus, childCap)
           (k, p, w, walls, cpuSamples, err, math.max(l0, load1()))
         }
       }
@@ -910,7 +1098,11 @@ object Bench {
       // Hive partitions + planning-time file pruning on the incremental
       // probes, single-orientation arms halving the stored scans.
       "\"r16 AbReleaseInc on the v2 bucketed layouts (sf0.01 batch vs Nx corpus, load1 2-7): increment wall 13.7/12.3/11.2 s at 16x/64x/256x - FLAT where r15 measured 10.6->14.0 creep at 16x->512x (the stored-scan slope was the probes' file reads; v2 prunes them to hit buckets and the single-orientation arms halve what remains), at +2-3 s fixed per-increment cost (bucket-discovery jobs + bucketed appends' repartition); union re-run 10.3/15.7/40.2 s, crossover ~32x, 3.6x at 256x and widening. The fixed cost initially pushed the sf0.1 p22 leg 11.7->15.8 s; three fixes recovered 11.95 s (~= the r15 floor): a 256 MB size gate on the pruning DISCOVERY pass (below it a straight scan beats the discovery job), the layout meta as a plain FS JSON file (a one-row-parquet read was a Spark job on every probe/append), and gramidx projected from the gramdf aggregation checkpoint (no second distinct shuffle per append) - adjudicated, not an open regression\"",
-      "\"r16 AbDedupInc PRUNE (hit-sparse narrow probe, 8 docs with stored twins, 512x corpus, interleaved fresh reps): legacy full-scan refine 3.4 s vs v2 pruned 2.3 s - the 1.1 s delta is exactly the shingle/count IO pruned to the STORED candidate ids' idb buckets; broad batches saturate the 32-bucket set and adaptively skip the filter. AbSpanInc PRUNE 128x/512x: wall-neutral locally (0.8-1.8 s both layouts) - the gramidx hash-index scan costs about what the rep-prefixed gram scan does at local sf (synthetic r<N>_ tokens compress ~perfectly), the structural win is bytes-per-row on high-entropy real text; the broad 512x probe (5.7 s at load1 11) sits in r13's 5.2-10.2 s band, no regression, and probe equality across layouts incl. capped + append/remove lifecycle is spec-pinned\"")
+      "\"r16 AbDedupInc PRUNE (hit-sparse narrow probe, 8 docs with stored twins, 512x corpus, interleaved fresh reps): legacy full-scan refine 3.4 s vs v2 pruned 2.3 s - the 1.1 s delta is exactly the shingle/count IO pruned to the STORED candidate ids' idb buckets; broad batches saturate the 32-bucket set and adaptively skip the filter. AbSpanInc PRUNE 128x/512x: wall-neutral locally (0.8-1.8 s both layouts) - the gramidx hash-index scan costs about what the rep-prefixed gram scan does at local sf (synthetic r<N>_ tokens compress ~perfectly), the structural win is bytes-per-row on high-entropy real text; the broad 512x probe (5.7 s at load1 11) sits in r13's 5.2-10.2 s band, no regression, and probe equality across layouts incl. capped + append/remove lifecycle is spec-pinned\"",
+      // r17 reconcile cadence (the r16 verdict #8 ask, documented in
+      // ReleaseStore.reconcile's scaladoc): the cost model that sets
+      // the schedule.
+      "\"r17 reconcile cadence: reconcile is compaction-class - the re-election pass is clusters-relation-sized (persisted n_tok, no corpus rescan) but ANY non-empty retired set pays store-sized rewrites (span grams remove + optional IVF remove + full released rewrite), i.e. ~a compact's price regardless of retired count - so schedule it per-N-increments WITH compact (one maintenance window, both store-sized passes) or early when a dup-heavy batch spikes dethronings; between runs the store is correct under the frozen-history contract, the cadence only bounds how long dethroned docs stay released (r15 reference points: compact 4.5 s / reconcile-bearing rewrites same order at the 64x composed store)\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }
@@ -928,82 +1120,10 @@ object Bench {
         java.nio.file.Paths.get("bench_diag.json"),
         diagJson.getBytes("UTF-8"))
     } catch { case _: Throwable => () } // diag file is best-effort
-    // Immutable floor snapshot for NEXT round's detector: the full
-    // (untruncated) queries_min map under the current round's number —
-    // max(N of BENCH_rN.json)+1, since the driver writes BENCH_r{N}.json
-    // at judging time AFTER this run. MERGED with any existing snapshot
-    // taking per-query min (monotone within a round) — an unconditional
-    // overwrite let a later same-round run clobber the committed
-    // min-merge with one run's warm-JVM minima and reintroduce the
-    // warm-floor false-flag class the r13 g7/g4 bisect adjudicated
-    // (r13 judge "what's wrong" #1).
-    try {
-      val prevN = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-        .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
-          .map(_.group(1).toInt))
-        .foldLeft(0)(math.max)
-      val floorPath = java.nio.file.Paths.get(f"BENCH_r${prevN + 1}%02d_floors.json")
-      val existing: Map[String, Double] =
-        if (java.nio.file.Files.exists(floorPath)) {
-          val txt = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
-          val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(txt)
-            .exists(_.group(1) == sfDir) // an sf0.01 dev-run floor must not pollute sf0.1
-          if (!sameSf) Map.empty
-          else "\"([^\"\\\\]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(txt)
-            .map(g => g.group(1) -> g.group(2).toDouble).toMap
-            .filterNot(_._1.startsWith("_"))
-        } else Map.empty
-      val current = results.map { case (k, (s, _)) => k -> s.wall }.toMap
-      val merged = (existing.keySet ++ current.keySet).toSeq.sorted.map { k =>
-        val vals = Seq(existing.get(k), current.get(k)).flatten.filter(_ >= 0)
-        k -> (if (vals.isEmpty) -1.0 else vals.min)
-      }
-      val mergedJson = merged
-        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      java.nio.file.Files.write(floorPath,
-        s"""{"queries_min":$mergedJson,"sf":"$sfDir"}""".getBytes("UTF-8"))
-    } catch { case _: Throwable => () } // floor snapshot is best-effort
-    val sfNum = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1))
-      .filter(s => scala.util.Try(s.toDouble).isSuccess)
-      .getOrElse("\"" + sfDir + "\"")
-    // Driver-line map at 2-decimal precision: the 3-decimal map crossed
-    // the 1800-char guard once the surface hit ~70 legs (observed 1803 →
-    // total-only fallback, which loses the round's per-query record).
-    // 10 ms resolution is ample for the driver's min-wall comparison;
-    // bench_diag.json keeps the 3-decimal history.
-    val qsShort = results.map { case (k, (s, _)) =>
-      "\"" + k + "\":" + (if (s.wall < 0) "-1" else f"${s.wall}%.2f")
-    }.mkString("{", ",", "}")
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":$sfNum}"""
-    // Never throw after the run: an overflowing line would put the JSON's
-    // start outside the driver's 2000-char stdout tail (that cost round 4
-    // its wall record), but failing here would discard EVERYTHING. Emit a
-    // total-only fallback instead — the full per-query map is already safe
-    // in bench_diag.json either way.
-    if (line.length <= 1800) println(line)
-    else {
-      // Keep the record meaningful instead of dropping it: emit the
-      // SLOWEST legs that fit (they carry the perf signal; sub-second
-      // legs are the ones a reader can live without), with an explicit
-      // dropped-count marker. The full 3-decimal map is in
-      // bench_diag.json regardless.
-      val entries = results
-        .map { case (k, (s, _)) =>
-          (s.wall, "\"" + k + "\":" + (if (s.wall < 0) "-1" else f"${s.wall}%.2f"))
-        }
-        .sortBy { case (w, _) => -w }
-      val budget = 1700 - 120 // line scaffolding + marker headroom
-      val kept = scala.collection.mutable.ListBuffer[String]()
-      var used = 0
-      entries.foreach { case (_, e) =>
-        if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
-      }
-      val dropped = entries.size - kept.size
-      val qsTrunc = (kept :+ s""""_dropped_fastest":$dropped""").mkString("{", ",", "}")
-      System.err.println(
-        s"bench line ${line.length} chars overflows the driver's 2000-char tail; emitting slowest-legs subset ($dropped fastest legs dropped)")
-      println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsTrunc,"sf":$sfNum}""")
-    }
+    // The early line already went out before the A/B phase; close the
+    // run with the same (complete) line as the TRUE last stdout line —
+    // the driver parses the tail, and BENCH_DIAG above must not be it.
+    println(buildDriverLine(results, partial = false))
+    normalExit.set(true)
   }
 }

@@ -639,7 +639,10 @@ object PipelineQueries {
     // which sources near-duplicate which — the corpus-governance view
     // that decides whether a source is worth re-crawling (its content is
     // already held elsewhere) or is internally redundant (the diagonal).
-    // The doc→source decoration is a dimension-sized broadcast; the
+    // The doc→source decoration is CORPUS-proportional (one row per
+    // document), so the broadcast is size-gated: forced only when the
+    // estimate fits, left to AQE's runtime decision otherwise — at 100 TB
+    // that degrades to a shuffled join instead of an executor OOM. The
     // matrix itself is ≤ |sources|² rows. Exact aggregation (decimal-cast
     // jaccard sum) over the identical oracle-reproduced pair set.
     "d15_dup_matrix" -> ((s, d) => {
@@ -647,9 +650,11 @@ object PipelineQueries {
         n = 3, bands = 8, rowsPerBand = 4, threshold = JaccardThreshold)
       val src = documents(s, d).select(col("doc_id"), col("source"))
       pairs
-        .join(broadcast(src.select(col("doc_id").as("doc_a"), col("source").as("sa"))),
+        .join(graft.ops.Hints.broadcastIfSmall(
+          src.select(col("doc_id").as("doc_a"), col("source").as("sa"))),
           "doc_a")
-        .join(broadcast(src.select(col("doc_id").as("doc_b"), col("source").as("sb"))),
+        .join(graft.ops.Hints.broadcastIfSmall(
+          src.select(col("doc_id").as("doc_b"), col("source").as("sb"))),
           "doc_b")
         .select(least(col("sa"), col("sb")).as("source_a"),
           greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))

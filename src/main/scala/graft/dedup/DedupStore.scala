@@ -48,23 +48,72 @@ object DedupStore {
     * consult (~0.3 s of scheduling) would tax the very increments the
     * layout exists to speed up. Written rename-aside (atomic), so a
     * crash mid-write never leaves a half-readable meta. AUTHORITATIVE:
-    * readers prune/write bucketed only when it exists and parses (a
-    * store whose relations carry partition dirs but no meta — e.g. a
-    * crash between a migrating compact's swap and the meta write — is
-    * read as legacy via the explicit column projections, which is
-    * always correct, just unpruned).
+    * readers prune/write bucketed only when it exists and parses. A
+    * store whose relations carry partition dirs but no meta (a crash
+    * inside a migrating compact's swap, before its layout — ordered
+    * last — went in) READS correctly as legacy via the explicit column
+    * projections, just unpruned; APPENDS are refused in that state
+    * ([[appendLayout]]) because a flat append next to partition dirs
+    * corrupts partition discovery for every later read.
     */
   private[dedup] def writeLayout(
-      spark: SparkSession, path: String, key: String, buckets: Int): Unit = {
+      spark: SparkSession, path: String, key: String, buckets: Int): Unit =
+    writeLayoutFile(spark, s"$path/layout", key, buckets)
+
+  /** [[writeLayout]] at an explicit FILE path — so a migrating
+    * [[compact]] can STAGE the meta inside its `.compact.tmp` dir and
+    * move it through the same rename-aside swap as the relations
+    * (ordered last), instead of writing it after the swap where a crash
+    * leaves bucketed relations with no meta.
+    */
+  private[dedup] def writeLayoutFile(
+      spark: SparkSession, filePath: String, key: String, buckets: Int): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(s"$path/layout")
+    val dst = new org.apache.hadoop.fs.Path(filePath)
     val fs = dst.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/.layout.tmp")
+    val tmp = new org.apache.hadoop.fs.Path(
+      dst.getParent, "." + dst.getName + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(s"""{"$key":$buckets}""".getBytes("UTF-8"))
     finally out.close()
     fs.delete(dst, true)
     require(fs.rename(tmp, dst), "layout meta: rename into place failed")
+  }
+
+  /** True iff `dest` exists and carries Hive partition dirs for `key`
+    * (`key=N/...`) — the on-disk evidence of a bucketed relation,
+    * consulted when the layout meta is MISSING (a crash between a
+    * migrating compact's relation swaps and its layout swap).
+    */
+  private[dedup] def hasPartitionDirs(
+      spark: SparkSession, dest: String, key: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dest)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.listStatus(p).exists(st =>
+      st.isDirectory && st.getPath.getName.startsWith(key + "="))
+  }
+
+  /** The write layout for an APPEND, derived from the meta AND the disk.
+    * A meta-less store whose relation carries `key=` partition dirs is a
+    * crashed migration: appending FLAT files next to the partition dirs
+    * would wedge every subsequent read ('Conflicting directory
+    * structures'), and inferring a bucket count from the dirs risks
+    * silently-wrong pruning (a sparse store need not materialize every
+    * bucket) — so the append REFUSES and directs the operator to the
+    * idempotent repair (recover + compact re-run, which rewrites the
+    * relations and commits the meta through the same swap).
+    */
+  private[dedup] def appendLayout(
+      spark: SparkSession, path: String, key: String, probeRel: String,
+      partKey: String): Option[Int] = {
+    val layout = readLayout(spark, path, key)
+    if (layout.isEmpty)
+      require(!hasPartitionDirs(spark, s"$path/$probeRel", partKey),
+        s"$path/$probeRel is $partKey-bucketed on disk but the store's " +
+          "layout meta is missing (crashed migration?) — run recover() " +
+          "then compact() before appending; a flat append here would " +
+          "corrupt partition discovery for every subsequent read")
+    layout
   }
 
   private[dedup] def readLayout(
@@ -153,7 +202,7 @@ object DedupStore {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, path: String): Unit =
     write(docs, idCol, textCol, n, bands, rowsPerBand, path, "append",
-      readLayout(docs.sparkSession, path, "id_buckets"))
+      appendLayout(docs.sparkSession, path, "id_buckets", "shingles", "idb"))
 
   /** Maintenance: rewrite the store's three relations into few large,
     * clustered files. Append-only increments each leave their own file
@@ -199,9 +248,14 @@ object DedupStore {
     // A bucketed store compacts to ONE id-sorted file per bucket; a
     // LEGACY store MIGRATES to the bucketed layout here (the gramdf-
     // backfill precedent: compact is the store's upgrade point). The
-    // layout meta is written only after the swap commits, so a crash
-    // mid-migration leaves a store that reads as legacy — correct,
-    // just unpruned until the compact re-runs.
+    // layout meta is STAGED into tmp and moves through the same
+    // rename-aside swap as the relations, ordered LAST: a crash
+    // anywhere mid-migration leaves bucketed relations with a missing
+    // (never a wrong) meta — reads stay correct as legacy, and
+    // [[appendLayout]] refuses appends until the idempotent
+    // recover + compact re-run commits the meta. (The reverse order
+    // would leave a bucketed meta over still-legacy relations, which
+    // would corrupt the next append's partition discovery.)
     val buckets = readLayout(spark, path, "id_buckets")
       .getOrElse(DefaultIdBuckets)
     writeIdBucketed(spark.read.parquet(s"$path/shingles")
@@ -210,8 +264,8 @@ object DedupStore {
     writeIdBucketed(spark.read.parquet(s"$path/counts")
         .select(col("id"), col("n_sh")),
       buckets, s"$tmp/counts", "overwrite", sortById = true)
-    swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts"))
-    writeLayout(spark, path, "id_buckets", buckets)
+    writeLayoutFile(spark, s"$tmp/layout", "id_buckets", buckets)
+    swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts", "layout"))
   }
 
   /** The shared crash-safe swap (compact/remove): for each staged
@@ -300,9 +354,12 @@ object DedupStore {
     }
   }
 
-  /** [[recoverRelations]] over this store's relation set. */
+  /** [[recoverRelations]] over this store's relation set (the layout
+    * meta moves through the same swap since it was staged — recover it
+    * like any relation; a legacy store without one is a no-op).
+    */
   def recover(spark: SparkSession, path: String): Unit =
-    recoverRelations(spark, path, Seq("bands", "shingles", "counts"))
+    recoverRelations(spark, path, Seq("bands", "shingles", "counts", "layout"))
 
   /** Takedown: rewrite the store WITHOUT the given doc ids (first column
     * of `ids`, castable to long) — the DMCA/PII/right-to-be-forgotten
@@ -487,7 +544,14 @@ object DedupStore {
       // Materialize the probe BEFORE the store grows (the lazy stored
       // reads above would otherwise see the batch's own appended rows),
       // then append the already-computed relations: no second shingle
-      // or minhash pass over the batch.
+      // or minhash pass over the batch. Same meta-vs-disk agreement
+      // check as [[append]]: a flat append into a meta-less bucketed
+      // store (crashed migration) would corrupt partition discovery.
+      if (layout.isEmpty)
+        require(!hasPartitionDirs(spark, s"$path/shingles", "idb"),
+          s"$path/shingles is idb-bucketed on disk but the layout meta " +
+            "is missing (crashed migration?) — run recover() then " +
+            "compact() before appending")
       val res = refined.localCheckpoint(true)
       newBands.write.mode("append").partitionBy("band").parquet(s"$path/bands")
       val newCounts = newSh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))

@@ -86,16 +86,27 @@ object SpanStore {
     * partitions can hold a batch-matching gram. Hash collisions and
     * rows surviving a remove only ADD buckets (pruning stays a
     * superset — always correct); [[compact]] rebuilds it exactly.
+    *
+    * WRITE ORDER is a crash-safety invariant: gramidx lands FIRST
+    * (before gramdf here, before the grams relation in [[write]] /
+    * the fused append), so a torn append can only ever leave the index
+    * a SUPERSET of the stored grams — extra hashes add pruning buckets,
+    * which is always safe, whereas missing hashes would silently hide
+    * true span matches from every uncapped probe until the next
+    * compact. The residue of a torn append is then at worst inflated
+    * df partials (rows whose grams never landed), which can over-cap a
+    * `maxDf` probe but never lose an uncapped match; re-running the
+    * failed append (the batch-retry contract) or a compact settles it.
     */
   private def writeDfAndIndex(
       g: DataFrame, buckets: Option[Int], path: String, mode: String): Unit = {
     val dfPart = g.select(col("g"), col("id")).distinct()
       .groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      .localCheckpoint(true) // feeds gramdf AND gramidx
-    dfPart.write.mode(mode).parquet(s"$path/gramdf")
+      .localCheckpoint(true) // feeds gramidx AND gramdf
     if (buckets.isDefined)
       dfPart.select(xxhash64(col("g")).as("gh"))
         .write.mode(mode).parquet(s"$path/gramidx")
+    dfPart.write.mode(mode).parquet(s"$path/gramdf")
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(dfPart)
   }
 
@@ -105,13 +116,15 @@ object SpanStore {
       buckets: Option[Int]): Unit = {
     val g = Dedup.anchorGrams(docs, idCol, textCol, minTokens)
       .localCheckpoint(true) // written twice (grams + df partials)
-    writeGrams(g, buckets, path, mode)
     // Per-increment document-frequency PARTIALS (g, nd) — additive like
     // DedupStore's counts relation (ids never repeat across batches), so
     // the stop-gram cap's union df is a sum of partials, never a rescan
     // of the pos-level gram relation. [[compact]] merges them;
     // [[remove]] appends negated rows (exact integer subtraction).
+    // Index + partials BEFORE grams (see [[writeDfAndIndex]]'s order
+    // invariant): a torn append leaves the existence index a superset.
     writeDfAndIndex(g, buckets, path, mode)
+    writeGrams(g, buckets, path, mode)
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(g)
   }
 
@@ -144,7 +157,8 @@ object SpanStore {
       docs: DataFrame, idCol: String, textCol: String,
       minTokens: Int, path: String): Unit =
     write(docs, idCol, textCol, minTokens, path, "append",
-      DedupStore.readLayout(docs.sparkSession, path, "gram_buckets"))
+      DedupStore.appendLayout(
+        docs.sparkSession, path, "gram_buckets", "grams", "gb"))
 
   /** Maintenance: rewrite the gram relation into `files` gram-clustered
     * files. Each [[append]] leaves its own shuffle-parallelism-sized file
@@ -172,10 +186,11 @@ object SpanStore {
     fs.delete(tmp, true)
     // A bucketed store compacts to one gram-sorted file per bucket; a
     // LEGACY store MIGRATES to the bucketed layout here (the layout meta
-    // is written only after the swap commits — a crash mid-migration
-    // leaves a store that reads as legacy, correct but unpruned). The
-    // existence index is rebuilt EXACTLY from the live grams, retiring
-    // hashes whose grams a remove() purged.
+    // is STAGED into tmp and swaps LAST, so a crash mid-migration leaves
+    // bucketed relations with a missing — never wrong — meta: reads stay
+    // correct as legacy and appends are refused until the idempotent
+    // recover + compact re-run). The existence index is rebuilt EXACTLY
+    // from the live grams, retiring hashes whose grams a remove() purged.
     val buckets = DedupStore.readLayout(spark, path, "gram_buckets")
       .getOrElse(DefaultGramBuckets)
     val live = spark.read.parquet(s"$path/grams")
@@ -202,13 +217,21 @@ object SpanStore {
     merged.select(xxhash64(col("g")).as("gh"))
       .write.parquet(s"$tmp/gramidx")
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(merged)
-    DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf", "gramidx"))
-    DedupStore.writeLayout(spark, path, "gram_buckets", buckets)
+    DedupStore.writeLayoutFile(spark, s"$tmp/layout", "gram_buckets", buckets)
+    // gramidx swaps BEFORE grams so every kill point keeps the index a
+    // superset of the live grams (the staged index covers the staged
+    // grams AND, being rebuilt from merged partials, the still-live old
+    // generation); layout swaps last (missing beats wrong).
+    DedupStore.swapRelations(fs, root, tmp,
+      Seq("gramidx", "grams", "gramdf", "layout"))
   }
 
-  /** [[DedupStore.recoverRelations]] over this store's relation set. */
+  /** [[DedupStore.recoverRelations]] over this store's relation set
+    * (incl. the swap-staged layout meta).
+    */
   def recover(spark: SparkSession, path: String): Unit =
-    DedupStore.recoverRelations(spark, path, Seq("grams", "gramdf", "gramidx"))
+    DedupStore.recoverRelations(
+      spark, path, Seq("grams", "gramdf", "gramidx", "layout"))
 
   /** The stored df-partials relation. A store written before the
     * `gramdf` relation existed is backfilled from `grams` on the fly
@@ -387,9 +410,19 @@ object SpanStore {
     val spans = Dedup.spansFromSeeds(seeds, minTokens)
     if (!alsoAppend) spans
     else {
+      // Same meta-vs-disk agreement check as [[append]]: a flat append
+      // into a meta-less bucketed store (crashed migration) would
+      // corrupt partition discovery for every later read.
+      if (layout.isEmpty)
+        require(!DedupStore.hasPartitionDirs(spark, s"$path/grams", "gb"),
+          s"$path/grams is gb-bucketed on disk but the layout meta is " +
+            "missing (crashed migration?) — run recover() then compact() " +
+            "before appending")
       val res = spans.localCheckpoint(true)
-      writeGrams(newG0, layout, path, "append")
+      // Index + partials before grams (writeDfAndIndex's order
+      // invariant): a torn append leaves the index a superset.
       writeDfAndIndex(newG0, layout, path, "append")
+      writeGrams(newG0, layout, path, "append")
       // res' eager checkpoint truncated lineage above the gram
       // relation — free what the caller's sweep can no longer reach.
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(newG0)

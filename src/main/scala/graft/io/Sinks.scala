@@ -108,9 +108,20 @@ object Sinks {
     df.sparkSession.read.parquet(s"$path/_manifest").orderBy(col("shard"))
   }
 
+  /** Hard row cap for [[csvBase64Href]]: the reference embeds top-100 /
+    * top-20 tables (streamlit-pagerank.py:297), so 10k rows is two
+    * orders of magnitude of headroom while keeping a misuse (pointing
+    * the href sink at a scan-sized frame) from collecting the corpus
+    * onto the driver.
+    */
+  val MaxHrefRows: Int = 10000
+
   /** S5: the UI's base64 `data:` download href
     * (streamlit-pagerank.py:220-229) — presentation-layer encoding of a
-    * (small, result-sized) table; collects, so never for scan-sized data.
+    * (small, result-sized) table. Collects, so the collect is bounded:
+    * fetches at most [[MaxHrefRows]]+1 rows and REJECTS an over-cap frame
+    * (never silently truncates — a partial download link is corrupt data)
+    * instead of OOMing the driver on scan-sized input.
     */
   def csvBase64Href(df: DataFrame, fileName: String): String = {
     def cell(v: Any): String = {
@@ -120,7 +131,13 @@ object Sinks {
       else s
     }
     val header = df.columns.map(cell).mkString(",")
-    val body = df.collect()
+    // limit(cap+1) bounds the driver fetch BEFORE collecting: an over-cap
+    // frame transfers cap+1 rows (enough to detect), never the corpus.
+    val rows = df.limit(MaxHrefRows + 1).collect()
+    require(rows.length <= MaxHrefRows,
+      s"csvBase64Href is a presentation sink for result-sized tables: " +
+        s"input exceeds $MaxHrefRows rows — write it with writeCsv instead")
+    val body = rows
       .map(_.toSeq.map(cell).mkString(","))
       .mkString("\n")
     val b64 = java.util.Base64.getEncoder.encodeToString(

@@ -226,8 +226,9 @@ object ReleaseStore {
       .select(col("member_id"))
     // drops (all near-dup losers) and canon (one row per cluster) are
     // corpus-proportional on a dup-heavy init corpus — size-gated hints,
-    // never forced (the incremental path's broadcasts stay forced: those
-    // relations are batch/touched-cluster-bounded by construction).
+    // never forced (the incremental path's hints are likewise gated: its
+    // relations are batch/touched-cluster-bounded by construction, but a
+    // dup-heavy crawl can merge corpus-scale components).
     val survivors = keptDocs
       .join(graft.ops.Hints.broadcastIfSmall(drops),
         col("doc_id") === col("member_id"), "left_anti")
@@ -469,9 +470,15 @@ object ReleaseStore {
       .select(col("member_id").as("doc_id"))
       .localCheckpoint(true) // consumed by dropsB and dethroned
     val dropsB = losers.join(newIds, Seq("doc_id"), "left_semi")
+    // dropsB is batch-bounded but cc is touched-COMPONENT-bounded — on a
+    // dup-heavy crawl the merged components can grow with the corpus, so
+    // both hints are size-gated (AQE still broadcasts at runtime when the
+    // actual shuffle is small; past the gate it degrades to a shuffled
+    // join instead of an executor OOM).
     val withRep0 = keptDocs
-      .join(broadcast(dropsB), Seq("doc_id"), "left_anti")
-      .join(broadcast(cc.select(col("member_id").as("doc_id"), col("rep_id"))),
+      .join(graft.ops.Hints.broadcastIfSmall(dropsB), Seq("doc_id"), "left_anti")
+      .join(graft.ops.Hints.broadcastIfSmall(
+          cc.select(col("member_id").as("doc_id"), col("rep_id"))),
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
@@ -639,6 +646,29 @@ object ReleaseStore {
     * arrivals are protected by [[increment]]'s own per-batch dethroned
     * filter only for same-batch dethronings; reconcile is the policy
     * that closes the cross-increment window.
+    *
+    * CADENCE (operator guidance): reconcile is a COMPACTION-CLASS job,
+    * not a per-increment stage. The re-election itself is one pass over
+    * the clusters relation (cheap — persisted n_tok, no corpus rescan),
+    * but any non-empty retired set pays O(store) rewrites: a span-store
+    * grams rewrite ([[graft.dedup.SpanStore.remove]]), the optional IVF
+    * remove, and a full `released` rewrite — roughly a [[compact]]'s
+    * price regardless of how FEW docs retire, because the rewrites are
+    * relation-sized, not retired-set-sized. So: schedule it on the same
+    * per-N-increments cadence as [[compact]] (and preferably WITH it —
+    * one maintenance window pays both store-sized passes and the
+    * compact's file-count reset), or trigger it early when dethronings
+    * spike (the divergence window is exactly the dethronings accumulated
+    * since the last run; a dup-heavy crawl batch that dethrones many
+    * canonicals is the signal to close it sooner). Between runs the
+    * store is correct under the frozen-history contract — the cadence
+    * choice trades how long dethroned docs stay released (and keep
+    * excising future arrivals) against maintenance cost, not
+    * correctness. `clusterIds` (below) is the cheap middle ground: an
+    * increment-triggered scoped reconcile re-elects only the touched
+    * clusters, keeping the election pass batch-sized — though the
+    * rewrites stay store-sized, which is why even the scoped shape
+    * belongs on a batched cadence rather than per increment.
     *
     * `clusterIds` scopes the re-election to the named clusters' rep ids
     * (first column, castable to long) — the out-of-band "reconcile what

@@ -866,13 +866,25 @@ object Streams {
     * with the cluster's rep) is conservatively dropped here: a stream
     * cannot join the flag back to the cluster relation after its one
     * aggregation. Survivors are therefore novel docs — rep = self,
-    * split drawn on their own id, the increment's own rule. State per
-    * micro-batch: per-doc matched positions + max Jaccard, probe-hit-
-    * bounded; the stored relations stream through one side of each
-    * equi-join, never shuffled by the stream.
+    * split drawn on their own id, the increment's own rule.
+    *
+    * STATE: the per-doc aggregation buffer (matched positions + max
+    * Jaccard + the doc's text) is probe-hit-bounded per DOC, but the
+    * groupBy(doc_id) itself retains one buffer per doc EVER streamed —
+    * without a watermark, update-mode aggregation state never evicts,
+    * so a long-running query grows without bound (and the retained
+    * text column makes each buffer heavier than the flag-only twins).
+    * Pass `eventTime` = (timestamp column, delay) to bound it: the
+    * aggregation then groups by (event-time window, doc_id) under a
+    * watermark and evicts a doc's buffer once the watermark passes its
+    * window. Ids are monotone (caller contract shared with the store),
+    * so a doc never spans micro-batches and eviction never loses rows —
+    * StreamsSpec pins released-row parity with and without it. The
+    * stored relations stream through one side of each equi-join, never
+    * shuffled by the stream.
     */
   def releaseFrontDoorStream(
-      docs: DataFrame, // streaming (idCol, textCol[, semantic vec col])
+      docs: DataFrame, // streaming (idCol, textCol[, vec col][, ts col])
       weights: DataFrame, // static (dim LONG, w LONG), dim -1 = bias
       dims: Int,
       storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
@@ -887,10 +899,17 @@ object Streams {
       // of the doc stream's vector column). A vector rides ON its doc
       // row (a stream-stream docs×vecs join is not expressible);
       // null-vector docs pass unprobed, the increment's own rule.
-      semantic: Option[(DataFrame, Int, Double, String)] = None): DataFrame = {
+      semantic: Option[(DataFrame, Int, Double, String)] = None,
+      // OPTIONAL state bound: (event-time TIMESTAMP column on the doc
+      // stream, watermark delay e.g. "10 minutes") — see STATE above.
+      eventTime: Option[(String, String)] = None): DataFrame = {
     val gatedCols = Seq(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")) ++
-      semantic.map { case (_, _, _, vc) => col(vc).as("vec") }
+      semantic.map { case (_, _, _, vc) => col(vc).as("vec") } ++
+      eventTime.map { case (tc, _) => col(tc).as("ts") }
+    // Every probe leg carries the doc's event time so the one
+    // aggregation can group under the watermark.
+    val tsc = eventTime.toSeq.map(_ => col("ts"))
     val gated = docs
       .filter(marginExpr(weights, dims, textCol) > 0)
       .select(gatedCols: _*)
@@ -901,28 +920,31 @@ object Streams {
 
     // Leg 0: the doc itself — survives the inner probe joins even when
     // it hits nothing.
-    val base = gated.select(col("doc_id"), col("text"), nullJ, nullPos, nullSem)
+    val base = gated.select(
+      Seq(col("doc_id"), col("text"), nullJ, nullPos, nullSem) ++ tsc: _*)
 
     // Near-dup leg: banding identical to nearDupStream/DedupStore.
     val numHashes = bands * rowsPerBand
-    val withSh = gated.select(col("doc_id"),
-        graft.text.TextFns.shingles(col("text"), n).as("sh"))
+    val withSh = gated.select(Seq(col("doc_id"),
+        graft.text.TextFns.shingles(col("text"), n).as("sh")) ++ tsc: _*)
       .filter(size(col("sh")) > 0)
     val minCols = (0 until numHashes).map { k =>
       array_min(transform(col("sh"), s => xxhash64(s, lit(k)))).as(s"m$k")
     }
-    val sig = withSh.select(col("doc_id") +: col("sh") +: minCols: _*)
+    val sig = withSh.select(
+      Seq(col("doc_id"), col("sh")) ++ tsc ++ minCols: _*)
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => col(s"m$k")): _*).as(s"b$b")
     }
     val banded = sig
-      .select(col("doc_id") +: col("sh") +: bandCols: _*)
-      .select(col("doc_id"), col("sh"),
+      .select(Seq(col("doc_id"), col("sh")) ++ tsc ++ bandCols: _*)
+      .select(Seq(col("doc_id"), col("sh"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
-      .select(col("doc_id"), col("sh"),
-        col("e.band").as("band"), col("e.bucket").as("bucket"))
+        ++ tsc: _*)
+      .select(Seq(col("doc_id"), col("sh"),
+        col("e.band").as("band"), col("e.bucket").as("bucket")) ++ tsc: _*)
     // Static-side pre-aggregation: one shingle ARRAY per stored doc, so
     // the exact-Jaccard refine is a row-local set intersection instead
     // of a (forbidden) second streaming aggregation. shingleIndex rows
@@ -934,11 +956,11 @@ object Streams {
       .join(storedBands.select(col("band"), col("bucket"),
         col("id").as("old_id")), Seq("band", "bucket"))
       .join(storedSets, "old_id")
-      .select(col("doc_id"), nullText,
+      .select(Seq(col("doc_id"), nullText,
         (common.cast("double") /
           (size(col("sh")) + size(col("old_sh")) - common).cast("double"))
           .as("j"),
-        nullPos, nullSem)
+        nullPos, nullSem) ++ tsc: _*)
 
     // Span leg: matched anchor positions vs the stored gram relation.
     val toks = graft.text.TextFns.tokens(col("text"))
@@ -947,9 +969,11 @@ object Streams {
           i => array_join(slice(toks, i + 1, lit(minTokens)), " ")))
       .otherwise(lit(Array.empty[String]))
     val spanLeg = gated
-      .select(col("doc_id"), posexplode(gramArr).as(Seq("mpos", "g")))
+      .select(Seq(col("doc_id"), posexplode(gramArr).as(Seq("mpos", "g")))
+        ++ tsc: _*)
       .join(storedGrams.select(col("g")).distinct(), "g")
-      .select(col("doc_id"), nullText, nullJ, col("mpos"), nullSem)
+      .select(Seq(col("doc_id"), nullText, nullJ, col("mpos"), nullSem)
+        ++ tsc: _*)
 
     // Optional SEMANTIC leg — the stored arm of the increment's SemDeDup
     // stage: the doc's vector computes its sign cell row-locally, a
@@ -958,16 +982,27 @@ object Streams {
     // peers are the batch increment's job, like every other leg).
     val semLeg = semantic.map { case (store, vdims, veps, _) =>
       gated.filter(col("vec").isNotNull)
-        .select(col("doc_id"), col("vec"),
-          graft.sim.IndexStore.cellOf(col("vec"), vdims).as("cell"))
+        .select(Seq(col("doc_id"), col("vec"),
+          graft.sim.IndexStore.cellOf(col("vec"), vdims).as("cell")) ++ tsc: _*)
         .join(store.select(col("cell"), col("v").as("nv")), Seq("cell"))
         .filter(graft.sim.Similarity.cosine(col("vec"), col("nv")) >= veps)
-        .select(col("doc_id"), nullText, nullJ, nullPos, lit(1).as("sem"))
+        .select(Seq(col("doc_id"), nullText, nullJ, nullPos,
+          lit(1).as("sem")) ++ tsc: _*)
     }
 
     val legs = Seq(base, ndLeg, spanLeg) ++ semLeg
-    val agg = legs.reduce(_ unionAll _)
-      .groupBy(col("doc_id"))
+    val unioned = legs.reduce(_ unionAll _)
+    // With an event time, group under the watermark by (window, doc_id):
+    // every leg row of a doc carries the SAME ts (it rides the doc's
+    // input row), so the window key partitions docs exactly as the bare
+    // doc_id key does — identical groups, evictable state.
+    val grouping = eventTime match {
+      case Some((_, delay)) =>
+        unioned.withWatermark("ts", delay)
+          .groupBy(window(col("ts"), delay).as("w"), col("doc_id"))
+      case None => unioned.groupBy(col("doc_id"))
+    }
+    val agg = grouping
       .agg(max(col("j")).as("jmax"),
         collect_set(col("mpos")).as("cut"),
         max(col("sem")).as("semhit"),

@@ -22,6 +22,23 @@ class SinksSpec extends SparkSpec {
       "[15] [0.0036798701695717694]"))
   }
 
+  test("csvBase64Href rejects an over-cap frame instead of collecting it") {
+    // The href sink is presentation-layer (reference embeds top-100/20
+    // tables): a frame past MaxHrefRows must be REFUSED, with the driver
+    // fetch bounded at cap+1 rows — not silently truncated, not collected.
+    val over = spark.range(Sinks.MaxHrefRows + 1L).toDF("id")
+    val err = intercept[IllegalArgumentException] {
+      Sinks.csvBase64Href(over, "too_big.csv")
+    }
+    assert(err.getMessage.contains("writeCsv"))
+    // At exactly the cap the sink still works end-to-end.
+    val atCap = Seq((1L, "a,b"), (2L, "plain")).toDF("id", "v")
+    val href = Sinks.csvBase64Href(atCap.orderBy($"id"), "ok.csv")
+    val b64 = "base64,([A-Za-z0-9+/=]+)".r.findFirstMatchIn(href).get.group(1)
+    val csv = new String(java.util.Base64.getDecoder.decode(b64), "UTF-8")
+    assert(csv == "id,v\n1,\"a,b\"\n2,plain")
+  }
+
   test("json-lines sink/source round-trips with explicit schema") {
     val dir = Files.createTempDirectory("sink_jsonl").toString
     val docs = Tables.documents(spark, Sf001)

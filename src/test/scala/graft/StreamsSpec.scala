@@ -841,6 +841,29 @@ class StreamsSpec extends SparkSpec {
     assert(t402 != d402.mkString(" "), "402 kept its copied span; the span stage never fired")
     assert(want.find(_._1 == 404L).get._4 == d404.mkString(" "),
       "the novel doc 404 was altered")
+
+    // The WATERMARKED variant (eventTime bounds the per-doc aggregation
+    // state — the long-running-query shape) releases the identical rows:
+    // the window key partitions docs exactly as the bare doc_id key.
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val memW = MemoryStream[(Long, String, java.sql.Timestamp)]
+    memW.addData(batchRows.map { case (id, ts) =>
+      (id, ts.mkString(" "), t0) }: _*)
+    val qw = Streams.releaseFrontDoorStream(
+        memW.toDF().toDF("doc_id", "text", "ts"), w, P.dims,
+        spark.read.parquet(s"$dir/a/neardup/bands"),
+        spark.read.parquet(s"$dir/a/neardup/shingles"),
+        spark.read.parquet(s"$dir/a/spans/grams"),
+        "doc_id", "text", P.n, P.bands, P.rowsPerBand, P.threshold,
+        P.minTokens, eventTime = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("frontdoor_e2e_wm")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    qw.processAllAvailable(); qw.stop()
+    val gotW = spark.table("frontdoor_e2e_wm")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(gotW == want,
+      s"watermarked front-door diverged from the increment: " +
+        s"missing=${(want -- gotW).take(3)} extra=${(gotW -- want).take(3)}")
   }
 
   test("end-to-end streaming front-door WITH the semantic stage matches increment on a vec-initialized store") {

@@ -75,7 +75,8 @@ class SwapCrashSpec extends SparkSpec {
     assert(wantRemove != wantCompact,
       "removal had no observable effect on the probe; fixture too weak")
 
-    val killPoints = 0 until 6 // 2 renames x 3 relations
+    // 2 renames x (3 relations + the swap-staged layout meta) = 8.
+    val killPoints = 0 until 8
     for (k <- killPoints) {
       val dir = s"$root/compact_k$k"
       copyDir(s"$root/base", dir)
@@ -91,7 +92,7 @@ class SwapCrashSpec extends SparkSpec {
       assert(probeStore(dir) == wantCompact,
         s"compact kill point $k: recovered store probe diverged")
     }
-    for (k <- killPoints) {
+    for (k <- 0 until 6) { // remove swaps 3 relations, no layout
       val dir = s"$root/remove_k$k"
       copyDir(s"$root/base", dir)
       DedupStore.swapFailAfterRenames = k
@@ -151,12 +152,15 @@ class SwapCrashSpec extends SparkSpec {
   }
 
   test("SpanStore compact (incl. the v2 gramidx swap + legacy migration): every kill point recovers") {
-    // compact swaps THREE relations on the v2 layout (grams, gramdf,
-    // gramidx — 6 kill points) and doubles as the legacy→v2 migration
-    // path, whose layout meta is written only after the swap: drive the
-    // kill points on a LEGACY store so every crash exercises the
+    // compact swaps the three relations PLUS the swap-staged layout
+    // meta (ordered last, so a crash can leave the meta missing but
+    // never wrong) and doubles as the legacy→v2 migration path: drive
+    // the kill points on a LEGACY store so every crash exercises the
     // migration window too (meta absent → store keeps reading as
-    // legacy → recover + re-run compact converges to v2).
+    // legacy, appends refused → recover + re-run compact converges to
+    // v2). On a legacy base the swap spends 6 renames (no live gramidx
+    // or layout to move aside: 1 + 2 + 2 + 1); k = 6 runs clean and
+    // covers "crash after the last rename".
     val root = Files.createTempDirectory("graft_swapcrash_spancompact").toString
     val stored = docs.filter(col("doc_id") < 150)
     val probe = docs.filter(col("doc_id") >= 150)
@@ -171,7 +175,7 @@ class SwapCrashSpec extends SparkSpec {
     SpanStore.compact(spark, s"$root/ref")
     val want = probeStore(s"$root/ref")
     assert(want.nonEmpty, "compacted reference probe found nothing; fixture too weak")
-    for (k <- 0 until 6) {
+    for (k <- 0 until 7) {
       val dir = s"$root/compact_k$k"
       copyDir(s"$root/base", dir)
       DedupStore.swapFailAfterRenames = k
@@ -191,6 +195,68 @@ class SwapCrashSpec extends SparkSpec {
       assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/layout")),
         s"kill point $k: migration did not converge to the v2 layout")
     }
+  }
+
+  test("a meta-less bucketed store (crashed migration) refuses appends until compact re-commits the meta") {
+    // The wedge the guard prevents: a crash inside a migrating compact
+    // after the relation swaps but before the layout swap leaves
+    // bucketed partition dirs with no meta. An append would then read
+    // layout=None and write FLAT files next to the idb=/gb= dirs,
+    // corrupting partition discovery for every later read — so the
+    // append must refuse, and recover + compact (the documented repair)
+    // must restore appendability with probe parity.
+    val root = Files.createTempDirectory("graft_swapcrash_metaless").toString
+    val stored = docs.filter(col("doc_id") < 150)
+    val batch = docs.filter(col("doc_id") >= 150)
+
+    // DedupStore: legacy base → migrating compact crashes before the
+    // layout rename (renames: bands 2 + shingles 2 + counts 2 = 6; the
+    // layout, with no live file to move aside, is rename #7 → k = 6).
+    DedupStore.save(stored, "doc_id", "text", 3, 8, 4, s"$root/nd", idBuckets = 0)
+    DedupStore.swapFailAfterRenames = 6
+    try intercept[java.io.IOException] {
+      DedupStore.compact(spark, s"$root/nd", idFiles = 2)
+    } finally DedupStore.swapFailAfterRenames = Int.MaxValue
+    assert(!Files.exists(Paths.get(s"$root/nd/layout")), "fixture: meta present")
+    val e1 = intercept[IllegalArgumentException] {
+      DedupStore.append(batch, "doc_id", "text", 3, 8, 4, s"$root/nd")
+    }
+    assert(e1.getMessage.contains("layout meta is missing"))
+    DedupStore.recover(spark, s"$root/nd")
+    DedupStore.compact(spark, s"$root/nd", idFiles = 2)
+    DedupStore.append(batch, "doc_id", "text", 3, 8, 4, s"$root/nd")
+    // The repaired store answers like one that never crashed.
+    val ref = s"$root/nd_ref"
+    DedupStore.save(docs, "doc_id", "text", 3, 8, 4, ref)
+    val probe2 = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+    def pairs(p: String) = {
+      val df = DedupStore.searchNew(spark, p, probe2.select(
+        (col("doc_id") + 1000).as("doc_id"), col("text")),
+        "doc_id", "text", 3, 8, 4, 0.4)
+      val r = pairsOf(df)
+      org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(df)
+      r
+    }
+    assert(pairs(s"$root/nd") == pairs(ref),
+      "repaired store probe diverged from a never-crashed store")
+
+    // SpanStore: same wedge, same guard (legacy base spends 5 renames
+    // before its layout rename: gramidx 1 + grams 2 + gramdf 2 → k = 5).
+    SpanStore.save(stored, "doc_id", "text", L, s"$root/sp", gramBuckets = 0)
+    DedupStore.swapFailAfterRenames = 5
+    try intercept[java.io.IOException] {
+      SpanStore.compact(spark, s"$root/sp")
+    } finally DedupStore.swapFailAfterRenames = Int.MaxValue
+    assert(!Files.exists(Paths.get(s"$root/sp/layout")), "fixture: meta present")
+    val e2 = intercept[IllegalArgumentException] {
+      SpanStore.append(batch, "doc_id", "text", L, s"$root/sp")
+    }
+    assert(e2.getMessage.contains("layout meta is missing"))
+    SpanStore.recover(spark, s"$root/sp")
+    SpanStore.compact(spark, s"$root/sp")
+    SpanStore.append(batch, "doc_id", "text", L, s"$root/sp")
+    assert(Files.exists(Paths.get(s"$root/sp/layout")),
+      "repair did not converge to the v2 layout")
   }
 
   test("a crash during STAGING (partial .tmp, live intact) re-runs cleanly") {
