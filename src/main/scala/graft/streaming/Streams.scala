@@ -24,6 +24,41 @@ object Streams {
   case class Event(event_id: Long, ts: Timestamp, user_id: Long,
       event_type: String, value: Double)
 
+  /** The shared state-bounding device of the flag-shaped stream twins
+    * ([[decontaminateStream]] / [[nearDupStream]] / [[hammingDupStream]]
+    * / [[semDedupStream]] / [[releaseFrontDoorStream]]): their one
+    * update-mode aggregation keys on a doc/vector id, and without a
+    * watermark Spark retains a buffer for every key EVER streamed —
+    * per-batch the state is hit-bounded, over a long-running query it
+    * grows without bound. With `eventTime` = (ts column, delay) the
+    * aggregation instead groups by (event-time window, keys...) under a
+    * watermark, so a key's buffer evicts once the watermark passes its
+    * window; ids are monotone (the stores' caller contract), so a doc
+    * never spans micro-batches and eviction never loses rows. Every row
+    * of a given key carries the SAME ts (it rides the key's input row),
+    * so the window key partitions exactly as the bare keys do —
+    * StreamsSpec pins output parity with and without.
+    */
+  private def windowedGroup(
+      df: DataFrame, eventTime: Option[(String, String)], keys: Column*)
+      : org.apache.spark.sql.RelationalGroupedDataset =
+    eventTime match {
+      case Some((_, delay)) =>
+        df.withWatermark("ts", delay)
+          .groupBy(window(col("ts"), delay).as("w") +: keys: _*)
+      case None => df.groupBy(keys: _*)
+    }
+
+  /** `col(ts).as("ts")` when an event time rides the stream — appended
+    * to the stream side's FIRST projection; downstream stages carry
+    * `col("ts")` via [[tsThread]].
+    */
+  private def tsEntry(eventTime: Option[(String, String)]): Seq[Column] =
+    eventTime.toSeq.map { case (tc, _) => col(tc).as("ts") }
+
+  private def tsThread(eventTime: Option[(String, String)]): Seq[Column] =
+    eventTime.toSeq.map(_ => col("ts"))
+
   /** Tumbling-window counts/sums under a watermark — streaming twin of
     * `e1_hour_window` (append mode: a window emits once its watermark
     * passes). `windowLength` is configurable so short-lived runs (demos,
@@ -406,17 +441,19 @@ object Streams {
       benchShingles: DataFrame, // static (bench_id LONG, s STRING)
       idCol: String,
       textCol: String,
-      n: Int): DataFrame = {
+      n: Int,
+      // optional state bound: see [[windowedGroup]]
+      eventTime: Option[(String, String)] = None): DataFrame = {
     // explode+window shingling needs a per-key sort that streaming
     // disallows; the array-slice form computes the same distinct shingle
     // set row-locally (per document), which is exactly what a stream can
     // do without state.
-    val trainSh = docs.select(
+    val trainSh = docs.select(Seq(
       col(idCol).as("train_id"),
       explode(graft.text.TextFns.shingles(col(textCol), n)).as("s"))
-    trainSh
-      .join(broadcast(benchShingles), "s")
-      .groupBy(col("train_id"), col("bench_id"))
+      ++ tsEntry(eventTime): _*)
+    windowedGroup(trainSh.join(broadcast(benchShingles), "s"), eventTime,
+        col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
   }
 
@@ -451,41 +488,49 @@ object Streams {
       storedBands: DataFrame, // static (band, bucket, id) — DedupStore layout
       storedShingles: DataFrame, // static (id, s)
       idCol: String, textCol: String,
-      n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+      n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
+      // optional state bound: see [[windowedGroup]]
+      eventTime: Option[(String, String)] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSh = docs.select(
+    val withSh = docs.select(Seq(
         col(idCol).as("train_id"),
         graft.text.TextFns.shingles(col(textCol), n).as("sh"))
+        ++ tsEntry(eventTime): _*)
       .filter(size(col("sh")) > 0)
     val minCols = (0 until numHashes).map { k =>
       array_min(transform(col("sh"), s => xxhash64(s, lit(k)))).as(s"m$k")
     }
-    val sig = withSh.select(col("train_id") +: col("sh") +: minCols: _*)
+    val sig = withSh.select(
+      Seq(col("train_id"), col("sh")) ++ tsThread(eventTime) ++ minCols: _*)
     val bandCols = (0 until bands).map { b =>
       xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(k => col(s"m$k")): _*).as(s"b$b")
     }
     val banded = sig
-      .select(col("train_id") +: col("sh") +: bandCols: _*)
-      .select(col("train_id"), col("sh"),
+      .select(Seq(col("train_id"), col("sh")) ++ tsThread(eventTime)
+        ++ bandCols: _*)
+      .select(Seq(col("train_id"), col("sh"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"), col(s"b$b").as("bucket"))): _*)).as("e"))
-      .select(col("train_id"), col("sh"),
+        ++ tsThread(eventTime): _*)
+      .select(Seq(col("train_id"), col("sh"),
         col("e.band").as("band"), col("e.bucket").as("bucket"))
+        ++ tsThread(eventTime): _*)
     val cand = banded
       .join(storedBands.select(col("band"), col("bucket"), col("id").as("old_id")),
         Seq("band", "bucket"))
-      .select(col("train_id"), col("old_id"), col("sh"))
+      .select(Seq(col("train_id"), col("old_id"), col("sh"))
+        ++ tsThread(eventTime): _*)
     // Static per-old-doc shingle counts, joined BEFORE the aggregation
     // (a stream-static join after a streaming agg is not allowed in
     // update mode).
     val nbRel = storedShingles.groupBy(col("id").as("old_id"))
       .agg(count(lit(1)).as("nb"))
-    cand
-      .join(storedShingles.select(col("id").as("old_id"), col("s")), "old_id")
-      .filter(array_contains(col("sh"), col("s")))
-      .join(nbRel, "old_id")
-      .groupBy(col("train_id"), col("old_id"))
+    windowedGroup(cand
+        .join(storedShingles.select(col("id").as("old_id"), col("s")), "old_id")
+        .filter(array_contains(col("sh"), col("s")))
+        .join(nbRel, "old_id"),
+        eventTime, col("train_id"), col("old_id"))
       .agg(
         size(collect_set(col("s"))).cast("long").as("common"),
         first(size(col("sh"))).cast("long").as("na"),
@@ -514,17 +559,20 @@ object Streams {
   def hammingDupStream(
       fps: DataFrame, // streaming (id, fp) — 16-bit fingerprints
       stored: DataFrame, // static (id, fp)
-      radius: Int): DataFrame = {
+      radius: Int,
+      // optional state bound: see [[windowedGroup]]
+      eventTime: Option[(String, String)] = None): DataFrame = {
     require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
-    def banded(df: DataFrame, idOut: String, fpOut: String): DataFrame = df
-      .select(col("id").as(idOut), col("fp").as(fpOut),
-        explode(sequence(lit(0), lit(3))).as("band"))
+    def banded(df: DataFrame, idOut: String, fpOut: String,
+        extra: Seq[Column]): DataFrame = df
+      .select(Seq(col("id").as(idOut), col("fp").as(fpOut),
+        explode(sequence(lit(0), lit(3))).as("band")) ++ extra: _*)
       .withColumn("bkey", expr(s"shiftright($fpOut, band * 4) & 15"))
-    banded(fps, "id", "fp")
-      .join(banded(stored, "old_id", "old_fp"), Seq("band", "bkey"))
-      .withColumn("hamming", expr("cast(bit_count(fp ^ old_fp) as bigint)"))
-      .filter(col("hamming") <= radius)
-      .groupBy(col("id"))
+    windowedGroup(banded(fps, "id", "fp", tsEntry(eventTime))
+        .join(banded(stored, "old_id", "old_fp", Nil), Seq("band", "bkey"))
+        .withColumn("hamming", expr("cast(bit_count(fp ^ old_fp) as bigint)"))
+        .filter(col("hamming") <= radius),
+        eventTime, col("id"))
       .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
       .select(col("id"), col("m.old_id").as("dup_of"),
         col("m.hamming").as("hamming"))
@@ -548,16 +596,20 @@ object Streams {
   def semDedupStream(
       vecs: DataFrame, // streaming (vec_id, v ARRAY<DOUBLE>)
       store: DataFrame, // static (vec_id, v, cell) — IndexStore layout
-      dims: Int, eps: Double): DataFrame = {
-    val asg = vecs.select(col("vec_id"), col("v"),
+      dims: Int, eps: Double,
+      // optional state bound: see [[windowedGroup]]
+      eventTime: Option[(String, String)] = None): DataFrame = {
+    val asg = vecs.select(Seq(col("vec_id"), col("v"),
       graft.sim.IndexStore.cellOf(col("v"), dims).as("cell"))
-    asg
-      .join(store.select(col("cell"), col("vec_id").as("nbr_id"),
-        col("v").as("nv")), Seq("cell"))
-      .filter(graft.sim.Similarity.cosine(col("v"), col("nv")) >= eps)
-      .select(col("vec_id"), col("nbr_id"),
-        round(graft.sim.Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
-      .groupBy(col("vec_id"))
+      ++ tsEntry(eventTime): _*)
+    windowedGroup(asg
+        .join(store.select(col("cell"), col("vec_id").as("nbr_id"),
+          col("v").as("nv")), Seq("cell"))
+        .filter(graft.sim.Similarity.cosine(col("v"), col("nv")) >= eps)
+        .select(Seq(col("vec_id"), col("nbr_id"),
+          round(graft.sim.Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
+          ++ tsThread(eventTime): _*),
+        eventTime, col("vec_id"))
       .agg(min(struct(col("nbr_id"), col("cos"))).as("m"))
       .select(col("vec_id"), col("m.nbr_id").as("dup_of"),
         col("m.cos").as("dup_cos"))

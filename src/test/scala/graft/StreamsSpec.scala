@@ -642,6 +642,104 @@ class StreamsSpec extends SparkSpec {
     assert(want.map(_._1) === Set(1L, 3L)) // doc 2 is clean
   }
 
+  test("flag twins with an event-time watermark emit identical rows (bounded state)") {
+    // windowedGroup's parity contract: every row of a key carries the
+    // SAME ts (it rides the key's input row), so grouping by
+    // (event-time window, key) partitions exactly as the bare key does
+    // — the watermark only adds state eviction. Run each flag twin
+    // twice on identical input, with and without eventTime, and pin
+    // row equality.
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def drain(df: org.apache.spark.sql.DataFrame, name: String)
+        : org.apache.spark.sql.DataFrame = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode("update").trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable(); q.stop()
+      spark.table(name)
+    }
+
+    // decontaminate
+    val benchSh = graft.dedup.Dedup.shingleIndex(
+        Seq((100L, "the quick brown fox jumps high")).toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .select(col("id").as("bench_id"), col("s"))
+    val trainRows = Seq(
+      (1L, "something about the quick brown fox appearing"),
+      (3L, "again the quick brown fox jumps elsewhere"))
+    val memD0 = MemoryStream[(Long, String)]
+    memD0.addData(trainRows: _*)
+    val memD1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    memD1.addData(trainRows.map { case (i, t) => (i, t, t0) }: _*)
+    val d0 = drain(Streams.decontaminateStream(
+      memD0.toDF().toDF("doc_id", "text"), benchSh, "doc_id", "text", 4),
+      "wm_d0").as[(Long, Long, Long)].collect().toSet
+    val d1 = drain(Streams.decontaminateStream(
+      memD1.toDF().toDF("doc_id", "text", "ts"), benchSh, "doc_id", "text", 4,
+      eventTime = Some(("ts", "10 minutes"))), "wm_d1")
+      .select("train_id", "bench_id", "n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d1 == d0 && d0.nonEmpty, s"decontaminate wm parity: $d1 vs $d0")
+
+    // near-dup (stored relations derived exactly as DedupStore persists)
+    val oldDocs = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val oldSh = graft.dedup.Dedup.shingleIndex(oldDocs, "doc_id", "text", 3)
+    val oldBands = graft.dedup.Dedup.minhashBanded(oldSh, 16, 4)
+    val fresh = Seq((20L, "alpha beta gamma delta epsilon zeta eta iota"))
+    val memN0 = MemoryStream[(Long, String)]
+    memN0.addData(fresh: _*)
+    val memN1 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    memN1.addData(fresh.map { case (i, t) => (i, t, t0) }: _*)
+    val n0 = drain(Streams.nearDupStream(memN0.toDF().toDF("doc_id", "text"),
+      oldBands, oldSh, "doc_id", "text", 3, 16, 4, 0.5), "wm_n0")
+      .as[(Long, Long, Double)].collect().toSet
+    val n1 = drain(Streams.nearDupStream(
+      memN1.toDF().toDF("doc_id", "text", "ts"),
+      oldBands, oldSh, "doc_id", "text", 3, 16, 4, 0.5,
+      eventTime = Some(("ts", "10 minutes"))), "wm_n1")
+      .select("train_id", "old_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(n1 == n0 && n0.nonEmpty, s"nearDup wm parity: $n1 vs $n0")
+
+    // hamming
+    val storedFp = Seq((1L, 0xF0F0L), (2L, 0x1234L)).toDF("id", "fp")
+    val freshFp = Seq((30L, 0xF0F1L))
+    val memH0 = MemoryStream[(Long, Long)]
+    memH0.addData(freshFp: _*)
+    val memH1 = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    memH1.addData(freshFp.map { case (i, f) => (i, f, t0) }: _*)
+    val h0 = drain(Streams.hammingDupStream(
+      memH0.toDF().toDF("id", "fp"), storedFp, 2), "wm_h0")
+      .as[(Long, Long, Long)].collect().toSet
+    val h1 = drain(Streams.hammingDupStream(
+      memH1.toDF().toDF("id", "fp", "ts"), storedFp, 2,
+      eventTime = Some(("ts", "10 minutes"))), "wm_h1")
+      .select("id", "dup_of", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(h1 == h0 && h0.nonEmpty, s"hamming wm parity: $h1 vs $h0")
+
+    // semantic
+    val store = Seq((1L, Seq(1.0, 1.0, 1.0, 1.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        graft.sim.IndexStore.cellOf(col("v"), 4).as("cell"))
+    val freshV = Seq((40L, Seq(0.9, 0.9, 0.9, 0.9)))
+    val memS0 = MemoryStream[(Long, Seq[Double])]
+    memS0.addData(freshV: _*)
+    val memS1 = MemoryStream[(Long, Seq[Double], java.sql.Timestamp)]
+    memS1.addData(freshV.map { case (i, v) => (i, v, t0) }: _*)
+    val s0 = drain(Streams.semDedupStream(
+      memS0.toDF().toDF("vec_id", "v"), store, 4, 0.95), "wm_s0")
+      .as[(Long, Long, Double)].collect().toSet
+    val s1 = drain(Streams.semDedupStream(
+      memS1.toDF().toDF("vec_id", "v", "ts"), store, 4, 0.95,
+      eventTime = Some(("ts", "10 minutes"))), "wm_s1")
+      .select("vec_id", "dup_of", "dup_cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(s1 == s0 && s0.nonEmpty, s"semDedup wm parity: $s1 vs $s0")
+  }
+
   test("streaming near-dup vs stored index matches DedupStore cross-batch pairs") {
     implicit val sqlCtx = spark.sqlContext
     val (n, bnd, rpb, thr) = (3, 16, 4, 0.5)
