@@ -153,6 +153,47 @@ object AbReleaseInc {
         f"frag_build=$fragBuild%.1f s probe_frag=$fragWall%.1f s " +
         f"compact=$compactWall%.1f s probe_compacted=$compWall%.1f s " +
         f"probe_onesave=$incWall%.1f s released=${fragRows.size}")
+
+      // RECONCILE leg (the reconcile-cadence cost curve, measured): an
+      // arriving batch of LONGER near-dups of stored docs dethrones
+      // their canonicals (released-but-no-longer-canonical — the state
+      // reconcile exists to retire), then the sweep is priced twice on
+      // the same store: once with a real retired set (pays the
+      // store-sized released rewrite + span/IVF removes) and once
+      // idempotently right after (retired empty — the election-only
+      // pass, the cost of a scheduled run that finds nothing). Compare
+      // both against the same store's compact above: the cadence
+      // guidance says reconcile-with-retirements is compaction-class
+      // while a no-op check is cheap enough to schedule eagerly.
+      val dethroners = corpus.filter(col("doc_id") < 64L)
+        .select((col("doc_id") + 20000000L).as("doc_id"),
+          // 3 extra stopword tokens: Jaccard stays above the near-dup
+          // threshold (shingle sets nearly identical), n_tok grows, and
+          // the stopword-heavy suffix keeps the weak-label gate open.
+          concat(col("text"), lit(" the and of")).as("text"))
+      val (_, dethroneWall) = timed {
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(
+          graft.release.ReleaseStore.increment(
+            spark, dethroners, "doc_id", "text", p, s"$dir2/st"))
+      }
+      sweep()
+      def reconcileOnce(): (Long, Double) = {
+        val r = timed {
+          val retired = graft.release.ReleaseStore.reconcile(spark, s"$dir2/st")
+          val n = retired.count()
+          org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(retired)
+          n
+        }
+        sweep(); r
+      }
+      val (retired1, recWall) = reconcileOnce()
+      val (retired2, recNoopWall) = reconcileOnce()
+      require(retired2 == 0L,
+        s"idempotent reconcile retired $retired2 docs; convergence broken")
+      println(f"AB-RELEASEINC-RECONCILE amp=$amp dethrone_batch=64 " +
+        f"dethrone_inc=$dethroneWall%.1f s reconcile=$recWall%.1f s " +
+        f"retired=$retired1 reconcile_noop=$recNoopWall%.1f s " +
+        f"compact_same_store=$compactWall%.1f s")
     }
     spark.stop()
   }

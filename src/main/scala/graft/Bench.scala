@@ -1148,7 +1148,7 @@ object Bench {
       // r17 reconcile cadence (the r16 verdict #8 ask, documented in
       // ReleaseStore.reconcile's scaladoc): the cost model that sets
       // the schedule.
-      "\"r17 reconcile cadence: reconcile is compaction-class - the re-election pass is clusters-relation-sized (persisted n_tok, no corpus rescan) but ANY non-empty retired set pays store-sized rewrites (span grams remove + optional IVF remove + full released rewrite), i.e. ~a compact's price regardless of retired count - so schedule it per-N-increments WITH compact (one maintenance window, both store-sized passes) or early when a dup-heavy batch spikes dethronings; between runs the store is correct under the frozen-history contract, the cadence only bounds how long dethroned docs stay released (r15 reference points: compact 4.5 s / reconcile-bearing rewrites same order at the 64x composed store)\"")
+      "\"r17 reconcile cadence, MEASURED (AB-RELEASEINC-RECONCILE: 64 longer-near-dup arrivals dethrone stored canonicals, then reconcile twice on the same store): reconcile-with-retirements 4.0 s / 75 retired at 16x and 3.9 s / 255 retired at 64x - flat in corpus and ~0.3x the SAME store's compact (12.3 s both points), because the rewrites are relation-sized but parallel and the span remove skips the pos-level rescan (negated df partials); the idempotent no-op pass (retired empty - the election-only check) is 0.6 s, cheap enough to schedule eagerly. Guidance stands with sharper numbers: both reconcile and compact are store-sized asymptotically, so pair them per-N-increments, but a scheduled reconcile that finds nothing costs ~nothing and a dethroning spike can be closed immediately without waiting for the compact window\"")
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }
