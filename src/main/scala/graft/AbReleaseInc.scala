@@ -194,6 +194,38 @@ object AbReleaseInc {
         f"dethrone_inc=$dethroneWall%.1f s reconcile=$recWall%.1f s " +
         f"retired=$retired1 reconcile_noop=$recNoopWall%.1f s " +
         f"compact_same_store=$compactWall%.1f s")
+
+      // SCOPED-RECONCILE lifecycle leg (r17 verdict #6): the steady-state
+      // per-batch cost as ONE number — a dethroning increment followed
+      // immediately by the reconcile SCOPED to exactly the clusters the
+      // increment touched (its released rows' rep_ids), the
+      // "increment + same-window maintenance" schedule the cadence
+      // guidance recommends for closing dethroning spikes without
+      // waiting for the compact window. The election pass is
+      // batch-sized (touched clusters only); the rewrites stay
+      // store-sized when anything retires — so the delta over the bare
+      // increment is the real marginal price of eager maintenance.
+      val dethroners2 = corpus.filter(col("doc_id") >= 64L && col("doc_id") < 128L)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          concat(col("text"), lit(" the and of")).as("text"))
+      val (scopedRetired, lifecycleWall) = timed {
+        val rel = graft.release.ReleaseStore.increment(
+          spark, dethroners2, "doc_id", "text", p, s"$dir2/st")
+        val touched = rel.select(col("rep_id"))
+        val retired = graft.release.ReleaseStore.reconcile(
+          spark, s"$dir2/st", clusterIds = Some(touched))
+        val n = retired.count()
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(retired)
+        org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(rel)
+        n
+      }
+      sweep()
+      require(scopedRetired > 0L,
+        "scoped reconcile retired nothing — the dethroning batch did not dethrone")
+      println(f"AB-RELEASEINC-RECONCILE-SCOPED amp=$amp dethrone_batch=64 " +
+        f"increment_plus_scoped_reconcile=$lifecycleWall%.1f s " +
+        f"retired=$scopedRetired dethrone_inc_alone=$dethroneWall%.1f s " +
+        f"full_reconcile=$recWall%.1f s noop=$recNoopWall%.1f s")
     }
     spark.stop()
   }

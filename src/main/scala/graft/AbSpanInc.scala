@@ -55,8 +55,26 @@ object AbSpanInc {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
     }
+    // Every temp store is registered and deleted on the way out (the
+    // entropy stores alone are 0.2–1 GB at the 512x amp; repeated
+    // harness runs were accumulating gigabytes in /tmp).
+    val tempDirs = scala.collection.mutable.ListBuffer.empty[String]
+    def tempDir(prefix: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(prefix).toString
+      tempDirs += d
+      d
+    }
+    def rmTree(p: String): Unit = try {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    } catch { case _: Throwable => () }
 
-    val dir = java.nio.file.Files.createTempDirectory("graft_ab_spaninc").toString
+    try {
+
+    val dir = tempDir("graft_ab_spaninc")
     val (_, buildWall) = timed {
       graft.dedup.SpanStore.save(corpus, "doc_id", "text", L, s"$dir/ix")
     }
@@ -85,7 +103,7 @@ object AbSpanInc {
     // corpus arriving as AB_CHUNKS increments fragments the gram
     // relation; probe fragmented, compact, re-probe.
     val chunks = sys.env.getOrElse("AB_CHUNKS", "16").toInt
-    val dir2 = java.nio.file.Files.createTempDirectory("graft_ab_spanfrag").toString
+    val dir2 = tempDir("graft_ab_spanfrag")
     def parquetFiles(p: String): Int = {
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
@@ -156,8 +174,8 @@ object AbSpanInc {
     // Force the pruned path: the amplified local stores sit below the
     // production size gate that skips discovery on small relations.
     graft.dedup.SpanStore.PruneMinStoreBytes = 0L
-    val dirL = java.nio.file.Files.createTempDirectory("graft_ab_spanlegacy").toString
-    val dirP = java.nio.file.Files.createTempDirectory("graft_ab_spanv2").toString
+    val dirL = tempDir("graft_ab_spanlegacy")
+    val dirP = tempDir("graft_ab_spanv2")
     graft.dedup.SpanStore.save(corpusP, "doc_id", "text", L, s"$dirL/ix",
       gramBuckets = 0)
     graft.dedup.SpanStore.save(corpusP, "doc_id", "text", L, s"$dirP/ix")
@@ -210,8 +228,8 @@ object AbSpanInc {
           tk => lower(hex(xxhash64(concat(col("rep"), lit("_"), tk))))))
           .as("text"))
       .unionAll(donor) // same raw-token donor: the probe's one stored hit
-    val dirLE = java.nio.file.Files.createTempDirectory("graft_ab_spanentL").toString
-    val dirPE = java.nio.file.Files.createTempDirectory("graft_ab_spanentV").toString
+    val dirLE = tempDir("graft_ab_spanentL")
+    val dirPE = tempDir("graft_ab_spanentV")
     graft.dedup.SpanStore.save(entCorpus, "doc_id", "text", L, s"$dirLE/ix",
       gramBuckets = 0)
     graft.dedup.SpanStore.save(entCorpus, "doc_id", "text", L, s"$dirPE/ix")
@@ -227,6 +245,8 @@ object AbSpanInc {
       f"gramidx_mb=${dirMb(s"$dirPE/ix/gramidx")}%.0f " +
       f"probe_legacy=$legacyWallE%.1f s probe_v2=$v2WallE%.1f s " +
       f"speedup=${legacyWallE / v2WallE}%.1fx spans=${repsE(0)._1}")
+
+    } finally tempDirs.foreach(rmTree)
     spark.stop()
   }
 }

@@ -37,6 +37,11 @@ import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
   *  - `diag.<q>.load1`: max 1-min loadavg observed around the query's
   *    runs. A loaded box (load1 ≫ cores busy with Spark alone) is named
   *    directly in the artifact.
+  *  - `diag.<q>.gc_ms` / `diag.<q>.rss_mb`: executor JVM-GC millis of
+  *    the min-wall run (summed task metrics) and the driver RSS at its
+  *    end. GC thrash moves wall AND gc_ms together; CPU steal moves
+  *    wall alone — so an inflated wall with flat gc_ms and sane rss is
+  *    contention EVIDENCE, not inference from load1 (r17 verdict #7).
   *  - `diag.<q>.leaked_rdds`: persistent RDDs left behind by the query
   *    EXCLUDING checkpoint backings of its own result (those are the
   *    result by design — QueriesSpec enforces the same contract), all
@@ -336,46 +341,71 @@ object Bench {
   /** Isolated fresh-JVM A/B for one flagged query: fork a child `java`
     * with THIS JVM's classpath running [[QBench]] (3 timed runs after a
     * session warm-up) and parse its wall/cpu samples. Runs after
-    * `spark.stop()` so the child measures on an otherwise-idle box.
-    * `timeoutS` caps the child's wall (budget-derived by the caller).
-    * Returns (walls, cpus, errorOrEmpty).
+    * `spark.stop()` so the child measures on an otherwise-idle box —
+    * but the PARENT JVM's committed heap is still resident (stop()
+    * frees blocks, not RSS), so the child heap is bounded independently
+    * of `SPARK_DRIVER_MEM` (`SPARK_GRAFT_AB_MEM`, default 8g) and a
+    * child the OS kills (rc 137/143 — the r17 driver run lost two
+    * adjudications this way) is RETRIED ONCE at a smaller heap (5g)
+    * after a parent `System.gc()` nudge, the retry annotated in the
+    * returned error/samples. `timeoutS` caps EACH attempt's wall
+    * (budget-derived by the caller). Returns (walls, cpus,
+    * errorOrEmpty).
     */
   private def isolatedAb(
       name: String, sfDir: String, cpus: String,
       timeoutS: Long = 900L): (Seq[Double], Seq[Double], String) = {
-    try {
-      val javaBin =
-        java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
-      val cmd = Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
-        "-Xmx" + sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"),
-        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", sys.props.getOrElse("java.class.path", ""),
-        "graft.QBench", name)
-      val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
-      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val killer = new Thread(() => {
-        try {
-          if (!proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
-            proc.destroyForcibly(); ()
-          }
-        } catch { case _: InterruptedException => () }
-      })
-      killer.setDaemon(true)
-      killer.start()
-      val out = new java.io.BufferedReader(
-        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
-      val sb = new StringBuilder
-      var line = out.readLine()
-      while (line != null) { sb.append(line).append('\n'); line = out.readLine() }
-      val rc = proc.waitFor()
-      val pairs = "wall=([0-9.]+) cpu=([0-9.]+)".r.findAllMatchIn(sb.toString).toSeq
-      if (rc != 0 || pairs.isEmpty)
-        (Nil, Nil, s"child rc=$rc, no samples (tail: ${sb.toString.takeRight(160).replaceAll("[\"\\\\\\n]", " ")})")
-      else (pairs.map(_.group(1).toDouble), pairs.map(_.group(2).toDouble), "")
-    } catch { case t: Throwable => (Nil, Nil, s"spawn failed: ${t.getClass.getSimpleName}") }
+    def attempt(heap: String): (Seq[Double], Seq[Double], String, Int) =
+      try {
+        val javaBin =
+          java.nio.file.Paths.get(sys.props("java.home"), "bin", "java").toString
+        val cmd = Seq(javaBin) ++ Jdk17AddOpens ++ Seq(
+          "-Xmx" + heap,
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", sys.props.getOrElse("java.class.path", ""),
+          "graft.QBench", name)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val killer = new Thread(() => {
+          try {
+            if (!proc.waitFor(timeoutS, java.util.concurrent.TimeUnit.SECONDS)) {
+              proc.destroyForcibly(); ()
+            }
+          } catch { case _: InterruptedException => () }
+        })
+        killer.setDaemon(true)
+        killer.start()
+        val out = new java.io.BufferedReader(
+          new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+        val sb = new StringBuilder
+        var line = out.readLine()
+        while (line != null) { sb.append(line).append('\n'); line = out.readLine() }
+        val rc = proc.waitFor()
+        val pairs = "wall=([0-9.]+) cpu=([0-9.]+)".r.findAllMatchIn(sb.toString).toSeq
+        if (rc != 0 || pairs.isEmpty)
+          (Nil, Nil, s"child rc=$rc, no samples (tail: ${sb.toString.takeRight(160).replaceAll("[\"\\\\\\n]", " ")})", rc)
+        else (pairs.map(_.group(1).toDouble), pairs.map(_.group(2).toDouble), "", rc)
+      } catch {
+        case t: Throwable =>
+          (Nil, Nil, s"spawn failed: ${t.getClass.getSimpleName}", -1)
+      }
+    val first = attempt(sys.env.getOrElse("SPARK_GRAFT_AB_MEM", "8g"))
+    first match {
+      case (Nil, Nil, err, rc) if rc == 137 || rc == 143 =>
+        // OS kill, almost always memory pressure alongside the session
+        // JVM's resident heap: nudge the parent to uncommit (G1 on
+        // JDK 17 returns freed regions after a full GC) and retry once
+        // at a heap that fits beside it.
+        System.gc()
+        val (w2, c2, err2, _) = attempt("5g")
+        if (w2.nonEmpty) (w2, c2, "retried at 5g heap after rc=" +
+          (if (rc == 137) "137" else "143") + " kill")
+        else (Nil, Nil, s"$err; retry at 5g heap also failed ($err2)")
+      case (w, c, err, _) => (w, c, err)
+    }
   }
 
   /** 1-minute loadavg (first field of /proc/loadavg); -1 if unreadable. */
@@ -385,10 +415,30 @@ object Bench {
       try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
     } catch { case _: Throwable => -1.0 }
 
-  /** Per-query measurement: wall seconds, executor CPU seconds, peak
-    * load1, and the persistent-RDD count the query left behind.
+  /** Current resident set of THIS JVM in MB (VmRSS of /proc/self/status);
+    * -1 if unreadable. Sampled at the end of each leg's min-wall run so
+    * the diag can separate GC/memory pressure from CPU steal when a wall
+    * is inflated (r17: adjudication rested on load1-only inference).
     */
-  private final case class Sample(wall: Double, cpuS: Double, load: Double, leaked: Int)
+  private def rssMb(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try {
+        src.getLines().collectFirst {
+          case l if l.startsWith("VmRSS:") =>
+            l.split("\\s+")(1).toDouble / 1024.0
+        }.getOrElse(-1.0)
+      } finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
+  /** Per-query measurement: wall seconds, executor CPU seconds, executor
+    * JVM-GC milliseconds (summed task metrics — GC thrash inflates wall
+    * AND gc_ms while CPU steal inflates wall alone), peak load1, end-of-
+    * run driver RSS (MB), and the persistent-RDD count the query left
+    * behind.
+    */
+  private final case class Sample(wall: Double, cpuS: Double, gcMs: Long,
+      load: Double, rss: Double, leaked: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -483,11 +533,21 @@ object Bench {
         ()
       } catch { case _: Throwable => () } // sidecar is best-effort
     val normalExit = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // legsAllDone: every measured leg is in (set the moment the last leg
+    // lands, BEFORE the recall/A-B tail) — the hook labels its line
+    // partial by THIS, not by mere exit state: a kill in the recall or
+    // A/B phase has a complete measurement set and must say so (the r17
+    // ADVICE mislabel; an sf0.001 kill drill then caught the same
+    // mislabel in the recall window). emittedComplete: the early
+    // partial=false line already went out — the hook stays silent, that
+    // line is already the stdout tail the driver parses.
+    val legsAllDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val emittedComplete = new java.util.concurrent.atomic.AtomicBoolean(false)
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!normalExit.get) {
+      if (!normalExit.get && !emittedComplete.get) {
         val rs = snapshot()
         if (rs.nonEmpty) {
-          println(buildDriverLine(rs, partial = true))
+          println(buildDriverLine(rs, partial = !legsAllDone.get))
           Console.out.flush()
         }
       }
@@ -518,10 +578,15 @@ object Bench {
     // task metrics), reset between queries, drained (listener bus is
     // async) before each read.
     val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     sc.addSparkListener(new SparkListener {
       override def onStageCompleted(done: SparkListenerStageCompleted): Unit = {
         val m = done.stageInfo.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          ()
+        }
       }
     })
 
@@ -551,17 +616,20 @@ object Bench {
     def timeOnce(body: => Option[org.apache.spark.sql.DataFrame]): Sample = {
       val l0 = load1()
       cpuNs.set(0L)
+      gcMs.set(0L)
       val t0 = System.nanoTime()
       val res = try Some(body) catch { case _: Throwable => None }
       val wall = (System.nanoTime() - t0) / 1e9
       GraftInternals.drainListenerBus(spark)
       val cpu = cpuNs.get() / 1e9
+      val gc = gcMs.get()
       val l1 = math.max(l0, load1())
+      val rss = rssMb()
       val keep = res.flatten.map(GraftInternals.checkpointRddIds)
         .getOrElse(Set.empty[Int])
       val leaked = sweep(keep)
-      if (res.isDefined) Sample(wall, cpu, l1, leaked)
-      else Sample(-1.0, -1.0, l1, leaked)
+      if (res.isDefined) Sample(wall, cpu, gc, l1, rss, leaked)
+      else Sample(-1.0, -1.0, gc, l1, rss, leaked)
     }
 
     // min/mean over `runs` executions; diagnostics ride with the min-wall
@@ -572,7 +640,7 @@ object Bench {
     def time(runs: Int)(body: => Option[org.apache.spark.sql.DataFrame])
         : (Sample, Double) = {
       val ss = (1 to runs).map(_ => timeOnce(body)).filter(_.wall >= 0)
-      if (ss.isEmpty) (Sample(-1.0, -1.0, -1.0, 0), -1.0)
+      if (ss.isEmpty) (Sample(-1.0, -1.0, -1L, -1.0, -1.0, 0), -1.0)
       else (ss.minBy(_.wall).copy(
         load = ss.map(_.load).max,
         leaked = ss.map(_.leaked).max),
@@ -758,6 +826,7 @@ object Bench {
       res.release()
       None
     }
+    legsAllDone.set(true) // recall/A-B kills now carry a complete set
     val results: Seq[(String, (Sample, Double))] = snapshot()
 
     // ANN recall for the TRAINED approximate paths — their centroids are
@@ -854,6 +923,7 @@ object Bench {
     // if the phase is killed this stays the last stdout JSON.
     println(buildDriverLine(results, partial = false))
     Console.out.flush()
+    emittedComplete.set(true) // a kill from here on costs only A/B notes
     writeFloorSnapshot()
 
     // SELF-DEFENSE against session noise (the r6 lesson: i4_personalized
@@ -901,25 +971,42 @@ object Bench {
       else f"load1 $l%.1f quiet"
     val autoAb: Seq[(String, Double, Double, Seq[Double], Seq[Double], String, Double)] =
       abEligible.map { case (k, p, w) =>
-        if (abElapsed() > AbBudgetS)
+        // The cap is enforced PER CHILD via the child timeout, not just
+        // between children (the r17 run overran its 303 s cap by 60 s:
+        // the old max(60, remaining) floor handed a child more time than
+        // the phase had left). A child needs ~120 s to be worth starting
+        // (JVM + session warm-up before the first sample); less than
+        // that left → an explicit budget note instead of a doomed fork.
+        val remaining = AbBudgetS - abElapsed()
+        if (remaining < 120.0)
           (k, p, w, Seq.empty[Double], Seq.empty[Double],
             f"unadjudicated: budget — A/B cap ${AbBudgetS}%.0f s (wall " +
-              f"budget ${benchBudgetS}%.0f s) exhausted at ${abElapsed()}%.0f s",
+              f"budget ${benchBudgetS}%.0f s) leaves ${math.max(0.0, remaining)}%.0f s, " +
+              "below the 120 s a child needs",
             -1.0)
         else {
           System.err.println(f"auto A/B: re-measuring $k (prev $p%.2f s, session $w%.2f s) on a fresh JVM")
           val l0 = load1()
-          // The child's own timeout never exceeds what's left of the cap.
-          val childCap =
-            math.min(900L, math.max(60L, (AbBudgetS - abElapsed()).toLong))
+          val childCap = math.min(900L, remaining.toLong)
           val (walls, cpuSamples, err) = isolatedAb(k, sfDir, cpus, childCap)
           (k, p, w, walls, cpuSamples, err, math.max(l0, load1()))
         }
       }
+    // GC/RSS context for the flagged leg's session run (verdict r17 #7:
+    // adjudications kept resting on load1-only inference; gc_ms vs wall
+    // separates GC thrash from CPU steal as recorded evidence).
+    val legGcRss: Map[String, (Long, Double)] =
+      results.map { case (k, (s, _)) => k -> (s.gcMs, s.rss) }.toMap
+    def gcTag(k: String): String = legGcRss.get(k) match {
+      case Some((gc, rss)) if gc >= 0 =>
+        f", session gc ${gc / 1000.0}%.1fs" +
+          (if (rss >= 0) f" rss ${rss}%.0fMB" else "")
+      case _ => ""
+    }
     val autoNotes: Seq[String] = {
       val measured = autoAb.map { case (k, p, w, walls, cpuSamples, err, isoLoad) =>
         val loads = s"session ${loadTag(legLoad.getOrElse(k, -1.0))}, " +
-          s"iso ${loadTag(isoLoad)}"
+          s"iso ${loadTag(isoLoad)}" + gcTag(k)
         if (walls.isEmpty) s""""auto A/B $k: isolated re-measure FAILED ($err) — session ${fmtN(w)}s vs prev ${fmtN(p)}s unadjudicated ($loads)""""
         else {
           // NOTE on the second verdict: `prev` is the prior round's
@@ -935,7 +1022,8 @@ object Bench {
             else "isolated min still >1.5x prev — regression candidate; " +
               "bisect vs prior tree under this harness before believing it " +
               "(prev may be a warm-JVM in-session min below the fresh-JVM floor)"
-          s""""auto A/B $k: prev ${fmtN(p)}s, session ${fmtN(w)}s; isolated fresh-JVM wall [${walls.map(fmtN).mkString(",")}] cpu [${cpuSamples.map(fmtN).mkString(",")}] — $verdict ($loads)""""
+          val retried = if (err.isEmpty) "" else s"; $err"
+          s""""auto A/B $k: prev ${fmtN(p)}s, session ${fmtN(w)}s; isolated fresh-JVM wall [${walls.map(fmtN).mkString(",")}] cpu [${cpuSamples.map(fmtN).mkString(",")}]$retried — $verdict ($loads)""""
         }
       }
       val skipped = abSkipped.map { case (k, p, w) =>
@@ -985,6 +1073,8 @@ object Bench {
       .mkString("{", ",", "}")
     val diag = results.map { case (k, (s, _)) =>
       "\"" + k + "\":{\"cpu_s\":" + fmt(s.cpuS) +
+        ",\"gc_ms\":" + s.gcMs +
+        ",\"rss_mb\":" + (if (s.rss < 0) "-1" else f"${s.rss}%.0f") +
         ",\"load1\":" + fmt(s.load) +
         ",\"leaked_rdds\":" + s.leaked + "}"
     }.mkString("{", ",", "}")
@@ -1148,18 +1238,59 @@ object Bench {
       // r17 reconcile cadence (the r16 verdict #8 ask, documented in
       // ReleaseStore.reconcile's scaladoc): the cost model that sets
       // the schedule.
+      // r18 adjudication of the five r17 driver flags (the r17 run's
+      // contended A/B phase: two children OOM-killed rc=137, one
+      // budget-capped, two non-query legs deferred) — quiet box (load1
+      // 0.1-0.3 at each leg's start; only the harness loading it),
+      // fresh-JVM QBench / AbScaledXl on the committed r17 tree.
+      "\"r18 adjudication of the 5 pending r17 driver flags (quiet box, fresh-JVM wall/cpu mins, 2-3 reps each): g18_negative_sampling 6.97/16.8 (prev floor 6.71, flagged session 77.5 at load1 8.2), d16_jaccard_prefix 1.84/3.0 (prev 1.63, flagged 16.1), g20_modularity 6.14/19.2 (prev 6.46, flagged 27.6 - floor BELOW prev), pagerank_scaled via AbScaledXl 2M/10it 13.25-15.55/78-82 (flagged 38.3), pagerank_scaled_graphx 18.27-19.22/317-332 (flagged 209.3 - 11x above even the fresh floor) - all five on code git-identical since r15, every flagged wall 4-11x its quiet fresh floor; the r17 driver session ran at load1 3.7-8.2, all five exonerated as contention per the standing protocol, A/B queue clear\"",
+      // The graphx fresh floor deserves its own line: today's SAME-TREE
+      // wall/cpu (19 s / 317-332 cpu-s, 3 consistent reps) sits ~1.35x
+      // above the r9/r11 era readings (12.3-14.8 s / 221-247 cpu-s) on
+      // byte-identical code (graph/ untouched since 18bf29b) — cpu
+      // moving WITH wall on an identical tree is an environment shift
+      // (host/CPU-frequency class), not a plan regression; recorded so
+      // the next round reads its graphx floors against today's band.
+      "\"r18 environment note: AbScaledXl 2M/10it same-tree floors moved 12.3-14.8s/cpu 221-247 (r9/r11) -> 18.3-19.2s/cpu 317-332 (r18, quiet box, 3 reps) on byte-identical graph code - wall AND cpu together = box/env shift, not a regression; pr_df floor 13.3-14.7s/cpu 78-82 same runs\"",
+      // r18 flagship floor re-measure (r17 verdict #3: committed floor
+      // drifted 3.67 -> 4.92 s on untouched code): isolated fresh-JVM
+      // BenchFlagship floors today MATCH the r8 record exactly.
+      "\"r18 flagship adjudication (BenchFlagship fresh-JVM, quiet box, 3 JVMs x 4 runs): pagerank_wikidata floors 5.53/5.98/6.93 s - the 5.53 equals the r8 isolated record exactly and the SAME binary floored 5.53 then 6.93 forty minutes apart on the same quiet box, so the 3.67 (r16) -> 4.92 (r17) committed-floor drift sits inside the box's own same-binary swing on git-identical code, not a regression; pagerank_wikidata_graphx fresh floors 2.14/2.15 s (committed 1.10 -> 1.69 warm in-session minima, also in-band); bar <=12.7 s (2x reference 6.35 s), met 2.3x over\"",
       "\"r17 reconcile cadence, MEASURED (AB-RELEASEINC-RECONCILE: 64 longer-near-dup arrivals dethrone stored canonicals, then reconcile twice on the same store): reconcile-with-retirements 4.0 s / 75 retired at 16x and 3.9 s / 255 retired at 64x - flat in corpus and ~0.3x the SAME store's compact (12.3 s both points), because the rewrites are relation-sized but parallel and the span remove skips the pos-level rescan (negated df partials); the idempotent no-op pass (retired empty - the election-only check) is 0.6 s, cheap enough to schedule eagerly. Guidance stands with sharper numbers: both reconcile and compact are store-sized asymptotically, so pair them per-N-increments, but a scheduled reconcile that finds nothing costs ~nothing and a dethroning spike can be closed immediately without waiting for the compact window\"")
+    // Round-over-round floor watch (r17 verdict #5): the ratio report the
+    // round comparison reads, with the SAME noise floor the auto-A/B
+    // detector applies — BOTH sides >= 0.25 s. Sub-noise legs (r17
+    // flagged a22/a23/a24 at 1.3-1.6x on 0.14-0.25 s floors — below any
+    // meaningful signal on a 32-thread box) are counted, never listed,
+    // so the floors comparison stops manufacturing noise-band flags.
+    val floorWatch = results.collect {
+      case (k, (s, _))
+          if s.wall >= 0.25 &&
+            prevMin.get(k).exists(p => p >= 0.25 && s.wall > 1.3 * p) =>
+        (k, prevMin(k), s.wall)
+    }.sortBy { case (_, p, w) => -(w / p) }
+    val noiseExcluded = results.count { case (k, (s, _)) =>
+      s.wall >= 0 && prevMin.get(k).exists(p =>
+        (p < 0.25 || s.wall < 0.25) && s.wall > 1.3 * p)
+    }
+    val floorWatchJson = floorWatch.map { case (k, p, w) =>
+      "\"" + k + "\":{\"prev\":" + fmtN(p) + ",\"wall\":" + fmtN(w) +
+        ",\"ratio\":" + f"${w / p}%.2f" + "}"
+    }.mkString("{", ",", "}")
+    val floorWatchNote =
+      s""""floor watch protocol: legs with wall > 1.3x prev floor AND both sides >= 0.25 s (the auto-A/B noise floor, applied to round-over-round reporting per the r17 verdict #5); $noiseExcluded sub-0.25s mover(s) excluded as noise-band this run""""
     val recallNotes = recalls.map { case (k, r) =>
       "\"recall " + k + " vs exact baseline: " + fmtN(r) + "\""
     }
     val recallJson = recalls
       .map { case (k, r) => "\"" + k + "\":" + fmtN(r) }
       .mkString("{", ",", "}")
-    val notes = (staticNotes ++ recallNotes ++ autoNotes).mkString(",")
+    val notes = (staticNotes ++ recallNotes ++ (floorWatchNote +: autoNotes))
+      .mkString(",")
     // The sidecar carries the FULL wall history (min + mean + cpu) so a
     // truncated stdout tail can never lose a round's perf record again.
     val diagJson =
-      s"""{"queries_min":$qs,"queries_mean":$qsMean,"diag":$diag,"auto_ab":$autoAbJson,"recall":$recallJson,"notes":[$notes],"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},"sf":"$sfDir"}"""
+      s"""{"queries_min":$qs,"queries_mean":$qsMean,"diag":$diag,"auto_ab":$autoAbJson,"floor_watch":$floorWatchJson,"recall":$recallJson,"notes":[$notes],"cores":$cpus,"load1_start":${fmt(loadStart)},"load1_end":${fmt(loadEnd)},"sf":"$sfDir"}"""
     println(s"BENCH_DIAG $diagJson")
     try {
       java.nio.file.Files.write(

@@ -1,10 +1,12 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import graft.graph.PageRank
+import graft.graph.{PageRank, PageRankGraphX}
 
-/** A/B microbench for the flagship WikiData PageRank only (not driver-run;
-  * used to tune the per-iteration join strategy). */
+/** A/B microbench for the flagship WikiData PageRank — DF loop AND its
+  * GraphX twin (not driver-run; used to tune the per-iteration join
+  * strategy and to adjudicate flagged pagerank_wikidata[_graphx] floors
+  * in isolation, the role QBench plays for SparkEntry queries). */
 object BenchFlagship {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -16,14 +18,32 @@ object BenchFlagship {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val params = PageRank.Params(beta = 0.85, delta = 1e-5)
+    // release() AFTER the timestamp: the historical floors (r8 record
+    // 5.53 s, r12 5.91/6.11) were taken without a timed release, and the
+    // driver-run bench leg's release also only cleans up state the NEXT
+    // leg would otherwise inherit — keeping it untimed keeps the floor
+    // series comparable.
     val times = (1 to 4).map { _ =>
       val t0 = System.nanoTime()
       val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
-      val res = PageRank.run(spark, edges, PageRank.Params(beta = 0.85, delta = 1e-5))
+      val res = PageRank.run(spark, edges, params)
       require(PageRank.topK(res.ranks, 100).count() == 100)
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      res.release()
+      t
     }
     println(times.map(t => f"$t%.2f").mkString("runs: ", " ", ""))
+    val timesGx = (1 to 4).map { _ =>
+      val t0 = System.nanoTime()
+      val edges = PageRank.edgesFromText(spark, "/root/reference/WikiData.txt")
+      val res = PageRankGraphX.run(spark, edges, params)
+      require(PageRank.topK(res.ranks, 100).count() == 100)
+      val t = (System.nanoTime() - t0) / 1e9
+      res.release()
+      t
+    }
+    println(timesGx.map(t => f"$t%.2f").mkString("runs_graphx: ", " ", ""))
     spark.stop()
   }
 }

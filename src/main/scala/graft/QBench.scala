@@ -39,10 +39,15 @@ object QBench {
     val sc = spark.sparkContext
     sc.setLogLevel("ERROR")
     val cpuNs = new AtomicLong(0L)
+    val gcMs = new AtomicLong(0L)
     sc.addSparkListener(new SparkListener {
       override def onStageCompleted(done: SparkListenerStageCompleted): Unit = {
         val m = done.stageInfo.taskMetrics
-        if (m != null) { cpuNs.addAndGet(m.executorCpuTime); () }
+        if (m != null) {
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+          ()
+        }
       }
     })
     spark.read.parquet(s"$sfDir/lineitem.parquet").count() // session warm-up
@@ -52,17 +57,22 @@ object QBench {
     args.foreach { name =>
       val samples = (1 to 3).map { _ =>
         cpuNs.set(0L)
+        gcMs.set(0L)
         val t0 = System.nanoTime()
         SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         GraftInternals.drainListenerBus(spark)
         val cpu = cpuNs.get() / 1e9
+        val gc = gcMs.get() / 1e3
         spark.catalog.clearCache()
         sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
-        (wall, cpu)
+        (wall, cpu, gc)
       }
-      val line = samples.map { case (w, c) => f"wall=$w%.2f cpu=$c%.2f" }
-        .mkString(s"QBENCH $name: ", " | ", "")
+      // gc AFTER cpu: Bench.isolatedAb parses "wall=X cpu=Y" pairs, so
+      // the added field must not sit between them.
+      val line = samples.map { case (w, c, g) =>
+        f"wall=$w%.2f cpu=$c%.2f gc=$g%.1f"
+      }.mkString(s"QBENCH $name: ", " | ", "")
       println(line)
     }
     spark.stop()

@@ -33,19 +33,39 @@ object Streams {
     * grows without bound. With `eventTime` = (ts column, delay) the
     * aggregation instead groups by (event-time window, keys...) under a
     * watermark, so a key's buffer evicts once the watermark passes its
-    * window; ids are monotone (the stores' caller contract), so a doc
-    * never spans micro-batches and eviction never loses rows. Every row
-    * of a given key carries the SAME ts (it rides the key's input row),
-    * so the window key partitions exactly as the bare keys do —
-    * StreamsSpec pins output parity with and without.
+    * window. Every row of a given key carries the SAME ts (it rides the
+    * key's input row), so the window key partitions exactly as the bare
+    * keys do — StreamsSpec pins output parity with and without.
+    *
+    * LATE-DATA CONTRACT (what the watermark costs): Spark DROPS any row
+    * whose event time lags the max ts observed so far by more than
+    * `delay`, and these flag streams fail OPEN on a drop — a late
+    * contaminated/duplicate doc simply emits no flag and passes as
+    * clean; there is no dead-letter side-channel in a streaming agg.
+    * Id monotonicity (the stores' caller contract) does NOT imply ts
+    * monotonicity, so opting into `eventTime` adds a second caller
+    * contract: doc timestamps must be near-monotone — no doc may arrive
+    * with a ts more than `delay` behind the newest ts already streamed
+    * (in practice: use ingest time, not document-creation time, and set
+    * `delay` above the pipeline's max reordering). Callers that cannot
+    * bound lateness must leave `eventTime` off and bound state
+    * operationally (restart cadence) instead. `windowLen` decouples the
+    * grouping-window length from the watermark delay (it defaults to
+    * `delay`): a SHORT window with a LONG delay keeps eviction
+    * fine-grained while tolerating more reordering — the two knobs
+    * serve different tunings and only `delay` sets the lateness
+    * horizon. Output is invariant to `windowLen` because a key's rows
+    * share one ts (parity spec-pinned).
     */
   private def windowedGroup(
-      df: DataFrame, eventTime: Option[(String, String)], keys: Column*)
+      df: DataFrame, eventTime: Option[(String, String)],
+      windowLen: Option[String], keys: Column*)
       : org.apache.spark.sql.RelationalGroupedDataset =
     eventTime match {
       case Some((_, delay)) =>
         df.withWatermark("ts", delay)
-          .groupBy(window(col("ts"), delay).as("w") +: keys: _*)
+          .groupBy(window(col("ts"), windowLen.getOrElse(delay)).as("w")
+            +: keys: _*)
       case None => df.groupBy(keys: _*)
     }
 
@@ -443,7 +463,8 @@ object Streams {
       textCol: String,
       n: Int,
       // optional state bound: see [[windowedGroup]]
-      eventTime: Option[(String, String)] = None): DataFrame = {
+      eventTime: Option[(String, String)] = None,
+      windowLen: Option[String] = None): DataFrame = {
     // explode+window shingling needs a per-key sort that streaming
     // disallows; the array-slice form computes the same distinct shingle
     // set row-locally (per document), which is exactly what a stream can
@@ -453,8 +474,11 @@ object Streams {
       explode(graft.text.TextFns.shingles(col(textCol), n)).as("s"))
       ++ tsEntry(eventTime): _*)
     windowedGroup(trainSh.join(broadcast(benchShingles), "s"), eventTime,
-        col("train_id"), col("bench_id"))
+        windowLen, col("train_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
+      // project the internal window key away so the schema is identical
+      // with and without eventTime (the other twins all do the same)
+      .select(col("train_id"), col("bench_id"), col("n_shared"))
   }
 
   /** Streaming near-duplicate detection against a STORED corpus — the
@@ -490,7 +514,8 @@ object Streams {
       idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double,
       // optional state bound: see [[windowedGroup]]
-      eventTime: Option[(String, String)] = None): DataFrame = {
+      eventTime: Option[(String, String)] = None,
+      windowLen: Option[String] = None): DataFrame = {
     val numHashes = bands * rowsPerBand
     val withSh = docs.select(Seq(
         col(idCol).as("train_id"),
@@ -530,7 +555,7 @@ object Streams {
         .join(storedShingles.select(col("id").as("old_id"), col("s")), "old_id")
         .filter(array_contains(col("sh"), col("s")))
         .join(nbRel, "old_id"),
-        eventTime, col("train_id"), col("old_id"))
+        eventTime, windowLen, col("train_id"), col("old_id"))
       .agg(
         size(collect_set(col("s"))).cast("long").as("common"),
         first(size(col("sh"))).cast("long").as("na"),
@@ -561,7 +586,8 @@ object Streams {
       stored: DataFrame, // static (id, fp)
       radius: Int,
       // optional state bound: see [[windowedGroup]]
-      eventTime: Option[(String, String)] = None): DataFrame = {
+      eventTime: Option[(String, String)] = None,
+      windowLen: Option[String] = None): DataFrame = {
     require(radius >= 0 && radius <= 3, "4-band blocking is complete only for r <= 3")
     def banded(df: DataFrame, idOut: String, fpOut: String,
         extra: Seq[Column]): DataFrame = df
@@ -572,7 +598,7 @@ object Streams {
         .join(banded(stored, "old_id", "old_fp", Nil), Seq("band", "bkey"))
         .withColumn("hamming", expr("cast(bit_count(fp ^ old_fp) as bigint)"))
         .filter(col("hamming") <= radius),
-        eventTime, col("id"))
+        eventTime, windowLen, col("id"))
       .agg(min(struct(col("hamming"), col("old_id"))).as("m"))
       .select(col("id"), col("m.old_id").as("dup_of"),
         col("m.hamming").as("hamming"))
@@ -598,7 +624,8 @@ object Streams {
       store: DataFrame, // static (vec_id, v, cell) — IndexStore layout
       dims: Int, eps: Double,
       // optional state bound: see [[windowedGroup]]
-      eventTime: Option[(String, String)] = None): DataFrame = {
+      eventTime: Option[(String, String)] = None,
+      windowLen: Option[String] = None): DataFrame = {
     val asg = vecs.select(Seq(col("vec_id"), col("v"),
       graft.sim.IndexStore.cellOf(col("v"), dims).as("cell"))
       ++ tsEntry(eventTime): _*)
@@ -609,7 +636,7 @@ object Streams {
         .select(Seq(col("vec_id"), col("nbr_id"),
           round(graft.sim.Similarity.cosine(col("v"), col("nv")), 4).as("cos"))
           ++ tsThread(eventTime): _*),
-        eventTime, col("vec_id"))
+        eventTime, windowLen, col("vec_id"))
       .agg(min(struct(col("nbr_id"), col("cos"))).as("m"))
       .select(col("vec_id"), col("m.nbr_id").as("dup_of"),
         col("m.cos").as("dup_cos"))
@@ -929,8 +956,12 @@ object Streams {
     * Pass `eventTime` = (timestamp column, delay) to bound it: the
     * aggregation then groups by (event-time window, doc_id) under a
     * watermark and evicts a doc's buffer once the watermark passes its
-    * window. Ids are monotone (caller contract shared with the store),
-    * so a doc never spans micro-batches and eviction never loses rows —
+    * window. LATE-DATA CONTRACT: the watermark DROPS docs whose ts lags
+    * the observed max by more than `delay`, and a dropped doc here
+    * fails CLOSED for release (it is silently never released) — so
+    * opting in requires near-monotone timestamps (ingest time, delay
+    * above the pipeline's max reordering); see [[windowedGroup]] for
+    * the full contract and the `windowLen` eviction-granularity knob.
     * StreamsSpec pins released-row parity with and without it. The
     * stored relations stream through one side of each equi-join, never
     * shuffled by the stream.
@@ -954,7 +985,8 @@ object Streams {
       semantic: Option[(DataFrame, Int, Double, String)] = None,
       // OPTIONAL state bound: (event-time TIMESTAMP column on the doc
       // stream, watermark delay e.g. "10 minutes") — see STATE above.
-      eventTime: Option[(String, String)] = None): DataFrame = {
+      eventTime: Option[(String, String)] = None,
+      windowLen: Option[String] = None): DataFrame = {
     val gatedCols = Seq(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("text")) ++
       semantic.map { case (_, _, _, vc) => col(vc).as("vec") } ++
@@ -1048,12 +1080,7 @@ object Streams {
     // every leg row of a doc carries the SAME ts (it rides the doc's
     // input row), so the window key partitions docs exactly as the bare
     // doc_id key does — identical groups, evictable state.
-    val grouping = eventTime match {
-      case Some((_, delay)) =>
-        unioned.withWatermark("ts", delay)
-          .groupBy(window(col("ts"), delay).as("w"), col("doc_id"))
-      case None => unioned.groupBy(col("doc_id"))
-    }
+    val grouping = windowedGroup(unioned, eventTime, windowLen, col("doc_id"))
     val agg = grouping
       .agg(max(col("j")).as("jmax"),
         collect_set(col("mpos")).as("cut"),

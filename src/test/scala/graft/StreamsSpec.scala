@@ -671,15 +671,31 @@ class StreamsSpec extends SparkSpec {
     memD0.addData(trainRows: _*)
     val memD1 = MemoryStream[(Long, String, java.sql.Timestamp)]
     memD1.addData(trainRows.map { case (i, t) => (i, t, t0) }: _*)
-    val d0 = drain(Streams.decontaminateStream(
+    val d0df = drain(Streams.decontaminateStream(
       memD0.toDF().toDF("doc_id", "text"), benchSh, "doc_id", "text", 4),
-      "wm_d0").as[(Long, Long, Long)].collect().toSet
-    val d1 = drain(Streams.decontaminateStream(
+      "wm_d0")
+    val d0 = d0df.as[(Long, Long, Long)].collect().toSet
+    val d1df = drain(Streams.decontaminateStream(
       memD1.toDF().toDF("doc_id", "text", "ts"), benchSh, "doc_id", "text", 4,
       eventTime = Some(("ts", "10 minutes"))), "wm_d1")
-      .select("train_id", "bench_id", "n_shared")
-      .as[(Long, Long, Long)].collect().toSet
+    // Schema parity, not just row parity: the internal window key must
+    // be projected away, so positional/schema-sensitive consumers see
+    // the documented (train_id, bench_id, n_shared) either way.
+    assert(d1df.columns.toSeq === d0df.columns.toSeq,
+      s"decontaminate schema diverges with eventTime: ${d1df.columns.toSeq}")
+    val d1 = d1df.as[(Long, Long, Long)].collect().toSet
     assert(d1 == d0 && d0.nonEmpty, s"decontaminate wm parity: $d1 vs $d0")
+    // windowLen decoupled from the watermark delay (short windows =
+    // fine-grained eviction, long delay = generous lateness horizon):
+    // output is invariant because a key's rows share one ts.
+    val memD2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    memD2.addData(trainRows.map { case (i, t) => (i, t, t0) }: _*)
+    val d2 = drain(Streams.decontaminateStream(
+      memD2.toDF().toDF("doc_id", "text", "ts"), benchSh, "doc_id", "text", 4,
+      eventTime = Some(("ts", "10 minutes")),
+      windowLen = Some("30 seconds")), "wm_d2")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(d2 == d0, s"decontaminate windowLen parity: $d2 vs $d0")
 
     // near-dup (stored relations derived exactly as DedupStore persists)
     val oldDocs = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"),
