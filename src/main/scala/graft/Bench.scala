@@ -1238,6 +1238,11 @@ object Bench {
       // r17 reconcile cadence (the r16 verdict #8 ask, documented in
       // ReleaseStore.reconcile's scaladoc): the cost model that sets
       // the schedule.
+      // r18 scoped-reconcile lifecycle priced (the r17 verdict #6
+      // stretch): AB-RELEASEINC-RECONCILE-SCOPED, a dethroning
+      // increment + the reconcile scoped to its own released rep_ids,
+      // as one number, vs the bare increment and the full-store sweep.
+      "\"r18 increment+scoped-reconcile lifecycle MEASURED (AB-RELEASEINC-RECONCILE-SCOPED, 64-doc dethroning batch, 16x/64x sf0.01 corpora): increment+scoped 15.2/22.3 s vs bare increment 12.8/19.5 s - the eager same-window maintenance costs +2.4/+2.8 s, FLAT in corpus (the election pass is batch-sized), while the full-store reconcile on the same stores grows 2.5 -> 4.4 s retiring 75/255; the no-op check stays 0.4-0.6 s. Cadence guidance confirmed with prices: close dethroning spikes eagerly with the scoped pass, leave the full sweep paired with compact's per-N-increments window\"",
       // r18 adjudication of the five r17 driver flags (the r17 run's
       // contended A/B phase: two children OOM-killed rc=137, one
       // budget-capped, two non-query legs deferred) — quiet box (load1
