@@ -1249,6 +1249,10 @@ object Bench {
       // 0.1-0.3 at each leg's start; only the harness loading it),
       // fresh-JVM QBench / AbScaledXl on the committed r17 tree.
       "\"r18 adjudication of the 5 pending r17 driver flags (quiet box, fresh-JVM wall/cpu mins, 2-3 reps each): g18_negative_sampling 6.97/16.8 (prev floor 6.71, flagged session 77.5 at load1 8.2), d16_jaccard_prefix 1.84/3.0 (prev 1.63, flagged 16.1), g20_modularity 6.14/19.2 (prev 6.46, flagged 27.6 - floor BELOW prev), pagerank_scaled via AbScaledXl 2M/10it 13.25-15.55/78-82 (flagged 38.3), pagerank_scaled_graphx 18.27-19.22/317-332 (flagged 209.3 - 11x above even the fresh floor) - all five on code git-identical since r15, every flagged wall 4-11x its quiet fresh floor; the r17 driver session ran at load1 3.7-8.2, all five exonerated as contention per the standing protocol, A/B queue clear\"",
+      // r18 closing-run-2 auto-A/B flagged d18b (prev 5.33 → session
+      // 23.0, iso walls declining 25.6/11.6/8.8 with cpu 6.7/4.0/3.6) —
+      // re-measured on a fully quiet box (load1 0.03) the same evening.
+      "\"r18 d18b_semdedup_portable adjudication (closing-run-2 flag, quiet box load1 0.03, fresh-JVM QBench): d18b walls 27.9/12.7/10.2 cpu 5.9/3.6/3.4, d18 walls 21.8/21.5/15.1 cpu 6.1/5.4/4.3 - the EXACT r17-documented fresh-JVM class (KMeans quantizer's hundreds of tiny RDD-path scheduling-bound jobs, never fully JITed in 3 reps; r17 profile: wall 23.5-31.5 cpu 5.6-6.8); cpu matches the r17 profile, testdata and code git-identical since r12, flag exonerated as the known JIT/scheduler class, not a regression\"",
       // The graphx fresh floor deserves its own line: today's SAME-TREE
       // wall/cpu (19 s / 317-332 cpu-s, 3 consistent reps) sits ~1.35x
       // above the r9/r11 era readings (12.3-14.8 s / 221-247 cpu-s) on
