@@ -230,9 +230,10 @@ object Bench {
     * and GraphX do identical work and the numbers are comparable across
     * rounds.
     */
-  private val ScaledVerts = 200000L
-  private val ScaledEdges = 2000000L
-  private val ScaledParams = PageRank.Params(beta = 0.85, delta = 0.0, maxIter = 10)
+  private[graft] val ScaledVerts = 200000L
+  private[graft] val ScaledEdges = 2000000L
+  private[graft] val ScaledParams =
+    PageRank.Params(beta = 0.85, delta = 0.0, maxIter = 10)
 
   /** Previous ROUND's per-query min walls — the auto-A/B baseline.
     *
@@ -964,7 +965,9 @@ object Bench {
         (k, prevMin(k), s.wall)
     }.sortBy { case (_, p, w) => -(w / p) }
     val (abEligible, abSkipped) =
-      flagged.partition { case (k, _, _) => SparkEntry.queries.contains(k) }
+      flagged.partition { case (k, _, _) =>
+        SparkEntry.queries.contains(k) || QBench.harnessLegs.contains(k)
+      }
     // The A/B phase cap: its own 1200 s ceiling AND the remaining WALL
     // budget (less 120 s headroom for the emission tail), whichever is
     // tighter — r16's driver run was SIGTERMed INSIDE this phase, so it
@@ -1055,7 +1058,7 @@ object Bench {
         }
       }
       val skipped = abSkipped.map { case (k, p, w) =>
-        s""""auto A/B $k: flagged (prev ${fmtN(p)}s -> session ${fmtN(w)}s) but not a SparkEntry query — A/B manually via BenchFlagship/AbScaledXl""""
+        s""""auto A/B $k: flagged (prev ${fmtN(p)}s -> session ${fmtN(w)}s) but not isolable on a fresh JVM (session-shared state, e.g. the sinks legs' release template) — A/B manually via the Ab* harnesses""""
       }
       // The round-summary verdict line is DERIVED from the individual
       // verdicts, never hand-written: r12's commit message said

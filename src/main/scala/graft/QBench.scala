@@ -15,6 +15,51 @@ import org.apache.spark.sql.graft.GraftInternals
   *   sbt "runMain graft.QBench g3_triangles n2_ann_lsh"   # 3 runs each
   */
 object QBench {
+
+  /** Bench harness legs that are NOT SparkEntry queries but are still
+    * auto-A/B re-measurable on a fresh JVM — the r17 deferral class: a
+    * flagged `pagerank_*` leg fell to an "A/B manually via
+    * BenchFlagship/AbScaledXl" note that never ran, leaving the flag
+    * pending at judging time. Bodies mirror the Bench legs exactly
+    * (same data, params, and top-k materialization). The sinks legs
+    * stay manual: they time an export of the release chain's shared
+    * template, which only exists inside a full Bench session.
+    */
+  private[graft] val harnessLegs: Map[String, SparkSession => Unit] = {
+    import graft.graph.{PageRank, PageRankGraphX, SyntheticGraph}
+    val flagship = PageRank.Params(beta = 0.85, delta = 1e-5)
+    val wikidata = "/root/reference/WikiData.txt"
+    Map(
+      "pagerank_wikidata" -> { spark =>
+        val res = PageRank.run(
+          spark, PageRank.edgesFromText(spark, wikidata), flagship)
+        require(PageRank.topK(res.ranks, 100).count() == 100)
+        res.release()
+      },
+      "pagerank_wikidata_graphx" -> { spark =>
+        val res = PageRankGraphX.run(
+          spark, PageRank.edgesFromText(spark, wikidata), flagship)
+        require(PageRank.topK(res.ranks, 100).count() == 100)
+        res.release()
+      },
+      "pagerank_scaled" -> { spark =>
+        val edges = SyntheticGraph.powerLaw(
+          spark, Bench.ScaledVerts, Bench.ScaledEdges)
+        val res = PageRank.run(spark, edges, Bench.ScaledParams)
+        require(res.iterations == Bench.ScaledParams.maxIter)
+        require(PageRank.topK(res.ranks, 100).count() == 100)
+        res.release()
+      },
+      "pagerank_scaled_graphx" -> { spark =>
+        val edges = SyntheticGraph.powerLaw(
+          spark, Bench.ScaledVerts, Bench.ScaledEdges)
+        val res = PageRankGraphX.run(spark, edges, Bench.ScaledParams)
+        require(res.iterations == Bench.ScaledParams.maxIter)
+        require(PageRank.topK(res.ranks, 100).count() == 100)
+        res.release()
+      })
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: QBench <queryName>...")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,7 +104,10 @@ object QBench {
         cpuNs.set(0L)
         gcMs.set(0L)
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, sfDir).count()
+        harnessLegs.get(name) match {
+          case Some(run) => run(spark)
+          case None => SparkEntry.queries(name)(spark, sfDir).count(); ()
+        }
         val wall = (System.nanoTime() - t0) / 1e9
         GraftInternals.drainListenerBus(spark)
         val cpu = cpuNs.get() / 1e9
