@@ -728,7 +728,7 @@ ke$i AS MATERIALIZED (
     // a DeepWalk/node2vec pipeline actually feeds the embedding trainer.
     // The walk relation is eagerly checkpointed (the skip-gram self-join
     // consumes the 4-step iterative plan twice); that truncation orphans
-    // walkBiased's internal adjacency checkpoint, so everything except
+    // walkBiased's internal edge checkpoint, so everything except
     // the walks backing is swept here — the walks backing itself stays
     // reachable from the result and sweeps normally at the caller.
     "g17_walk_skipgrams" -> ((s, d) => {

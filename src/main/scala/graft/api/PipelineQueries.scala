@@ -885,19 +885,31 @@ object PipelineQueries {
     // components, each member labeled with its component's min id — the
     // keep/drop decision step of embedding dedup. Oracled via a DuckDB
     // recursive CTE (min reachable id) over the same portable pair set.
-    "d7_dedup_clusters" -> ((s, d) =>
-      Dedup.clusters(
+    // (The cluster engines materialize their result behind their own
+    // checkpoint, cutting the pair build — and cosinePairsLsh's internal
+    // bucket checkpoint — out of the result lineage; sweep the orphans,
+    // the d13/p17 idiom.)
+    "d7_dedup_clusters" -> ((s, d) => {
+      val before = graft.RddScope.persisted(s)
+      val cl = Dedup.clusters(
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
-          .select(col("vec_a"), col("vec_b")))),
+          .select(col("vec_a"), col("vec_b")))
+      graft.RddScope.sweepExcept(s, before, cl)
+      cl
+    }),
 
     // Same clusters, pure-DataFrame engine: min-label propagation with
     // pointer jumping (PEGASUS HCC + shortcut), no GraphX/RDD drop-down.
     // Same (member_id, rep_id=component min) contract → same recursive-CTE
     // oracle as d7, and a direct cross-engine check of the two CC paths.
-    "d7b_clusters_df" -> ((s, d) =>
-      ConnectedComponents.run(
+    "d7b_clusters_df" -> ((s, d) => {
+      val before = graft.RddScope.persisted(s)
+      val cl = ConnectedComponents.run(
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
-          .select(col("vec_a"), col("vec_b")))),
+          .select(col("vec_a"), col("vec_b")))
+      graft.RddScope.sweepExcept(s, before, cl)
+      cl
+    }),
 
     // Apply the dedup decision: the surviving corpus — every vector except
     // non-representative cluster members (left_anti against the drop
@@ -905,9 +917,11 @@ object PipelineQueries {
     // broadcast hint is SIZE-GATED — forced only while the estimate fits,
     // left to AQE's runtime stats on a dup-heavy corpus).
     "d8_dedup_apply" -> ((s, d) => {
+      val before = graft.RddScope.persisted(s)
       val cl = Dedup.clusters(
         Similarity.cosinePairsLsh(vecs(s, d), CosineThreshold, planes = 6, tables = 8)
           .select(col("vec_a"), col("vec_b")))
+      graft.RddScope.sweepExcept(s, before, cl)
       vecs(s, d)
         .join(graft.ops.Hints.broadcastIfSmall(
             cl.filter(col("member_id") =!= col("rep_id"))),
@@ -1812,15 +1826,38 @@ object PipelineQueries {
       row(0, "input", docs, "text")
         .unionAll(row(1, "classifier_kept", keptDocs, "text"))
         .unionAll(row(2, "neardup_survivors", withRep, "text"))
-        .unionAll(row(3, "released_train",
-          released.filter(col("split") === "train"), "text_dedup"))
-        .unionAll(row(4, "released_val",
-          released.filter(col("split") === "val"), "text_dedup"))
-        .unionAll(row(5, "released_test",
-          released.filter(col("split") === "test"), "text_dedup"))
+        .unionAll(releasedSplitRows(released))
         .orderBy(col("stage_ord"))
     })
   )
+
+  /** p21's three released-split rows in ONE pass over the released
+    * relation (r18 optimization): each per-split filtered aggregate
+    * re-ran the span-excision tail (spanDedupApply + split join — the
+    * chain's most expensive stage past the checkpointed survivors) once
+    * per row, 3× total. A groupBy(split) aggregates all three splits in
+    * a single run; the literal stage table left-joins the aggregate so
+    * an EMPTY split still emits its zero row exactly as the filtered
+    * aggregate did (counts are integers — bit-identical output, hash
+    * oracle unchanged; the empty-split arm is spec-pinned in
+    * PipelineHelpersSpec, since neither test SF has an empty split).
+    */
+  private[graft] def releasedSplitRows(released: DataFrame): DataFrame = {
+    val s = released.sparkSession
+    import s.implicits._
+    val stageTab = Seq(
+      (3L, "released_train", "train"),
+      (4L, "released_val", "val"),
+      (5L, "released_test", "test")).toDF("stage_ord", "stage", "split")
+    val relAgg = released.groupBy(col("split"))
+      .agg(count(lit(1)).as("nd"),
+        coalesce(sum(TextFns.tokenCount(col("text_dedup")).cast("long")),
+          lit(0L)).as("nt"))
+    stageTab.join(relAgg, Seq("split"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("nd"), lit(0L)).as("n_docs"),
+        coalesce(col("nt"), lit(0L)).as("n_tokens"))
+  }
 
   /** p20's stages 1–4 as a reusable relation — the release a trainer
     * reads: (doc_id, text_dedup, split) after classifier gate, near-dup

@@ -428,7 +428,11 @@ object Dedup {
       docs: DataFrame, idCol: String, textCol: String,
       n: Int, bands: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sh = shingleIndex(docs, idCol, textCol, n).localCheckpoint(true)
-    val banded = minhashBanded(sh, bands, rowsPerBand)
+    // Materialized ONCE (eager localCheckpoint): both sides of the bucket
+    // self-join read the banded relation, and each lazy read re-ran the
+    // numHashes-way signature aggregation over the shingles. Reachable
+    // from the result through `candidates`, so the standard sweep frees it.
+    val banded = minhashBanded(sh, bands, rowsPerBand).localCheckpoint(true)
     val candidates = banded.select(col("band"), col("bucket"), col("id").as("doc_a"))
       .join(banded.select(col("band").as("band_b"), col("bucket").as("bucket_b"),
         col("id").as("doc_b")),

@@ -124,7 +124,11 @@ object ConnectedComponents {
             .filter(col("u") =!= col("v"))
             .distinct()
 
-          val next = afterSmall.localCheckpoint(true)
+          // LAZY checkpoint (the PageRank.run idiom): the signature
+          // aggregate below is the round's first action, so ONE job both
+          // computes the round and materializes the checkpoint — the
+          // eager form paid a separate materialization job per round.
+          val next = afterSmall.localCheckpoint(false)
           pending = next
           val sig = next
             .agg(count(lit(1)), expr("bit_xor(xxhash64(u, v))"))

@@ -59,7 +59,9 @@ object KCore {
       val next = e
         .join(dropped, e("src") === dropped("v"), "left_anti")
         .join(dropped.select(col("v").as("v2")), e("dst") === col("v2"), "left_anti")
-        .localCheckpoint(true)
+        // LAZY: the count below materializes it, before the parent
+        // checkpoint is freed (PageRank.run idiom — one job per round).
+        .localCheckpoint(false)
       val nNext = next.count()
       org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(e)
       e = next

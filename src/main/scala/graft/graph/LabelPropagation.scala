@@ -59,6 +59,11 @@ object LabelPropagation {
     val parts = PageRank.loopPartitions(spark, m)
     PageRank.withLoopConf(spark, parts) {
       val e = pre.repartition(parts, col("src"))
+        // Sorted once so the per-round vote merge join elides the 2|E|-side
+        // sort (the PageRank.prepare idiom): the label side is a checkpoint
+        // leaf with no size estimate, so the join is sort-merge, and an
+        // unsorted cache re-sorted the full edge relation EVERY round.
+        .sortWithinPartitions(col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       e.count()
       pre.unpersist()
@@ -73,6 +78,13 @@ object LabelPropagation {
           val votes = e.join(labels, e("src") === labels("id"))
             .select(e("dst").as("id"), col("label"))
             .unionAll(labels)
+          // LAZY checkpoint on every round that still runs the early-stop
+          // compare below (the PageRank.run idiom): that count is the
+          // round's first action, so ONE job both computes the round and
+          // materializes the checkpoint — the eager form paid a separate
+          // materialization job per round. The FINAL bounded round has no
+          // compare job, so it stays eager (it must be materialized before
+          // the finally-block unpersists `e` out from under its plan).
           val next = votes
             .groupBy(col("id"), col("label")).agg(count(lit(1)).as("c"))
             .groupBy(col("id"))
@@ -81,7 +93,7 @@ object LabelPropagation {
             // highest -label = the SMALLEST label.
             .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
             .select(col("id"), (-col("m.nl")).as("label"))
-            .localCheckpoint(true)
+            .localCheckpoint(r == rounds)
           // Early-stop check only while a later round exists to skip — on
           // the final bounded round `done` is never read, so the |V|-row
           // compare job would be pure waste.

@@ -253,7 +253,10 @@ object Motifs {
         .select(col("dst").as("id"))
         .distinct()
         .join(vSide, Seq("id"), "left_anti")
-        .localCheckpoint(true)
+        // LAZY: the reached-count below materializes it; every parent
+        // (the persisted edges, earlier level checkpoints) stays live
+        // until after the loop (PageRank.run idiom — one job per hop).
+        .localCheckpoint(false)
       levels ::= next.withColumn("hops", lit(h))
       visited = visited.unionAll(next)
       frontier = next

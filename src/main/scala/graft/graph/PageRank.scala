@@ -23,8 +23,9 @@ import org.apache.spark.storage.StorageLevel
   *    `all_node` Python list at `pageRank.py:47-53` does not scale);
   *  - lineage is truncated per iteration via `localCheckpoint`, otherwise
   *    plan depth grows linearly with iterations and analysis dominates;
-  *  - only two scalar aggregates per iteration cross to the driver
-  *    (lost-mass sum and L1 delta — `pageRank.py:133,137-139`);
+  *  - ONE fused scalar aggregate per iteration crosses to the driver
+  *    (L1 delta + next iteration's live mass, from which the lost-mass
+  *    sum derives — `pageRank.py:133,137-139`);
   *  - loop shuffles are sized to the GRAPH, not the session: on toy
   *    graphs the session-wide partition count schedules thousands of
   *    mostly-empty tasks across the iterations, and per-iteration driver
@@ -153,6 +154,16 @@ object PageRank {
         .join(outDegrees(e), "src")
         .select(col("src"), col("dst"), col("out_degree"))
         .repartition(parts, col("src"))
+        // Persist SORTED by the join key: the per-iteration rank join is a
+        // sort-merge (the rank side is a checkpoint leaf with no size
+        // estimate, so it never auto-broadcasts), and an unsorted cached
+        // relation pays a full |E|-row sort EVERY iteration. InMemoryScan
+        // advertises the cached plan's outputOrdering, so with this
+        // one-time sort the loop's merge joins elide the edge-side Sort
+        // node entirely — only the |V|-row rank side is sorted per
+        // iteration. Row order into the join is the same sorted order as
+        // before (the sort just runs once), so results are bit-identical.
+        .sortWithinPartitions(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (n > 0) linked.count() // materialize while e is cached
       if (!callerCached) e.unpersist()
@@ -200,38 +211,66 @@ object PageRank {
     }
 
     withLoopConf(spark, parts) {
-      var ranks = verts.withColumn("rank", lit(1.0 / n)).localCheckpoint(true)
-      // The checkpoint backing the current `ranks` projection; freed once
+      // Live flag per vertex (has at least one out-edge), carried through
+      // the loop state: the lost-mass scalar of iteration i+1 is then
+      // derivable INSIDE iteration i's delta aggregate —
+      //   s_{i+1} = Σ_v pre_{i+1}(v) = β · Σ_{u→·} rank_{i+1}(u)/deg(u)
+      //           = β · Σ_{live u} rank_{i+1}(u)
+      // — so the loop runs ONE driver job per iteration (join + fused
+      // (L1 delta, live mass) aggregate, the lazy checkpoint riding on
+      // it) instead of two. Same exact math, float summation regrouped
+      // per-vertex instead of per-edge-contribution (ulp-level; the
+      // golden top-100 / 1e-12 fixture gates pin it).
+      val srcs = linked.select(col("src").as("id")).distinct()
+      // LAZY checkpoint: the init live-mass aggregate below is the first
+      // action, so one job builds AND materializes the initial state.
+      var state = verts
+        .join(srcs.withColumn("live", lit(true)), Seq("id"), "left")
+        .select(col("id"), lit(1.0 / n).as("rank"),
+          coalesce(col("live"), lit(false)).as("live"))
+        .localCheckpoint(false)
+      // The checkpoint backing the current `state` projection; freed once
       // the next iteration's checkpoint is materialized.
-      var backing = ranks
+      var backing = state
+      // Live mass of the CURRENT ranks (rides the init job; thereafter it
+      // arrives with each iteration's fused delta job).
+      var liveMass = {
+        val r0 = state.agg(sum(when(col("live"), col("rank")))).first()
+        if (r0.isNullAt(0)) 0.0 else r0.getDouble(0)
+      }
       var iter = 0
       var deltaVal = Double.MaxValue
       while (deltaVal > params.delta && iter < params.maxIter) {
         // J2 + F1 + A4: contributions summed by dst (rank side broadcast
         // when |V| permits — the edge relation never moves).
         val contribs = linked
-          .join(vertexSide(ranks, n), linked("src") === ranks("id"))
+          .join(vertexSide(state, n), linked("src") === state("id"))
           .select(col("dst"), (col("rank") / col("out_degree")).as("w"))
           .groupBy(col("dst"))
           .agg(sum(col("w")).as("c"))
         // Keep old rank alongside the new pre-normalization mass. LAZY
-        // local checkpoint: the lost-mass aggregate below is the first
+        // local checkpoint: the fused aggregate below is the first
         // action, so one job both computes the iteration and materializes
-        // the checkpoint (2 driver jobs per iteration total).
-        val merged = ranks
-          .join(vertexSide(contribs, n), ranks("id") === contribs("dst"), "left")
+        // the checkpoint (1 driver job per iteration total).
+        val merged = state
+          .join(vertexSide(contribs, n), state("id") === contribs("dst"), "left")
           .select(
             col("id"),
             col("rank").as("old_rank"),
+            col("live"),
             (coalesce(col("c"), lit(0.0)) * params.beta).as("pre"))
           .localCheckpoint(false)
-        // A5: lost mass (dead ends + teleport) folded back uniformly (A6).
-        val s = merged.agg(sum(col("pre"))).first().getDouble(0)
+        // A5: lost mass (dead ends + teleport) folded back uniformly (A6)
+        // — the scalar was carried out of the previous delta job.
+        val s = params.beta * liveMass
         val corr = (1.0 - s) / n
-        // A7: global L1 delta drives convergence.
-        deltaVal = merged
-          .agg(sum(abs(col("pre") + lit(corr) - col("old_rank"))))
-          .first().getDouble(0)
+        // A7: global L1 delta drives convergence; the same pass emits the
+        // next iteration's live mass.
+        val row = merged.agg(
+          sum(abs(col("pre") + lit(corr) - col("old_rank"))),
+          sum(when(col("live"), col("pre") + lit(corr)))).first()
+        deltaVal = row.getDouble(0)
+        liveMass = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
         // Next ranks are a lazy projection over the ALREADY-checkpointed
         // merge — lineage stays one level deep without a second checkpoint
         // job per iteration. Free the previous iteration's checkpoint
@@ -240,10 +279,11 @@ object PageRank {
         // entries).
         org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(backing)
         backing = merged
-        ranks = merged.select(col("id"), (col("pre") + lit(corr)).as("rank"))
+        state = merged.select(col("id"),
+          (col("pre") + lit(corr)).as("rank"), col("live"))
         iter += 1
       }
-      RankResult(ranks, iter, deltaVal)
+      RankResult(state.select(col("id"), col("rank")), iter, deltaVal)
     }
   }
 
@@ -458,6 +498,9 @@ object PageRank {
       val linked = e.join(sw, "src")
         .select(col("src"), col("dst"), (col("w") / col("tw")).as("frac"))
         .repartition(parts, col("src"))
+        // Sorted once so the per-iteration merge join elides the edge-side
+        // sort — see [[prepare]].
+        .sortWithinPartitions(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       linked.count()
       e.unpersist()

@@ -54,7 +54,15 @@ object RandomWalks {
     *               walk_id suffix `#i`
     */
   def walk(edges: DataFrame, seeds: DataFrame, steps: Int, nWalks: Int = 1): DataFrame = {
-    val (walkIds, e) = prepare(edges, seeds, steps, nWalks)
+    val (walkIds, e0) = prepare(edges, seeds, steps, nWalks)
+    // Materialize the edge projection ONCE (eager localCheckpoint): the
+    // frontier-broadcast loop streams the edge relation at every step, and
+    // the lazy per-step union re-derives step j's whole chain per branch —
+    // so the caller's edge pipeline (g15: lineitem scan + concat + union,
+    // 1.2M rows at sf0.1) would otherwise run O(steps²) times. The backing
+    // is reachable from every step of the returned plan, so the caller's
+    // standard post-consumption sweep frees it (QueriesSpec contract).
+    val e = if (steps >= 1) e0.localCheckpoint(true) else e0
     var frontier = walkIds
     var out = frontier.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
@@ -90,6 +98,9 @@ object RandomWalks {
     val parts = PageRank.loopPartitions(spark, m)
     val result = PageRank.withLoopConf(spark, parts) {
       val e = pre.repartition(parts, col("src"))
+        // Sorted once so each step's frontier merge join elides the
+        // edge-side sort (the PageRank.prepare idiom).
+        .sortWithinPartitions(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       pre.unpersist()
@@ -133,43 +144,70 @@ object RandomWalks {
     * every unrolled step bit-for-bit; Efraimidis–Spirakis keys would
     * need u^(1/w), whose last-ulp rounding differs between engines).
     *
-    * The adjacency test joins candidates against the DEDUPLICATED edge
-    * relation (one dropDuplicates, checkpointed once outside the loop —
-    * reachable from the result plan, so the caller's standard sweep
-    * frees it); parallel edges therefore contribute ONE weight class,
-    * i.e. simple-graph node2vec semantics, and duplicate candidate rows
-    * collapse in the argmin exactly as in the uniform walk. Frontier
-    * stays one row per walk per step; the extra per-step cost over
-    * [[walk]] is the (prev, dst) adjacency probe — at cluster scale that
-    * relation is the bucketed-by-src edge layout `walkShuffled` already
-    * maintains.
+    * The adjacency test probes the edges OF THE FRONTIER'S prev NODES
+    * only: per step, the checkpointed edge relation is streamed once
+    * against the broadcast |walks|-row prev set (left-semi — no shuffle,
+    * no global dedup), and the resulting |walks|·deg(prev)-bounded
+    * relation broadcasts into the candidate left join. A global
+    * dropDuplicates over the edges is unnecessary: the per-step argmin is
+    * duplicate-insensitive (identical rows explode into IDENTICAL
+    * (dst, r) draws — min over a multiset), so adjacency-side
+    * multiplicity from parallel edges changes nothing, exactly as
+    * candidate-side multiplicity already did — simple-graph node2vec
+    * semantics either way, bit-identical picks (spec-pinned against
+    * [[walkBiasedShuffled]], which keeps the deduped co-partitioned
+    * probe). This removes the former per-step shuffle+sort of the FULL
+    * deduped edge relation (1.2M rows at sf0.1, re-exchanged at every
+    * step of g16–g19 because a checkpoint leaf reports no size estimate
+    * and the left join fell to sort-merge). Frontier stays one row per
+    * walk per step; at cluster scale (unbounded walk counts) the
+    * bucketed-by-src layout of [[walkBiasedShuffled]] is the right shape.
     */
   def walkBiased(
       edges: DataFrame, seeds: DataFrame, steps: Int, nWalks: Int = 1,
       retW: Int = 1, inW: Int = 2, outW: Int = 4): DataFrame = {
     require(retW >= 1 && inW >= 1 && outW >= 1, "weights must be >= 1")
-    val (walkIds, e) = prepare(edges, seeds, steps, nWalks)
-    val aRel = e.select(col("src").as("a_src"), col("dst").as("a_dst"))
-      .dropDuplicates("a_src", "a_dst")
-      .withColumn("adj", lit(1))
-      .localCheckpoint(true)
+    val (walkIds, e0) = prepare(edges, seeds, steps, nWalks)
+    // Edge projection materialized once — see [[walk]] (the lazy union
+    // re-derives each step's chain per branch; here the adjacency probe
+    // streams it a second time per step).
+    val e = if (steps >= 1) e0.localCheckpoint(true) else e0
     var frontier = walkIds.withColumn("prev", lit(null).cast("string"))
     var out = frontier.select(col("walk_id"), lit(0).as("step"),
       col("cur").as("node"))
     var j = 1
     while (j <= steps) {
-      val w = when(col("prev").isNull, lit(1))
-        .when(col("dst") === col("prev"), lit(retW))
-        .when(col("adj") === 1, lit(inW))
-        .otherwise(lit(outW))
       val drawB = graft.ops.Portable.md5Long(
         concat_ws(":", col("walk_id"), lit(j), col("cur"), col("dst"), col("r")))
-      frontier = broadcast(frontier)
-        .join(e, col("cur") === col("src"))
-        .join(aRel,
-          col("prev") === col("a_src") && col("dst") === col("a_dst"), "left")
-        .select(col("walk_id"), col("cur"), col("dst"),
-          explode(sequence(lit(1), w)).as("r"))
+      val cands = broadcast(frontier).join(e, col("cur") === col("src"))
+      val weighted =
+        if (j == 1)
+          // No previous node: every neighbor weighs 1 — the same draws as
+          // the all-null `prev IS NULL` arm (w = 1 → r = 1 only), the
+          // walkBiasedShuffled step-1 idiom, bit-identical picks.
+          cands.select(col("walk_id"), col("cur"), col("dst"),
+            lit(1).as("r"))
+        else {
+          // (prev, dst) adjacency probe bounded by the frontier: stream
+          // the edges once against the broadcast prev set, broadcast the
+          // small result into the candidate left join. Multiplicity from
+          // parallel edges is harmless (identical draws — see scaladoc).
+          val prevAdj = e
+            .join(broadcast(frontier.select(col("prev").as("ps"))),
+              col("src") === col("ps"), "left_semi")
+            .select(col("src").as("a_src"), col("dst").as("a_dst"),
+              lit(1).as("adj"))
+          val w = when(col("dst") === col("prev"), lit(retW))
+            .when(col("adj") === 1, lit(inW))
+            .otherwise(lit(outW))
+          cands
+            .join(broadcast(prevAdj),
+              col("prev") === col("a_src") && col("dst") === col("a_dst"),
+              "left")
+            .select(col("walk_id"), col("cur"), col("dst"),
+              explode(sequence(lit(1), w)).as("r"))
+        }
+      frontier = weighted
         .groupBy(col("walk_id"))
         .agg(min(struct(drawB.as("h"), col("dst"), col("r"))).as("pick"),
           first(col("cur")).as("was"))
@@ -224,6 +262,9 @@ object RandomWalks {
     val parts = PageRank.loopPartitions(spark, m)
     val result = PageRank.withLoopConf(spark, parts) {
       val e = pre.repartition(parts, col("src"))
+        // Sorted once so each step's frontier merge join elides the
+        // edge-side sort (the PageRank.prepare idiom).
+        .sortWithinPartitions(col("src"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       e.count()
       pre.unpersist()

@@ -65,7 +65,10 @@ object Scc {
           .select(col("dst").as("id"), col("c"))
         val next = color.unionAll(msgs)
           .groupBy(col("id")).agg(min(col("c")).as("c"))
-          .localCheckpoint(true)
+          // LAZY: the changed-count below is the step's first action and
+          // runs BEFORE the parent color checkpoint is freed — one job
+          // computes the step and materializes it (PageRank.run idiom).
+          .localCheckpoint(false)
         changed = next
           .join(color.select(col("id"), col("c").as("c0")), "id")
           .filter(col("c") =!= col("c0")).count()
@@ -95,7 +98,9 @@ object Scc {
           .select(col("to").as("id"), col("c"))
           .distinct()
           .join(members, Seq("id", "c"), "left_anti")
-          .localCheckpoint(true)
+          // LAZY: grew's count materializes it; every parent checkpoint
+          // (ec, the spent frontiers) stays live until after the loop.
+          .localCheckpoint(false)
         grew = next.count()
         members = members.unionAll(next) // lazy union over checkpoints
         spent ::= next

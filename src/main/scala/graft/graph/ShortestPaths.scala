@@ -72,7 +72,10 @@ object ShortestPaths {
             .as("dist"),
           (col("dist").isNull || (col("cd").isNotNull && col("cd") < col("dist")))
             .as("improved"))
-        .localCheckpoint(true)
+        // LAZY (the PageRank.run idiom): the frontier count below is the
+        // round's first action — one job computes the round AND
+        // materializes the checkpoint (eager paid a second job per round).
+        .localCheckpoint(false)
       val prev = dist
       dist = merged.select(col("id"), col("dist"))
       frontier = merged.filter(col("improved")).select(col("id"), col("dist"))

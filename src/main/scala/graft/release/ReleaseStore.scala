@@ -348,7 +348,15 @@ object ReleaseStore {
       p: ReleaseParams, path: String,
       vecs: Option[DataFrame] = None): DataFrame = {
     val before = graft.RddScope.persisted(s)
-    val docs = norm(newDocs0, idCol, textCol).localCheckpoint(true)
+    // LAZY checkpoints throughout this method (the PageRank.run idiom):
+    // each one's FIRST consumer is itself an action (an aggregate, a store
+    // append's write, or a downstream eager materialization), so that
+    // action both computes the stage and materializes the checkpoint —
+    // the eager form paid a separate driver job per checkpoint (~10 extra
+    // jobs per increment, pure fixed cost on a batch-sized relation).
+    // Results are identical; the backing still truncates lineage and the
+    // end-of-increment sweep frees everything unreachable.
+    val docs = norm(newDocs0, idCol, textCol).localCheckpoint(false)
     val hconf = s.sparkContext.hadoopConfiguration
 
     // (0a) Input validation BEFORE any store mutation: an embedding
@@ -403,14 +411,15 @@ object ReleaseStore {
     // (1) Gate: append the batch's statistics, retrain on everything
     // (bit-identical to a union batch train), score the batch.
     val feat = LinearClassifier.features(docs, "doc_id", "text", p.dims)
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the append's write
     val lab = LinearClassifier.weakLabels(docs, "doc_id", "text")
     ClassifierStore.append(feat, lab, s"$path/classifier")
     val w = ClassifierStore.trainStored(s, s"$path/classifier", p.dims, p.iters)
     val kept = LinearClassifier.score(feat, lab, w)
       .filter(col("margin") > 0).select(col("doc_id"))
     val keptDocs = docs.join(kept, "doc_id")
-      .select(col("doc_id"), col("text")).localCheckpoint(true)
+      .select(col("doc_id"), col("text"))
+      .localCheckpoint(false) // materialized by the fused near-dup probe
     val newIds = keptDocs.select(col("doc_id"))
 
     // (2) Near-dup candidates: batch vs the stored KEPT corpus plus
@@ -441,7 +450,7 @@ object ReleaseStore {
       .select(col("member_id")).distinct()
     val coRows = latest(clusters.join(candMembers, Seq("member_id"), "left_semi"))
       .join(touchedReps, Seq("rep_id"), "left_semi")
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the CC run's edge persist
 
     // (4) Components of (new pairs ∪ stored star edges): exactly the
     // batch CC's touched components — a stored cluster enters whole
@@ -468,7 +477,8 @@ object ReleaseStore {
     val losers = cc.join(canon, "rep_id")
       .filter(col("member_id") =!= col("canon_id"))
       .select(col("member_id").as("doc_id"))
-      .localCheckpoint(true) // consumed by dropsB and dethroned
+      // consumed by dropsB and dethroned; materialized through withRep0
+      .localCheckpoint(false)
     val dropsB = losers.join(newIds, Seq("doc_id"), "left_semi")
     // dropsB is batch-bounded but cc is touched-COMPONENT-bounded — on a
     // dup-heavy crawl the merged components can grow with the corpus, so
@@ -482,7 +492,7 @@ object ReleaseStore {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("rep_id"), col("doc_id")).as("rep_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the span probe / sem stage
 
     // (5b) Optional SEMANTIC stage: near-dup survivors probe the
     // persisted IVF store ([[graft.sim.IndexStore.dedupNewIvfStatic]] —
@@ -518,7 +528,8 @@ object ReleaseStore {
     val released = s.read.parquet(s"$path/released")
     val dethroned = losers.join(newIds, Seq("doc_id"), "left_anti")
       .join(released.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true) // consumed by two anti-joins
+      // consumed by two anti-joins; materialized through releasedB
+      .localCheckpoint(false)
 
     // (7) Span excision: new-touching spans vs the released corpus's
     // original texts; only the batch (larger-id) side is excised, the
@@ -540,7 +551,7 @@ object ReleaseStore {
       .join(withRep.select(col("doc_id"), col("rep_id")), "doc_id")
       .select(col("doc_id"), col("rep_id"),
         splitOf(col("rep_id")).as("split"), col("text_dedup"))
-      .localCheckpoint(true)
+      .localCheckpoint(false) // materialized by the released append below
 
     // (8) Persist the rest of the increment (the near-dup and span
     // indexes were appended by their fused probes above): accepted

@@ -190,8 +190,13 @@ object Similarity {
       tables: Int,
       k: Int,
       coef: (Int, Column) => Column): DataFrame = {
+    // Materialized ONCE (eager localCheckpoint): both candidate sides read
+    // the bucketed relation, and each lazy read re-ran the planes×tables
+    // projection + vector join. Reachable from the result, so the standard
+    // sweep frees it.
     val bucketed = hyperplaneBuckets(vectors, planes, tables, coef)
       .join(vectors, "vec_id")
+      .localCheckpoint(true)
     val a = bucketed.select(
       col("tbl"), col("bucket"), col("vec_id").as("query_id"), col("v").as("qv"))
     val b = bucketed.select(
@@ -595,7 +600,11 @@ object Similarity {
       threshold: Double,
       planes: Int,
       tables: Int): DataFrame = {
-    val tb = hyperplaneBuckets(vectors, planes, tables, mdCoef)
+    // Materialized ONCE (eager localCheckpoint): both sides of the bucket
+    // self-join read the hyperplane-bucket relation, and each lazy read
+    // re-ran the planes×tables projection over the vectors. Reachable from
+    // the result through `candidates`, so the standard sweep frees it.
+    val tb = hyperplaneBuckets(vectors, planes, tables, mdCoef).localCheckpoint(true)
     val candidates = tb.select(col("tbl"), col("bucket"), col("vec_id").as("vec_a"))
       .join(tb.select(col("tbl").as("tbl_b"), col("bucket").as("bucket_b"),
           col("vec_id").as("vec_b")),
@@ -700,8 +709,17 @@ object Similarity {
       .setK(nCells).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features")
       .fit(withFeat)
+    // Materialize the cell assignment ONCE: semDedup reads it three times
+    // (both pair-join sides + the centroid decoration), and each lazy read
+    // re-ran the model's distance-to-every-centroid transform over the
+    // corpus. The backing is reachable from the result (the decoration
+    // path), so the caller's standard sweep frees it; withFeat's backing
+    // is then orphaned (its consumers were the fit and this transform) —
+    // free it here, the annIvfMultiProbe idiom.
     val assigned = model.transform(withFeat)
       .select(col("vec_id"), col("v"), col("prediction").as("cell"))
+      .localCheckpoint(true)
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(withFeat)
     val centroids = model.clusterCenters.toSeq.zipWithIndex
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toDF("cell", "cv")

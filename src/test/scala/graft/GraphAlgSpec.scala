@@ -167,6 +167,29 @@ class GraphAlgSpec extends SparkSpec {
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(shW)
   }
 
+  test("biased walk: edge multiplicity changes nothing (argmin duplicate-insensitivity)") {
+    import graft.graph.RandomWalks
+    // Pins the r18 adjacency-probe restructure's core claim: the per-step
+    // argmin is duplicate-insensitive — identical candidate/adjacency rows
+    // explode into IDENTICAL (dst, r) md5 draws, so parallel edges (which
+    // now multiply the un-deduped prev-neighborhood probe as well as the
+    // candidate stream) cannot change any pick. A graph with duplicated
+    // edges must produce bit-identical walks to its deduped twin.
+    val base = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"),
+      ("c", "d"), ("b", "a"), ("a", "d"))
+    val dup = (base ++ base ++ base.take(3)).toDF("src", "dst")
+    val ded = base.toDF("src", "dst")
+    val seeds = Seq("a", "b", "c", "d").toDF("id")
+    def runOn(e: org.apache.spark.sql.DataFrame) =
+      RandomWalks.walkBiased(e, seeds, steps = 5, nWalks = 2)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    val a = runOn(dup)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    val b = runOn(ded)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(a == b, s"duplicate edges changed the walks: ${a.diff(b).take(5)}")
+  }
+
   test("personalized PR with S = V equals uniform fixed-iteration PR") {
     val edges = Seq((1, 2), (2, 3), (3, 1), (1, 3), (4, 1)).toDF("src", "dst")
     val allIds = Seq(1, 2, 3, 4).toDF("id")
