@@ -531,8 +531,13 @@ object Bench {
         val qsTrunc = (kept :+ s""""_dropped_fastest":$dropped""")
           .mkString("{", ",", "}")
         System.err.println(
-          s"bench line ${line.length} chars overflows the driver's 2000-char tail; emitting slowest-legs subset ($dropped fastest legs dropped)")
-        s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qsTrunc,"sf":$sfNum$partialKey}"""
+          s"bench line ${line.length} chars overflows the driver's 2000-char tail; emitting slowest-legs subset ($dropped fastest legs dropped; full map in bench_partial.json)")
+        // Top-level "full" names the committed sidecar holding EVERY leg's
+        // min wall (r18 verdict #5/#7: the truncated queries subset made
+        // the driver's PERF manufacture phantom dropped_from_bench /
+        // new_in_bench churn at the tail cutoff every round — the full map
+        // was always on disk, the line just never said where).
+        s"""{"metric":"total","value":$totalS,"unit":"sec","queries":$qsTrunc,"full":"bench_partial.json","sf":$sfNum$partialKey}"""
       }
     }
     // Per-leg sidecar: whole-file rewrite through a rename (readable

@@ -42,6 +42,44 @@ object DedupStore {
   private def idbOf(id: Column, buckets: Int): Column =
     pmod(id, lit(buckets.toLong)).cast("int")
 
+  /** Run a STAGING parquet write (into a compact/remove `.tmp` dir that
+    * no reader consults), retrying ONCE if the write job dies on a
+    * transient task-commit denial. The race (r18 driver run,
+    * VERIFY_r18.json): a task's FileFormatWriter commit can be refused
+    * by the driver's OutputCommitCoordinator ("Not committed because
+    * the driver did not authorize commit") — seen under heavy box load,
+    * where a long-stalled first attempt and the coordinator's
+    * authorization state disagree. The denial is wrapped in
+    * SparkException(TASK_WRITE_FAILED) by the write path, so instead of
+    * being reclassified as the retryable TaskCommitDenied reason it
+    * counts as a plain task failure — and local mode runs with
+    * maxTaskFailures = 1, so ONE transient denial aborts the whole job.
+    * A staging write is idempotent by construction (private dir, no
+    * reader until the swap), so the safe response is: delete the staged
+    * dir, run the write again. Non-staging appends are NOT wrapped —
+    * their failure surfaces to the store's documented recover contract.
+    */
+  private[graft] def stagedWrite(
+      spark: SparkSession, dest: String)(write: => Unit): Unit = {
+    def denied(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(16).exists {
+        c =>
+          c.getClass.getName.endsWith("CommitDeniedException") ||
+            Option(c.getMessage).exists(_.contains("did not authorize commit"))
+      }
+    try write
+    catch {
+      case t: Throwable if denied(t) =>
+        System.err.println(
+          s"stagedWrite: transient task-commit denial writing $dest — " +
+            "clearing the staged dir and retrying once " +
+            s"(${t.getClass.getSimpleName})")
+        val p = new org.apache.hadoop.fs.Path(dest)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        write
+    }
+  }
+
   /** Layout metadata — one tiny JSON FILE at `<path>/layout` recording
     * the store's bucket count. A plain FS read/write, deliberately NOT
     * parquet: every probe/append consults it, and a Spark job per
@@ -241,10 +279,12 @@ object DedupStore {
     val fs = root.getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(path, ".compact.tmp")
     fs.delete(tmp, true)
-    spark.read.parquet(s"$path/bands")
-      .repartition(col("band"))
-      .sortWithinPartitions(col("bucket"), col("id"))
-      .write.partitionBy("band").parquet(s"$tmp/bands")
+    stagedWrite(spark, s"$tmp/bands") {
+      spark.read.parquet(s"$path/bands")
+        .repartition(col("band"))
+        .sortWithinPartitions(col("bucket"), col("id"))
+        .write.partitionBy("band").parquet(s"$tmp/bands")
+    }
     // A bucketed store compacts to ONE id-sorted file per bucket; a
     // LEGACY store MIGRATES to the bucketed layout here (the gramdf-
     // backfill precedent: compact is the store's upgrade point). The
@@ -258,12 +298,16 @@ object DedupStore {
     // would corrupt the next append's partition discovery.)
     val buckets = readLayout(spark, path, "id_buckets")
       .getOrElse(DefaultIdBuckets)
-    writeIdBucketed(spark.read.parquet(s"$path/shingles")
-        .select(col("id"), col("s")),
-      buckets, s"$tmp/shingles", "overwrite", sortById = true)
-    writeIdBucketed(spark.read.parquet(s"$path/counts")
-        .select(col("id"), col("n_sh")),
-      buckets, s"$tmp/counts", "overwrite", sortById = true)
+    stagedWrite(spark, s"$tmp/shingles") {
+      writeIdBucketed(spark.read.parquet(s"$path/shingles")
+          .select(col("id"), col("s")),
+        buckets, s"$tmp/shingles", "overwrite", sortById = true)
+    }
+    stagedWrite(spark, s"$tmp/counts") {
+      writeIdBucketed(spark.read.parquet(s"$path/counts")
+          .select(col("id"), col("n_sh")),
+        buckets, s"$tmp/counts", "overwrite", sortById = true)
+    }
     writeLayoutFile(spark, s"$tmp/layout", "id_buckets", buckets)
     swapRelations(fs, root, tmp, Seq("bands", "shingles", "counts", "layout"))
   }
@@ -384,10 +428,12 @@ object DedupStore {
     // Takedown lists are usually tiny (AQE broadcasts the anti-join
     // side); the store streams through the rewrite once per relation.
     // The id-keyed relations rewrite in the store's declared layout.
-    spark.read.parquet(s"$path/bands").join(gone, Seq("id"), "left_anti")
-      .write.partitionBy("band").parquet(s"$tmp/bands")
+    stagedWrite(spark, s"$tmp/bands") {
+      spark.read.parquet(s"$path/bands").join(gone, Seq("id"), "left_anti")
+        .write.partitionBy("band").parquet(s"$tmp/bands")
+    }
     val layout = readLayout(spark, path, "id_buckets")
-    def rewrite(rel: String, cols: Seq[String]): Unit = {
+    def rewrite(rel: String, cols: Seq[String]): Unit = stagedWrite(spark, s"$tmp/$rel") {
       val survivors = spark.read.parquet(s"$path/$rel")
         .select(cols.map(col): _*)
         .join(gone, Seq("id"), "left_anti")

@@ -193,12 +193,20 @@ object SpanStore {
     // from the live grams, retiring hashes whose grams a remove() purged.
     val buckets = DedupStore.readLayout(spark, path, "gram_buckets")
       .getOrElse(DefaultGramBuckets)
+    // stagedWrite: retry-once on a transient task-commit denial — the
+    // r18 driver run's VERIFY failure died exactly here (see
+    // [[DedupStore.stagedWrite]] for the race: a denied commit wrapped
+    // as TASK_WRITE_FAILED counts as a plain task failure under local
+    // mode's maxTaskFailures = 1). The staged dir is private until the
+    // swap, so the clean retry is always safe.
     val live = spark.read.parquet(s"$path/grams")
       .select(col("id"), col("pos"), col("g"))
-    live.withColumn("gb", gbOf(col("g"), buckets))
-      .repartition(buckets, col("gb"))
-      .sortWithinPartitions(col("g"), col("id"), col("pos"))
-      .write.partitionBy("gb").parquet(s"$tmp/grams")
+    DedupStore.stagedWrite(spark, s"$tmp/grams") {
+      live.withColumn("gb", gbOf(col("g"), buckets))
+        .repartition(buckets, col("gb"))
+        .sortWithinPartitions(col("g"), col("id"), col("pos"))
+        .write.partitionBy("gb").parquet(s"$tmp/grams")
+    }
     // Merge the per-increment df partials into one row per gram
     // (dropping grams a remove() fully cancelled) — the capped probe's
     // heavy-gram aggregation then reads pre-merged rows, and the
@@ -210,12 +218,16 @@ object SpanStore {
       .groupBy(col("g")).agg(sum(col("nd")).as("nd"))
       .filter(col("nd") > 0)
       .localCheckpoint(true) // feeds gramdf AND gramidx
-    merged
-      .repartitionByRange(files, col("g"))
-      .sortWithinPartitions(col("g"))
-      .write.parquet(s"$tmp/gramdf")
-    merged.select(xxhash64(col("g")).as("gh"))
-      .write.parquet(s"$tmp/gramidx")
+    DedupStore.stagedWrite(spark, s"$tmp/gramdf") {
+      merged
+        .repartitionByRange(files, col("g"))
+        .sortWithinPartitions(col("g"))
+        .write.parquet(s"$tmp/gramdf")
+    }
+    DedupStore.stagedWrite(spark, s"$tmp/gramidx") {
+      merged.select(xxhash64(col("g")).as("gh"))
+        .write.parquet(s"$tmp/gramidx")
+    }
     org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(merged)
     DedupStore.writeLayoutFile(spark, s"$tmp/layout", "gram_buckets", buckets)
     // gramidx swaps BEFORE grams so every kill point keeps the index a
@@ -272,12 +284,14 @@ object SpanStore {
     // [[compact]] rebuilds it exactly.
     val survivors = live.join(gone, Seq("id"), "left_anti")
       .select(col("id"), col("pos"), col("g"))
-    DedupStore.readLayout(spark, path, "gram_buckets") match {
-      case Some(b) =>
-        survivors.withColumn("gb", gbOf(col("g"), b))
-          .repartition(b, col("gb"))
-          .write.partitionBy("gb").parquet(s"$tmp/grams")
-      case None => survivors.write.parquet(s"$tmp/grams")
+    DedupStore.stagedWrite(spark, s"$tmp/grams") {
+      DedupStore.readLayout(spark, path, "gram_buckets") match {
+        case Some(b) =>
+          survivors.withColumn("gb", gbOf(col("g"), b))
+            .repartition(b, col("gb"))
+            .write.partitionBy("gb").parquet(s"$tmp/grams")
+        case None => survivors.write.parquet(s"$tmp/grams")
+      }
     }
     // df partials: append the removed docs' NEGATED per-gram doc counts
     // (computed from the still-live gram relation), staged together with
@@ -285,8 +299,10 @@ object SpanStore {
     val negDf = live.join(gone, Seq("id"), "left_semi")
       .select(col("g"), col("id")).distinct()
       .groupBy(col("g")).agg((-count(lit(1))).as("nd"))
-    gramDf(spark, path).unionAll(negDf)
-      .write.parquet(s"$tmp/gramdf")
+    DedupStore.stagedWrite(spark, s"$tmp/gramdf") {
+      gramDf(spark, path).unionAll(negDf)
+        .write.parquet(s"$tmp/gramdf")
+    }
     DedupStore.swapRelations(fs, root, tmp, Seq("grams", "gramdf"))
   }
 

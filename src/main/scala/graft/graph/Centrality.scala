@@ -39,16 +39,30 @@ object Centrality {
     */
   def pathLoad(edges: DataFrame, seeds: DataFrame, k: Int): DataFrame = {
     require(k >= 1 && k <= 8, s"pathLoad unrolls 2k plan levels; got k=$k")
+    val spark = edges.sparkSession
+    // LAZY checkpoints throughout (r18 verdict #4 — this leg regressed
+    // on the per-hop eager levels): every per-level checkpoint is a
+    // LogicalRDD leaf (linear plan growth, same as eager) whose persist
+    // caches it on first compute, but NO level runs its own driver job —
+    // the single eager materialization of `out` at the end computes the
+    // whole 2k-level DAG in ONE job, the forward levels' caches feeding
+    // both their anti-join reuse and the backward sweep. 2k+2 driver
+    // jobs → 2. Shuffle sizing + AQE off for that job via loopPartitions
+    // / withLoopConf (the PageRank/CC/LPA idiom); integer path counts —
+    // partition-count-independent.
     val e = edges
       .select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    PageRank.withLoopConf(spark, PageRank.loopPartitions(spark, {
+      e.count() // sizes the loop; materializes the edge checkpoint
+    })) {
     var frontier = seeds
       .select(col(seeds.columns(0)).as("seed"), col(seeds.columns(0)).as("id"))
       .distinct()
       .withColumn("sigma", lit(1L))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var levels = Vector(frontier)
     var visited = frontier.select(col("seed"), col("id"))
     for (_ <- 1 to k) {
@@ -57,7 +71,7 @@ object Centrality {
         .groupBy(col("seed"), col("nid").as("id"))
         .agg(sum(col("sigma")).as("sigma"))
         .join(visited, Seq("seed", "id"), "left_anti")
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       levels :+= next
       visited = visited.unionAll(next.select(col("seed"), col("id")))
       frontier = next
@@ -78,12 +92,14 @@ object Centrality {
         .join(fromNext, Seq("seed", "id"), "left")
         .select(col("seed"), col("id"), col("sigma"),
           (lit(1L) + coalesce(col("s"), lit(0L))).as("psi"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       spent ::= withPsi
       loads = loads.unionAll(withPsi.select(col("seed"), col("id"),
         (col("sigma") * (col("psi") - 1L)).as("load")))
       psi = withPsi.select(col("seed"), col("id"), col("psi"))
     }
+    // The ONE materializing job: computes + caches every lazy level
+    // above, then truncates to the result checkpoint.
     val out = loads
       .groupBy(col("id"))
       .agg(sum(col("load")).as("load"))
@@ -91,5 +107,6 @@ object Centrality {
     (levels ++ spent).foreach(freeLocalCheckpoint)
     freeLocalCheckpoint(e)
     out
+    } // withLoopConf
   }
 }

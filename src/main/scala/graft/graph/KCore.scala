@@ -46,6 +46,14 @@ object KCore {
     var e = Undirected.symmetrize(edges).localCheckpoint(true)
     var nEdges = e.count()
     var done = false
+    // Loop shuffle sizing + AQE off (loopPartitions / withLoopConf, the
+    // PageRank/CC/LPA idiom): each peel round is one degree aggregation
+    // + two anti-joins + a checkpoint block-write; at the session's
+    // partition count those per-round fixed costs scale with cores while
+    // the work doesn't (the r18 scaling block's anti-scaling class).
+    // Exact integer degrees/anti-joins — partition-count-independent.
+    val spark = edges.sparkSession
+    PageRank.withLoopConf(spark, PageRank.loopPartitions(spark, nEdges)) {
     for (_ <- 1 to rounds if !done) {
       // Peel via the DROPPED set, not the keep set: after the first round
       // a peel wave removes few vertices, so the anti-join side is tiny
@@ -68,6 +76,7 @@ object KCore {
       done = nNext == nEdges // no vertex dropped → exact k-core reached
       nEdges = nNext
     }
+    } // withLoopConf
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("degree"))
   }
 }

@@ -234,6 +234,16 @@ object Motifs {
     require(k >= 0 && k <= 12, s"k-hop unrolls k plan levels; got k=$k")
     val e = edges.select(col(edges.columns(0)).as("src"), col(edges.columns(1)).as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Loop shuffle sizing + AQE off (loopPartitions / withLoopConf, the
+    // PageRank/CC/LPA idiom): per hop one distinct shuffle, one anti-join
+    // and a checkpoint block-write over frontier-sized rows — at the
+    // session partition count those fixed per-hop costs scale with cores
+    // while the work doesn't (the r18 scaling block's anti-scaling
+    // class). Exact set algebra — partition-count-independent. The edge
+    // count that sizes the loop also materializes the persisted edges
+    // the first hop was about to pay for.
+    val spark = edges.sparkSession
+    PageRank.withLoopConf(spark, PageRank.loopPartitions(spark, e.count())) {
     // Each level is materialized (eager localCheckpoint): the edge scan and
     // every frontier run ONCE — a fully lazy k-level plan would re-derive
     // the edge relation and all previous frontiers at every hop (measured
@@ -264,6 +274,7 @@ object Motifs {
     }
     e.unpersist()
     levels.reverse.reduce(_.unionAll(_))
+    } // withLoopConf
   }
 
   /** Reached-set size up to which the BFS frontier/visited relations are

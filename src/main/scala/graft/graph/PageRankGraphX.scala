@@ -26,9 +26,23 @@ object PageRankGraphX {
     val persistedBefore = graft.RddScope.persisted(spark)
     val edgeRdd = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), ()))
-    val base = Graph.fromEdges(edgeRdd, defaultValue = (),
+    val base0 = Graph.fromEdges(edgeRdd, defaultValue = (),
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+    // A/B hook (r18 verdict #8): EdgePartition2D co-partitioning before
+    // the iteration loop. Measured on the 2M-edge scaled leg (see
+    // OPTIMIZATION_r19.md): local[32] fresh-JVM walls are NEUTRAL-to-
+    // WORSE (the partitionBy shuffle costs more than the reduced vertex
+    // replication saves when every "executor" shares one block manager),
+    // so it stays OFF by default — the knob exists for cluster
+    // deployments, where 2D partitioning bounds vertex replication to
+    // 2√P instead of P. NOTE: repartitioning reorders message combining
+    // (ulp-level float regrouping), so enabling it invalidates the
+    // golden-pin bit-parity gates — acceptable on a cluster, not for the
+    // oracle-checked local legs.
+    val base = if (sys.env.contains("GRAFT_GRAPHX_2D"))
+      base0.partitionBy(org.apache.spark.graphx.PartitionStrategy.EdgePartition2D)
+    else base0
     val graph = base.outerJoinVertices(base.outDegrees) {
       (_, _, degOpt) => degOpt.getOrElse(0)
     }.cache()

@@ -70,11 +70,22 @@ object RandomWalks {
     while (j <= steps) {
       // min(struct(h, dst)) = argmin by draw with dst tie-break — one
       // deterministic aggregation, no window sort over the edge relation.
+      // LAZY per-step checkpoint PAST step 1: each later frontier becomes
+      // a LogicalRDD leaf, so the step plans and the `out` union grow
+      // O(steps) instead of O(steps²) (every union branch used to
+      // re-embed the whole chain up to its step). Step 1 stays a plain
+      // plan: it is the loop's representative shape in the returned plan
+      // (PlanShapeSpec pins its broadcast + edge-stream join there) and
+      // the path that keeps the `e` checkpoint REACHABLE from the result
+      // — the leak-sweep contract (QueriesSpec) frees backings by
+      // plan-reachability. No extra jobs — the caller's first action
+      // materializes the chain.
       frontier = broadcast(frontier)
         .join(e, col("cur") === col("src"))
         .groupBy(col("walk_id"))
         .agg(min(struct(draw(j).as("h"), col("dst"))).as("pick"))
         .select(col("walk_id"), col("pick.dst").as("cur"))
+      if (j >= 2) frontier = frontier.localCheckpoint(false)
       out = out.unionAll(frontier.select(col("walk_id"), lit(j).as("step"),
         col("cur").as("node")))
       j += 1
@@ -207,12 +218,26 @@ object RandomWalks {
             .select(col("walk_id"), col("cur"), col("dst"),
               explode(sequence(lit(1), w)).as("r"))
         }
+      // LAZY per-step checkpoint PAST step 1 (the r18 ADVICE item): from
+      // step 2 on the loop references the frontier TWICE per step (the
+      // candidate join and the prevAdj prev-set), so the un-checkpointed
+      // logical plan re-embedded the whole chain per reference and grew
+      // ~2^steps (captured: 12 → 74 RDD scans at steps=4; node2vec-
+      // typical walk lengths would hang the planner). As a LogicalRDD
+      // leaf each step plans against the previous step's RDD, so plans
+      // stay O(1) per step and the RDD DAG O(steps). Step 1 stays a
+      // plain plan — the loop's representative shape in the returned
+      // plan (PlanShapeSpec pins it) and the path that keeps the `e`
+      // checkpoint REACHABLE from the result for the leak-sweep contract
+      // (QueriesSpec frees backings by plan-reachability). No extra jobs
+      // — the caller's first action materializes the chain.
       frontier = weighted
         .groupBy(col("walk_id"))
         .agg(min(struct(drawB.as("h"), col("dst"), col("r"))).as("pick"),
           first(col("cur")).as("was"))
         .select(col("walk_id"), col("was").as("prev"),
           col("pick.dst").as("cur"))
+      if (j >= 2) frontier = frontier.localCheckpoint(false)
       out = out.unionAll(frontier.select(col("walk_id"), lit(j).as("step"),
         col("cur").as("node")))
       j += 1

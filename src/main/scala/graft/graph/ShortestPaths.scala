@@ -52,6 +52,17 @@ object ShortestPaths {
         s"bellmanFord: $bad edge(s) with null/zero/negative weight — weights must be > 0")
     }
 
+    // Loop shuffle sizing + AQE off (loopPartitions / withLoopConf, the
+    // PageRank/CC/LPA idiom): per round this loop runs one aggregation
+    // shuffle, one full-outer merge join and one checkpoint block-write,
+    // all over frontier/|V|-bounded rows — at the session's partition
+    // count those per-round costs scale with cores while the work
+    // doesn't (r18 scaling block: g6 ran 2.8x SLOWER at 32 cores than at
+    // 8). Results are exact minima (no float sums), so partitioning
+    // cannot change them.
+    val spark = edges.sparkSession
+    val m = e.count() // cheap scan of the cache the contract check filled
+    PageRank.withLoopConf(spark, PageRank.loopPartitions(spark, m)) {
     var dist = seeds.select(col(seeds.columns(0)).as("id"))
       .distinct()
       .withColumn("dist", lit(0.0))
@@ -84,5 +95,6 @@ object ShortestPaths {
     }
     e.unpersist()
     dist
+    } // withLoopConf
   }
 }

@@ -378,34 +378,46 @@ object ReleaseStore {
     // statistics additivity). Pre-upgrade stores lack the ledger and
     // backfill its seed from the classifier's docs membership ledger,
     // which has recorded every arriving doc since init.
-    val meta = s.read.parquet(s"$path/clusters")
-      .agg(coalesce(max(col("gen")), lit(0L)).as("g")).first()
-    val gen = meta.getLong(0) + 1L
+    // The three store-metadata scalars (clusters gen-max, max-seen id,
+    // batch id range) are FOLDED into one driver job (r18 verdict #5):
+    // three one-row aggregates cross-joined, so their source scans run
+    // as parallel stages of a single job instead of three sequential
+    // driver round-trips — and the same job materializes the `docs`
+    // checkpoint the batch-range aggregate reads. Values identical (the
+    // fold only changes how many jobs carry them).
     val maxidPath = new org.apache.hadoop.fs.Path(s"$path/maxid")
     val maxidFs = maxidPath.getFileSystem(hconf)
+    val seenSrc =
+      if (maxidFs.exists(maxidPath))
+        s.read.parquet(s"$path/maxid").agg(max(col("max_id")).as("sm"))
+      else
+        s.read.parquet(s"$path/classifier/docs")
+          .agg(max(col("doc_id")).as("sm"))
+    val meta = s.read.parquet(s"$path/clusters")
+      .agg(coalesce(max(col("gen")), lit(0L)).as("g"))
+      .crossJoin(seenSrc)
+      .crossJoin(docs.agg(min(col("doc_id")).as("bmin"),
+        max(col("doc_id")).as("bmax")))
+      .first()
+    val gen = meta.getLong(0) + 1L
     val seenMax: Option[Long] =
-      if (maxidFs.exists(maxidPath)) {
-        val r = s.read.parquet(s"$path/maxid").agg(max(col("max_id"))).first()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-      } else {
-        val r = s.read.parquet(s"$path/classifier/docs")
-          .agg(max(col("doc_id"))).first()
-        if (r.isNullAt(0)) None else Some(r.getLong(0))
-      }
-    val batchRange = docs.agg(min(col("doc_id")), max(col("doc_id"))).first()
-    for (sm <- seenMax if !batchRange.isNullAt(0))
-      require(batchRange.getLong(0) > sm,
+      if (meta.isNullAt(1)) None else Some(meta.getLong(1))
+    val batchMin: Option[Long] =
+      if (meta.isNullAt(2)) None else Some(meta.getLong(2))
+    val batchMax: Option[Long] =
+      if (meta.isNullAt(3)) None else Some(meta.getLong(3))
+    for (sm <- seenMax; bm <- batchMin)
+      require(bm > sm,
         s"increment ids must be monotone across batches: batch min id " +
-          s"${batchRange.getLong(0)} <= max id ever seen $sm")
+          s"$bm <= max id ever seen $sm")
     // Ledger FIRST (the ClassifierStore.remove idiom): once this row
     // lands, a replay of the same batch — e.g. retrying after a crash
     // mid-increment — is REFUSED by the guard above instead of silently
     // double-counting the batch's classifier statistics and duplicating
     // its index rows. An interrupted increment surfaces as an error to
     // reconcile, never as corrupted sums.
-    if (!batchRange.isNullAt(1))
-      s.range(1).select(lit(gen).as("gen"),
-          lit(batchRange.getLong(1)).as("max_id"))
+    for (bm <- batchMax)
+      s.range(1).select(lit(gen).as("gen"), lit(bm).as("max_id"))
         .write.mode("append").parquet(s"$path/maxid")
 
     // (1) Gate: append the batch's statistics, retrain on everything
@@ -525,6 +537,13 @@ object ReleaseStore {
     // (6) Dethroned stored docs: RELEASED members that just lost their
     // canonical seat to the batch. The union batch run's survivor set
     // excludes them, so their spans must not excise the new docs.
+    // ORDER PIN (r18 ADVICE): `releasedB` below is a LAZY checkpoint
+    // materialized by its own append to $path/released — so this read of
+    // $path/released executes INSIDE the job that appends to it. That is
+    // correct only because DataFrameReader.parquet() snapshots the file
+    // listing (InMemoryFileIndex) EAGERLY here, before the append adds
+    // files; a refactor that moves this read later, or defers/refreshes
+    // the listing, would make the increment read its own appended rows.
     val released = s.read.parquet(s"$path/released")
     val dethroned = losers.join(newIds, Seq("doc_id"), "left_anti")
       .join(released.select(col("doc_id")), Seq("doc_id"), "left_semi")

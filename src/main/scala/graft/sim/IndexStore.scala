@@ -158,10 +158,15 @@ object IndexStore {
     val tmp = new org.apache.hadoop.fs.Path(path + ".compact.tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(tmp, true)
-    spark.read.parquet(path)
-      .repartition(col("cell"))
-      .sortWithinPartitions(col("vec_id"))
-      .write.partitionBy("cell").parquet(tmp.toString)
+    // Retry-once on a transient task-commit denial (the r18 VERIFY
+    // failure class — see [[graft.dedup.DedupStore.stagedWrite]]); the
+    // staged dir is private until the swap, so a clean retry is safe.
+    graft.dedup.DedupStore.stagedWrite(spark, tmp.toString) {
+      spark.read.parquet(path)
+        .repartition(col("cell"))
+        .sortWithinPartitions(col("vec_id"))
+        .write.partitionBy("cell").parquet(tmp.toString)
+    }
     fs.delete(old, true) // leftover from a prior crashed compact
     require(fs.rename(live, old), "compact: rename of live store aside failed")
     require(fs.rename(tmp, live), "compact: rename of rewrite into place failed")
@@ -190,8 +195,10 @@ object IndexStore {
     val tmp = new org.apache.hadoop.fs.Path(path + ".remove.tmp")
     val old = new org.apache.hadoop.fs.Path(path + ".old")
     fs.delete(tmp, true)
-    spark.read.parquet(path).join(gone, Seq("vec_id"), "left_anti")
-      .write.partitionBy("cell").parquet(tmp.toString)
+    graft.dedup.DedupStore.stagedWrite(spark, tmp.toString) {
+      spark.read.parquet(path).join(gone, Seq("vec_id"), "left_anti")
+        .write.partitionBy("cell").parquet(tmp.toString)
+    }
     fs.delete(old, true) // leftover from a prior crashed swap
     require(fs.rename(live, old), "remove: rename of live store aside failed")
     require(fs.rename(tmp, live), "remove: rename of rewrite into place failed")

@@ -293,4 +293,42 @@ class DedupStoreSpec extends SparkSpec {
       assert(left == 0, s"$left removed-doc rows survived in $rel")
     }
   }
+
+  test("stagedWrite retries once on a denied task commit, clearing the " +
+      "staged dir; other failures propagate") {
+    // The r18 driver-run VERIFY failure class: a compact's staging write
+    // died on OutputCommitCoordinator denying a task commit (wrapped as
+    // TASK_WRITE_FAILED, so under local mode's maxTaskFailures=1 one
+    // transient denial aborts the job). stagedWrite's contract: the
+    // staged dir is private until the swap, so on a denial-shaped
+    // failure it deletes the dir and re-runs the write ONCE.
+    val dir = Files.createTempDirectory("graft_staged_retry").toString
+    val dest = s"$dir/stage"
+    var calls = 0
+    DedupStore.stagedWrite(spark, dest) {
+      calls += 1
+      if (calls == 1) {
+        // Simulate a half-written staging dir + the denial shape Spark
+        // surfaces (SparkException wrapping CommitDeniedException).
+        spark.range(3).write.parquet(dest)
+        throw new org.apache.spark.SparkException(
+          "Task failed while writing rows",
+          new RuntimeException(
+            "attempt_x: Not committed because the driver did not authorize commit"))
+      }
+      spark.range(5).write.parquet(dest) // must land in a CLEAN dir
+    }
+    assert(calls == 2, s"expected one retry, saw $calls call(s)")
+    assert(spark.read.parquet(dest).count() == 5,
+      "retry did not clear the half-written staged dir before re-running")
+    // Non-denial failures propagate unchanged, no retry.
+    var calls2 = 0
+    val boom = intercept[RuntimeException] {
+      DedupStore.stagedWrite(spark, s"$dir/other") {
+        calls2 += 1
+        throw new RuntimeException("disk on fire")
+      }
+    }
+    assert(boom.getMessage == "disk on fire" && calls2 == 1)
+  }
 }

@@ -142,4 +142,36 @@ class PageRankSpec extends SparkSpec {
         s"page $gotId score: got $gotS, expected $expS")
     }
   }
+
+  test("fused live-mass loop matches GraphX on a NON-fixture graph " +
+      "(iterations + delta — threshold-flip tripwire)") {
+    // r18 ADVICE: the fused per-iteration aggregate regroups the lost-mass
+    // float summation per-vertex (s = β·Σ_live rank) where the unfused
+    // form summed per-edge-contribution; the two differ at ulp level and
+    // could flip the iteration count right at the convergence threshold on
+    // graphs OUTSIDE the pinned fixtures (WikiData / sf0.001). This pins a
+    // synthetic power-law graph under a CONVERGENCE run (delta-terminated,
+    // not maxIter-terminated) against the GraphX engine, whose lost-mass
+    // sum uses yet another grouping (per-destination receive): equal
+    // iteration counts + tight L1 parity means neither regroup flipped an
+    // iteration at this threshold.
+    val edges = graph.SyntheticGraph.powerLaw(spark, 3000L, 30000L)
+      .localCheckpoint(true)
+    val params = PageRank.Params(beta = 0.85, delta = 1e-4, maxIter = 60)
+    val df = PageRank.run(spark, edges, params)
+    val gx = graph.PageRankGraphX.run(spark, edges, params)
+    assert(df.iterations < params.maxIter,
+      s"fixture did not converge (${df.iterations} iterations) — the " +
+        "threshold tripwire needs a delta-terminated run")
+    assert(df.iterations == gx.iterations,
+      s"iteration count flipped across float regroupings: " +
+        s"df=${df.iterations} gx=${gx.iterations}")
+    assert(math.abs(df.finalDelta - gx.finalDelta) < 1e-9,
+      s"final delta diverged: df=${df.finalDelta} gx=${gx.finalDelta}")
+    val l1 = df.ranks.as("a").join(gx.ranks.as("b"), "id")
+      .agg(sum(abs(col("a.rank") - col("b.rank")))).head().getDouble(0)
+    assert(l1 < 1e-9, s"L1 diverged: $l1")
+    df.release(); gx.release()
+    org.apache.spark.sql.graft.GraftInternals.freeLocalCheckpoint(edges)
+  }
 }

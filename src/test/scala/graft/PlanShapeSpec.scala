@@ -239,13 +239,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("cms_estimate"), plan.take(3000))
   }
 
-  test("g15: the walk frontier broadcasts at every step, edges never shuffle for the join") {
-    // 4 steps → 4 frontier⋈edges joins, each with the |walks|-row
-    // frontier on the broadcast side. An exchange of the edge relation
-    // keyed by src would mean the frontier stopped driving the join.
+  test("g15: the walk frontier broadcasts (step-1 shape pins the loop), " +
+      "edges never shuffle; steps 2+ are checkpoint leaves") {
+    // r19: steps 2+ are LAZY per-step checkpoints (plan growth O(steps),
+    // not O(steps²)), so the returned plan carries ONE representative
+    // frontier⋈edges join — step 1's, byte-identically constructed to
+    // every later step's — with the |walks|-row frontier on the
+    // broadcast side, plus one LogicalRDD leaf per later step. An
+    // exchange of the edge relation keyed by src would mean the frontier
+    // stopped driving the join.
     val plan = planOf(SparkEntry.queries("g15_random_walks")(spark, Sf01))
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(bhj >= 4, s"expected >=4 broadcast joins (one per step), got $bhj:\n" +
+    assert(bhj >= 1, s"expected the step-1 broadcast join, got $bhj:\n" +
+      plan.take(3000))
+    // steps 2..4 enter the union as checkpoint leaves
+    val leaves = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(leaves >= 3, s"expected >=3 per-step checkpoint leaves, got $leaves:\n" +
       plan.take(3000))
     assert(!("Exchange hashpartitioning\\(src".r.findFirstIn(plan).isDefined),
       plan.take(3000))
@@ -330,33 +339,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
-  test("g16: biased walk is equi-joins end to end; frontier drives every step, edges never shuffle") {
-    // Per step the biased walk runs TWO joins — the frontier⋈edges probe
-    // (explicit broadcast hint, like g15) and the (prev, dst) adjacency
-    // probe against the dedup'd checkpointed edge relation — except step
-    // 1, whose adjacency probe Catalyst constant-folds away entirely
-    // (prev is literal null, so the left join is provably all-null).
-    // Neither may degenerate to a cartesian product, and the edge
-    // relation must never exchange by src inside the loop (the dedup's
-    // own exchange happened once, inside the eager checkpoint, before
-    // this plan). collect() (not count(), which builds a separate plan)
-    // so AQE finalizes THIS df's join strategies.
+  test("g16: biased walk is equi-joins end to end; frontier drives the " +
+      "visible step, edges never shuffle; steps 2+ are checkpoint leaves") {
+    // r19: steps 2+ are LAZY per-step checkpoints (the 2^steps ADVICE
+    // fix — each step references the previous frontier twice, so the
+    // un-checkpointed plan doubled per step), so the returned plan
+    // carries step 1's representative shape: the frontier⋈edges probe
+    // (explicit broadcast hint, like g15) with the adjacency probe
+    // constant-folded away (step 1's prev is literal null), plus one
+    // LogicalRDD leaf per later step. The steps-2+ adjacency probes run
+    // at each step's own checkpoint planning, byte-identically
+    // constructed — GraphAlgSpec pins their output against
+    // walkBiasedShuffled. Nothing may degenerate to a cartesian product,
+    // and the edge relation must never exchange by src inside the loop.
+    // collect() (not count(), which builds a separate plan) so AQE
+    // finalizes THIS df's join strategies.
     val df = SparkEntry.queries("g16_biased_walks")(spark, Sf001)
     df.collect()
     val plan = planOf(df)
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     // The only nested-loop allowed is the bounded seeds×nWalks Cross fan
-    // that mints walk ids (nWalks = 2 rows on the broadcast side; the
-    // plan string repeats it per union branch). A LeftOuter/Inner BNLJ
-    // would mean the adjacency or edge probe degenerated to a product.
+    // that mints walk ids (nWalks = 2 rows on the broadcast side). A
+    // LeftOuter/Inner BNLJ would mean the adjacency or edge probe
+    // degenerated to a product.
     val nljTypes = "BroadcastNestedLoopJoin Build\\w+, (\\w+)".r
       .findAllMatchIn(plan).map(_.group(1)).toSet
     assert(nljTypes.subsetOf(Set("Cross")),
       s"non-Cross nested-loop joins $nljTypes:\n" + plan.take(3000))
-    // The frontier-broadcast edge probes and the steps-2+ adjacency
-    // probes all resolve to broadcast hash joins at this scale.
+    // Step 1's frontier-broadcast edge probe resolves to a broadcast
+    // hash join at this scale; steps 2..4 enter the union as leaves.
     val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(bhj >= 4, s"expected >=4 broadcast joins, got $bhj:\n" +
+    assert(bhj >= 1, s"expected the step-1 broadcast join, got $bhj:\n" +
+      plan.take(3000))
+    val leaves = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(leaves >= 3, s"expected >=3 per-step checkpoint leaves, got $leaves:\n" +
       plan.take(3000))
     assert(!("Exchange hashpartitioning\\(src".r.findFirstIn(plan).isDefined),
       plan.take(3000))
